@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship three-phase k-NN cascade on sf0.001 (SURVEY §3.1).
+queries()     -> every implemented operator from SURVEY §2, keyed by name.
+oracle_sql()  -> matching DuckDB ANSI SQL for the value-hash correctness gate.
+
+All real logic lives in binaryvectordb_spark/; this module is a thin shim.
 """
 
 from __future__ import annotations
@@ -15,24 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: 3-phase quantized k-NN cascade (hamming top-100 ->
+    <float,binary> top-30 -> <float,int8> cosine top-10) on sf0.001."""
+    from binaryvectordb_spark.queries.vector import knn_cascade
+    return knn_cascade(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from binaryvectordb_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from binaryvectordb_spark.queries import ORACLES
+    return dict(ORACLES)

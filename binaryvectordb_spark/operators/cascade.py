@@ -1,0 +1,178 @@
+"""The three-phase quantized k-NN search cascade, Spark-first.
+
+Reference semantics (BinaryVectorDB/BinaryVectorDB.py:200-252, README.md:125-162):
+
+  Phase I   hamming k-NN over the binary index, ascending, top
+            ``binary_k = min(k * binary_oversample, ntotal)``         (:204,:209-216)
+  Phase II  rescore ALL Phase-I candidates with q_float · (2b-1),
+            descending, truncate to ``k * int8_oversample``           (:218-232)
+  Phase III fetch {doc, emb_int8} for survivors, score q·d/‖d‖
+            (doc-side norm only), descending, truncate to k           (:234-250)
+
+Spark mapping (SURVEY §3.1): the whole cascade is ONE logical plan —
+  cached index scan -> hamming expr -> TakeOrderedAndProject(binary_k)
+  -> rescore expr -> TakeOrderedAndProject(rescore_k)
+  -> broadcast join against the documents table (candidates are tiny)
+  -> cosine expr -> TakeOrderedAndProject(k).
+
+Scale notes (100 TB): Phase I is an embarrassingly parallel scan + per-partition
+partial top-k with a k-row-per-partition merge (TakeOrderedAndProject) — no full
+shuffle.  Phases II/III touch <= k*oversample rows.  The documents join
+broadcasts the candidate side, so the big documents table is never shuffled;
+Parquet column pruning reads only (doc_id, doc, emb_int8).
+
+Tie-breaking: the reference relies on Python's stable sort (:229,:247); we pin
+ties explicitly with doc_id ascending so results are deterministic (SURVEY §7
+risk 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.functions.vector import (
+    binary_dot,
+    hamming,
+    int8_cosine,
+    int8_quantize,
+    pack_bits,
+)
+
+DEFAULT_K = 10
+DEFAULT_BINARY_OVERSAMPLE = 10   # BinaryVectorDB/BinaryVectorDB.py:174
+DEFAULT_INT8_OVERSAMPLE = 3      # BinaryVectorDB/BinaryVectorDB.py:174
+
+
+def build_index(emb_df: DataFrame, dim: int,
+                id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """embeddings -> index(doc_id, vec ARRAY<BIGINT>) — the RAM tier.
+
+    1 bit/dim packed into int64 lanes = the reference's 32x compression
+    (README.md:126-131).  Callers .cache() this (README.md:68 'binary
+    embeddings are loaded in memory').
+    """
+    return emb_df.select(
+        F.col(id_col).alias("doc_id"),
+        pack_bits(emb_col, dim).alias("vec"),
+    )
+
+
+def build_doc_store(emb_df: DataFrame, docs_df: DataFrame | None = None,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    doc_id_col: str = "doc_id", doc_col: str = "text") -> DataFrame:
+    """embeddings [+ documents] -> documents(doc_id, doc, emb_int8) — disk tier.
+
+    Mirrors the RocksDB value shape {'doc':…, 'emb_int8':…}
+    (BinaryVectorDB/BinaryVectorDB.py:153) as a columnar table.
+    """
+    store = emb_df.select(
+        F.col(id_col).alias("doc_id"),
+        int8_quantize(emb_col).alias("emb_int8"),
+    )
+    if docs_df is not None:
+        payload = docs_df.select(F.col(doc_id_col).alias("doc_id"),
+                                 F.col(doc_col).alias("doc"))
+        store = store.join(payload, "doc_id", "left")
+    else:
+        store = store.withColumn("doc", F.lit(None).cast("string"))
+    return store.select("doc_id", "doc", "emb_int8")
+
+
+def _query_df(index_or_emb_df: DataFrame, query_vec=None, query_filter=None,
+              dim: int = 64, emb_col: str = "embedding"):
+    """Build a 1-row broadcastable query DataFrame (qvec float, qbits packed)."""
+    spark = index_or_emb_df.sparkSession
+    if query_vec is not None:
+        q = spark.createDataFrame([(list(map(float, query_vec)),)],
+                                  f"qvec: array<float>")
+    else:
+        q = index_or_emb_df.where(query_filter).select(
+            F.col(emb_col).cast("array<float>").alias("qvec")).limit(1)
+    return q.select("qvec", pack_bits("qvec", dim).alias("qbits"))
+
+
+def cascade_search(index_df: DataFrame, doc_df: DataFrame, dim: int,
+                   query_vec=None, query_df: DataFrame | None = None,
+                   k: int = DEFAULT_K,
+                   binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
+                   int8_oversample: int = DEFAULT_INT8_OVERSAMPLE) -> DataFrame:
+    """Single-query three-phase cascade; returns the final hits DataFrame
+    ``(doc_id, score_hamming, score_binary, score_cossim, doc)`` ordered by
+    score_cossim desc, doc_id asc (reference output shape :247-252).
+
+    ``query_df`` must be a 1-row frame with a float-array column ``qvec``
+    (and optionally precomputed ``qbits``); otherwise pass ``query_vec``.
+    """
+    if query_df is None:
+        q = _query_df(index_df, query_vec=query_vec, dim=dim)
+    else:
+        q = query_df
+        if "qbits" not in q.columns:
+            q = q.select("qvec", pack_bits("qvec", dim).alias("qbits"))
+
+    binary_k = k * binary_oversample       # LIMIT clamps to ntotal implicitly (:204)
+    rescore_k = k * int8_oversample        # NOT ntotal-clamped, as in :230
+
+    # Phase I — scored scan + top-k (TakeOrderedAndProject; no shuffle of the scan)
+    p1 = (index_df.join(F.broadcast(q))
+          .select("doc_id", "vec", "qvec",
+                  hamming("qbits", "vec").alias("score_hamming"))
+          .orderBy(F.asc("score_hamming"), F.asc("doc_id"))
+          .limit(binary_k))
+
+    # Phase II — rescore all Phase-I candidates (tiny), truncate
+    p2 = (p1.select("doc_id", "qvec", "score_hamming",
+                    binary_dot("qvec", "vec", dim).alias("score_binary"))
+          .orderBy(F.desc("score_binary"), F.asc("doc_id"))
+          .limit(rescore_k))
+
+    # Phase III — broadcast candidates against the documents table (late
+    # materialization: payload + int8 read only for survivors, :236-241)
+    p3 = (F.broadcast(p2).join(doc_df, "doc_id")
+          .select("doc_id", "score_hamming", "score_binary",
+                  int8_cosine("qvec", "emb_int8").alias("score_cossim"),
+                  "doc")
+          .orderBy(F.desc("score_cossim"), F.asc("doc_id"))
+          .limit(k))
+    return p3
+
+
+def cascade_search_batch(index_df: DataFrame, doc_df: DataFrame, dim: int,
+                         queries_df: DataFrame,
+                         k: int = DEFAULT_K,
+                         binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
+                         int8_oversample: int = DEFAULT_INT8_OVERSAMPLE) -> DataFrame:
+    """Multi-query cascade: ``queries_df(qid, qvec array<float>)`` -> per-qid
+    top-k hits.  Queries are broadcast; per-query top-k uses a rank window.
+
+    Scale note: the Phase-I window shuffles ~(#queries * binary_k) rows after
+    per-partition filtering — fine for query batches up to ~10^4.  For larger
+    batches, shard queries and union.
+    """
+    q = queries_df.select("qid", F.col("qvec").cast("array<float>").alias("qvec"))
+    q = q.select("qid", "qvec", pack_bits("qvec", dim).alias("qbits"))
+
+    binary_k = k * binary_oversample
+    rescore_k = k * int8_oversample
+
+    scored = (index_df.join(F.broadcast(q))
+              .select("qid", "qvec", "doc_id", "vec",
+                      hamming("qbits", "vec").alias("score_hamming")))
+    w1 = Window.partitionBy("qid").orderBy(F.asc("score_hamming"), F.asc("doc_id"))
+    p1 = (scored.withColumn("rn", F.row_number().over(w1))
+          .where(F.col("rn") <= binary_k).drop("rn"))
+
+    p2s = p1.select("qid", "qvec", "doc_id", "score_hamming",
+                    binary_dot("qvec", "vec", dim).alias("score_binary"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score_binary"), F.asc("doc_id"))
+    p2 = (p2s.withColumn("rn", F.row_number().over(w2))
+          .where(F.col("rn") <= rescore_k).drop("rn"))
+
+    p3s = (F.broadcast(p2).join(doc_df, "doc_id")
+           .select("qid", "doc_id", "score_hamming", "score_binary",
+                   int8_cosine("qvec", "emb_int8").alias("score_cossim"), "doc"))
+    w3 = Window.partitionBy("qid").orderBy(F.desc("score_cossim"), F.asc("doc_id"))
+    return (p3s.withColumn("rn", F.row_number().over(w3))
+            .where(F.col("rn") <= k).drop("rn")
+            .orderBy("qid", F.desc("score_cossim"), F.asc("doc_id")))

@@ -1,0 +1,216 @@
+"""Vector-domain queries: the reference's search surface (SURVEY §2.1, §2.3,
+§2.4, §2.5) over the ``embeddings``/``documents`` fixtures.
+
+The fixed query vector is the embedding of ``vec_id = 0`` (deterministic, no
+network — replaces the Cohere query-embed call at
+BinaryVectorDB/BinaryVectorDB.py:193-196).  dim = 64 (fixture schema).
+
+Oracle parity contract: every float fold is strict left-to-right over
+ascending dimension index in BOTH engines, operands widened to DOUBLE before
+multiply — results are bit-identical, no tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.functions.vector import (
+    cosine,
+    dot,
+    hamming,
+    pack_bits,
+    popcount_vec,
+)
+from binaryvectordb_spark.operators.cascade import (
+    build_doc_store,
+    build_index,
+    cascade_search,
+)
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+DIM = 64
+QID = 0
+
+# SQL fragments shared by the DuckDB oracles (dim-level arithmetic — the
+# packed-lane layout is a Spark-side physical choice the oracle never sees).
+_H = ("list_sum(list_transform(range(1, 65), i -> "
+      "CASE WHEN (qv[i] >= 0) <> (dv[i] >= 0) THEN 1 ELSE 0 END))")
+_BDOT = ("list_sum(list_transform(range(1, 65), i -> "
+         "CAST(qv[i] AS DOUBLE) * (CASE WHEN dv[i] >= 0 THEN "
+         "CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))")
+_I8 = ("CAST(ROUND(GREATEST(CAST(-1 AS DOUBLE), LEAST(CAST(1 AS DOUBLE), "
+       "CAST(dv[i] AS DOUBLE))) * CAST(127 AS DOUBLE)) AS DOUBLE)")
+_I8DOT = f"list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * {_I8}))"
+_I8NORM = f"sqrt(list_sum(list_transform(range(1, 65), i -> {_I8} * {_I8})))"
+_DOT = ("list_sum(list_transform(range(1, 65), i -> "
+        "CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))")
+_QNORM = ("sqrt(list_sum(list_transform(range(1, 65), i -> "
+          "CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))")
+_DNORM = ("sqrt(list_sum(list_transform(range(1, 65), i -> "
+          "CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))))")
+
+_Q_CTE = f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QID})"
+_D_CTE = "d AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings)"
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return emb, docs
+
+
+def _qdf(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") == QID).select(
+        F.col("embedding").alias("qvec"))
+
+
+# -- flagship: full 3-phase cascade (SURVEY §2.5) ---------------------------
+
+def knn_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, docs = _tables(spark, sf_dir)
+    index_df = build_index(emb, DIM)
+    doc_df = build_doc_store(emb, docs)
+    return cascade_search(index_df, doc_df, DIM, query_df=_qdf(emb))
+
+
+register(
+    "knn_cascade", knn_cascade,
+    oracle=f"""
+WITH {_Q_CTE}, {_D_CTE},
+scored AS (SELECT doc_id, dv, CAST({_H} AS INTEGER) AS score_hamming FROM d, q),
+p1 AS (SELECT * FROM scored ORDER BY score_hamming ASC, doc_id ASC LIMIT 100),
+p2s AS (SELECT doc_id, dv, score_hamming, {_BDOT} AS score_binary FROM p1, q),
+p2 AS (SELECT * FROM p2s ORDER BY score_binary DESC, doc_id ASC LIMIT 30),
+p3s AS (SELECT p2.doc_id, score_hamming, score_binary,
+               {_I8DOT} / {_I8NORM} AS score_cossim, dcs.text AS doc
+        FROM p2, q, documents dcs WHERE dcs.doc_id = p2.doc_id)
+SELECT doc_id, score_hamming, score_binary, score_cossim, doc
+FROM p3s ORDER BY score_cossim DESC, doc_id ASC LIMIT 10
+""")
+
+
+# -- Phase I alone: hamming top-k over the packed binary index --------------
+
+def knn_phase1_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _tables(spark, sf_dir)
+    index_df = build_index(emb, DIM)
+    q = _qdf(emb).select(pack_bits("qvec", DIM).alias("qbits"))
+    return (index_df.join(F.broadcast(q))
+            .select("doc_id", hamming("qbits", "vec").alias("score_hamming"))
+            .orderBy(F.asc("score_hamming"), F.asc("doc_id"))
+            .limit(100))
+
+
+register(
+    "knn_phase1_hamming", knn_phase1_hamming,
+    oracle=f"""
+WITH {_Q_CTE}, {_D_CTE}
+SELECT doc_id, CAST({_H} AS INTEGER) AS score_hamming
+FROM d, q ORDER BY score_hamming ASC, doc_id ASC LIMIT 100
+""")
+
+
+# -- exact brute-force float cosine top-k (the float32 baseline,
+#    reference README.md:13 'float32 exact search') ------------------------
+
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _tables(spark, sf_dir)
+    d = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("dvec"))
+    return (d.join(F.broadcast(_qdf(emb)))
+            .select("doc_id", cosine("qvec", "dvec").alias("score_cosine"))
+            .orderBy(F.desc("score_cosine"), F.asc("doc_id"))
+            .limit(10))
+
+
+register(
+    "knn_bruteforce_cosine", knn_bruteforce_cosine,
+    oracle=f"""
+WITH {_Q_CTE}, {_D_CTE}
+SELECT doc_id,
+       CASE WHEN {_QNORM} > 0 AND {_DNORM} > 0
+            THEN {_DOT} / ({_QNORM} * {_DNORM}) ELSE CAST(0 AS DOUBLE) END
+         AS score_cosine
+FROM d, q ORDER BY score_cosine DESC, doc_id ASC LIMIT 10
+""")
+
+
+# -- inner-product top-k ----------------------------------------------------
+
+def knn_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _tables(spark, sf_dir)
+    d = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("dvec"))
+    return (d.join(F.broadcast(_qdf(emb)))
+            .select("doc_id", dot("qvec", "dvec").alias("score_dot"))
+            .orderBy(F.desc("score_dot"), F.asc("doc_id"))
+            .limit(10))
+
+
+register(
+    "knn_dot_topk", knn_dot_topk,
+    oracle=f"""
+WITH {_Q_CTE}, {_D_CTE}
+SELECT doc_id, {_DOT} AS score_dot
+FROM d, q ORDER BY score_dot DESC, doc_id ASC LIMIT 10
+""")
+
+
+# -- index stats: per-label popcount aggregate (verifies bit packing at the
+#    aggregate level; the agg itself is §2.4 grouped agg) -------------------
+
+def index_popcount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _tables(spark, sf_dir)
+    idx = build_index(emb, DIM, id_col="vec_id").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id")
+    return (idx.select("label", popcount_vec("vec").alias("pc"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.sum("pc").alias("sum_popcount"),
+                 F.min("pc").alias("min_popcount"),
+                 F.max("pc").alias("max_popcount"))
+            .orderBy("label"))
+
+
+register(
+    "index_popcount_stats", index_popcount_stats,
+    oracle="""
+WITH pc AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding, x ->
+              CASE WHEN x >= 0 THEN 1 ELSE 0 END)) AS INTEGER) AS pc
+  FROM embeddings)
+SELECT label, count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_popcount,
+       min(pc) AS min_popcount, max(pc) AS max_popcount
+FROM pc GROUP BY label ORDER BY label
+""")
+
+
+# -- __len__ (reference :255-259) ------------------------------------------
+
+def db_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _tables(spark, sf_dir)
+    return build_index(emb, DIM).agg(F.count("*").alias("n"))
+
+
+register("db_len", db_len, oracle="SELECT count(*) AS n FROM embeddings")
+
+
+# -- KV point read -> broadcast semi-join (reference :238, SURVEY §2.3) -----
+
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, docs = _tables(spark, sf_dir)
+    keys = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    return (docs.join(F.broadcast(keys), "doc_id", "left_semi")
+            .select("doc_id", "text", "lang", "source")
+            .orderBy("doc_id"))
+
+
+register(
+    "point_lookup", point_lookup,
+    oracle="""
+SELECT doc_id, text, lang, source FROM documents
+WHERE doc_id IN (SELECT * FROM range(0, 20)) ORDER BY doc_id
+""")

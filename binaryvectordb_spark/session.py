@@ -1,0 +1,31 @@
+"""SparkSession factory tuned for the test/bench environment.
+
+Local mode uses ``local[$SPARK_GRAFT_CPUS]`` (default 32).  On a real cluster
+callers pass their own session; every operator in this package only requires a
+plain ``SparkSession`` and never assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "binaryvectordb_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-join splitting — free insurance at scale
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas_udf / toPandas path
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,39 @@
+"""Fixture-table sources (Parquet scans).
+
+The reference's storage layer is a faiss index file + a RocksDB KV dir opened
+at init (BinaryVectorDB/BinaryVectorDB.py:58-64).  Here every table is a
+columnar Parquet scan: Catalyst pushes filters and prunes columns down to the
+scan, which is what replaces the KV store's read-only-what-you-need property
+(SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql queries."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL / JSONL.GZ ingest (gzip transparent) — mirrors the reference's
+    example pipeline (examples/create_new_db.py:31-34) as a distributed scan."""
+    return spark.read.json(path)
