@@ -26,4 +26,8 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 
 # populate — order matters only for readability of the registry
-from binaryvectordb_spark.queries import vector  # noqa: E402,F401
+from binaryvectordb_spark.queries import (  # noqa: E402,F401
+    relational,
+    scalar_funcs,
+    vector,
+)

@@ -1,0 +1,562 @@
+"""Relational operator surface (SURVEY §2.2-2.8, all EXT): filters, joins,
+aggregations, windows, set ops over the TPC-H-ish fixtures.
+
+Cross-engine determinism rules used throughout (so the driver's value-hash
+matches bit-for-bit):
+- SUMs over double measures go through DECIMAL casts (exact, order-independent
+  in both engines); the final value is CAST AS DOUBLE.  All money columns in
+  the fixtures are 2-decimal, so DECIMAL(15,2) casts lose nothing.
+- AVG is always CAST(SUM(decimal) AS DOUBLE) / COUNT — never engine avg()
+  (Spark returns decimal, DuckDB returns double; division of identical
+  doubles is deterministic).
+- Every LIMIT query pins total order with explicit tie-breaks.
+- No libm-divergent functions (ln/exp/pow) in oracled queries; sqrt is
+  IEEE-exact and safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+def filter_range_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + equality predicates; Catalyst pushes all of them into the
+    Parquet scan (PushedFilters) and prunes to 4 columns (ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & (F.col("l_quantity") < 10)
+                     & (F.col("l_returnflag") == "N"))
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+register("filter_range_pushdown", filter_range_pushdown, oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 10 AND l_returnflag = 'N'
+""")
+
+
+def filter_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (c.where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+                    & F.col("c_name").like("%1%")
+                    & F.col("c_acctbal").isNotNull()
+                    & F.col("c_acctbal").between(0, 5000))
+            .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+
+
+register("filter_in_like_null", filter_in_like_null, oracle="""
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_name LIKE '%1%'
+  AND c_acctbal IS NOT NULL AND c_acctbal BETWEEN 0 AND 5000
+""")
+
+
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct()
+
+
+register("distinct_pairs", distinct_pairs,
+         oracle="SELECT DISTINCT lang, source FROM documents")
+
+
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    bucket = (F.when(F.col("c_acctbal") < 0, "negative")
+              .when(F.col("c_acctbal") < 3000, "low")
+              .when(F.col("c_acctbal") < 7000, "mid")
+              .otherwise("high"))
+    return (c.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+register("case_when_buckets", case_when_buckets, oracle="""
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 3000 THEN 'low'
+            WHEN c_acctbal < 7000 THEN 'mid'
+            ELSE 'high' END AS bucket, count(*) AS n
+FROM customer GROUP BY 1
+""")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style 5-way join; dims are broadcast (region/nation/customer are
+    tiny at any scale relative to lineitem), fact-fact join shuffles on the
+    orderkey only after the date filter prunes orders."""
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.expr("CAST(l_extendedprice AS DECIMAL(15,2)) * "
+                 "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+register("join_multiway_revenue", join_multiway_revenue, oracle="""
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name
+""")
+
+
+def join_semi_customers_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    return (c.join(ev, c.c_custkey == ev.user_id, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+register("join_semi_customers_with_errors", join_semi_customers_with_errors,
+         oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM events
+              WHERE user_id = c_custkey AND event_type = 'error')
+""")
+
+
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (delete-side of the reference's upsert, :100-101).  Scoped to
+    1995 orders so the result is non-empty at every fixture scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
+register("join_anti_customers_no_orders", join_anti_customers_no_orders,
+         oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-01-01')
+""")
+
+
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.coalesce(
+                     F.sum(F.col("o_totalprice").cast("decimal(15,2)")),
+                     F.lit(0)).cast("double").alias("total_spend")))
+
+
+register("join_outer_order_counts", join_outer_order_counts, oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 0) AS DOUBLE)
+         AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""")
+
+
+def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: events banded by value — BroadcastNestedLoopJoin
+    with a 3-row broadcast side (SURVEY §2.3 range join)."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        "band: string, lo: double, hi: double")
+    return (ev.join(F.broadcast(bands),
+                    (ev.value >= bands.lo) & (ev.value < bands.hi))
+            .groupBy("band")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(15,2)"))
+                 .cast("double").alias("sum_value")))
+
+
+register("join_range_value_bands", join_range_value_bands, oracle="""
+WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+                                    ('high', 200.0, 1e9))
+SELECT band, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+""")
+
+
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same user at or
+    before the purchase (SURVEY §2.3 as-of).  Left-outer: purchases with no
+    prior click keep NULLs.  Implemented join+rank; at scale this becomes a
+    range-partitioned merge — the window shuffle is on purchase event_id."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"),
+        F.col("ts").alias("purchase_ts"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    j = p.join(c, (p.user_id == c.c_user) & (c.click_ts <= p.purchase_ts), "left")
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc_nulls_last("click_ts"), F.desc_nulls_last("click_id"))
+    return (j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("purchase_id", "user_id", "click_id",
+                    (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                    .alias("gap_us")))
+
+
+register("join_asof_purchase_click", join_asof_purchase_click, oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+j AS (SELECT p.*, c.click_id, c.click_ts,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY click_ts DESC NULLS LAST,
+                                         click_id DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.c_user AND c.click_ts <= p.purchase_ts)
+SELECT purchase_id, user_id, click_id,
+       epoch_us(purchase_ts) - epoch_us(click_ts) AS gap_us
+FROM j WHERE rn = 1
+""")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+_REV = ("CAST(l_extendedprice AS DECIMAL(15,2)) * "
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+_CHG = _REV + " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial-agg + final-agg grouped rollup.
+    Whole pipeline is hash-agg with map-side combine; one shuffle on the
+    2-column group key."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2001-09-01")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(15,2)")).cast("double").alias("sum_base_price"),
+        F.sum(F.expr(_REV)).cast("double").alias("sum_disc_price"),
+        F.sum(F.expr(_CHG)).cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double")
+         / F.count("*")).alias("avg_qty"),
+        (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double")
+         / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order")))
+
+
+register("agg_pricing_summary", agg_pricing_summary, oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_CHG}) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n_custs"),
+                 F.countDistinct("o_orderpriority").alias("n_prios"),
+                 F.count("*").alias("n_orders")))
+
+
+register("agg_count_distinct", agg_count_distinct, oracle="""
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+       count(DISTINCT o_orderpriority) AS n_prios, count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""")
+
+
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — algorithm differs from DuckDB's approx, so this is a
+    rows-only check (no oracle), per the driver contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+register("agg_approx_count_distinct", agg_approx_count_distinct)  # no oracle
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+            .where(F.col("n_customers") >= 5))
+
+
+register("agg_having", agg_having, oracle="""
+SELECT c_nationkey, count(*) AS n_customers FROM customer
+GROUP BY c_nationkey HAVING count(*) >= 5
+""")
+
+
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    j = (c.join(n, c.c_nationkey == n.n_nationkey)
+         .join(r, n.n_regionkey == r.r_regionkey))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("c_acctbal").cast("decimal(15,2)"))
+                 .cast("double").alias("sum_bal"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    "n", "sum_bal"))
+
+
+register("agg_rollup_region_nation", agg_rollup_region_nation, oracle="""
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       count(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+
+
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(15,2)"))
+                 .cast("double").alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "n", "sum_qty"))
+
+
+register("agg_cube_flag_status", agg_cube_flag_status, oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+
+
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = grouped conditional aggregation (what both engines compile a
+    PIVOT into; oracle states it explicitly)."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(15,2)")
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.sum(dec).cast("double"))
+            .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"}))
+
+
+register("agg_pivot_status", agg_pivot_status, oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS DOUBLE) AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS DOUBLE) AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS DOUBLE) AS total_p
+FROM orders GROUP BY o_orderpriority
+""")
+
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    avg = o.agg((F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double")
+                 / F.count("*")).alias("avg_price"))
+    return (o.join(F.broadcast(avg))
+            .where(F.col("o_totalprice") > F.col("avg_price"))
+            .select("o_orderkey", "o_totalprice"))
+
+
+register("scalar_subquery_above_avg", scalar_subquery_above_avg, oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+                             / count(*) FROM orders)
+""")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 window functions
+# ---------------------------------------------------------------------------
+
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+
+
+register("window_topk_per_customer", window_topk_per_customer, oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3
+""")
+
+
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"))
+
+
+register("window_rank_variants", window_rank_variants, oracle="""
+SELECT o_orderkey,
+       row_number() OVER w AS rn, rank() OVER w AS rk,
+       dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+""")
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"))
+
+
+register("window_lag_lead", window_lag_lead, oracle="""
+SELECT event_id, user_id,
+       value - lag(value) OVER w AS delta_value,
+       lead(event_type) OVER w AS next_type
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+
+
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame moving aggregate; decimal inside the frame so the sliding
+    sum is exact in both engines (double frames use incremental subtraction
+    in some engines — not reproducible)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 0))
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(15,2)")).over(w)
+        .cast("double").alias("moving_sum"),
+        F.count("*").over(w).alias("frame_n"))
+
+
+register("window_moving_sum", window_moving_sum, oracle="""
+SELECT event_id,
+       CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER w AS DOUBLE) AS moving_sum,
+       count(*) OVER w AS frame_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""")
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).over(w)
+        .cast("double").alias("running_spend"))
+
+
+register("window_running_total", window_running_total, oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+""")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations
+# ---------------------------------------------------------------------------
+
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (a.intersect(b).withColumn("op", F.lit("intersect"))
+            .unionByName(a.subtract(b)
+                         .withColumn("op", F.lit("except")))
+            .unionByName(a.union(b).distinct()
+                         .withColumn("op", F.lit("union"))))
+
+
+register("set_ops_segments", set_ops_segments, oracle="""
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT c_custkey, 'union' AS op FROM (SELECT * FROM a UNION SELECT * FROM b)
+""")
+
+
+def union_by_name_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"))
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"))
+    return s.unionByName(c)
+
+
+register("union_by_name_parties", union_by_name_parties, oracle="""
+SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+UNION ALL
+SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+""")

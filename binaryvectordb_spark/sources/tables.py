@@ -20,7 +20,16 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+        # rejects outright; read the raw int64 nanos and truncate to micros
+        # (same truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+        return (spark.read.parquet(path)
+                .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

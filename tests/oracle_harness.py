@@ -33,8 +33,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            import datetime
+
+            def _norm(v):
+                if isinstance(v, (list, np.ndarray)):
+                    return tuple(v)
+                if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                    return pd.Timestamp(v)
+                return v
+            df[c] = df[c].map(_norm)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
