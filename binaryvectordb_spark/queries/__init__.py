@@ -27,7 +27,13 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 # populate — order matters only for readability of the registry
 from binaryvectordb_spark.queries import (  # noqa: E402,F401
+    dedup,
+    multimodal,
+    mutation,
     relational,
     scalar_funcs,
+    similarity,
+    streaming_batch,
+    textops,
     vector,
 )

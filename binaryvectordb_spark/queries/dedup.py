@@ -1,0 +1,325 @@
+"""Deduplication operators (SURVEY §2.12, all EXT — mandated by the north
+star): exact, fingerprint, MinHash+LSH, SimHash, token-set Jaccard, and
+embedding-cosine near-dup, over the ``documents``/``embeddings`` fixtures.
+
+Scale design (100 TB): every method here is blocking-based — signatures are
+computed per-row with no shuffle (array expressions over the scan), and the
+only shuffles are groupBy/join on short hash keys (band hash, simhash block,
+token).  No O(n^2) cross joins anywhere; candidate generation is
+inverted-index style (explode + equi-join), which is the standard
+shuffle-bounded approach at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.functions.text import (
+    MINHASH_P,
+    SIMHASH_BITS,
+    fingerprint,
+    minhash_a,
+    minhash_b,
+    minhash_min_exprs,
+    shingles,
+    token_hash31,
+    token_hash60,
+)
+from binaryvectordb_spark.functions.vector import cosine
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+N_HASHES = 12
+N_BANDS = 4           # 4 bands x 3 rows
+ROWS_PER_BAND = 3
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash-of-text) dedup summary: total vs distinct."""
+    d = _docs(spark, sf_dir)
+    return d.agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_unique"))
+
+
+register("dedup_exact_stats", dedup_exact_stats, oracle="""
+SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents
+""")
+
+
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: groups of docs with identical sorted-distinct token
+    sets; keeper = min doc_id (the classic keep-first policy,
+    SURVEY §2.12 'sha2 + row_number-keep-first' family)."""
+    d = _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
+    return (d.groupBy("fp")
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count("*").alias("group_size"))
+            .where(F.col("group_size") > 1))
+
+
+register("dedup_fingerprint_groups", dedup_fingerprint_groups, oracle="""
+SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(text), ' '))), ' ')) AS fp,
+       min(doc_id) AS keeper, count(*) AS group_size
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+""")
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def _minhash_df(spark, sf_dir):
+    """MinHash signatures: explode DISTINCT shingles, ONE md5 base hash per
+    shingle, then 12 affine-family MINs in a single hash-agg (map-side
+    combinable; one shuffle on doc_id).  This replaced a per-seed salted-md5
+    design that was 12x the hashing cost and dominated the LSH pipeline."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    ex = (d.select("doc_id",
+                   F.explode(F.array_distinct(shingles("toks", 3))).alias("s"))
+          .select("doc_id", F.expr(token_hash31("s")).alias("h")))
+    return ex.groupBy("doc_id").agg(*minhash_min_exprs("h", N_HASHES))
+
+
+_DUCK_SIGS = ", ".join(
+    f"min(({minhash_a(j)} * h + {minhash_b(j)}) % {MINHASH_P}) AS sig_{j}"
+    for j in range(N_HASHES))
+_DUCK_SHINGLES = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shl AS (SELECT doc_id, list_distinct(list_transform(
+            range(0, greatest(length(toks) - 2, 0)),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shs
+        FROM tk),
+ex AS (SELECT doc_id,
+              CAST('0x' || substring(md5(unnest(shs)), 1, 15) AS BIGINT)
+                % {MINHASH_P} AS h
+       FROM shl),
+sigs AS (SELECT doc_id, {_DUCK_SIGS} FROM ex GROUP BY doc_id)
+"""
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature, folded to one md5 for compact comparison.
+    Docs with < 3 tokens have no shingles and thus no signature (documented
+    semantics, same in the oracle)."""
+    m = _minhash_df(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", *[f"sig_{j}" for j in range(N_HASHES)]))
+        .alias("minhash_sig"))
+
+
+register("dedup_minhash_signature", dedup_minhash_signature, oracle=f"""
+{_DUCK_SHINGLES}
+SELECT doc_id, md5(concat_ws('|', {", ".join(f"sig_{j}" for j in range(N_HASHES))}))
+       AS minhash_sig
+FROM sigs
+""")
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any of the 4 bands (3 sigs each).
+    The band table is exploded then self-equi-joined on (band_idx, band_hash)
+    — shuffle on short keys only, no cross join."""
+    m = _minhash_df(spark, sf_dir)
+    bands = m.select("doc_id", F.array(*[
+        F.concat_ws("|", *[f"sig_{b * ROWS_PER_BAND + r}"
+                           for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)]).alias("bands"))
+    ex = bands.select("doc_id", F.posexplode("bands").alias("band_idx", "bh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+
+
+_DUCK_BANDS = ", ".join(
+    "concat_ws('|', " +
+    ", ".join(f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) +
+    f") AS band_{b}" for b in range(N_BANDS))
+
+register("dedup_minhash_pairs", dedup_minhash_pairs, oracle=f"""
+{_DUCK_SHINGLES},
+bands AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
+bex AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM bands"
+                      for b in range(N_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bex a JOIN bex b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+""")
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the token multiset: per-bit majority vote of
+    60-bit token hashes.  explode + single hash-agg (map-side combinable)."""
+    d = _docs(spark, sf_dir)
+    ex = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    ex = ex.select("doc_id", F.expr(token_hash60("tok")).alias("h"))
+    sums = ex.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"CASE WHEN shiftright(h, {i}) & 1 = 1 THEN 1 ELSE -1 END"))
+        .alias(f"s_{i}") for i in range(SIMHASH_BITS)])
+    bit_terms = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return sums.select("doc_id", F.expr(bit_terms).alias("simhash"))
+
+
+_DUCK_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+    for i in range(SIMHASH_BITS))
+_DUCK_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN s_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(SIMHASH_BITS))
+_DUCK_SIMHASH = f"""
+WITH ex AS (SELECT doc_id,
+                   CAST('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 15)
+                        AS BIGINT) AS h
+            FROM documents),
+sums AS (SELECT doc_id, {_DUCK_SIMHASH_SUMS} FROM ex GROUP BY doc_id),
+simhashes AS (SELECT doc_id, {_DUCK_SIMHASH_BITS} AS simhash FROM sums)
+"""
+
+register("dedup_simhash", dedup_simhash,
+         oracle=_DUCK_SIMHASH + "SELECT doc_id, simhash FROM simhashes")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any of the four 8-bit blocks
+    (pigeonhole blocking), kept when full hamming <= 6."""
+    s = dedup_simhash(spark, sf_dir)
+    blocks = s.select("doc_id", "simhash", F.array(*[
+        F.expr(f"shiftright(simhash, {8 * b}) & 255").alias(f"b{b}")
+        for b in range(4)]).alias("blks"))
+    ex = blocks.select("doc_id", "simhash",
+                       F.posexplode("blks").alias("blk_idx", "blk"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (a.join(b, (F.col("a.blk_idx") == F.col("b.blk_idx"))
+                   & (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= 6))
+
+
+register("dedup_simhash_pairs", dedup_simhash_pairs, oracle=_DUCK_SIMHASH + f"""
+, blocks AS (
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS blk_idx, (simhash >> {8 * b}) & 255 AS blk FROM simhashes" for b in range(4))}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INTEGER) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk_idx = b.blk_idx AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
+""")
+
+
+# -- token-set Jaccard ------------------------------------------------------
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-word shingle) Jaccard near-dup join: explode distinct
+    shingles -> equi-join on shingle -> count common -> filter.
+
+    Shingles, NOT tokens, are the inverted-index key: the fixture vocabulary
+    is ~31 words, so a token-posting join fans out ~450M pairs, while the
+    shingle join is ~160x cheaper (measured) — the same reason production
+    dedup shingles before joining.  Never materializes the doc x doc cross
+    product."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    shl = (d.select("doc_id",
+                    F.array_distinct(shingles("toks", 3)).alias("shs"))
+           # barrier: compute shingle arrays once; exchange reused by both
+           # join sides (see _minhash_df)
+           .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id"))
+    sizes = shl.select("doc_id", F.size("shs").alias("n"))
+    ex = shl.select("doc_id", F.explode("shs").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("id_a"),
+                       F.col("b.doc_id").alias("id_b"))
+              .agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("common")))
+            .where(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", "jaccard"))
+
+
+register("dedup_jaccard_pairs", dedup_jaccard_pairs, oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shl AS (SELECT doc_id, list_distinct(list_transform(
+            range(0, greatest(length(toks) - 2, 0)),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shs
+        FROM tk),
+sizes AS (SELECT doc_id, length(shs) AS n FROM shl),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+""")
+
+
+# -- embedding-cosine near-dup ---------------------------------------------
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by embedding similarity, blocked by the label column (the
+    fixture's cluster id — an IVF-style partition): pairs within a block with
+    cosine >= 0.4.  At scale the block key bounds the join fan-out."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"))
+    return (a.join(b, ["label"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", cosine("va", "vb"))
+            .where(F.col("cos_sim") >= 0.4)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+register("dedup_embedding_cosine", dedup_embedding_cosine, oracle="""
+WITH e AS (SELECT label, vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+      >= 0.4
+""")

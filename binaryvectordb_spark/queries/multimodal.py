@@ -1,0 +1,68 @@
+"""Multimodal queries (SURVEY §2.12): binary payload columns + typed
+metadata + pandas-UDF feature extraction, joined with embeddings.
+
+The decode oracle recomputes the byte statistics arithmetically from the md5
+hex string (the payload is unhex(md5(text))), so even the mapInPandas path is
+value-hash-checked — the stub decode is deterministic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.operators.multimodal import (
+    decode_features,
+    with_fake_payload,
+)
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per asset: payload size + typed metadata + modality flags from
+    the embeddings join (text+image+vector in one DataFrame)."""
+    d = with_fake_payload(load_table(spark, sf_dir, "documents"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("has_embedding"))
+    return (d.join(e, "doc_id", "left")
+            .select("doc_id",
+                    F.length("image_bytes").alias("n_bytes"),
+                    F.col("meta.width").alias("width"),
+                    F.col("meta.height").alias("height"),
+                    F.col("meta.format").alias("format"),
+                    F.coalesce("has_embedding", F.lit(False))
+                    .alias("has_embedding")))
+
+
+register("multimodal_metadata", multimodal_metadata, oracle="""
+SELECT d.doc_id,
+       CAST(octet_length(unhex(md5(text))) AS INTEGER) AS n_bytes,
+       CAST(64 + d.doc_id % 64 AS INTEGER) AS width,
+       CAST(64 + n_chars % 128 AS INTEGER) AS height,
+       ['png', 'jpeg', 'webp'][CAST(d.doc_id % 3 AS INTEGER) + 1] AS format,
+       (e.vec_id IS NOT NULL) AS has_embedding
+FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+""")
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path; oracle recomputes byte stats from the md5
+    hex pairs (16 bytes)."""
+    d = with_fake_payload(load_table(spark, sf_dir, "documents"))
+    return decode_features(d)
+
+
+_BYTE = "CAST('0x' || substring(md5(text), 2 * i - 1, 2) AS INTEGER)"
+
+register("multimodal_decode_features", multimodal_decode_features, oracle=f"""
+WITH b AS (SELECT doc_id, list_transform(range(1, 17), i -> {_BYTE}) AS bytes
+           FROM documents)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS n_bytes,
+       CAST(list_sum(list_transform(bytes, x -> CAST(x AS DOUBLE))) AS DOUBLE) / 16
+         AS mean_byte,
+       CAST(list_max(bytes) AS INTEGER) AS max_byte,
+       CAST(list_sum(bytes) AS BIGINT) AS checksum
+FROM b
+""")

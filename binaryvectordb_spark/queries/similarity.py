@@ -1,0 +1,118 @@
+"""Similarity-search operators beyond the flagship cascade (SURVEY §2.12):
+IVF-style partitioned ANN and LSH sign-bucket ANN over the embedding column.
+
+Scale design: both are prune-then-score.  IVF scores ~dim x n_labels centroid
+rows first (tiny), then scans only the nprobe selected partitions — at 100 TB
+the embeddings table is partitioned BY the cluster id so partition pruning
+skips everything else.  The LSH bucket variant prunes by an 8-bit sign
+prefix, an equi-join on the bucket key — no cross product.
+
+Centroids are computed with DECIMAL per-dimension sums (posexplode +
+hash-agg) so they are exact and order-independent — a float groupBy-sum
+would be nondeterministic across partitionings and could never hash-match an
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.functions.vector import cosine
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+DIM = 64
+QID = 0
+NPROBE = 2
+
+_COS = """
+list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+ * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))))
+"""
+
+
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroid per label (exact decimal mean) -> rank centroids by
+    cosine to the query -> brute-force cosine top-10 within the NPROBE best
+    partitions.  The label column is the fixture's cluster id (FIXTURES.md)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QID).select(F.col("embedding").alias("qvec"))
+
+    # exact per-dimension centroid: posexplode -> decimal sum -> double mean
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent_dims = (exploded.groupBy("label", "pos")
+                 .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                       / F.count("*")).alias("c")))
+    centroids = (cent_dims.groupBy("label")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                      .alias("pc"))
+                 .select("label", F.expr("transform(pc, x -> x.c)").alias("cvec")))
+
+    best = (centroids.join(F.broadcast(q))
+            .select("label", cosine("qvec", "cvec").alias("cscore"))
+            .orderBy(F.desc("cscore"), F.asc("label"))
+            .limit(NPROBE))
+
+    return (e.join(F.broadcast(best.select("label")), "label")
+            .join(F.broadcast(q))
+            .select(F.col("vec_id").alias("doc_id"), "label",
+                    cosine("qvec", "embedding").alias("score_cosine"))
+            .orderBy(F.desc("score_cosine"), F.asc("doc_id"))
+            .limit(10))
+
+
+register("ann_ivf_search", ann_ivf_search, oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QID}),
+ex AS (SELECT label, i AS pos, CAST(embedding[i + 1] AS DECIMAL(20,10)) AS v
+       FROM embeddings, range(0, 64) t(i)),
+cent_dims AS (SELECT label, pos, CAST(SUM(v) AS DOUBLE) / count(*) AS c
+              FROM ex GROUP BY label, pos),
+centroids AS (SELECT label, list(c ORDER BY pos) AS cvec
+              FROM cent_dims GROUP BY label),
+best AS (SELECT label,
+         list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * cvec[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65), i -> cvec[i] * cvec[i])))) AS cscore
+         FROM centroids, q
+         ORDER BY cscore DESC, label ASC LIMIT {NPROBE}),
+d AS (SELECT e.vec_id AS doc_id, e.label, e.embedding AS dv
+      FROM embeddings e WHERE e.label IN (SELECT label FROM best))
+SELECT doc_id, label, {_COS} AS score_cosine
+FROM d, q ORDER BY score_cosine DESC, doc_id ASC LIMIT 10
+""")
+
+
+def ann_lsh_bucket_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN: 8-bit bucket from the sign pattern of the first 8 dimensions
+    (a fixed random-hyperplane family degenerate to axis planes —
+    deterministic, oracle-friendly); exact cosine top-5 inside the query's
+    bucket only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "aggregate(sequence(0, 7), 0, (acc, i) -> acc + "
+        "IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT), "
+        "shiftleft(1, i), 0))")
+    eb = e.select(F.col("vec_id").alias("doc_id"),
+                  F.col("embedding").alias("dvec"), bucket.alias("bucket"))
+    q = (eb.where(F.col("doc_id") == QID)
+         .select(F.col("dvec").alias("qvec"), F.col("bucket").alias("qbucket")))
+    return (eb.join(F.broadcast(q), eb.bucket == q.qbucket)
+            .select("doc_id", "bucket", cosine("qvec", "dvec").alias("score_cosine"))
+            .orderBy(F.desc("score_cosine"), F.asc("doc_id"))
+            .limit(5))
+
+
+register("ann_lsh_bucket_search", ann_lsh_bucket_search, oracle=f"""
+WITH b AS (SELECT vec_id AS doc_id, embedding,
+                  CAST(list_sum(list_transform(range(0, 8), i ->
+                       CASE WHEN embedding[i + 1] >= 0 THEN 1 << i ELSE 0 END))
+                       AS INTEGER) AS bucket
+           FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE doc_id = {QID}),
+d AS (SELECT doc_id, bucket, embedding AS dv FROM b)
+SELECT doc_id, bucket, {_COS} AS score_cosine
+FROM d, q WHERE bucket = qbucket
+ORDER BY score_cosine DESC, doc_id ASC LIMIT 5
+""")

@@ -1,0 +1,160 @@
+"""Text-analysis operators (SURVEY §2.12, all EXT): token statistics,
+quality scoring, heuristic language-ID, document fingerprinting — over the
+``documents`` fixture.  Pure column expressions; per-row, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.functions.text import fingerprint
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+# per-language marker words for the heuristic language-ID; deterministic CASE
+# chain with fixed priority (content-based lang-id, SURVEY §2.12)
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "les", "des", "est", "une"),
+    "zh": ("de5", "shi4", "zai4"),
+}
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        # whitespace token count vs wordish-regex count (BPE-ish pre-tokenizer)
+        F.expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").alias("n_wordish"),
+        (F.length(F.col("text")).cast("double") / F.size(toks)).alias("avg_token_len"))
+
+
+register("text_token_stats", text_token_stats, oracle="""
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+       CAST(length(regexp_extract_all(text, '[a-z0-9]+', 0)) AS INTEGER) AS n_wordish,
+       CAST(length(text) AS DOUBLE) / length(string_split(text, ' ')) AS avg_token_len
+FROM documents
+""")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: stopword ratio + length band + lexical
+    diversity, combined with fixed weights (identical double arithmetic in
+    both engines — same operands, same operation order)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    stop_list = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    stop_ratio = (f"CAST(size(filter({toks}, t -> array_contains({stop_list}, t))) "
+                  f"AS DOUBLE) / size({toks})")
+    diversity = f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"
+    len_ok = "CASE WHEN n_chars BETWEEN 50 AND 500 THEN 1.0D ELSE 0.0D END"
+    return d.select(
+        "doc_id",
+        F.expr(stop_ratio).alias("stopword_ratio"),
+        F.expr(diversity).alias("lexical_diversity"),
+        F.expr(f"0.25D * ({stop_ratio}) + 0.5D * ({diversity}) + 0.25D * ({len_ok})")
+        .alias("quality_score"))
+
+
+_DUCK_TOKS = "string_split(text, ' ')"
+_DUCK_STOP = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+_DUCK_STOP_RATIO = (f"CAST(length(list_filter({_DUCK_TOKS}, "
+                    f"t -> list_contains({_DUCK_STOP}, t))) AS DOUBLE) "
+                    f"/ length({_DUCK_TOKS})")
+_DUCK_DIVERSITY = (f"CAST(length(list_distinct({_DUCK_TOKS})) AS DOUBLE) "
+                   f"/ length({_DUCK_TOKS})")
+_DUCK_LEN_OK = ("CASE WHEN n_chars BETWEEN 50 AND 500 THEN CAST(1 AS DOUBLE) "
+                "ELSE CAST(0 AS DOUBLE) END")
+
+register("text_quality_score", text_quality_score, oracle=f"""
+SELECT doc_id,
+       {_DUCK_STOP_RATIO} AS stopword_ratio,
+       {_DUCK_DIVERSITY} AS lexical_diversity,
+       CAST(0.25 AS DOUBLE) * ({_DUCK_STOP_RATIO})
+       + CAST(0.5 AS DOUBLE) * ({_DUCK_DIVERSITY})
+       + CAST(0.25 AS DOUBLE) * ({_DUCK_LEN_OK}) AS quality_score
+FROM documents
+""")
+
+
+def _marker_count(lang: str, engine: str) -> str:
+    words = _LANG_MARKERS[lang]
+    lst = ("array(" if engine == "spark" else "[") + \
+        ", ".join(f"'{w}'" for w in words) + (")" if engine == "spark" else "]")
+    if engine == "spark":
+        return f"size(filter(split(text, ' '), t -> array_contains({lst}, t)))"
+    return f"length(list_filter(string_split(text, ' '), t -> list_contains({lst}, t)))"
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID with a fixed-priority argmax; evaluated against
+    the labeled lang column (confusion counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = {lg: _marker_count(lg, "spark") for lg in _LANG_MARKERS}
+    pred = ("CASE "
+            + " ".join(
+                f"WHEN {counts[lg]} >= 1 AND "
+                + " AND ".join(f"{counts[lg]} >= {counts[other]}"
+                               for other in _LANG_MARKERS if other != lg)
+                + f" THEN '{lg}'" for lg in ("de", "es", "fr", "zh"))
+            + " ELSE 'en' END")
+    return (d.select("lang", F.expr(pred).alias("pred_lang"))
+            .groupBy("lang", "pred_lang").agg(F.count("*").alias("n")))
+
+
+_duck_counts = {lg: _marker_count(lg, "duck") for lg in _LANG_MARKERS}
+_DUCK_PRED = ("CASE "
+              + " ".join(
+                  f"WHEN {_duck_counts[lg]} >= 1 AND "
+                  + " AND ".join(f"{_duck_counts[lg]} >= {_duck_counts[other]}"
+                                 for other in _LANG_MARKERS if other != lg)
+                  + f" THEN '{lg}'" for lg in ("de", "es", "fr", "zh"))
+              + " ELSE 'en' END")
+
+register("text_lang_id", text_lang_id, oracle=f"""
+SELECT lang, {_DUCK_PRED} AS pred_lang, count(*) AS n
+FROM documents GROUP BY 1, 2
+""")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+register("text_fingerprint", text_fingerprint, oracle="""
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+    string_split(lower(text), ' '))), ' ')) AS fp
+FROM documents
+""")
+
+
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus profile — the grouped text-statistics rollup
+    a pipeline uses to spot skewed shards."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (d.select("lang", "source", "n_chars", F.size(toks).alias("nt"))
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum("nt").alias("sum_tokens"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+register("text_source_profile", text_source_profile, oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+""")

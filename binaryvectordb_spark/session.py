@@ -27,5 +27,6 @@ def get_spark(app_name: str = "binaryvectordb_spark",
         # Arrow for any pandas_udf / toPandas path
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

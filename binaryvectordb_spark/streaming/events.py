@@ -1,0 +1,102 @@
+"""Structured Streaming over the events stream (SURVEY §2.9, all EXT — the
+reference is explicitly single-process/batch, README.md:174).
+
+Design: file-source streaming (each arriving parquet file is a micro-batch),
+event-time watermarks for bounded state, windowed/sessionized aggregation,
+in-watermark dedup, and a foreachBatch sink that applies the reference's
+upsert semantics (delete-then-insert, BinaryVectorDB/BinaryVectorDB.py:93-101)
+incrementally — i.e. streaming index maintenance.
+
+At scale: state is keyed by (window x group); the watermark bounds it; sinks
+are idempotent per micro-batch (foreachBatch MERGE), which is the standard
+exactly-once pattern on object storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# raw file schema: ts is int64 nanos (parquet TIMESTAMP(NANOS) read via
+# nanosAsLong — same workaround as the batch loader in sources/tables.py)
+RAW_SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+
+
+def read_events_stream(spark: SparkSession, events_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (reader.parquet(events_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    watermark: str = "10 minutes") -> DataFrame:
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width).alias("win"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(15,2)"))
+                 .cast("double").alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"), "event_type",
+                    "n", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width, slide).alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"), "n"))
+
+
+def session_stats(events: DataFrame, gap: str = "5 minutes",
+                  watermark: str = "10 minutes") -> DataFrame:
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"), "n_events"))
+
+
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Keep the first occurrence per (user_id, event_type) within the
+    watermark — streaming dropDuplicates with bounded state."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicates(["user_id", "event_type"]))
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain the stream with availableNow into an in-memory table (test/dev
+    sink); returns the materialized result as a batch DataFrame."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete" if stream_df.isStreaming else "append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def foreach_batch_index_upsert(events: DataFrame, db,
+                               checkpoint_dir: str):
+    """Incremental index maintenance: every micro-batch of events is folded
+    into the BinaryVectorDB with add_documents' delete-then-insert semantics
+    (streaming upsert = §2.10 applied per micro-batch)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (batch_df.select("event_id", "event_type", "props").collect())
+        if rows:
+            db.add_documents([int(r.event_id) for r in rows],
+                             [f"{r.event_type} {r.props}" for r in rows])
+
+    return (events.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

@@ -1,0 +1,96 @@
+"""Golden CRUD lifecycle ported from the reference's de-facto behavioral spec
+(/root/reference/examples/add_update_delete.py, SURVEY §5): add -> search ->
+add more -> upsert -> search reflects update -> delete -> gone.  Plus the
+error-semantics inventory (SURVEY §2.13)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from binaryvectordb_spark.db import BinaryVectorDB, local_embedder
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return BinaryVectorDB(spark, str(tmp_path / "db"), dim=32)
+
+
+D2T = lambda x: x["title"] + " " + x["text"]  # noqa: E731  (README.md:109 shape)
+
+
+def test_crud_lifecycle(spark, db):
+    # add 2 docs (example :23-32)
+    db.add_documents([1, 2],
+                     [{"title": "Paris", "text": "capital of France"},
+                      {"title": "Berlin", "text": "capital of Germany"}],
+                     docs2text=D2T)
+    assert len(db) == 2
+    hits = db.search("Paris capital France", k=2)
+    assert hits[0]["doc_id"] == 1
+
+    # add 1 more (:45-53)
+    db.add_documents([3], [{"title": "Rome", "text": "capital of Italy"}],
+                     docs2text=D2T)
+    assert len(db) == 3
+
+    # upsert doc 2 (:68-76) — delete-then-insert, not append
+    db.add_documents([2], [{"title": "Madrid", "text": "capital of Spain"}],
+                     docs2text=D2T)
+    assert len(db) == 3
+    hits = db.search("Madrid capital Spain", k=1)
+    assert hits[0]["doc_id"] == 2
+    assert "Madrid" in hits[0]["doc"]
+
+    # delete doc 2 (:92-100)
+    db.remove_doc(2)
+    assert len(db) == 2
+    hits = db.search("Madrid capital Spain", k=3)
+    assert all(h["doc_id"] != 2 for h in hits)
+
+
+def test_search_result_shape(db):
+    db.add_documents([1], ["hello world"])
+    h = db.search("hello world", k=1)[0]
+    # hit dict shape mirrors the reference output (:247-252)
+    assert set(h) == {"doc_id", "score_hamming", "score_binary",
+                      "score_cossim", "doc"}
+    assert h["score_hamming"] == 0  # identical text -> identical bits
+
+
+def test_pre_embedded_add_batch(db):
+    emb = local_embedder(["x", "y", "z"], 32)
+    db.add_batch(np.array([10, 11, 12]), ["x", "y", "z"], emb)
+    assert len(db) == 3
+    assert db.search(emb[1], k=1)[0]["doc_id"] == 11
+
+
+def test_error_semantics(spark, db, tmp_path):
+    with pytest.raises(Exception, match="empty"):
+        db.search("anything")                              # :190-191
+    with pytest.raises(ValueError):
+        db.add_documents([1], ["a", "b"])                  # :78-79
+    with pytest.raises(ValueError):
+        db.add_documents(["x"], ["a"])                     # :95-96
+    with pytest.raises(ValueError):
+        db.add_documents([1], [{"t": 1}], docs2text=lambda x: 1)   # :88-89
+    with pytest.raises(ValueError):
+        db.add_batch(np.array([1.5]), ["a"], local_embedder(["a"], 32))  # :131-132
+    db.add_documents([1], ["a"])
+    with pytest.raises(ValueError):
+        db.remove_doc(99)                                  # :159-160
+    bad = tmp_path / "not_a_db"
+    bad.mkdir()
+    (bad / "junk.txt").write_text("x")
+    with pytest.raises(Exception, match="_meta.json"):
+        BinaryVectorDB(spark, str(bad))                    # :43-45
+
+
+def test_persistence_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, p, dim=16)
+    db.add_documents([7], ["persist me"])
+    db2 = BinaryVectorDB(spark, p)
+    assert db2.dim == 16
+    assert len(db2) == 1
+    assert db2.search("persist me", k=1)[0]["doc_id"] == 7
