@@ -25,7 +25,8 @@ HEADLINE = [
     "join_multiway_revenue",
     "window_topk_per_customer",
     "dedup_minhash_pairs",
-    "dedup_jaccard_pairs",
+    "dedup_lsh_jaccard",      # LSH-pruned exact Jaccard (the scale path)
+    "knn_cascade_batch",      # multi-query serving throughput
     "events_session_window",
     "text_token_stats",
     "multimodal_decode_features",

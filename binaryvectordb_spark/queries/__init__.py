@@ -35,5 +35,6 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     similarity,
     streaming_batch,
     textops,
+    udf_surface,
     vector,
 )

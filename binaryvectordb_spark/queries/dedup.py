@@ -323,3 +323,49 @@ WHERE list_sum(list_transform(range(1, 65),
            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
       >= 0.4
 """)
+
+
+# -- LSH-verified Jaccard (the production composition) ----------------------
+
+def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard — the
+    textbook two-stage pipeline: bands prune (~n pairs instead of the
+    posting-join's millions), exact set intersection confirms.  ~10x cheaper
+    than dedup_jaccard_pairs at sf0.1 with identical >= tau semantics on the
+    candidate set."""
+    cands = dedup_minhash_pairs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    shl = d.select("doc_id",
+                   F.array_distinct(shingles("toks", 3)).alias("shs"))
+    a = shl.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"))
+    b = shl.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+            .withColumn("jaccard",
+                        F.col("common").cast("double")
+                        / (F.size("sa") + F.size("sb") - F.col("common")))
+            .where(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", "jaccard"))
+
+
+register("dedup_lsh_jaccard", dedup_lsh_jaccard, oracle=f"""
+{_DUCK_SHINGLES},
+bands AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
+bex AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM bands"
+                      for b in range(N_BANDS))}
+),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bex a JOIN bex b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id),
+withsets AS (
+  SELECT id_a, id_b,
+         CAST(length(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS common,
+         length(sa.shs) AS na, length(sb.shs) AS nb
+  FROM cands
+  JOIN shl sa ON sa.doc_id = id_a
+  JOIN shl sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, common / (na + nb - common) AS jaccard
+FROM withsets WHERE common / (na + nb - common) >= 0.5
+""")

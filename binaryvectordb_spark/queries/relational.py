@@ -560,3 +560,55 @@ SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
 UNION ALL
 SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
 """)
+
+
+def join_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two grouped aggregates (customer vs supplier
+    presence per nation) — nations with only one side keep NULL-side counts
+    as 0."""
+    c = (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+         .agg(F.count("*").alias("n_customers"))
+         .select(F.col("c_nationkey").alias("ck"), "n_customers"))
+    s = (_t(spark, sf_dir, "supplier").groupBy("s_nationkey")
+         .agg(F.count("*").alias("n_suppliers"))
+         .select(F.col("s_nationkey").alias("sk"), "n_suppliers"))
+    return (c.join(s, c.ck == s.sk, "full_outer")
+            .select(F.coalesce("ck", "sk").alias("nationkey"),
+                    F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                    F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers")))
+
+
+register("join_full_outer_nation_profile", join_full_outer_nation_profile,
+         oracle="""
+WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_customers
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS sk, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1)
+SELECT COALESCE(ck, sk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON ck = sk
+""")
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus)) — neither rollup
+    nor cube; the two one-dimensional marginals in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    gs = li.groupingSets([["l_returnflag"], ["l_linestatus"]],
+                         "l_returnflag", "l_linestatus")
+    return (gs.agg(F.count("*").alias("n"),
+                   F.sum(F.col("l_extendedprice").cast("decimal(15,2)"))
+                   .cast("double").alias("sum_price"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "n", "sum_price"))
+
+
+register("agg_grouping_sets", agg_grouping_sets, oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")

@@ -1,0 +1,89 @@
+"""Vectorized UDF surface (SURVEY §2.11): scalar pandas_udf, grouped-map
+applyInPandas, and grouped-agg pandas_udf — the three Arrow-batched extension
+points (the engine's generalization of the reference's single ``docs2text``
+Python hook, BinaryVectorDB/BinaryVectorDB.py:67).
+
+Oracle strategy: the UDF bodies compute order-independent quantities
+(counts, min/max, exact integer sums) so DuckDB can replicate them exactly —
+the check proves the Arrow plumbing delivers the same rows/batches, not just
+that numpy works.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf over an Arrow batch: vectorized token count."""
+    @pandas_udf("int")
+    def tok_count(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str.len().astype("int32")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tok_count("text").alias("n_tokens"))
+
+
+register("udf_scalar_pandas", udf_scalar_pandas, oracle="""
+SELECT doc_id, CAST(length(string_split(text, ' ')) AS INTEGER) AS n_tokens
+FROM documents
+""")
+
+
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-label embedding panel stats.  Each
+    group arrives as one pandas frame (the custom-stateful-operator shape)."""
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf["embedding"].str[0]
+        return pd.DataFrame({
+            "label": [int(pdf["label"].iloc[0])],
+            "n": [len(pdf)],
+            "min_id": [int(pdf["vec_id"].min())],
+            "max_id": [int(pdf["vec_id"].max())],
+            "min_first_dim": [float(first.min())],
+            "max_first_dim": [float(first.max())],
+        })
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        stats, schema=("label int, n long, min_id long, max_id long, "
+                       "min_first_dim double, max_first_dim double"))
+
+
+register("udf_grouped_map", udf_grouped_map, oracle="""
+SELECT label, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id,
+       CAST(min(embedding[1]) AS DOUBLE) AS min_first_dim,
+       CAST(max(embedding[1]) AS DOUBLE) AS max_first_dim
+FROM embeddings GROUP BY label
+""")
+
+
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf (a vectorized UDAF): exact integer sum of
+    n_chars per lang — order-independent, so oracle-exact."""
+    @pandas_udf("long")
+    def sum_chars(s: pd.Series) -> int:
+        return int(s.sum())
+
+    @pandas_udf("long")
+    def n_rows(s: pd.Series) -> int:
+        # Spark rejects mixing pandas grouped-agg UDFs with built-in
+        # aggregates in one agg() — so the count is a pandas UDF too
+        return int(len(s))
+
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(sum_chars("n_chars").alias("total_chars"),
+                 n_rows("doc_id").alias("n_docs")))
+
+
+register("udf_grouped_agg", udf_grouped_agg, oracle="""
+SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
+FROM documents GROUP BY lang
+""")

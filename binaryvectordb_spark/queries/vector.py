@@ -214,3 +214,46 @@ register(
 SELECT doc_id, text, lang, source FROM documents
 WHERE doc_id IN (SELECT * FROM range(0, 20)) ORDER BY doc_id
 """)
+
+
+# -- batched multi-query cascade (the Spark serving story: per-query overhead
+#    amortizes across a query batch; SURVEY §3.1 'multi-query batches') ------
+
+N_BATCH_QUERIES = 8
+
+
+def knn_cascade_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binaryvectordb_spark.operators.cascade import cascade_search_batch
+    emb, docs = _tables(spark, sf_dir)
+    index_df = build_index(emb, DIM)
+    doc_df = build_doc_store(emb, docs)
+    queries_df = emb.where(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return cascade_search_batch(index_df, doc_df, DIM, queries_df, k=5,
+                                binary_oversample=10, int8_oversample=3)
+
+
+register(
+    "knn_cascade_batch", knn_cascade_batch,
+    oracle=f"""
+WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < {N_BATCH_QUERIES}),
+{_D_CTE},
+scored AS (SELECT qid, doc_id, dv, qv,
+                  CAST({_H} AS INTEGER) AS score_hamming FROM d, qs),
+p1 AS (SELECT * FROM (SELECT *, row_number() OVER
+           (PARTITION BY qid ORDER BY score_hamming ASC, doc_id ASC) AS rn
+       FROM scored) WHERE rn <= 50),
+p2s AS (SELECT qid, doc_id, dv, qv, score_hamming,
+               {_BDOT} AS score_binary FROM p1),
+p2 AS (SELECT * FROM (SELECT *, row_number() OVER
+           (PARTITION BY qid ORDER BY score_binary DESC, doc_id ASC) AS rn2
+       FROM p2s) WHERE rn2 <= 15),
+p3s AS (SELECT qid, p2.doc_id, score_hamming, score_binary,
+               {_I8DOT} / {_I8NORM} AS score_cossim, dcs.text AS doc
+        FROM p2, documents dcs WHERE dcs.doc_id = p2.doc_id)
+SELECT qid, doc_id, score_hamming, score_binary, score_cossim, doc
+FROM (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY score_cossim DESC, doc_id ASC) AS rn3
+      FROM p3s) WHERE rn3 <= 5
+""")
