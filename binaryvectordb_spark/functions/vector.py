@@ -70,12 +70,26 @@ def popcount_vec(col: str) -> Column:
     )
 
 
-def hamming(a: str, b: str) -> Column:
+def hamming(a: str, b: str, lanes: int | None = None) -> Column:
     """Hamming distance between two packed ARRAY<BIGINT> vectors.
 
-    bit_count(a ^ b) per lane is whole-stage-codegen'd — the Spark analogue of
-    the reference's 'popcount(xor) in 2 CPU cycles' (README.md:132).
+    With ``lanes`` given, emits an UNROLLED sum of ``bit_count(a[i] ^ b[i])``
+    terms; with ``lanes=None`` a lambda fold (the Spark analogue of the
+    reference's 'popcount(xor) in 2 CPU cycles', README.md:132).
+
+    Measured on 1M cached rows (local[8]): unrolled 62ms vs fold 83ms at
+    2 lanes, 76ms vs 63ms at 16 lanes — the two forms are equivalent in
+    practice (the scan's cost is array access, not the fold), and neither is
+    the bottleneck: Spark's fixed per-job overhead dominates single-query
+    latency.  The unrolled form is kept for the cascade because it avoids
+    the higher-order-function CodegenFallback node, keeping the projection
+    eligible for codegen when the surrounding plan allows it.
     """
+    if lanes is not None:
+        terms = " + ".join(
+            f"bit_count(element_at({_sql(a)}, {j + 1}) ^ element_at({_sql(b)}, {j + 1}))"
+            for j in range(lanes))
+        return F.expr(terms)
     return F.expr(
         f"aggregate(zip_with({_sql(a)}, {_sql(b)}, (x, y) -> bit_count(x ^ y)), "
         f"0, (acc, v) -> acc + v)"

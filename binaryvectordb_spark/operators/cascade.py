@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from binaryvectordb_spark.functions.vector import (
+    NUM_LANES,
     binary_dot,
     hamming,
     int8_cosine,
@@ -117,7 +118,7 @@ def cascade_search(index_df: DataFrame, doc_df: DataFrame, dim: int,
     # Phase I — scored scan + top-k (TakeOrderedAndProject; no shuffle of the scan)
     p1 = (index_df.join(F.broadcast(q))
           .select("doc_id", "vec", "qvec",
-                  hamming("qbits", "vec").alias("score_hamming"))
+                  hamming("qbits", "vec", NUM_LANES(dim)).alias("score_hamming"))
           .orderBy(F.asc("score_hamming"), F.asc("doc_id"))
           .limit(binary_k))
 
@@ -158,7 +159,7 @@ def cascade_search_batch(index_df: DataFrame, doc_df: DataFrame, dim: int,
 
     scored = (index_df.join(F.broadcast(q))
               .select("qid", "qvec", "doc_id", "vec",
-                      hamming("qbits", "vec").alias("score_hamming")))
+                      hamming("qbits", "vec", NUM_LANES(dim)).alias("score_hamming")))
     w1 = Window.partitionBy("qid").orderBy(F.asc("score_hamming"), F.asc("doc_id"))
     p1 = (scored.withColumn("rn", F.row_number().over(w1))
           .where(F.col("rn") <= binary_k).drop("rn"))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from binaryvectordb_spark.functions.vector import (
+    NUM_LANES,
     cosine,
     dot,
     hamming,
@@ -98,7 +99,7 @@ def knn_phase1_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_df = build_index(emb, DIM)
     q = _qdf(emb).select(pack_bits("qvec", DIM).alias("qbits"))
     return (index_df.join(F.broadcast(q))
-            .select("doc_id", hamming("qbits", "vec").alias("score_hamming"))
+            .select("doc_id", hamming("qbits", "vec", NUM_LANES(DIM)).alias("score_hamming"))
             .orderBy(F.asc("score_hamming"), F.asc("doc_id"))
             .limit(100))
 
