@@ -612,3 +612,59 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """)
+
+
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — rank-arithmetic doubles, deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+register("window_distribution_funcs", window_distribution_funcs, oracle="""
+SELECT o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+""")
+
+
+def unpivot_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) on a per-nation aggregate of customer/supplier
+    balances; oracle states the UNION ALL expansion both engines compile
+    UNPIVOT into."""
+    c = (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+         .agg(F.sum(F.col("c_acctbal").cast("decimal(15,2)"))
+              .cast("double").alias("customer_bal"))
+         .select(F.col("c_nationkey").alias("nationkey"), "customer_bal"))
+    s = (_t(spark, sf_dir, "supplier").groupBy("s_nationkey")
+         .agg(F.sum(F.col("s_acctbal").cast("decimal(15,2)"))
+              .cast("double").alias("supplier_bal"))
+         .select(F.col("s_nationkey").alias("nationkey"), "supplier_bal"))
+    wide = c.join(s, "nationkey", "full_outer")
+    return wide.unpivot("nationkey", ["customer_bal", "supplier_bal"],
+                        "party", "balance")
+
+
+register("unpivot_acctbal", unpivot_acctbal, oracle="""
+WITH c AS (SELECT c_nationkey AS nationkey,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE)
+                    AS customer_bal
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(15,2))) AS DOUBLE)
+               AS supplier_bal
+      FROM supplier GROUP BY 1),
+wide AS (SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                customer_bal, supplier_bal
+         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey)
+SELECT nationkey, 'customer_bal' AS party, customer_bal AS balance FROM wide
+UNION ALL
+SELECT nationkey, 'supplier_bal' AS party, supplier_bal AS balance FROM wide
+""")

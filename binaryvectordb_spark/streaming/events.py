@@ -100,3 +100,43 @@ def foreach_batch_index_upsert(events: DataFrame, db,
     return (events.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def stateful_user_totals(events: DataFrame,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user event count + value total, carried across micro-batches in
+    GroupState.  The arbitrary-state API is the escape hatch for operators
+    windowed aggregation can't express (SURVEY §2.9) — each key's state is a
+    compact tuple, bounded by the key cardinality, not the stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total_cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer cents: exact and order-independent across batches
+            total_cents += int(pd.Series(pdf["value"]).mul(100).round().sum())
+        state.update((n, total_cents))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                            "total_cents": [total_cents]})
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType="user_id long, n_events long, total_cents long",
+                stateStructType="n long, total_cents long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Update-mode memory sink (required for applyInPandasWithState's update
+    output); availableNow drain."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -78,3 +78,40 @@ def test_foreach_batch_incremental_upsert(spark, tmp_path, events_dir):
     # the count (delete-then-insert, not blind append)
     db.add_documents([1, 2], ["a", "b"])
     assert len(db) == n_events  # ids 1,2 already existed -> replaced
+
+
+def test_stateful_user_totals(spark, tmp_path, events_dir):
+    """applyInPandasWithState carries state across micro-batches: the final
+    emitted row per user equals the batch groupBy totals."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.streaming.events import (
+        run_update_to_memory,
+        stateful_user_totals,
+    )
+
+    # split input into 2 arriving files to force state carry-over
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    for i in range(2):
+        part = tmp_path / f"part{i}"
+        (raw.where(F.col("event_id") % 2 == i).coalesce(1)
+         .write.mode("overwrite").parquet(str(part)))
+        src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+        shutil.copy(src, multi / f"b{i}.parquet")
+
+    stream = read_events_stream(spark, str(multi), max_files_per_trigger=1)
+    got = run_update_to_memory(stateful_user_totals(stream), "t_stateful")
+    # last update per user = final running totals
+    final = {r.user_id: (r.n_events, r.total_cents)
+             for r in got.orderBy("n_events").collect()}
+    want = {r.user_id: (r.n, r.cents) for r in
+            raw.groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("cents")).collect()}
+    assert final == want
