@@ -103,6 +103,13 @@ class BinaryVectorDB:
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        # EAGER cache invalidation: Spark's cache manager matches by logical
+        # plan, so even a fresh read of this path would silently serve stale
+        # cached blocks after the swap.  refreshByPath drops every cache
+        # entry touching this path — including ones held by OTHER
+        # BinaryVectorDB instances on the same folder in this session (the
+        # reference has no multi-process story at all, README.md:174).
+        self.spark.catalog.refreshByPath(final)
 
     # -- mutation (reference "DML", §2.10) ----------------------------------
     def add_documents(self, doc_ids: Sequence[int], docs: Sequence,
@@ -182,6 +189,21 @@ class BinaryVectorDB:
         return 0 if idx is None else idx.count()
 
     # -- search (§2.5) ------------------------------------------------------
+    def _cached_index(self) -> DataFrame | None:
+        """RAM tier: the packed binary index is cached on first search
+        (README.md:68 'binary embeddings are loaded in memory').
+
+        No DataFrame handle is held across calls — a held plan snapshots the
+        file listing and throws FileNotFound after another instance swaps the
+        directory.  Re-reading per search costs only a plan lookup: Spark's
+        cache manager dedupes equivalent parquet-scan plans, and
+        _swap_write's refreshByPath is the single invalidation point."""
+        idx = self.index_df()
+        if idx is None:
+            return None
+        idx.cache()  # no-op when an equivalent plan is already cached
+        return idx
+
     def search(self, query: str | Sequence[float], k: int = DEFAULT_K,
                binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
                int8_oversample: int = DEFAULT_INT8_OVERSAMPLE) -> list[dict]:
@@ -191,7 +213,7 @@ class BinaryVectorDB:
             qvec = self.embed_fn([query])[0]
         else:
             qvec = np.asarray(query, dtype=np.float32)
-        hits_df = cascade_search(self.index_df(), self.docs_df(), self.dim,
+        hits_df = cascade_search(self._cached_index(), self.docs_df(), self.dim,
                                  query_vec=qvec.tolist(), k=k,
                                  binary_oversample=binary_oversample,
                                  int8_oversample=int8_oversample)

@@ -157,3 +157,57 @@ SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k
 FROM x GROUP BY event_type
 """)
+
+
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse events.props into map<string,int>,
+    then key/value extraction (SURVEY §2.7 map fns).  Map columns themselves
+    don't hash portably, so the outputs are scalars."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("first_key"),
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"))
+
+
+register("map_funcs", map_funcs, oracle="""
+SELECT event_id,
+       json_keys(props)[1] AS first_key,
+       CAST(length(json_keys(props)) AS INTEGER) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+FROM events
+""")
+
+
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / exists / slice /
+    sort over the embedding column, reduced to portable scalars."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr("size(filter(embedding, x -> x > CAST(0.1 AS FLOAT)))")
+        .alias("n_above"),
+        F.expr("exists(embedding, x -> x < CAST(-0.3 AS FLOAT))")
+        .alias("has_low"),
+        F.expr("CAST(element_at(slice(embedding, 1, 4), 2) AS DOUBLE)")
+        .alias("second_of_head"),
+        F.expr("CAST(element_at(array_sort(embedding), 1) AS DOUBLE)")
+        .alias("min_via_sort"),
+        F.expr("aggregate(transform(embedding, x -> CAST(abs(x) AS DOUBLE)), "
+               "CAST(0 AS DOUBLE), (a, x) -> a + x)").alias("l1_norm"))
+
+
+register("array_higher_order", array_higher_order, oracle="""
+SELECT vec_id AS doc_id,
+       CAST(length(list_filter(embedding, x -> x > CAST(0.1 AS FLOAT)))
+            AS INTEGER) AS n_above,
+       length(list_filter(embedding, x -> x < CAST(-0.3 AS FLOAT))) > 0
+         AS has_low,
+       CAST(embedding[1:4][2] AS DOUBLE) AS second_of_head,
+       CAST(list_sort(embedding)[1] AS DOUBLE) AS min_via_sort,
+       list_sum(list_transform(embedding, x -> CAST(abs(CAST(x AS DOUBLE))
+                AS DOUBLE))) AS l1_norm
+FROM embeddings
+""")

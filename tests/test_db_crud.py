@@ -94,3 +94,22 @@ def test_persistence_roundtrip(spark, tmp_path):
     assert db2.dim == 16
     assert len(db2) == 1
     assert db2.search("persist me", k=1)[0]["doc_id"] == 7
+
+
+def test_two_instances_same_folder_stay_consistent(spark, tmp_path):
+    """Mutations through one instance are visible to another on the same
+    folder in the same session — refreshByPath drops every cache entry
+    touching the path (the reference has no multi-process story at all,
+    README.md:174)."""
+    p = str(tmp_path / "shared")
+    a = BinaryVectorDB(spark, p, dim=16)
+    a.add_documents([1, 2], ["paris france", "berlin germany"])
+    a.search("paris", k=1)                     # warm a's cache
+    b = BinaryVectorDB(spark, p)
+    b.search("berlin", k=1)                    # warm b's cache
+    b.add_documents([9], ["madrid spain"])
+    assert len(a) == 3                         # a sees b's write
+    assert a.search("madrid spain", k=1)[0]["doc_id"] == 9
+    a.remove_doc(9)
+    assert len(b) == 2                         # b sees a's delete
+    assert all(h["doc_id"] != 9 for h in b.search("madrid", k=3))
