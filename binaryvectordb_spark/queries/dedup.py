@@ -369,3 +369,45 @@ withsets AS (
 SELECT id_a, id_b, common / (na + nb - common) AS jaccard
 FROM withsets WHERE common / (na + nb - common) >= 0.5
 """)
+
+
+# -- cluster assignment (connected-components-lite) -------------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: LSH-verified Jaccard pairs as edges ->
+    min-id label propagation.  The keep-first dedup policy is then 'keep rows
+    where doc_id == cluster_id'.  Oracle computes the same fixpoint with a
+    recursive CTE (reachability -> min reachable id)."""
+    from binaryvectordb_spark.operators.components import min_label_components
+    pairs = dedup_lsh_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return min_label_components(pairs)
+
+
+register("dedup_clusters", dedup_clusters, oracle="WITH RECURSIVE " + f"""
+{_DUCK_SHINGLES.replace("WITH ", "", 1)},
+bands AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
+bex AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM bands"
+                      for b in range(N_BANDS))}
+),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bex a JOIN bex b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT id_a, id_b
+  FROM (SELECT id_a, id_b,
+               CAST(length(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS common,
+               length(sa.shs) AS na, length(sb.shs) AS nb
+        FROM cands
+        JOIN shl sa ON sa.doc_id = id_a
+        JOIN shl sb ON sb.doc_id = id_b)
+  WHERE common / (na + nb - common) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+""")

@@ -668,3 +668,44 @@ SELECT nationkey, 'customer_bal' AS party, customer_bal AS balance FROM wide
 UNION ALL
 SELECT nationkey, 'supplier_bal' AS party, supplier_bal AS balance FROM wide
 """)
+
+
+def join_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER: all customers kept from the right side, order fields
+    NULL where no 1995 order exists."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+    c = _t(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "right")
+            .select("c_custkey", "o_orderkey", "o_totalprice"))
+
+
+register("join_right_outer_orders", join_right_outer_orders, oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM (SELECT * FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01') o
+RIGHT JOIN customer ON o_custkey = c_custkey
+""")
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark percentile() and DuckDB
+    quantile_cont() use the same linear interpolation on the sorted values
+    (verified bit-exact on this data)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+                 F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+register("agg_percentiles", agg_percentiles, oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+""")

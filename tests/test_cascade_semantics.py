@@ -1,0 +1,76 @@
+"""Property-based semantic parity: the Spark cascade must reproduce the
+reference algorithm (BinaryVectorDB/BinaryVectorDB.py:200-252) on arbitrary
+inputs and parameter combinations — not just the fixture corpus.
+
+``reference_cascade`` is a clean-room numpy statement of the documented
+semantics (sign-bit hamming ascending with id tie-break -> q·(2b-1)
+descending -> q·int8/‖int8‖ descending, truncations at :204/:230/:248) used
+as the test oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from binaryvectordb_spark.operators.cascade import (
+    build_doc_store,
+    build_index,
+    cascade_search,
+)
+
+DIM = 32
+
+
+def reference_cascade(V: np.ndarray, ids: np.ndarray, q: np.ndarray,
+                      k: int, bo: int, io: int):
+    n = len(V)
+    q64 = q.astype(np.float64)
+    bits = V >= 0
+    qb = q >= 0
+    ham = (bits != qb).sum(axis=1)
+    binary_k = min(k * bo, n)                       # :204 ntotal clamp
+    p1 = np.lexsort((ids, ham))[:binary_k]
+    sb = (bits[p1].astype(np.float64) * 2 - 1) @ q64
+    order2 = np.lexsort((ids[p1], -sb))[: k * io]   # :230 no clamp
+    p2 = p1[order2]
+    i8 = np.clip(np.round(np.clip(V[p2].astype(np.float64), -1, 1) * 127),
+                 -128, 127)
+    sc = (i8 @ q64) / np.linalg.norm(i8, axis=1)
+    order3 = np.lexsort((ids[p2], -sc))[:k]
+    p3 = p2[order3]
+    return [(int(ids[p3][j]), int(ham[p3][j]), float(sc[order3][j]))
+            for j in range(len(p3))]
+
+
+@st.composite
+def corpus(draw):
+    n = draw(st.integers(min_value=5, max_value=60))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    k = draw(st.sampled_from([1, 3, 10]))
+    bo = draw(st.sampled_from([2, 10]))
+    io = draw(st.sampled_from([1, 3]))
+    rng = np.random.RandomState(seed)
+    V = rng.uniform(-1, 1, (n, DIM)).astype(np.float32)
+    q = rng.uniform(-1, 1, DIM).astype(np.float32)
+    return V, q, k, bo, io
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None)
+@given(corpus())
+def test_cascade_matches_reference_semantics(spark, data):
+    V, q, k, bo, io = data
+    ids = np.arange(len(V), dtype=np.int64)
+    rows = [(int(i), v.tolist()) for i, v in zip(ids, V)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = cascade_search(build_index(emb, DIM), build_doc_store(emb), DIM,
+                         query_vec=q.tolist(), k=k,
+                         binary_oversample=bo, int8_oversample=io).collect()
+    want = reference_cascade(V, ids, q, k, bo, io)
+    assert [(r.doc_id, r.score_hamming) for r in got] == \
+        [(w[0], w[1]) for w in want]
+    for r, w in zip(got, want):
+        assert r.score_cossim == pytest.approx(w[2], rel=1e-9)
