@@ -62,6 +62,9 @@ class BinaryVectorDB:
         self.spark = spark
         self.folder = folder
         self.dim = dim
+        # _custom_embed_fn must be picklable for the distributed ingest path;
+        # the default (None) is rebuilt executor-side from local_embedder+dim
+        self._custom_embed_fn = embed_fn
         self.embed_fn = embed_fn or (lambda texts: local_embedder(texts, self.dim))
         meta_path = os.path.join(folder, _META)
         os.makedirs(folder, exist_ok=True)
@@ -155,6 +158,32 @@ class BinaryVectorDB:
         if old_index is not None:
             keys = new.select("doc_id")
             # delete-then-insert (:93-101): anti-join drops updated ids
+            new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
+                         .unionByName(new_index))
+            new_docs = (old_docs.join(F.broadcast(keys), "doc_id", "left_anti")
+                        .unionByName(new_docs))
+        self._swap_write(new_index, "index")
+        self._swap_write(new_docs, "documents")
+
+    def add_documents_df(self, docs_df, id_col: str = "doc_id",
+                         text_col: str = "text") -> None:
+        """Distributed bulk upsert: embedding runs executor-side via
+        mapInPandas (operators/embed.py) — the ingest path for corpora that
+        don't fit through the driver (the list-based add_documents embeds
+        driver-side, faithful to the reference's single-process loop)."""
+        from binaryvectordb_spark.operators.embed import embed_texts
+        embedded = embed_texts(
+            docs_df.select(F.col(id_col).alias("doc_id"),
+                           F.col(text_col).alias("text")),
+            self.dim, embed_fn=self._custom_embed_fn)
+        new_index = embedded.select(
+            "doc_id", pack_bits("embedding", self.dim).alias("vec"))
+        new_docs = embedded.select(
+            "doc_id", F.col("text").alias("doc"),
+            int8_quantize("embedding").alias("emb_int8"))
+        old_index, old_docs = self.index_df(), self.docs_df()
+        if old_index is not None:
+            keys = embedded.select("doc_id")
             new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
                          .unionByName(new_index))
             new_docs = (old_docs.join(F.broadcast(keys), "doc_id", "left_anti")

@@ -66,3 +66,19 @@ SELECT doc_id,
        CAST(list_sum(bytes) AS BIGINT) AS checksum
 FROM b
 """)
+
+
+def embed_documents_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-side embedding of the documents corpus via mapInPandas
+    (operators/embed.py, the scale ingest path).  The embedder is a Python
+    function, so this is a rows-only check (no SQL oracle) — determinism is
+    covered by tests/test_db_crud.py::test_distributed_ingest_matches_driver_side."""
+    from binaryvectordb_spark.functions.vector import norm
+    from binaryvectordb_spark.operators.embed import embed_texts
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = embed_texts(d, dim=32)
+    return emb.select("doc_id", norm("embedding").alias("l2_norm"))
+
+
+register("embed_documents_distributed", embed_documents_distributed)  # rows-only

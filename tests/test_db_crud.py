@@ -113,3 +113,33 @@ def test_two_instances_same_folder_stay_consistent(spark, tmp_path):
     a.remove_doc(9)
     assert len(b) == 2                         # b sees a's delete
     assert all(h["doc_id"] != 9 for h in b.search("madrid", k=3))
+
+
+def test_distributed_ingest_matches_driver_side(spark, tmp_path):
+    """add_documents_df (mapInPandas executor-side embedding) produces the
+    same store as the driver-side add_documents for the same texts — the
+    local embedder is process-independent by construction."""
+    texts = [f"doc number {i} about topic {i % 5}" for i in range(40)]
+    a = BinaryVectorDB(spark, str(tmp_path / "driver_side"), dim=24)
+    a.add_documents(list(range(40)), texts)
+
+    b = BinaryVectorDB(spark, str(tmp_path / "distributed"), dim=24)
+    df = spark.createDataFrame(list(zip(range(40), texts)),
+                               "doc_id: long, text: string")
+    b.add_documents_df(df)
+
+    assert len(b) == 40
+    ia = {r.doc_id: r.vec for r in a.index_df().collect()}
+    ib = {r.doc_id: r.vec for r in b.index_df().collect()}
+    assert ia == ib                                   # identical packed bits
+    # same search results through both stores
+    ha = [h["doc_id"] for h in a.search("topic 3 doc", k=5)]
+    hb = [h["doc_id"] for h in b.search("topic 3 doc", k=5)]
+    assert ha == hb
+
+    # distributed upsert: overwrite half the docs through the df path
+    df2 = spark.createDataFrame([(i, "replaced text") for i in range(20)],
+                                "doc_id: long, text: string")
+    b.add_documents_df(df2)
+    assert len(b) == 40                               # upsert, not append
+    assert "replaced" in b.search("replaced text", k=1)[0]["doc"]
