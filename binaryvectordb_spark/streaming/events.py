@@ -140,3 +140,29 @@ def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_stream_click_purchase_join(events: DataFrame,
+                                      watermark: str = "30 minutes",
+                                      max_gap: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: each purchase joins the clicks of the
+    same user within the preceding ``max_gap``.  Both sides are watermarked
+    so Spark can bound the join state (the canonical funnel/attribution
+    pattern; state is purged past watermark + interval)."""
+    clicks = (events.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    return purchases.join(
+        clicks,
+        F.expr(f"""
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {max_gap}
+        """))

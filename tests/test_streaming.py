@@ -115,3 +115,31 @@ def test_stateful_user_totals(spark, tmp_path, events_dir):
                  F.sum(F.round(F.col("value") * 100).cast("long"))
                  .alias("cents")).collect()}
     assert final == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (watermarked both sides) produces the
+    same pairs as the equivalent batch join."""
+    from binaryvectordb_spark.streaming.events import (
+        stream_stream_click_purchase_join,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_append_to_memory(
+        stream_stream_click_purchase_join(stream), "t_ssjoin")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+    raw = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+           .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    clicks = raw.where("event_type = 'click'").selectExpr(
+        "user_id c_user", "event_id click_id", "ts click_ts")
+    purchases = raw.where("event_type = 'purchase'").selectExpr(
+        "user_id p_user", "event_id purchase_id", "ts purchase_ts")
+    want = purchases.join(clicks, F.expr(
+        "p_user = c_user AND click_ts <= purchase_ts "
+        "AND click_ts >= purchase_ts - INTERVAL 30 minutes"))
+
+    key = lambda df: sorted((r.purchase_id, r.click_id) for r in df.collect())  # noqa: E731
+    assert key(got) == key(want)
+    assert got.count() > 0
