@@ -411,3 +411,39 @@ reach AS (
 )
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """)
+
+
+# -- edit-distance verification ---------------------------------------------
+
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance check over LSH candidates: levenshtein is O(len^2) per
+    pair, so it only ever runs on the pruned candidate set — never as a
+    pairwise scan.  Both engines implement classic Wagner-Fischer, so the
+    integer distances agree exactly."""
+    cands = dedup_minhash_pairs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("ta", "tb").alias("edit_distance"))
+            .where(F.col("edit_distance") <= 40))
+
+
+register("dedup_levenshtein_pairs", dedup_levenshtein_pairs, oracle=f"""
+{_DUCK_SHINGLES},
+bands AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
+bex AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM bands"
+                      for b in range(N_BANDS))}
+),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bex a JOIN bex b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_distance
+FROM cands
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+WHERE levenshtein(da.text, db.text) <= 40
+""")

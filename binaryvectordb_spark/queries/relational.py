@@ -709,3 +709,92 @@ SELECT o_orderstatus,
        max(o_totalprice) AS max_price
 FROM orders GROUP BY o_orderstatus
 """)
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment filter, 3-way join, revenue agg, top-10 by revenue
+    with date tie-break — the canonical join+agg+topk OLAP pattern."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    rev = F.expr("CAST(l_extendedprice AS DECIMAL(15,2)) * "
+                 "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("l_orderkey"))
+            .limit(10))
+
+
+register("tpch_q3_shipping_priority", tpch_q3_shipping_priority, oracle="""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""")
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-flag revenue per customer joined to nation,
+    top-20 losers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev = F.expr("CAST(l_extendedprice AS DECIMAL(15,2)) * "
+                 "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+register("tpch_q10_returned_items", tpch_q10_returned_items, oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+
+
+def orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: page 3 of orders by (totalprice desc, orderkey) —
+    LIMIT+OFFSET with a pinned total order."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_totalprice")
+            .offset(40).limit(20))
+
+
+register("orderby_limit_offset", orderby_limit_offset, oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 40
+""")
