@@ -798,3 +798,45 @@ SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 20 OFFSET 40
 """)
+
+
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-collecting aggregates, sorted so the array value is deterministic
+    under any partitioning (bare collect_set order is not)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.array_sort(F.collect_set("o_orderstatus"))
+                 .alias("statuses"),
+                 F.size(F.array_sort(F.collect_set("o_orderstatus")))
+                 .alias("n_statuses")))
+
+
+register("agg_collect_set", agg_collect_set, oracle="""
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       CAST(length(list(DISTINCT o_orderstatus)) AS INTEGER) AS n_statuses
+FROM orders GROUP BY o_orderpriority
+""")
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over a full-partition frame (explicit frame:
+    last_value's default frame ends at CURRENT ROW, a classic gotcha)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"))
+
+
+register("window_first_last", window_first_last, oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")

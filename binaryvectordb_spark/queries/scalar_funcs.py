@@ -211,3 +211,51 @@ SELECT vec_id AS doc_id,
                 AS DOUBLE))) AS l1_norm
 FROM embeddings
 """)
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: add_months / date_add / months_between (integral
+    part only — the fractional month definitions differ across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate"), 3).alias("plus_3m"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        F.floor(F.months_between(F.lit("2002-01-01").cast("date"),
+                                 F.col("o_orderdate"))).cast("int")
+        .alias("whole_months_to_2002"))
+
+
+register("date_arithmetic", date_arithmetic, oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+       -- Spark months_between floors to whole months only when the target
+       -- day-of-month (the 1st) has been reached; DuckDB date_diff('month')
+       -- counts boundary crossings instead, so state Spark's rule directly
+       CAST((2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+            - CASE WHEN day(o_orderdate) > 1 THEN 1 ELSE 0 END
+            AS INTEGER) AS whole_months_to_2002
+FROM orders
+""")
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_replace normalization chain (collapse whitespace, strip
+    digits) — the cleanup step ahead of fingerprint/dedup."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[0-9]+", ""),
+        "  +", " "))
+    return d.select("doc_id", F.md5(norm).alias("norm_hash"),
+                    F.length(norm).alias("norm_len"))
+
+
+register("text_normalize", text_normalize, oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+                               '  +', ' ', 'g'))) AS norm_hash,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+                                       '  +', ' ', 'g'))) AS INTEGER) AS norm_len
+FROM documents
+""")
