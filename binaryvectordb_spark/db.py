@@ -138,13 +138,28 @@ class BinaryVectorDB:
     def add_batch(self, doc_ids: Sequence[int], docs: Sequence[str],
                   embeddings: np.ndarray) -> None:
         """Pre-embedded bulk upsert — the `_add_batch` path (:117-143)."""
+        if not (len(doc_ids) == len(docs) == len(embeddings)):
+            raise ValueError("length mismatch")  # :134-136
+        if len(doc_ids) == 0:
+            return  # empty micro-batches are legitimate no-ops
         ids = np.asarray(doc_ids)
         if not np.issubdtype(ids.dtype, np.integer):
             raise ValueError("doc_ids dtype must be integer")  # :131-132
-        if not (len(doc_ids) == len(docs) == len(embeddings)):
-            raise ValueError("length mismatch")  # :134-136
         self._upsert([int(i) for i in doc_ids], list(docs),
                      np.asarray(embeddings, dtype=np.float32))
+
+    def _merge_and_swap(self, new_index: DataFrame, new_docs: DataFrame,
+                        keys: DataFrame) -> None:
+        """Delete-then-insert merge (:93-101) + atomic swap of both tiers —
+        the single upsert implementation shared by every ingest path."""
+        old_index, old_docs = self.index_df(), self.docs_df()
+        if old_index is not None:
+            new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
+                         .unionByName(new_index))
+            new_docs = (old_docs.join(F.broadcast(keys), "doc_id", "left_anti")
+                        .unionByName(new_docs))
+        self._swap_write(new_index, "index")
+        self._swap_write(new_docs, "documents")
 
     def _upsert(self, doc_ids: list[int], docs: list[str], emb: np.ndarray) -> None:
         rows = [(int(i), str(d), [float(x) for x in e])
@@ -154,16 +169,7 @@ class BinaryVectorDB:
         new_index = new.select("doc_id", pack_bits("embedding", self.dim).alias("vec"))
         new_docs = new.select("doc_id", "doc",
                               int8_quantize("embedding").alias("emb_int8"))
-        old_index, old_docs = self.index_df(), self.docs_df()
-        if old_index is not None:
-            keys = new.select("doc_id")
-            # delete-then-insert (:93-101): anti-join drops updated ids
-            new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
-                         .unionByName(new_index))
-            new_docs = (old_docs.join(F.broadcast(keys), "doc_id", "left_anti")
-                        .unionByName(new_docs))
-        self._swap_write(new_index, "index")
-        self._swap_write(new_docs, "documents")
+        self._merge_and_swap(new_index, new_docs, new.select("doc_id"))
 
     def add_documents_df(self, docs_df, id_col: str = "doc_id",
                          text_col: str = "text") -> None:
@@ -181,15 +187,7 @@ class BinaryVectorDB:
         new_docs = embedded.select(
             "doc_id", F.col("text").alias("doc"),
             int8_quantize("embedding").alias("emb_int8"))
-        old_index, old_docs = self.index_df(), self.docs_df()
-        if old_index is not None:
-            keys = embedded.select("doc_id")
-            new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
-                         .unionByName(new_index))
-            new_docs = (old_docs.join(F.broadcast(keys), "doc_id", "left_anti")
-                        .unionByName(new_docs))
-        self._swap_write(new_index, "index")
-        self._swap_write(new_docs, "documents")
+        self._merge_and_swap(new_index, new_docs, embedded.select("doc_id"))
 
     def remove_docs(self, doc_ids: Sequence[int]) -> None:
         """Batched delete (reference deletes one id + full rewrite, :155-166;
@@ -236,8 +234,10 @@ class BinaryVectorDB:
     def search(self, query: str | Sequence[float], k: int = DEFAULT_K,
                binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
                int8_oversample: int = DEFAULT_INT8_OVERSAMPLE) -> list[dict]:
-        if len(self) == 0:
-            raise Exception("Index is empty; add documents first")  # :190-191
+        # emptiness probe, not a full count() job per query (:190-191)
+        idx = self.index_df()
+        if idx is None or not idx.take(1):
+            raise Exception("Index is empty; add documents first")
         if isinstance(query, str):
             qvec = self.embed_fn([query])[0]
         else:

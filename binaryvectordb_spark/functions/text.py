@@ -3,12 +3,13 @@ tokenization, shingling, MinHash/SimHash signatures — all as portable Spark
 SQL expressions (no Python UDFs; everything whole-plan declarative).
 
 Portability contract with the DuckDB oracles:
-- hashes are md5 hex strings (identical in both engines); MinHash takes the
-  lexicographic MIN of salted md5 strings — a valid uniform hash family that
-  needs no integer parsing.
-- where integers are needed (SimHash bit tests), the first 15 hex chars are
-  parsed to a 60-bit int: Spark ``conv(h, 16, 10)``, DuckDB
+- the base hash is md5 (identical hex in both engines); its first 15 hex
+  chars parse to a 60-bit int: Spark ``conv(h, 16, 10)``, DuckDB
   ``CAST('0x' || h AS BIGINT)`` — verified to agree.
+- MinHash is the affine integer family h_j(x) = (a_j*x + b_j) mod (2^31-1)
+  over that base hash: ONE md5 per shingle total, then cheap integer mins
+  (a per-seed salted-md5 design was 12x the hashing cost — replaced).
+- SimHash bit tests shift the same 60-bit base hash.
 """
 
 from __future__ import annotations

@@ -86,16 +86,11 @@ def build_doc_store(emb_df: DataFrame, docs_df: DataFrame | None = None,
     return store.select("doc_id", "doc", "emb_int8")
 
 
-def _query_df(index_or_emb_df: DataFrame, query_vec=None, query_filter=None,
-              dim: int = 64, emb_col: str = "embedding"):
+def _query_df(spark_source: DataFrame, query_vec, dim: int):
     """Build a 1-row broadcastable query DataFrame (qvec float, qbits packed)."""
-    spark = index_or_emb_df.sparkSession
-    if query_vec is not None:
-        q = spark.createDataFrame([(list(map(float, query_vec)),)],
-                                  f"qvec: array<float>")
-    else:
-        q = index_or_emb_df.where(query_filter).select(
-            F.col(emb_col).cast("array<float>").alias("qvec")).limit(1)
+    spark = spark_source.sparkSession
+    q = spark.createDataFrame([(list(map(float, query_vec)),)],
+                              "qvec: array<float>")
     return q.select("qvec", pack_bits("qvec", dim).alias("qbits"))
 
 
@@ -112,7 +107,7 @@ def cascade_search(index_df: DataFrame, doc_df: DataFrame, dim: int,
     (and optionally precomputed ``qbits``); otherwise pass ``query_vec``.
     """
     if query_df is None:
-        q = _query_df(index_df, query_vec=query_vec, dim=dim)
+        q = _query_df(index_df, query_vec, dim)
     else:
         q = query_df
         if "qbits" not in q.columns:

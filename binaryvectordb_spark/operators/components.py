@@ -47,5 +47,12 @@ def min_label_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silent early exit would return intermediate labels — duplicate
+        # clusters would keep multiple "keeper" rows with no visible error
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); component diameter exceeds "
+            f"max_iter — raise it")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

@@ -73,7 +73,8 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drain the stream with availableNow into an in-memory table (test/dev
     sink); returns the materialized result as a batch DataFrame."""
     q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete" if stream_df.isStreaming else "append")
+         .outputMode("complete")  # requires an aggregated stream; use
+         # run_append_to_memory for non-aggregated ones
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
@@ -117,8 +118,13 @@ def stateful_user_totals(events: DataFrame,
         n, total_cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # integer cents: exact and order-independent across batches
-            total_cents += int(pd.Series(pdf["value"]).mul(100).round().sum())
+            # integer cents: exact and order-independent across batches.
+            # HALF_UP (away from zero) to match the engine-wide rounding
+            # contract — pandas .round() is half-even and diverges at .5
+            import numpy as np
+            v = pdf["value"].to_numpy() * 100.0
+            cents = np.sign(v) * np.floor(np.abs(v) + 0.5)
+            total_cents += int(cents.sum())
         state.update((n, total_cents))
         yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
                             "total_cents": [total_cents]})

@@ -24,9 +24,21 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(salted.columns) == sorted(plain.columns)
 
 
-def test_salt_actually_spreads_hot_key(spark):
+def test_salt_spreads_even_identical_duplicate_rows(spark):
+    """Byte-identical hot-key rows (the degenerate-skew case) must still
+    spread: the salt mixes in a per-row id, not just the row hash."""
     big = spark.range(10_000).select(F.lit(7).alias("k"),
-                                     F.col("id").alias("payload"))
-    n = (big.withColumn("_salt", F.pmod(F.xxhash64("k", "payload"), F.lit(8)))
-         .select("_salt").distinct().count())
-    assert n == 8  # all salt buckets hit -> hot key splits into 8 tasks
+                                     F.lit(0).alias("payload"))
+    small = spark.range(10).select(F.col("id").alias("k"),
+                                   F.lit(1).alias("dim_val"))
+    joined = salted_join(big, small, "k", n_salts=8)
+    assert joined.count() == 10_000
+
+
+def test_right_and_full_outer_rejected(spark):
+    import pytest
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(10).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
