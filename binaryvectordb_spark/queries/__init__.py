@@ -28,6 +28,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # populate — order matters only for readability of the registry
 from binaryvectordb_spark.queries import (  # noqa: E402,F401
     dedup,
+    lateral,
     multimodal,
     mutation,
     relational,
@@ -35,6 +36,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     similarity,
     streaming_batch,
     textops,
+    tpch_more,
     udf_surface,
     vector,
 )

@@ -1,0 +1,278 @@
+"""Second TPC-H-shaped pack (SURVEY §2.2-2.4 EXT): correlated EXISTS /
+NOT EXISTS subqueries, conditional aggregation, OR-of-bands predicates, and
+HAVING-gated fact self-aggregation — adapted to the fixture schema (no
+partsupp / l_shipmode / c_phone columns, so q4/q12/q22 shapes are re-targeted
+onto the columns that exist; see FIXTURES.md).
+
+Determinism rules follow queries/relational.py: money sums via DECIMAL(15,2)
+casts, AVG as CAST(SUM(decimal) AS DOUBLE)/COUNT, discount band compares on
+round(x*100) ints, explicit tie-breaks under every LIMIT.
+
+Scale notes (100 TB): every query here is a fact-table scan with pushed-down
+date/flag predicates feeding a partial hash aggregate; the correlated
+EXISTS/NOT EXISTS forms plan as semi/anti hash joins shuffled on the
+correlation key (o_orderkey / c_custkey), which AQE can convert to broadcast
+when the filtered side is small.  Nothing materializes an unbounded
+intermediate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_DEC = "CAST(l_extendedprice AS DECIMAL(15,2)) * " \
+       "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders in a half-year window that have at least one lineitem
+    shipped after the order date (the fixture's stand-in for
+    l_commitdate < l_receiptdate), counted per priority.  The correlated
+    EXISTS is a LEFT SEMI join on o_orderkey with the ship-after-order
+    predicate folded into the join condition."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > o.o_orderdate), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+register("tpch_q4_order_priority", tpch_q4_order_priority, oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""")
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: single-pass filtered scan -> one-row aggregate.  All three
+    predicates push into the Parquet scan; the discount band compares on
+    round(l_discount*100) so both engines band identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.round(F.col("l_discount") * 100).cast("int")
+    rev = F.expr("CAST(l_extendedprice AS DECIMAL(15,2)) * "
+                 "CAST(l_discount AS DECIMAL(4,2))")
+    return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & pct.between(5, 7)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+register("tpch_q6_forecast_revenue", tpch_q6_forecast_revenue, oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+               CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS INTEGER) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""")
+
+
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between every ordered pair of (supplier
+    nation, customer nation), by ship year.  nation is broadcast twice under
+    different aliases; the lineitem->orders join is the only big shuffle."""
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("cn_key"),
+                             F.col("n_name").alias("cust_nation")))
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01")))
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+            .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+            .where(F.col("supp_nation") < F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(F.expr(_DEC)).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+register("tpch_q7_nation_volume", tpch_q7_nation_volume, oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum({_DEC}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+""")
+
+
+def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (no l_shipmode column -> grouped by l_linestatus):
+    conditional counts of high- vs low-priority orders among shipped lines."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")
+                 & (F.col("l_returnflag") == "N"))
+          .select("l_orderkey", "l_linestatus"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
+
+
+register("tpch_q12_priority_by_status", tpch_q12_priority_by_status, oracle="""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'N'
+GROUP BY l_linestatus
+""")
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo-type revenue share over one month.  part is broadcast; the
+    ratio divides two identically-computed doubles so it hashes stably."""
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-03-01")
+                 & (F.col("l_shipdate") < "1996-04-01")))
+    rev = F.expr(_DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(15,2)"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .agg((F.sum(promo).cast("double") * 100.0
+                  / F.sum(rev).cast("double")).alias("promo_revenue_pct"),
+                 F.count("*").alias("n_items")))
+
+
+register("tpch_q14_promo_revenue", tpch_q14_promo_revenue, oracle=f"""
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DEC}
+                     ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) * 100.0
+       / CAST(sum({_DEC}) AS DOUBLE) AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""")
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: orders whose total quantity exceeds 200, with customer attached.
+    The HAVING-gated aggregate runs FIRST (map-side partial sums shrink the
+    shuffle), and only qualifying orderkeys join back to orders/customer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(15,2)"))
+                .cast("double").alias("sum_qty"))
+           .where(F.col("sum_qty") > 200))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty"))
+
+
+register("tpch_q18_large_orders", tpch_q18_large_orders, oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+             AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) > 200) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""")
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue under an OR of three (brand, size-band, quantity-band)
+    conjunctions.  The disjunction sits in the join condition's residual
+    filter after the broadcast hash join on partkey."""
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    li = _t(spark, sf_dir, "lineitem")
+    band = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50)
+               & F.col("l_quantity").between(20, 30)))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .where(band)
+            .agg(F.sum(F.expr(_DEC)).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+register("tpch_q19_discounted_revenue", tpch_q19_discounted_revenue, oracle=f"""
+SELECT CAST(sum({_DEC}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
+""")
+
+
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (no c_phone -> grouped by nation): customers with
+    above-positive-average balance and NO orders since 2000-01-01.  Scalar
+    subquery (global avg) broadcasts as a 1-row cross join; the correlated
+    NOT EXISTS is a LEFT ANTI join against recent orders."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation")
+                    .select("n_nationkey", "n_name"))
+    pos = c.where(F.col("c_acctbal") > 0)
+    avg_bal = (pos.agg((F.sum(F.col("c_acctbal").cast("decimal(15,2)"))
+                        .cast("double") / F.count("*")).alias("avg_bal")))
+    recent = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    return (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(15,2)"))
+                 .cast("double").alias("totacctbal")))
+
+
+register("tpch_q22_idle_customers", tpch_q22_idle_customers, oracle="""
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE)
+                          / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+""")
