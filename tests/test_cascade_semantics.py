@@ -58,6 +58,30 @@ def corpus(draw):
     return V, q, k, bo, io
 
 
+def test_batch_phase1_paths_agree(spark):
+    """The Arrow local-top-k Phase I and the pure-expression histogram
+    Phase I must produce byte-identical batch results — including tie
+    regions (duplicated vectors force score ties whose resolution must be
+    (score, doc_id), not selection-order)."""
+    from binaryvectordb_spark.operators.cascade import cascade_search_batch
+
+    dim = 96  # two lanes, second one partial
+    rng = np.random.RandomState(7)
+    V = rng.uniform(-1, 1, (80, dim)).astype(np.float32)
+    V[40:60] = V[0:20]  # duplicate block -> hamming ties across doc_ids
+    rows = [(int(i), v.tolist()) for i, v in enumerate(V)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    index = build_index(emb, dim)
+    store = build_doc_store(emb)
+    qs = spark.createDataFrame(
+        [(int(i), V[i * 3].tolist()) for i in range(5)],
+        "qid: long, qvec: array<float>")
+    a = cascade_search_batch(index, store, dim, qs, k=5, phase1="arrow").collect()
+    h = cascade_search_batch(index, store, dim, qs, k=5, phase1="histogram").collect()
+    assert a == h
+    assert len(a) == 25
+
+
 @pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(corpus())

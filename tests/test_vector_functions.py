@@ -46,6 +46,19 @@ def test_pack_bits_matches_numpy(vec_df):
             assert got[i][lane] == want, (i, lane)
 
 
+def test_pack_bits_np_matches_sql(vec_df):
+    """Driver-side numpy packer and the SQL expression packer share one bit
+    layout (vector.py's contract) — they must agree on every input."""
+    from binaryvectordb_spark.functions.vector import pack_bits_np
+
+    df, vecs = vec_df
+    got = {r.id: r.packed
+           for r in df.select("id", pack_bits("v", DIM).alias("packed")).collect()}
+    want = pack_bits_np(vecs).view(np.int64)  # Spark lanes are signed int64
+    for i in range(len(vecs)):
+        assert list(want[i]) == got[i], i
+
+
 def test_hamming_matches_numpy(spark, vec_df):
     df, vecs = vec_df
     packed = df.select("id", pack_bits("v", DIM).alias("p"))
