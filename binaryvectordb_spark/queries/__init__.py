@@ -27,6 +27,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 # populate — order matters only for readability of the registry
 from binaryvectordb_spark.queries import (  # noqa: E402,F401
+    analytics2,
     dedup,
     lateral,
     multimodal,

@@ -1,0 +1,135 @@
+"""Third analytics pack: TF-rarity term scoring (log-free TF-IDF shape),
+multi-grain time rollup over events (the hypertable-continuous-aggregate
+shape), and INTERSECT ALL / EXCEPT ALL (bag semantics).
+
+Determinism: rarity uses N/df (plain IEEE division of exact integers —
+correctly rounded, engine-identical) instead of log(N/df) (libm ln is NOT
+correctly rounded and drifts between engines).  Ranking by tf * N/df is
+order-equivalent to tf * log-idf for any fixed df ordering, so the operator
+shape is faithful.
+
+Scale notes (100 TB): term scoring is explode -> two hash aggs (df is a tiny
+per-token table broadcast back); the rollup is ONE scan with grouping sets
+(Spark expands grains map-side, no re-scan per grain); bag set-ops hash on
+the full row like any aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def text_tf_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic tokens per document (first 50 docs) by
+    tf * (N/df): term frequency weighted by inverse document frequency,
+    log-free so both engines compute bit-identical doubles."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    tokens = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = (tokens.groupBy("token")
+           .agg(F.count_distinct("doc_id").alias("df")))
+    scored = (tf.join(F.broadcast(df_), "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "token",
+                      (F.col("tf").cast("double")
+                       * (F.col("n_docs").cast("double")
+                          / F.col("df").cast("double"))).alias("rarity")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("rarity"), F.asc("token"))
+    return (scored.where(F.col("doc_id") < 50)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("doc_id", "token", "rarity", "rn"))
+
+
+register("text_tf_rarity_topk", text_tf_rarity_topk, oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token,
+         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+           AS rarity
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, rarity, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY rarity DESC, token) AS rn
+      FROM scored WHERE doc_id < 50)
+WHERE rn <= 3
+""")
+
+
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts and value sums at
+    hour AND day grain in ONE scan via GROUPING SETS — the grain column
+    disambiguates rows (the Spark/SQL re-expression of a timeseries rollup
+    cascade)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast("decimal(15,2)").alias("v"))
+    base.createOrReplaceTempView("ev_rollup_base")
+    return spark.sql("""
+        SELECT event_type, hour, day,
+               CASE WHEN hour IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+               count(*) AS n,
+               CAST(sum(v) AS DOUBLE) AS total_value
+        FROM ev_rollup_base
+        GROUP BY GROUPING SETS ((event_type, hour), (event_type, day))
+    """)
+
+
+register("events_multigrain_rollup", events_multigrain_rollup, oracle="""
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         date_trunc('day', ts) AS day, CAST(value AS DECIMAL(15,2)) AS v
+  FROM events
+)
+SELECT event_type, hour, day,
+       CASE WHEN hour IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+       count(*) AS n, CAST(sum(v) AS DOUBLE) AS total_value
+FROM base
+GROUP BY GROUPING SETS ((event_type, hour), (event_type, day))
+""")
+
+
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL over order-status multisets: bag semantics
+    keep duplicate multiplicity (min / difference of per-row counts), unlike
+    the distinct set ops."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 100000).select("o_orderstatus")
+    b = o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_orderstatus")
+    both = (a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+            .unionByName(a.exceptAll(b).withColumn("op", F.lit("except_all"))))
+    return both.groupBy("op", "o_orderstatus").agg(F.count("*").alias("n"))
+
+
+register("set_ops_bag_semantics", set_ops_bag_semantics, oracle="""
+WITH a AS (SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000),
+     b AS (SELECT o_orderstatus FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+SELECT op, o_orderstatus, count(*) AS n FROM (
+  SELECT o_orderstatus, 'intersect_all' AS op
+  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+  UNION ALL
+  SELECT o_orderstatus, 'except_all' AS op
+  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+) GROUP BY op, o_orderstatus
+""")
