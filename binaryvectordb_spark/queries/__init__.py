@@ -30,6 +30,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     analytics2,
     dedup,
     lateral,
+    mllib_ops,
     multimodal,
     mutation,
     relational,
