@@ -211,6 +211,21 @@ class BinaryVectorDB:
     def save(self) -> None:
         """API parity with :168-172 — every mutation already persisted."""
 
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Small-file compaction: every micro-batch upsert adds files; at
+        scale the doc store degrades into millions of tiny parquet files
+        (the classic streaming-sink pathology — the reference's full-index
+        rewrite per save, :165-172, is the same cost paid EVERY time).
+        Rewrites both tiers into ``target_partitions`` files (default:
+        spark.sql.shuffle.partitions).  On Delta this would be OPTIMIZE."""
+        n = target_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions"))
+        idx, docs = self.index_df(), self.docs_df()
+        if idx is not None:
+            self._swap_write(idx.repartition(n, "doc_id"), "index")
+        if docs is not None:
+            self._swap_write(docs.repartition(n, "doc_id"), "documents")
+
     def __len__(self) -> int:
         idx = self.index_df()
         return 0 if idx is None else idx.count()
@@ -247,3 +262,34 @@ class BinaryVectorDB:
                                  binary_oversample=binary_oversample,
                                  int8_oversample=int8_oversample)
         return [r.asDict() for r in hits_df.collect()]
+
+    def search_batch(self, queries: Sequence[str | Sequence[float]],
+                     k: int = DEFAULT_K,
+                     binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
+                     int8_oversample: int = DEFAULT_INT8_OVERSAMPLE
+                     ) -> list[list[dict]]:
+        """Batched serving: N queries against the cascade in ONE job
+        (operators/cascade.py cascade_search_batch — the index is scanned
+        once for the whole batch; per-query latency amortizes ~10x vs
+        looping single searches).  Returns hits per query, in input order."""
+        from binaryvectordb_spark.operators.cascade import cascade_search_batch
+
+        idx = self.index_df()
+        if idx is None or not idx.take(1):
+            raise Exception("Index is empty; add documents first")
+        texts = [q for q in queries if isinstance(q, str)]
+        embedded = iter(self.embed_fn(texts)) if texts else iter(())
+        vecs = [next(embedded) if isinstance(q, str)
+                else np.asarray(q, dtype=np.float32) for q in queries]
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "qid: long, qvec: array<float>")
+        rows = cascade_search_batch(self._cached_index(), self.docs_df(),
+                                    self.dim, qdf, k=k,
+                                    binary_oversample=binary_oversample,
+                                    int8_oversample=int8_oversample).collect()
+        out: list[list[dict]] = [[] for _ in queries]
+        for r in rows:
+            d = r.asDict()
+            out[d.pop("qid")].append(d)
+        return out

@@ -143,3 +143,32 @@ def test_distributed_ingest_matches_driver_side(spark, tmp_path):
     b.add_documents_df(df2)
     assert len(b) == 40                               # upsert, not append
     assert "replaced" in b.search("replaced text", k=1)[0]["doc"]
+
+
+def test_search_batch_matches_single(db):
+    docs = {i: f"doc number {i} about topic {i % 3}" for i in range(20)}
+    db.add_documents(list(docs), list(docs.values()))
+    queries = ["doc number 3 topic", "topic 2 doc", [0.5] * 32]
+    batched = db.search_batch(queries, k=5)
+    assert len(batched) == 3
+    for q, hits in zip(queries, batched):
+        single = db.search(q, k=5)
+        assert [h["doc_id"] for h in hits] == [h["doc_id"] for h in single]
+        assert [h["score_cossim"] for h in hits] == \
+            [h["score_cossim"] for h in single]
+
+
+def test_compact_preserves_content(db):
+    db.add_documents(list(range(10)), [f"text {i}" for i in range(10)])
+    for i in range(10, 14):  # several tiny upsert batches -> file sprawl
+        db.add_documents([i], [f"text {i}"])
+    before = sorted((r.doc_id, r.doc) for r in db.docs_df().collect())
+    db.compact(target_partitions=2)
+    after = sorted((r.doc_id, r.doc) for r in db.docs_df().collect())
+    assert before == after
+    assert len(db) == 14
+    import glob
+    import os
+    files = glob.glob(os.path.join(db.folder, "documents", "*.parquet"))
+    assert len(files) <= 2
+    assert db.search("text 3", k=1)[0]["doc_id"] in range(14)
