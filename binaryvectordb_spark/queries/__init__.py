@@ -35,6 +35,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     mutation,
     relational,
     scalar_funcs,
+    scalar_funcs2,
     similarity,
     streaming_batch,
     textops,
