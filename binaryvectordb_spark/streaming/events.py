@@ -172,3 +172,14 @@ def stream_stream_click_purchase_join(events: DataFrame,
             click_ts <= purchase_ts AND
             click_ts >= purchase_ts - INTERVAL {max_gap}
         """))
+
+
+def stream_static_enrich(events: DataFrame, dim_df: DataFrame,
+                         key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the (slowly
+    changing) dimension snapshot — stateless, no watermark needed, and the
+    static side broadcasts so the stream never shuffles.  At scale the
+    dimension is re-read per micro-batch, picking up dimension updates
+    without restarting the query."""
+    from pyspark.sql import functions as F
+    return events.join(F.broadcast(dim_df), key, "left")

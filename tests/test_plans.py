@@ -32,3 +32,44 @@ def test_filter_pushdown_reaches_scan(spark):
     # column pruning: only the 6 referenced columns in ReadSchema
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_tax" not in read_schema and "l_comment" not in read_schema
+
+
+def test_q7_dims_broadcast(spark):
+    """All four dimension joins of the 6-way q7 must broadcast; only the
+    lineitem-orders fact join may shuffle."""
+    from binaryvectordb_spark.queries.tpch_more import tpch_q7_nation_volume
+    plan = formatted_plan(tpch_q7_nation_volume(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    from binaryvectordb_spark.queries.tpch_more import tpch_q4_order_priority
+    plan = formatted_plan(tpch_q4_order_priority(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_q18_partial_agg_before_join(spark):
+    """The HAVING-gated quantity sum must partial-aggregate (map-side
+    combine) before any join touches orders/customer."""
+    from binaryvectordb_spark.queries.tpch_more import tpch_q18_large_orders
+    plan = formatted_plan(tpch_q18_large_orders(spark, SF_SMOKE))
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert "HashAggregate" in plan
+
+
+def test_q6_predicates_pushed(spark):
+    from binaryvectordb_spark.queries.tpch_more import tpch_q6_forecast_revenue
+    plan = formatted_plan(tpch_q6_forecast_revenue(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" not in read_schema  # pruned: not referenced
+
+
+def test_gap_fill_grid_broadcast(spark):
+    """The calendar grid joins broadcast — raw events are never shuffled
+    into a grid-sized exchange."""
+    from binaryvectordb_spark.queries.lateral import events_gap_fill_daily
+    plan = formatted_plan(events_gap_fill_daily(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -143,3 +143,21 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     key = lambda df: sorted((r.purchase_id, r.click_id) for r in df.collect())  # noqa: E731
     assert key(got) == key(want)
     assert got.count() > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static broadcast enrichment produces exactly the batch join."""
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.sources.tables import load_table
+    from binaryvectordb_spark.streaming.events import stream_static_enrich
+
+    dim = (load_table(spark, SF_SMOKE, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    stream = read_events_stream(spark, events_dir)
+    got = run_append_to_memory(
+        stream_static_enrich(stream, dim), "t_enrich")
+    batch = stream_static_enrich(spark.read.parquet(events_dir), dim)
+    cols = ["event_id", "user_id", "c_mktsegment"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() == batch.count() > 0
