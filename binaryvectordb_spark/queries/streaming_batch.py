@@ -109,3 +109,43 @@ SELECT user_id, event_type, event_id, ts AS first_ts FROM (
                                ORDER BY ts, event_id) AS rn
   FROM events) WHERE rn = 1
 """)
+
+
+def events_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.py stream_stream_click_purchase_join:
+    every purchase joined to the same user's clicks in the preceding 30
+    minutes (interval join), rolled up per purchase.  The streaming test
+    proves the watermarked stream-stream join matches this; the oracle
+    value-hashes the semantics."""
+    ev = _events(spark, sf_dir)
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left")
+    return (joined.groupBy("purchase_id", "user_id", "purchase_ts")
+            .agg(F.count("click_ts").alias("n_clicks_before"),
+                 F.max("click_ts").alias("last_click_ts")))
+
+
+register("events_click_purchase_attribution", events_click_purchase_attribution,
+         oracle="""
+WITH clicks AS (SELECT user_id AS c_user, ts AS click_ts FROM events
+                WHERE event_type = 'click'),
+purchases AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+              FROM events WHERE event_type = 'purchase')
+SELECT purchase_id, user_id, purchase_ts,
+       count(click_ts) AS n_clicks_before,
+       max(click_ts) AS last_click_ts
+FROM purchases LEFT JOIN clicks
+  ON user_id = c_user AND click_ts <= purchase_ts
+ AND click_ts >= purchase_ts - INTERVAL 30 MINUTE
+GROUP BY purchase_id, user_id, purchase_ts
+""")
