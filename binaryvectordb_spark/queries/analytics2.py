@@ -133,3 +133,36 @@ SELECT op, o_orderstatus, count(*) AS n FROM (
   FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
 ) GROUP BY op, o_orderstatus
 """)
+
+
+def filter_empty_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legit predicate that matches nothing — exercises empty-frame hashing
+    through the whole compare pipeline (schema must still align)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_quantity") < 0)
+            .select("l_orderkey", "l_quantity"))
+
+
+register("filter_empty_result", filter_empty_result, oracle="""
+SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 0
+""")
+
+
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): NULLIF-induced nulls
+    on both sides must match each other, unlike plain '=' which drops them."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_a"))
+    b = (c.select(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_b"))
+         .distinct())
+    return (a.join(b, F.col("seg_a").eqNullSafe(F.col("seg_b")))
+            .groupBy("seg_b").agg(F.count("*").alias("n")))
+
+
+register("join_null_safe_eq", join_null_safe_eq, oracle="""
+WITH a AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg_a FROM customer),
+     b AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg_b FROM customer)
+SELECT seg_b, count(*) AS n
+FROM a JOIN b ON seg_a IS NOT DISTINCT FROM seg_b
+GROUP BY seg_b
+""")
