@@ -58,14 +58,15 @@ def corpus(draw):
     return V, q, k, bo, io
 
 
-def test_batch_phase1_paths_agree(spark):
+@pytest.mark.parametrize("dim", [96, 1024])
+def test_batch_phase1_paths_agree(spark, dim):
     """The Arrow local-top-k Phase I and the pure-expression histogram
     Phase I must produce byte-identical batch results — including tie
     regions (duplicated vectors force score ties whose resolution must be
-    (score, doc_id), not selection-order)."""
+    (score, doc_id), not selection-order).  dim=96 covers a partial lane;
+    dim=1024 is the reference's real dimensionality (16 full lanes)."""
     from binaryvectordb_spark.operators.cascade import cascade_search_batch
 
-    dim = 96  # two lanes, second one partial
     rng = np.random.RandomState(7)
     V = rng.uniform(-1, 1, (80, dim)).astype(np.float32)
     V[40:60] = V[0:20]  # duplicate block -> hamming ties across doc_ids

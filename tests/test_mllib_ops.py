@@ -77,3 +77,22 @@ def test_minhash_lsh_finds_exact_duplicates(spark):
     pairs = minhash_lsh_dedup_pairs(corpus, threshold=0.5).collect()
     planted = [r for r in pairs if r.id_a == 0 and r.id_b == 100000]
     assert planted and planted[0].jaccard_dist == 0.0
+
+
+def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
+    """The IVF scale path end-to-end: persist vectors partitioned BY the
+    KMeans cluster id, then probe 2 clusters — the scan must show partition
+    pruning (PartitionFilters) so 8 of 10 partitions are never read."""
+    from binaryvectordb_spark.operators.mllib_ann import ivf_kmeans_build
+    from binaryvectordb_spark.plans import formatted_plan
+
+    assigned, _ = ivf_kmeans_build(emb, n_clusters=10)
+    out = str(tmp_path / "ivf_store")
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(out)
+
+    store = spark.read.parquet(out)
+    probe = store.where(F.col("cluster").isin(3, 7))
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan and "cluster" in plan
+    got_clusters = {r.cluster for r in probe.select("cluster").distinct().collect()}
+    assert got_clusters <= {3, 7}
