@@ -24,6 +24,12 @@ def get_spark(app_name: str = "binaryvectordb_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # the fixtures are single ~10-60MB parquet files; the 128MB default
+        # would make every scan ONE partition (single-core).  8MB splits a
+        # single file across cores without any shuffle — at production scale
+        # (many files >= 128MB) this knob is irrelevant, it only de-skews
+        # small-file inputs
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         # Arrow for any pandas_udf / toPandas path
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
