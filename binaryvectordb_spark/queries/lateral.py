@@ -107,3 +107,56 @@ SELECT c_nationkey, min_by(c_name, c_custkey) AS first_cust,
        max_by(c_name, c_custkey) AS last_cust, count(*) AS n
 FROM customer GROUP BY c_nationkey
 """)
+
+
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, the sum of
+    order totals in the trailing 30 days of each order — ordered by epoch
+    seconds so both engines use identical numeric range arithmetic."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("price"))
+    w = (Window.partitionBy("o_custkey").orderBy("epoch_s")
+         .rangeBetween(-30 * 86400, 0))
+    return (o.select("o_orderkey", "o_custkey",
+                     F.sum("price").over(w).cast("double")
+                     .alias("trailing_30d_total"),
+                     F.count("*").over(w).alias("trailing_30d_orders")))
+
+
+register("window_range_frame_30d", window_range_frame_30d, oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE)
+         AS trailing_30d_total,
+       count(*) OVER w AS trailing_30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+""")
+
+
+def explode_outer_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose generator input is empty survive with NULL
+    (plain explode drops them).  Tokens from names filtered to a rare
+    pattern make most arrays empty."""
+    c = _t(spark, sf_dir, "customer")
+    toks = F.filter(F.split(F.col("c_name"), ""),
+                    lambda x: x == F.lit("7"))
+    return (c.select("c_custkey", F.explode_outer(toks).alias("seven"))
+            .groupBy("seven").agg(F.count("*").alias("n")))
+
+
+register("explode_outer_null_preserving", explode_outer_null_preserving, oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         list_filter(string_split(c_name, ''), x -> x = '7') AS sevens
+  FROM customer
+)
+SELECT seven, count(*) AS n FROM (
+  SELECT unnest(sevens) AS seven FROM t WHERE len(sevens) > 0
+  UNION ALL
+  SELECT NULL AS seven FROM t WHERE len(sevens) = 0
+) GROUP BY seven
+""")
