@@ -447,3 +447,32 @@ JOIN documents da ON da.doc_id = id_a
 JOIN documents db ON db.doc_id = id_b
 WHERE levenshtein(da.text, db.text) <= 40
 """)
+
+
+# -- end-to-end dedup: the kept corpus ---------------------------------------
+
+def dedup_corpus_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline deliverable: the corpus AFTER near-dup removal
+    (keep-first policy — a cluster's representative is its min doc_id),
+    profiled per language.  Non-representative cluster members are dropped
+    via anti-join; docs with no near-dup survive untouched."""
+    clusters = dedup_clusters(spark, sf_dir)
+    dropped = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+               .select("doc_id"))
+    d = _docs(spark, sf_dir)
+    return (d.join(dropped, "doc_id", "left_anti")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").alias("chars_kept")))
+
+
+from binaryvectordb_spark.queries import ORACLES as _OR  # noqa: E402
+
+_prefix = _OR["dedup_clusters"].rsplit("SELECT id AS doc_id", 1)[0]
+register("dedup_corpus_kept", dedup_corpus_kept, oracle=_prefix + """
+, clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars_kept
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+GROUP BY lang
+""")
