@@ -70,6 +70,23 @@ def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
                 .orderBy(F.asc("d"), F.asc("doc_id")).limit(100))
 
     out: dict[str, float] = {}
+
+    # ingest side: quantize+pack 1M float vectors into the binary index tier
+    # (the batch index build path) — count() forces every pack_bits
+    # projection through codegen via the agg on the packed column
+    # (vec_id + 0) keeps the plan distinct from the cached index, so this
+    # times the real scan -> replicate -> shuffle -> pack pipeline, not a
+    # cache hit (Spark's cache manager matches by logical plan)
+    fresh = big.select((F.col("vec_id") + 0).alias("vec_id"), "embedding")
+    build = build_index(fresh, dim).select(
+        F.expr("aggregate(vec, 0, (a, x) -> a + bit_count(x))").alias("s"))
+    build.agg(F.sum("s")).collect()  # warm-up
+    t0 = time.perf_counter()
+    build.agg(F.sum("s")).collect()
+    dt = time.perf_counter() - t0
+    out["index_build_1m"] = round(dt, 4)
+    out["index_build_mvecs_per_s"] = round(n_big / dt / 1e6, 2)
+
     scan().collect()  # steady-state warm-up (codegen + scheduler)
     t0 = time.perf_counter()
     scan().collect()
