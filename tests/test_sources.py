@@ -42,3 +42,26 @@ def test_partitioned_write_and_pruned_read(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan
     want = docs.where(F.col("lang") == "de").count()
     assert filtered.count() == want
+
+
+def test_orc_and_csv_roundtrip(spark, tmp_path):
+    """Format width: the same table written/read as ORC and CSV (with
+    explicit schema — CSV carries no types) must round-trip exactly."""
+    src = load_table(spark, SF_SMOKE, "nation")
+    want = sorted((r.n_nationkey, r.n_name, r.n_regionkey)
+                  for r in src.collect())
+
+    orc_path = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(orc_path)
+    got_orc = sorted((r.n_nationkey, r.n_name, r.n_regionkey)
+                     for r in spark.read.orc(orc_path).collect())
+    assert got_orc == want
+
+    csv_path = str(tmp_path / "nation_csv")
+    src.write.mode("overwrite").option("header", True).csv(csv_path)
+    got_csv = sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in spark.read.options(header=True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(csv_path).collect())
+    assert got_csv == want
