@@ -258,3 +258,39 @@ FROM (SELECT *, row_number() OVER
           (PARTITION BY qid ORDER BY score_cossim DESC, doc_id ASC) AS rn3
       FROM p3s) WHERE rn3 <= 5
 """)
+
+
+# -- filtered search: metadata predicate + cascade (EXT — a standard
+#    vector-DB capability the reference lacks; pre-filtering keeps the
+#    oversample semantics meaningful under selective predicates) -----------
+
+def knn_cascade_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade restricted to documents with lang = 'en': the predicate is
+    applied to the INDEX before Phase I (left-semi join against the
+    filtered metadata), so all three top-k stages run on eligible docs only
+    — post-filtering the final k would silently return < k rows.  At scale,
+    co-partitioning index and metadata by doc_id (or storing the filter
+    column IN the index table) turns this into a pushed-down scan filter."""
+    emb, docs = _tables(spark, sf_dir)
+    eligible = docs.where(F.col("lang") == "en").select("doc_id")
+    index_df = build_index(emb, DIM).join(eligible, "doc_id", "left_semi")
+    doc_df = build_doc_store(emb, docs)
+    return cascade_search(index_df, doc_df, DIM, query_df=_qdf(emb))
+
+
+register(
+    "knn_cascade_filtered", knn_cascade_filtered,
+    oracle=f"""
+WITH {_Q_CTE},
+d AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+scored AS (SELECT doc_id, dv, CAST({_H} AS INTEGER) AS score_hamming FROM d, q),
+p1 AS (SELECT * FROM scored ORDER BY score_hamming ASC, doc_id ASC LIMIT 100),
+p2s AS (SELECT doc_id, dv, score_hamming, {_BDOT} AS score_binary FROM p1, q),
+p2 AS (SELECT * FROM p2s ORDER BY score_binary DESC, doc_id ASC LIMIT 30),
+p3s AS (SELECT p2.doc_id, score_hamming, score_binary,
+               {_I8DOT} / {_I8NORM} AS score_cossim, dcs.text AS doc
+        FROM p2, q, documents dcs WHERE dcs.doc_id = p2.doc_id)
+SELECT doc_id, score_hamming, score_binary, score_cossim, doc
+FROM p3s ORDER BY score_cossim DESC, doc_id ASC LIMIT 10
+""")
