@@ -99,3 +99,52 @@ def test_cascade_matches_reference_semantics(spark, data):
         [(w[0], w[1]) for w in want]
     for r, w in zip(got, want):
         assert r.score_cossim == pytest.approx(w[2], rel=1e-9)
+
+
+@pytest.mark.slow
+def test_cascade_quality_retention(spark):
+    """The reference's quality claim (README.md:134-153: more rescoring =>
+    more of the float-exact result retained) must hold on the fixtures:
+    recall@10 vs exact float cosine has a sane floor at the default
+    oversample and does not degrade when oversampling doubles.  (Absolute
+    values are fixture-dependent: near-random 64-dim vectors are the
+    adversarial case for sign quantization; the reference's 99.99% is on
+    real 1024-dim embeddings.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.functions.vector import cosine
+    from binaryvectordb_spark.operators.cascade import (
+        build_doc_store,
+        build_index,
+        cascade_search_batch,
+    )
+    from binaryvectordb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    index, store = build_index(emb, 64), build_doc_store(emb)
+    queries = (emb.where(F.col("vec_id") < 30)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+    exact = (emb.join(F.broadcast(queries.select("qid", F.col("qvec").alias("qv"))))
+             .select("qid", F.col("vec_id").alias("doc_id"),
+                     cosine("qv", "embedding").alias("s"))
+             .withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10))
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r.qid, set()).add(r.doc_id)
+
+    def recall(bo, io):
+        hits = cascade_search_batch(index, store, 64, queries, k=10,
+                                    binary_oversample=bo, int8_oversample=io
+                                    ).collect()
+        got: dict[int, set] = {}
+        for r in hits:
+            got.setdefault(r.qid, set()).add(r.doc_id)
+        return sum(len(truth[q] & got[q]) for q in truth) / (10 * len(truth))
+
+    r_default = recall(10, 3)
+    r_double = recall(20, 5)
+    assert r_default >= 0.55, f"default-oversample recall {r_default}"
+    assert r_double >= r_default - 0.02, (r_default, r_double)
