@@ -148,3 +148,25 @@ def test_cascade_quality_retention(spark):
     r_double = recall(20, 5)
     assert r_default >= 0.55, f"default-oversample recall {r_default}"
     assert r_double >= r_default - 0.02, (r_default, r_double)
+
+
+def test_cascade_k_exceeds_corpus(spark):
+    """k*oversample beyond ntotal must clamp like the reference (:204 —
+    LIMIT clamps naturally) and return min(k, n) rows, both paths."""
+    from binaryvectordb_spark.operators.cascade import cascade_search_batch
+
+    rng = np.random.RandomState(3)
+    V = rng.uniform(-1, 1, (7, DIM)).astype(np.float32)
+    rows = [(int(i), v.tolist()) for i, v in enumerate(V)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    index, store = build_index(emb, DIM), build_doc_store(emb)
+
+    single = cascade_search(index, store, DIM, query_vec=V[0].tolist(),
+                            k=50).collect()
+    assert len(single) == 7
+    assert single[0].doc_id == 0  # self-match ranks first
+
+    qs = spark.createDataFrame([(0, V[0].tolist()), (1, V[1].tolist())],
+                               "qid: long, qvec: array<float>")
+    batched = cascade_search_batch(index, store, DIM, qs, k=50).collect()
+    assert len(batched) == 14
