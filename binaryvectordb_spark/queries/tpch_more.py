@@ -276,3 +276,71 @@ WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE)
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY n_name
 """)
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) whose 3-month revenue equals the maximum — the
+    aggregate-then-compare-to-scalar-max shape.  The per-supplier revenue
+    aggregates FIRST (tiny result), so the max and the equality filter run
+    on #suppliers rows, never on lineitem."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.expr(_DEC)).cast("double").alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("mx"))
+            .join(s, rev.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+register("tpch_q15_top_supplier", tpch_q15_top_supplier, oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({_DEC}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""")
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue from lineitems whose quantity is below 20% of their
+    part's average quantity — the correlated per-group scalar-aggregate
+    shape, decorrelated into an aggregate + broadcast equi-join (the avg
+    table is #parts rows)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity",
+                                              "l_extendedprice")
+    avg_q = (li.groupBy("l_partkey")
+             .agg((F.sum(F.col("l_quantity").cast("decimal(15,2)"))
+                   .cast("double") / F.count("*")).alias("avg_qty")))
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .where(F.col("p_brand") == "Brand#3")
+                    .select("p_partkey"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(F.broadcast(avg_q), "l_partkey")
+            .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(15,2)"))
+                  .cast("double") / 7.0).alias("avg_yearly"),
+                 F.count("*").alias("n_items")))
+
+
+register("tpch_q17_small_quantity_revenue", tpch_q17_small_quantity_revenue,
+         oracle="""
+WITH avg_q AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / count(*)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q USING (l_partkey)
+WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+""")
