@@ -162,6 +162,10 @@ class BinaryVectorDB:
         self._swap_write(new_docs, "documents")
 
     def _upsert(self, doc_ids: list[int], docs: list[str], emb: np.ndarray) -> None:
+        emb = np.asarray(emb)
+        if emb.ndim != 2 or emb.shape[1] != self.dim:
+            raise ValueError(
+                f"embeddings shape {emb.shape} does not match dim={self.dim}")
         rows = [(int(i), str(d), [float(x) for x in e])
                 for i, d, e in zip(doc_ids, docs, emb)]
         new = self.spark.createDataFrame(

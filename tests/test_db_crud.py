@@ -172,3 +172,8 @@ def test_compact_preserves_content(db):
     files = glob.glob(os.path.join(db.folder, "documents", "*.parquet"))
     assert len(files) <= 2
     assert db.search("text 3", k=1)[0]["doc_id"] in range(14)
+
+
+def test_wrong_dim_embeddings_rejected(db):
+    with pytest.raises(ValueError, match="dim"):
+        db.add_batch([1], ["x"], np.ones((1, 7), dtype=np.float32))
