@@ -158,3 +158,42 @@ SELECT lang, source, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang, source
 """)
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline chunking: overlapping token windows (size 32,
+    stride 16) per document — the explode-based row generator every
+    LLM-data pipeline needs before embedding.  Chunk count derives from the
+    token count, so the generator is narrow (no shuffle) and output size is
+    linear in corpus tokens.  First 200 docs keep the gate fast."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    n = F.size("tokens")
+    idx = F.explode(F.sequence(F.lit(0),
+                               F.ceil(n / 16.0).cast("int") - 1)).alias("chunk_idx")
+    return (toks.select("doc_id", "tokens", n.alias("n_tokens"), idx)
+            .where(F.col("chunk_idx") * 16 < F.col("n_tokens"))
+            .select("doc_id", "chunk_idx",
+                    F.array_join(F.slice("tokens", F.col("chunk_idx") * 16 + 1, 32), " ")
+                    .alias("chunk_text"),
+                    F.size(F.slice("tokens", F.col("chunk_idx") * 16 + 1, 32))
+                    .alias("n_chunk_tokens")))
+
+
+register("text_chunk_documents", text_chunk_documents, oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents WHERE doc_id < 200
+), ex AS (
+  SELECT doc_id, tokens, n_tokens,
+         unnest(range(0, CAST(ceil(n_tokens / 16.0) AS INTEGER))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(tokens, chunk_idx * 16 + 1, chunk_idx * 16 + 32), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(tokens, chunk_idx * 16 + 1, chunk_idx * 16 + 32))
+            AS INTEGER) AS n_chunk_tokens
+FROM ex WHERE chunk_idx * 16 < n_tokens
+""")
