@@ -166,3 +166,33 @@ SELECT seg_b, count(*) AS n
 FROM a JOIN b ON seg_a IS NOT DISTINCT FROM seg_b
 GROUP BY seg_b
 """)
+
+
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation + boolean aggregates (bool_and /
+    bool_or) — conditional aggregation without CASE scaffolding."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_filter_base")
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+                 AS discounted_revenue,
+               bool_and(l_quantity > 0) AS all_positive_qty,
+               bool_or(l_quantity > 49) AS any_max_qty
+        FROM li_filter_base GROUP BY l_returnflag
+    """)
+
+
+register("agg_filter_clause", agg_filter_clause, oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_quantity > 49) AS any_max_qty
+FROM lineitem GROUP BY l_returnflag
+""")
