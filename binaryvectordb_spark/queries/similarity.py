@@ -116,3 +116,48 @@ SELECT doc_id, bucket, {_COS} AS score_cosine
 FROM d, q WHERE bucket = qbucket
 ORDER BY score_cosine DESC, doc_id ASC LIMIT 5
 """)
+
+
+def ann_lsh_multitable_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH: three independent 8-bit sign buckets (dimension
+    groups 0-7, 8-15, 16-23); candidates = union of the query's bucket in
+    EACH table (the standard recall-boosting construction — one table's
+    miss is another's hit).  Exact cosine re-ranks the deduped union."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def bucket(lo: int):
+        return F.expr(
+            f"aggregate(sequence(0, 7), 0, (acc, i) -> acc + "
+            f"IF(element_at(embedding, {lo} + i + 1) >= CAST(0 AS FLOAT), "
+            f"shiftleft(1, i), 0))")
+
+    eb = e.select(F.col("vec_id").alias("doc_id"),
+                  F.col("embedding").alias("dvec"),
+                  *[bucket(8 * t).alias(f"b{t}") for t in range(3)])
+    q = (eb.where(F.col("doc_id") == QID)
+         .select(F.col("dvec").alias("qvec"),
+                 *[F.col(f"b{t}").alias(f"qb{t}") for t in range(3)]))
+    cand = eb.join(F.broadcast(q),
+                   (eb.b0 == q.qb0) | (eb.b1 == q.qb1) | (eb.b2 == q.qb2))
+    return (cand.select("doc_id", cosine("qvec", "dvec").alias("score_cosine"))
+            .orderBy(F.desc("score_cosine"), F.asc("doc_id"))
+            .limit(10))
+
+
+_DUCK_BKT = ("CAST(list_sum(list_transform(range(0, 8), i -> "
+             "CASE WHEN embedding[{lo} + i + 1] >= 0 THEN 1 << i ELSE 0 END)) "
+             "AS INTEGER)")
+
+register("ann_lsh_multitable_search", ann_lsh_multitable_search, oracle=f"""
+WITH b AS (SELECT vec_id AS doc_id, embedding,
+                  {_DUCK_BKT.format(lo=0)} AS b0,
+                  {_DUCK_BKT.format(lo=8)} AS b1,
+                  {_DUCK_BKT.format(lo=16)} AS b2
+           FROM embeddings),
+q AS (SELECT embedding AS qv, b0 AS qb0, b1 AS qb1, b2 AS qb2
+      FROM b WHERE doc_id = {QID}),
+d AS (SELECT doc_id, b0, b1, b2, embedding AS dv FROM b)
+SELECT doc_id, {_COS} AS score_cosine
+FROM d, q WHERE b0 = qb0 OR b1 = qb1 OR b2 = qb2
+ORDER BY score_cosine DESC, doc_id ASC LIMIT 10
+""")
