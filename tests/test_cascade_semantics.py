@@ -170,3 +170,34 @@ def test_cascade_k_exceeds_corpus(spark):
                                "qid: long, qvec: array<float>")
     batched = cascade_search_batch(index, store, DIM, qs, k=50).collect()
     assert len(batched) == 14
+
+
+@pytest.mark.slow
+def test_batch_phase1_paths_agree_large_multibatch(spark):
+    """Arrow-vs-histogram equivalence at a scale that forces MANY partitions
+    and multiple Arrow batches per partition, with heavy score ties SPANNING
+    batch boundaries (the corpus is 40x-replicated, so every vector has 40
+    identical twins in other partitions) — exercises the local-select
+    tie fix-up and the global merge."""
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.operators.cascade import cascade_search_batch
+    from binaryvectordb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    big = (emb.crossJoin(spark.range(40).select(F.col("id").alias("rep")))
+           .select((F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+                   "embedding")
+           .repartition(16))
+    index = build_index(big, 64).cache()
+    store = build_doc_store(big).cache()
+    qs = (emb.where(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qvec")))
+    a = cascade_search_batch(index, store, 64, qs, k=10, phase1="arrow").collect()
+    h = cascade_search_batch(index, store, 64, qs, k=10, phase1="histogram").collect()
+    index.unpersist()
+    store.unpersist()
+    assert a == h
+    assert len(a) == 200
