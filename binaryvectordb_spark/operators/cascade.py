@@ -329,3 +329,38 @@ def cascade_search_batch(index_df: DataFrame, doc_df: DataFrame, dim: int,
     return (p3s.withColumn("rn", F.row_number().over(w3))
             .where(F.col("rn") <= k).drop("rn")
             .orderBy("qid", F.desc("score_cossim"), F.asc("doc_id")))
+
+
+def cascade_search_batch_sharded(index_df: DataFrame, doc_df: DataFrame,
+                                 dim: int, queries_df: DataFrame,
+                                 shard_size: int = 256,
+                                 k: int = DEFAULT_K,
+                                 binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
+                                 int8_oversample: int = DEFAULT_INT8_OVERSAMPLE
+                                 ) -> DataFrame:
+    """Serving batches beyond what one kernel broadcast should carry
+    (kernel memory is O(n_queries x arrow_batch_rows)): split the query set
+    into shards of ``shard_size`` and union the per-shard cascades.  Each
+    shard is one full index pass, so cost is linear in shard count — that
+    is inherent to brute-force scoring; IVF/LSH pruning (operators/
+    mllib_ann.py, queries/similarity.py) is the sub-linear path.
+
+    Queries are collected once (they are collected per-shard by the kernel
+    anyway); shard membership is by position, results are identical to the
+    unsharded call for any shard_size.
+    """
+    qrows = queries_df.select("qid", "qvec").collect()
+    spark = queries_df.sparkSession
+    shards = [qrows[i:i + shard_size] for i in range(0, len(qrows), shard_size)]
+    parts = []
+    for shard in shards:
+        qdf = spark.createDataFrame(
+            [(r[0], [float(x) for x in r[1]]) for r in shard],
+            "qid: long, qvec: array<float>")
+        parts.append(cascade_search_batch(index_df, doc_df, dim, qdf, k=k,
+                                          binary_oversample=binary_oversample,
+                                          int8_oversample=int8_oversample))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

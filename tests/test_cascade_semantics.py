@@ -201,3 +201,26 @@ def test_batch_phase1_paths_agree_large_multibatch(spark):
     store.unpersist()
     assert a == h
     assert len(a) == 200
+
+
+def test_sharded_batch_matches_unsharded(spark):
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.operators.cascade import (
+        cascade_search_batch,
+        cascade_search_batch_sharded,
+    )
+
+    rng = np.random.RandomState(11)
+    V = rng.uniform(-1, 1, (60, DIM)).astype(np.float32)
+    rows = [(int(i), v.tolist()) for i, v in enumerate(V)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    index, store = build_index(emb, DIM), build_doc_store(emb)
+    qs = spark.createDataFrame([(int(i), V[i].tolist()) for i in range(9)],
+                               "qid: long, qvec: array<float>")
+    whole = cascade_search_batch(index, store, DIM, qs, k=5).collect()
+    sharded = (cascade_search_batch_sharded(index, store, DIM, qs,
+                                            shard_size=4, k=5)
+               .orderBy("qid", F.desc("score_cossim"), F.asc("doc_id"))
+               .collect())
+    assert sharded == whole
