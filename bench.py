@@ -114,12 +114,15 @@ def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
     cascade_search_batch(index, store, dim, queries, k=10).collect()  # warm-up
-    # time a FRESHLY-BUILT plan: re-collecting the same DataFrame object
-    # reuses its shuffle map outputs (skipped stages) and measures nothing
-    batch_plan = cascade_search_batch(index, store, dim, queries, k=10)
-    t0 = time.perf_counter()
-    batch_plan.collect()
-    total = time.perf_counter() - t0
+    # time FRESHLY-BUILT plans: re-collecting the same DataFrame object
+    # reuses its shuffle map outputs (skipped stages) and measures nothing.
+    # min-of-2 damps GC/scheduler noise on the headline metric
+    total = float("inf")
+    for _ in range(2):
+        batch_plan = cascade_search_batch(index, store, dim, queries, k=10)
+        t0 = time.perf_counter()
+        batch_plan.collect()
+        total = min(total, time.perf_counter() - t0)
     out["cascade_1m_batch100_total"] = round(total, 4)
     out["cascade_1m_per_query_ms"] = round(total / 100 * 1000, 2)
     index.unpersist()
@@ -146,11 +149,20 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
+    # per query: one untimed run absorbs per-plan codegen/compile cold cost,
+    # then a FRESHLY-BUILT plan is timed (new lineage => no shuffle-output
+    # reuse, so the timed run does all its compute; only the codegen cache is
+    # warm — matching the baseline's steady-state protocol)
     times: dict[str, float] = {}
     for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).collect()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 4)
+
+    # drop the headline queries' cached relations before the 1M section so
+    # its numbers aren't degraded by unrelated cache memory pressure
+    spark.catalog.clearCache()
 
     out = {
         "metric": "headline query wall-clock at sf" + sf,
