@@ -294,3 +294,75 @@ p3s AS (SELECT p2.doc_id, score_hamming, score_binary,
 SELECT doc_id, score_hamming, score_binary, score_cossim, doc
 FROM p3s ORDER BY score_cossim DESC, doc_id ASC LIMIT 10
 """)
+
+
+# -- radius (range) search: the dual of top-k -------------------------------
+
+def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All documents within hamming radius 24 of the query — a range
+    predicate on the scored scan rather than a top-k truncation, so the
+    result size is data-dependent.  The scan stays filter+project (no sort,
+    no window); output ordered for the hash gate."""
+    emb, _ = _tables(spark, sf_dir)
+    index_df = build_index(emb, DIM)
+    q = _qdf(emb).select(pack_bits("qvec", DIM).alias("qbits"))
+    return (index_df.join(F.broadcast(q))
+            .select("doc_id",
+                    hamming("qbits", "vec", NUM_LANES(DIM)).alias("score_hamming"))
+            .where(F.col("score_hamming") <= 24)
+            .orderBy(F.asc("score_hamming"), F.asc("doc_id")))
+
+
+register(
+    "knn_radius_search", knn_radius_search,
+    oracle=f"""
+WITH {_Q_CTE}, {_D_CTE}
+SELECT doc_id, CAST({_H} AS INTEGER) AS score_hamming
+FROM d, q WHERE {_H} <= 24
+ORDER BY score_hamming ASC, doc_id ASC
+""")
+
+
+# -- k-NN label vote: majority class among the cosine top-k -----------------
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification for 5 query vectors: majority label among each
+    query's exact-cosine top-10 (ties broken by smaller label).  Shapes:
+    per-query top-k window -> per-(query,label) count -> argmax via a second
+    window."""
+    from pyspark.sql import Window
+    emb, _ = _tables(spark, sf_dir)
+    qs = (emb.where(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    scored = (emb.join(F.broadcast(qs))
+              .where(F.col("vec_id") != F.col("qid"))     # leave-one-out
+              .select("qid", F.col("vec_id").alias("doc_id"), "label",
+                      cosine("qv", "embedding").alias("s")))
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+    top = (scored.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 10))
+    votes = top.groupBy("qid", "label").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    return (votes.withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select("qid", F.col("label").alias("predicted_label"), "votes"))
+
+
+register(
+    "knn_label_vote", knn_label_vote,
+    oracle=f"""
+WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+d AS (SELECT vec_id AS doc_id, label, embedding AS dv FROM embeddings),
+scored AS (SELECT qid, doc_id, label, {_DOT} / ({_QNORM} * {_DNORM}) AS s
+           FROM d, qs WHERE doc_id <> qid),
+top AS (SELECT * FROM (SELECT qid, doc_id, label,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY s DESC, doc_id) AS rn
+                       FROM scored) WHERE rn <= 10),
+votes AS (SELECT qid, label, count(*) AS votes FROM top GROUP BY qid, label)
+SELECT qid, label AS predicted_label, votes
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY votes DESC, label) AS rk
+      FROM votes)
+WHERE rk = 1
+""")
