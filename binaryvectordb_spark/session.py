@@ -20,6 +20,13 @@ def get_spark(app_name: str = "binaryvectordb_spark",
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # driver heap: default 1g unless overridden.  Measured on the 1M
+        # cascade bench: 1-2g is FASTER than 8-48g (large G1 heaps degrade
+        # the Arrow-kernel path 1.5-2x, likely humongous-region churn);
+        # only multi-GB cached stores (e.g. 1024-dim corpora) need more —
+        # export SPARK_GRAFT_DRIVER_MEM for those.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"))
         # AQE: runtime coalescing + skew-join splitting — free insurance at scale
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
