@@ -150,15 +150,19 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     # per query: one untimed run absorbs per-plan codegen/compile cold cost,
-    # then a FRESHLY-BUILT plan is timed (new lineage => no shuffle-output
-    # reuse, so the timed run does all its compute; only the codegen cache is
-    # warm — matching the baseline's steady-state protocol)
+    # then FRESHLY-BUILT plans are timed (new lineage => no shuffle-output
+    # reuse, so every timed run does all its compute; only the codegen cache
+    # is warm — matching the baseline's steady-state protocol).  min-of-2
+    # damps machine noise (observed 1.5x run-to-run swings on shared infra).
     times: dict[str, float] = {}
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     # drop the headline queries' cached relations before the 1M section so
     # its numbers aren't degraded by unrelated cache memory pressure
