@@ -109,3 +109,27 @@ def test_int8_quantize(vec_df):
         # HALF_UP == round half away from zero
         want = np.sign(v) * np.floor(np.abs(v) + 0.5)
         assert list(r.q) == [int(x) for x in want]
+
+
+def test_pack_unpack_roundtrip_property():
+    """SURVEY §7 risk 1 mitigation: pack∘unpack == sign-bits identity at
+    ARBITRARY dims (partial lanes, multi-lane), little-endian unpack matching
+    the kernel's np.unpackbits path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from binaryvectordb_spark.functions.vector import pack_bits_np
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(min_value=1, max_value=200),
+           st.integers(min_value=0, max_value=2**31 - 1))
+    def check(dim, seed):
+        rng = np.random.RandomState(seed)
+        v = rng.uniform(-1, 1, (3, dim)).astype(np.float32)
+        v[0, 0] = 0.0  # boundary: zero counts as bit set (x >= 0)
+        packed = pack_bits_np(v)
+        bits = np.unpackbits(packed.view(np.uint8), axis=1,
+                             bitorder="little")[:, :dim]
+        assert (bits == (v >= 0)).all(), (dim, seed)
+
+    check()
