@@ -87,3 +87,29 @@ register("udf_grouped_agg", udf_grouped_agg, oracle="""
 SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
 FROM documents GROUP BY lang
 """)
+
+
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 useArrow=True): per-row Python
+    logic with Arrow batch transfer instead of pickled rows.  Integer
+    arithmetic only, so the SQL oracle matches exactly — the point here is
+    checking the execution path, not the math."""
+    from pyspark.sql.functions import udf
+
+    @udf("bigint", useArrow=True)
+    def order_bucket(key: int, price: float) -> int:
+        return key % 7 + (1 if price > 100000 else 0) * 100
+
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey",
+                     order_bucket("o_orderkey", "o_totalprice").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+register("udf_arrow_scalar", udf_arrow_scalar, oracle="""
+SELECT bucket, count(*) AS n FROM (
+  SELECT o_orderkey % 7 + CASE WHEN o_totalprice > 100000 THEN 100 ELSE 0 END
+    AS bucket
+  FROM orders
+) GROUP BY bucket
+""")
