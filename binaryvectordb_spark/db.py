@@ -278,6 +278,8 @@ class BinaryVectorDB:
         looping single searches).  Returns hits per query, in input order."""
         from binaryvectordb_spark.operators.cascade import cascade_search_batch
 
+        if len(queries) == 0:
+            return []
         idx = self.index_df()
         if idx is None or not idx.take(1):
             raise Exception("Index is empty; add documents first")
@@ -285,6 +287,10 @@ class BinaryVectorDB:
         embedded = iter(self.embed_fn(texts)) if texts else iter(())
         vecs = [next(embedded) if isinstance(q, str)
                 else np.asarray(q, dtype=np.float32) for q in queries]
+        for v in vecs:
+            if v.shape != (self.dim,):
+                raise ValueError(
+                    f"query vector shape {v.shape} does not match dim={self.dim}")
         qdf = self.spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
             "qid: long, qvec: array<float>")

@@ -161,27 +161,68 @@ def _phase1_arrow_topk(index_df: DataFrame, dim: int, queries_df: DataFrame,
     replaces (Arrow transfer of the cached index costs 0.66s of that).
     Queries are collected driver-side (a serving batch is small by
     construction) and broadcast to the kernel; for very large query batches
-    shard and union.
+    shard and union (``cascade_search_batch_sharded``).
     """
     import numpy as np
     import pyarrow as pa
 
     qrows = (queries_df.select("qid", F.col("qvec").cast("array<float>"))
              .collect())
+    out_schema = "qid bigint, doc_id bigint, score_hamming int, score_binary double"
+    if not qrows:
+        spark = index_df.sparkSession
+        return spark.createDataFrame([], out_schema)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float32)
+    if qmat.ndim != 2 or qmat.shape[1] != dim:
+        raise ValueError(
+            f"query vectors shape {qmat.shape} does not match dim={dim}")
     qbits = pack_bits_np(qmat)
     bc = index_df.sparkSession.sparkContext.broadcast(
         (qids, qbits, qmat.astype(np.float64), binary_k))
+
+    def _local_topk(d, ids, kk, nq, nbins):
+        """Exact per-query top-kk row indices by (score asc, doc_id asc):
+        a per-query score histogram (hamming has only dim+1 values) gives
+        the cutoff score; ties AT the cutoff resolve by smallest doc_id.
+        Row scans are single global nonzero passes — measured ~5x over
+        argpartition on a (score, rank) composite key."""
+        import numpy as np
+        cum = (np.bincount(
+            (d + (np.arange(nq, dtype=np.int32) * nbins)[:, None]).ravel(),
+            minlength=nq * nbins).reshape(nq, nbins).cumsum(axis=1))
+        cut = (cum >= kk).argmax(axis=1)
+        below_mask = d < cut[:, None]
+        n_below = below_mask.sum(axis=1)
+        _, bcol = np.nonzero(below_mask)
+        boffs = np.concatenate(([0], np.cumsum(n_below)))
+        tr, tcol = np.nonzero(d == cut[:, None])
+        n_tie = np.bincount(tr, minlength=nq)
+        toffs = np.concatenate(([0], np.cumsum(n_tie)))
+        sel_rows = []
+        for i in range(nq):
+            tie = tcol[toffs[i]:toffs[i + 1]]
+            need = kk - n_below[i]
+            if need < len(tie):
+                tie = tie[np.argpartition(ids[tie], need - 1)[:need]]
+            sel_rows.append(np.concatenate(
+                (bcol[boffs[i]:boffs[i + 1]], tie)))
+        return np.stack(sel_rows)                                  # (nq, kk)
 
     def kernel(batches):
         np_qids, np_qbits, np_qf, bk = bc.value
         nq, lanes = np_qbits.shape
         dim_ = np_qf.shape[1]
+        nbins = dim_ + 1
         # ±1 query matrix (float32): hamming(q, d) = (dim - qpm·dpm)/2, and
         # the GEMM sum of ±1 terms is integer-valued => EXACT in float32 up
         # to dim 2^24, independent of BLAS fold order.
         qpm = np.where(np_qf >= 0, np.float32(1), np.float32(-1))
+
+        # per-batch local top-k candidates accumulate here and merge ONCE at
+        # partition end, so the partition emits ~binary_k rows per query no
+        # matter how many Arrow record batches it arrived as
+        acc_q, acc_id, acc_s, acc_vec = [], [], [], []
 
         for batch in batches:
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -200,61 +241,50 @@ def _phase1_arrow_topk(index_df: DataFrame, dim: int, queries_df: DataFrame,
             dpm = bits.astype(np.float32) * 2 - 1
             d = ((dim_ - qpm @ dpm.T) * 0.5).astype(np.int32)     # (nq, b)
 
-            # exact top-kk by (score, doc_id): per-query score histogram
-            # (hamming has only dim+1 values) gives the cutoff score; ties
-            # AT the cutoff resolve by smallest doc_id.  All row scans are
-            # single global nonzero passes, not per-query loops — measured
-            # ~5x over argpartition on a (score, rank) composite key.
             kk = min(bk, b)
-            nbins = dim_ + 1
-            offs = d + (np.arange(nq, dtype=np.int32) * nbins)[:, None]
-            cum = (np.bincount(offs.ravel(), minlength=nq * nbins)
-                   .reshape(nq, nbins).cumsum(axis=1))
-            cut = (cum >= kk).argmax(axis=1)
-            # one pass for strictly-below rows, one for cutoff ties —
-            # np.nonzero returns row-major order, so per-row slices of the
-            # flat column index array are already grouped by query
-            below_mask = d < cut[:, None]
-            n_below = below_mask.sum(axis=1)
-            br, bcol = np.nonzero(below_mask)
-            boffs = np.concatenate(([0], np.cumsum(n_below)))
-            tr, tcol = np.nonzero(d == cut[:, None])
-            n_tie = np.bincount(tr, minlength=nq)
-            toffs = np.concatenate(([0], np.cumsum(n_tie)))
-            sel_rows = []
-            for i in range(nq):
-                tie = tcol[toffs[i]:toffs[i + 1]]
-                need = kk - n_below[i]
-                if need < len(tie):
-                    tie = tie[np.argpartition(ids[tie], need - 1)[:need]]
-                sel_rows.append(np.concatenate(
-                    (bcol[boffs[i]:boffs[i + 1]], tie)))
-            part = np.stack(sel_rows)                              # (nq, kk)
+            part = _local_topk(d, ids, kk, nq, nbins)
             flat = part.ravel()
-            sel_vec = vec[flat]                       # (nq*kk, lanes)
-            qrep = np.repeat(np.arange(nq), kk)       # query index per row
-            # Phase-II score: signed contribution matrix (±q_d per set bit),
-            # folded left-to-right over dimensions — the F-contiguous layout
-            # makes each of the dim_ column adds a contiguous vector op while
-            # preserving the EXACT sequential fold order of the SQL
-            # expression and the DuckDB oracle
-            sel_bits = np.unpackbits(sel_vec.view(np.uint8), axis=1,
-                                     bitorder="little")[:, :dim_]
-            signed = np.asfortranarray(
-                (sel_bits.astype(np.float64) * 2 - 1) * np_qf[qrep])
-            acc = np.zeros(len(flat), dtype=np.float64)
-            for dd in range(dim_):
-                acc += signed[:, dd]
-            yield pa.record_batch(
-                [pa.array(np.repeat(np_qids, kk)),
-                 pa.array(ids[flat]),
-                 pa.array(np.take_along_axis(d, part, axis=1).ravel()),
-                 pa.array(acc)],
-                names=["qid", "doc_id", "score_hamming", "score_binary"])
+            acc_q.append(np.repeat(np.arange(nq, dtype=np.int32), kk))
+            acc_id.append(ids[flat])
+            acc_s.append(np.take_along_axis(d, part, axis=1).ravel())
+            acc_vec.append(vec[flat])
 
-    return index_df.select("doc_id", "vec").mapInArrow(
-        kernel,
-        "qid bigint, doc_id bigint, score_hamming int, score_binary double")
+        if not acc_q:
+            return
+        qs = np.concatenate(acc_q)
+        ds = np.concatenate(acc_id)
+        ss = np.concatenate(acc_s)
+        vs = np.vstack(acc_vec)
+        # cross-batch exact merge: order by (query, score, doc_id), keep the
+        # first min(bk, group_size) rows per query
+        order = np.lexsort((ds, ss, qs))
+        qs, ds, ss, vs = qs[order], ds[order], ss[order], vs[order]
+        starts = np.searchsorted(qs, np.arange(nq))
+        ends = np.searchsorted(qs, np.arange(nq), side="right")
+        keep = np.concatenate([np.arange(s, min(s + bk, e))
+                               for s, e in zip(starts, ends)])
+        qs, ds, ss, vs = qs[keep], ds[keep], ss[keep], vs[keep]
+
+        # Phase-II score: signed contribution matrix (±q_d per set bit),
+        # folded left-to-right over dimensions — the F-contiguous layout
+        # makes each of the dim_ column adds a contiguous vector op while
+        # preserving the EXACT sequential fold order of the SQL expression
+        # and the DuckDB oracle
+        sel_bits = np.unpackbits(vs.view(np.uint8), axis=1,
+                                 bitorder="little")[:, :dim_]
+        signed = np.asfortranarray(
+            (sel_bits.astype(np.float64) * 2 - 1) * np_qf[qs])
+        acc = np.zeros(len(qs), dtype=np.float64)
+        for dd in range(dim_):
+            acc += signed[:, dd]
+        yield pa.record_batch(
+            [pa.array(np_qids[qs]),
+             pa.array(ds),
+             pa.array(ss),
+             pa.array(acc)],
+            names=["qid", "doc_id", "score_hamming", "score_binary"])
+
+    return index_df.select("doc_id", "vec").mapInArrow(kernel, out_schema)
 
 
 def cascade_search_batch(index_df: DataFrame, doc_df: DataFrame, dim: int,
@@ -351,6 +381,10 @@ def cascade_search_batch_sharded(index_df: DataFrame, doc_df: DataFrame,
     """
     qrows = queries_df.select("qid", "qvec").collect()
     spark = queries_df.sparkSession
+    if not qrows:  # empty serving batch -> empty result, not a crash
+        return spark.createDataFrame(
+            [], "qid bigint, doc_id bigint, score_hamming int, "
+                "score_binary double, score_cossim double, doc string")
     shards = [qrows[i:i + shard_size] for i in range(0, len(qrows), shard_size)]
     parts = []
     for shard in shards:

@@ -52,16 +52,19 @@ def ivf_kmeans_build(emb_df: DataFrame, n_clusters: int = 10,
 def ivf_kmeans_search(emb_df: DataFrame, query_vec, k: int = 10,
                       n_clusters: int = 10, nprobe: int = 2,
                       id_col: str = "vec_id", emb_col: str = "embedding",
-                      seed: int = SEED) -> DataFrame:
+                      seed: int = SEED, prebuilt=None) -> DataFrame:
     """IVF probe: rank trained centroids by cosine to the query, brute-force
-    exact cosine inside the ``nprobe`` nearest clusters only."""
+    exact cosine inside the ``nprobe`` nearest clusters only.
+
+    Pass ``prebuilt=(assigned, centers)`` from ``ivf_kmeans_build`` to
+    serve many queries from one training pass (training per query is the
+    convenience fallback, not the serving path)."""
     import numpy as np
 
     from binaryvectordb_spark.functions.vector import cosine
 
-    assigned, centers = ivf_kmeans_build(emb_df, n_clusters,
-                                         id_col=id_col, emb_col=emb_col,
-                                         seed=seed)
+    assigned, centers = prebuilt if prebuilt is not None else ivf_kmeans_build(
+        emb_df, n_clusters, id_col=id_col, emb_col=emb_col, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
     c = np.asarray(centers, dtype=np.float64)
     sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-30)

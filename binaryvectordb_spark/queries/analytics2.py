@@ -85,9 +85,11 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.col("value").cast("decimal(15,2)").alias("v"))
     base.createOrReplaceTempView("ev_rollup_base")
+    # grain from GROUPING(), not from hour IS NULL — a NULL ts would
+    # otherwise mislabel the (event_type, hour=NULL) row as 'day'
     return spark.sql("""
         SELECT event_type, hour, day,
-               CASE WHEN hour IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+               CASE WHEN GROUPING(hour) = 0 THEN 'hour' ELSE 'day' END AS grain,
                count(*) AS n,
                CAST(sum(v) AS DOUBLE) AS total_value
         FROM ev_rollup_base
@@ -102,7 +104,7 @@ WITH base AS (
   FROM events
 )
 SELECT event_type, hour, day,
-       CASE WHEN hour IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+       CASE WHEN GROUPING(hour) = 0 THEN 'hour' ELSE 'day' END AS grain,
        count(*) AS n, CAST(sum(v) AS DOUBLE) AS total_value
 FROM base
 GROUP BY GROUPING SETS ((event_type, hour), (event_type, day))

@@ -383,7 +383,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_label_components(pairs)
 
 
-register("dedup_clusters", dedup_clusters, oracle="WITH RECURSIVE " + f"""
+# shared recursive-CTE prologue (shingles -> LSH bands -> verified edges ->
+# reachability); dedup_clusters and dedup_corpus_kept both compose final
+# SELECTs onto it
+_CLUSTERS_CTES = "WITH RECURSIVE " + f"""
 {_DUCK_SHINGLES.replace("WITH ", "", 1)},
 bands AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
 bex AS (
@@ -409,6 +412,9 @@ reach AS (
   UNION
   SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
 )
+"""
+
+register("dedup_clusters", dedup_clusters, oracle=_CLUSTERS_CTES + """
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """)
 
@@ -466,10 +472,7 @@ def dedup_corpus_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").alias("chars_kept")))
 
 
-from binaryvectordb_spark.queries import ORACLES as _OR  # noqa: E402
-
-_prefix = _OR["dedup_clusters"].rsplit("SELECT id AS doc_id", 1)[0]
-register("dedup_corpus_kept", dedup_corpus_kept, oracle=_prefix + """
+register("dedup_corpus_kept", dedup_corpus_kept, oracle=_CLUSTERS_CTES + """
 , clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
 SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars_kept
 FROM documents
