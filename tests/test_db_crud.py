@@ -177,3 +177,29 @@ def test_compact_preserves_content(db):
 def test_wrong_dim_embeddings_rejected(db):
     with pytest.raises(ValueError, match="dim"):
         db.add_batch([1], ["x"], np.ones((1, 7), dtype=np.float32))
+
+
+def test_search_batch_edge_cases(db):
+    db.add_documents([1, 2], ["alpha text", "beta text"])
+    assert db.search_batch([]) == []
+    with pytest.raises(ValueError, match="dim"):
+        db.search_batch([[0.5] * 7])
+
+
+def test_empty_query_batch_returns_empty_frames(spark):
+    import numpy as np
+    from binaryvectordb_spark.operators.cascade import (
+        build_doc_store,
+        build_index,
+        cascade_search_batch,
+        cascade_search_batch_sharded,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.uniform(-1, 1, 16).astype(float).tolist())
+            for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    index, store = build_index(emb, 16), build_doc_store(emb)
+    empty = spark.createDataFrame([], "qid: long, qvec: array<float>")
+    assert cascade_search_batch(index, store, 16, empty).count() == 0
+    assert cascade_search_batch_sharded(index, store, 16, empty).count() == 0
