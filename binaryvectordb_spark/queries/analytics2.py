@@ -198,3 +198,72 @@ SELECT l_returnflag,
        bool_or(l_quantity > 49) AS any_max_qty
 FROM lineitem GROUP BY l_returnflag
 """)
+
+
+def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-width histogram of order totals: bounds from a first
+    aggregate (broadcast 1-row), bucket = floor((x-min)/width) clamped.
+    floor() on identically-computed doubles is deterministic cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("lo"),
+                   F.max("o_totalprice").alias("hi"))
+    return (o.crossJoin(F.broadcast(bounds))
+            .select(F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 10)).cast("int"),
+                F.lit(9)).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+register("agg_equiwidth_histogram", agg_equiwidth_histogram, oracle="""
+WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                FROM orders)
+SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS INTEGER), 9)
+         AS bucket,
+       count(*) AS n
+FROM orders, bounds GROUP BY 1
+""")
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the pipeline pre-flight op): per-column null
+    count, distinct count, and min/max for the orders table, one row per
+    column, all computed in ONE scan."""
+    o = _t(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count("*").alias("n_rows"),
+        *[x for c in ("o_orderkey", "o_custkey", "o_totalprice")
+          for x in (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"{c}_nulls"),
+                    F.count_distinct(F.col(c)).alias(f"{c}_distinct"),
+                    F.min(c).cast("double").alias(f"{c}_min"),
+                    F.max(c).cast("double").alias(f"{c}_max"))])
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in cols)
+    return prof.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)")
+
+
+register("profile_orders", profile_orders, oracle="""
+WITH p AS (SELECT count(*) AS n_rows,
+  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+  count(DISTINCT o_orderkey) AS k_distinct,
+  CAST(min(o_orderkey) AS DOUBLE) AS k_min, CAST(max(o_orderkey) AS DOUBLE) AS k_max,
+  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+  count(DISTINCT o_custkey) AS c_distinct,
+  CAST(min(o_custkey) AS DOUBLE) AS c_min, CAST(max(o_custkey) AS DOUBLE) AS c_max,
+  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+  count(DISTINCT o_totalprice) AS t_distinct,
+  CAST(min(o_totalprice) AS DOUBLE) AS t_min, CAST(max(o_totalprice) AS DOUBLE) AS t_max
+  FROM orders)
+SELECT n_rows, col_name, n_nulls, n_distinct, min_val, max_val FROM (
+  SELECT n_rows, 'o_orderkey' AS col_name, k_nulls AS n_nulls,
+         k_distinct AS n_distinct, k_min AS min_val, k_max AS max_val FROM p
+  UNION ALL
+  SELECT n_rows, 'o_custkey', c_nulls, c_distinct, c_min, c_max FROM p
+  UNION ALL
+  SELECT n_rows, 'o_totalprice', t_nulls, t_distinct, t_min, t_max FROM p)
+""")
