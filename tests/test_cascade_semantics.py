@@ -195,10 +195,20 @@ def test_batch_phase1_paths_agree_large_multibatch(spark):
     qs = (emb.where(F.col("vec_id") < 20)
           .select(F.col("vec_id").alias("qid"),
                   F.col("embedding").alias("qvec")))
-    a = cascade_search_batch(index, store, 64, qs, k=10, phase1="arrow").collect()
-    h = cascade_search_batch(index, store, 64, qs, k=10, phase1="histogram").collect()
-    index.unpersist()
-    store.unpersist()
+    # force >1 Arrow record batch per partition (1250 rows/partition, 300
+    # rows/batch) so the kernel's cross-batch accumulate+merge actually runs
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "300")
+    try:
+        a = cascade_search_batch(index, store, 64, qs, k=10,
+                                 phase1="arrow").collect()
+        h = cascade_search_batch(index, store, 64, qs, k=10,
+                                 phase1="histogram").collect()
+    finally:
+        spark.conf.set(key, prev)
+        index.unpersist()
+        store.unpersist()
     assert a == h
     assert len(a) == 200
 
