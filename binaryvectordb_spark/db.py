@@ -285,8 +285,10 @@ class BinaryVectorDB:
             raise Exception("Index is empty; add documents first")
         texts = [q for q in queries if isinstance(q, str)]
         embedded = iter(self.embed_fn(texts)) if texts else iter(())
-        vecs = [next(embedded) if isinstance(q, str)
-                else np.asarray(q, dtype=np.float32) for q in queries]
+        # normalize BEFORE the shape check: a custom embed_fn may return
+        # plain lists, not ndarrays
+        vecs = [np.asarray(next(embedded) if isinstance(q, str) else q,
+                           dtype=np.float32) for q in queries]
         for v in vecs:
             if v.shape != (self.dim,):
                 raise ValueError(

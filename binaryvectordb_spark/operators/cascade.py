@@ -44,7 +44,6 @@ from binaryvectordb_spark.functions.vector import (
     int8_cosine,
     int8_quantize,
     pack_bits,
-    pack_bits_np,
 )
 
 DEFAULT_K = 10
@@ -177,9 +176,8 @@ def _phase1_arrow_topk(index_df: DataFrame, dim: int, queries_df: DataFrame,
     if qmat.ndim != 2 or qmat.shape[1] != dim:
         raise ValueError(
             f"query vectors shape {qmat.shape} does not match dim={dim}")
-    qbits = pack_bits_np(qmat)
     bc = index_df.sparkSession.sparkContext.broadcast(
-        (qids, qbits, qmat.astype(np.float64), binary_k))
+        (qids, qmat.astype(np.float64), binary_k, NUM_LANES(dim)))
 
     def _local_topk(d, ids, kk, nq, nbins):
         """Exact per-query top-kk row indices by (score asc, doc_id asc):
@@ -210,8 +208,8 @@ def _phase1_arrow_topk(index_df: DataFrame, dim: int, queries_df: DataFrame,
         return np.stack(sel_rows)                                  # (nq, kk)
 
     def kernel(batches):
-        np_qids, np_qbits, np_qf, bk = bc.value
-        nq, lanes = np_qbits.shape
+        np_qids, np_qf, bk, lanes = bc.value
+        nq = len(np_qids)
         dim_ = np_qf.shape[1]
         nbins = dim_ + 1
         # ±1 query matrix (float32): hamming(q, d) = (dim - qpm·dpm)/2, and
@@ -219,10 +217,24 @@ def _phase1_arrow_topk(index_df: DataFrame, dim: int, queries_df: DataFrame,
         # to dim 2^24, independent of BLAS fold order.
         qpm = np.where(np_qf >= 0, np.float32(1), np.float32(-1))
 
-        # per-batch local top-k candidates accumulate here and merge ONCE at
-        # partition end, so the partition emits ~binary_k rows per query no
-        # matter how many Arrow record batches it arrived as
-        acc_q, acc_id, acc_s, acc_vec = [], [], [], []
+        def merge(q1, d1, s1, v1, q2, d2, s2, v2):
+            """Exact running top-bk merge of two candidate sets: order by
+            (query, score, doc_id), keep the first min(bk, group) per query
+            — bounds task memory at O(nq x bk) regardless of batch count."""
+            qs = np.concatenate((q1, q2)); ds = np.concatenate((d1, d2))
+            ss = np.concatenate((s1, s2)); vs = np.vstack((v1, v2))
+            order = np.lexsort((ds, ss, qs))
+            qs, ds, ss, vs = qs[order], ds[order], ss[order], vs[order]
+            starts = np.searchsorted(qs, np.arange(nq))
+            ends = np.searchsorted(qs, np.arange(nq), side="right")
+            keep = np.concatenate([np.arange(s, min(s + bk, e))
+                                   for s, e in zip(starts, ends)])
+            return qs[keep], ds[keep], ss[keep], vs[keep]
+
+        qs = np.empty(0, dtype=np.int32)
+        ds = np.empty(0, dtype=np.int64)
+        ss = np.empty(0, dtype=np.int32)
+        vs = np.empty((0, lanes), dtype=np.uint64)
 
         for batch in batches:
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -244,26 +256,15 @@ def _phase1_arrow_topk(index_df: DataFrame, dim: int, queries_df: DataFrame,
             kk = min(bk, b)
             part = _local_topk(d, ids, kk, nq, nbins)
             flat = part.ravel()
-            acc_q.append(np.repeat(np.arange(nq, dtype=np.int32), kk))
-            acc_id.append(ids[flat])
-            acc_s.append(np.take_along_axis(d, part, axis=1).ravel())
-            acc_vec.append(vec[flat])
+            qs, ds, ss, vs = merge(
+                qs, ds, ss, vs,
+                np.repeat(np.arange(nq, dtype=np.int32), kk),
+                ids[flat],
+                np.take_along_axis(d, part, axis=1).ravel(),
+                vec[flat])
 
-        if not acc_q:
+        if len(qs) == 0:
             return
-        qs = np.concatenate(acc_q)
-        ds = np.concatenate(acc_id)
-        ss = np.concatenate(acc_s)
-        vs = np.vstack(acc_vec)
-        # cross-batch exact merge: order by (query, score, doc_id), keep the
-        # first min(bk, group_size) rows per query
-        order = np.lexsort((ds, ss, qs))
-        qs, ds, ss, vs = qs[order], ds[order], ss[order], vs[order]
-        starts = np.searchsorted(qs, np.arange(nq))
-        ends = np.searchsorted(qs, np.arange(nq), side="right")
-        keep = np.concatenate([np.arange(s, min(s + bk, e))
-                               for s, e in zip(starts, ends)])
-        qs, ds, ss, vs = qs[keep], ds[keep], ss[keep], vs[keep]
 
         # Phase-II score: signed contribution matrix (±q_d per set bit),
         # folded left-to-right over dimensions — the F-contiguous layout
@@ -369,7 +370,8 @@ def cascade_search_batch_sharded(index_df: DataFrame, doc_df: DataFrame,
                                  int8_oversample: int = DEFAULT_INT8_OVERSAMPLE
                                  ) -> DataFrame:
     """Serving batches beyond what one kernel broadcast should carry
-    (kernel memory is O(n_queries x arrow_batch_rows)): split the query set
+    (kernel scoring memory is O(n_queries x arrow_batch_rows); the running
+    candidate merge is O(n_queries x binary_k)): split the query set
     into shards of ``shard_size`` and union the per-shard cascades.  Each
     shard is one full index pass, so cost is linear in shard count — that
     is inherent to brute-force scoring; IVF/LSH pruning (operators/

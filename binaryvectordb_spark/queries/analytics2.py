@@ -207,19 +207,24 @@ def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     bounds = o.agg(F.min("o_totalprice").alias("lo"),
                    F.max("o_totalprice").alias("hi"))
+    # degenerate lo == hi guard: both engines must land in bucket 0 (Spark's
+    # non-ANSI 0/0 -> NULL vs DuckDB's NaN would otherwise diverge)
+    bucket = (F.when(F.col("hi") == F.col("lo"), F.lit(0))
+              .otherwise(F.least(
+                  F.floor((F.col("o_totalprice") - F.col("lo"))
+                          / ((F.col("hi") - F.col("lo")) / 10)).cast("int"),
+                  F.lit(9))))
     return (o.crossJoin(F.broadcast(bounds))
-            .select(F.least(
-                F.floor((F.col("o_totalprice") - F.col("lo"))
-                        / ((F.col("hi") - F.col("lo")) / 10)).cast("int"),
-                F.lit(9)).alias("bucket"))
+            .select(bucket.alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("n")))
 
 
 register("agg_equiwidth_histogram", agg_equiwidth_histogram, oracle="""
 WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
                 FROM orders)
-SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS INTEGER), 9)
-         AS bucket,
+SELECT CASE WHEN hi = lo THEN 0
+            ELSE least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10))
+                            AS INTEGER), 9) END AS bucket,
        count(*) AS n
 FROM orders, bounds GROUP BY 1
 """)
