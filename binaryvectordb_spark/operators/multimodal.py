@@ -88,3 +88,37 @@ def decode_features(payload_df: DataFrame) -> DataFrame:
             yield fake_decode_features(b)
     return payload_df.select("doc_id", "image_bytes").mapInPandas(
         gen, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, frame_checksum bigint"
+
+
+def frame_sample(payload_df: DataFrame, frame_size: int = 4,
+                 stride: int = 2) -> DataFrame:
+    """One-to-many frame sampling over an opaque binary 'video' column:
+    every ``stride``-th window of ``frame_size`` bytes becomes a row —
+    the mapInPandas shape for video frame extraction (a real decoder would
+    seek keyframes; the byte-window fake keeps the plumbing testable).
+    Output rows per input scale with payload size, constant memory per
+    Arrow batch."""
+    from collections.abc import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_id, out_idx, out_bytes, out_sum = [], [], [], []
+            for doc_id, buf in zip(b["doc_id"], b["image_bytes"]):
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                n_frames = max(0, (len(arr) - frame_size) // stride + 1)
+                for f in range(0, n_frames, 2):      # sample every 2nd frame
+                    start = f * stride
+                    frame = arr[start:start + frame_size]
+                    out_id.append(doc_id)
+                    out_idx.append(f)
+                    out_bytes.append(frame.tobytes())
+                    out_sum.append(int(frame.astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": out_id, "frame_idx": out_idx,
+                                "frame_bytes": out_bytes,
+                                "frame_checksum": out_sum})
+
+    return payload_df.select("doc_id", "image_bytes").mapInPandas(
+        gen, schema=FRAME_SCHEMA)

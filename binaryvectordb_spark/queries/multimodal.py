@@ -82,3 +82,28 @@ def embed_documents_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("embed_documents_distributed", embed_documents_distributed)  # rows-only
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame sampling (every 2nd 4-byte window at stride 2 of
+    the 16-byte payload -> frames 0,2,4,6); the oracle recomputes each
+    frame's checksum from the md5 hex pairs.  First 100 docs keep the gate
+    fast."""
+    from binaryvectordb_spark.operators.multimodal import frame_sample
+    d = with_fake_payload(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
+    return frame_sample(d).select("doc_id", "frame_idx", "frame_checksum")
+
+
+_FBYTE = "CAST('0x' || substring(md5(text), 2 * (f * 2 + i) + 1, 2) AS INTEGER)"
+
+register("multimodal_frame_sample", multimodal_frame_sample, oracle=f"""
+WITH frames AS (
+  SELECT doc_id, text, unnest([0, 2, 4, 6]) AS f
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(list_sum(list_transform(range(0, 4), i -> {_FBYTE})) AS BIGINT)
+         AS frame_checksum
+FROM frames
+""")
