@@ -254,13 +254,13 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("profile_orders", profile_orders, oracle="""
 WITH p AS (SELECT count(*) AS n_rows,
-  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
   count(DISTINCT o_orderkey) AS k_distinct,
   CAST(min(o_orderkey) AS DOUBLE) AS k_min, CAST(max(o_orderkey) AS DOUBLE) AS k_max,
-  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
   count(DISTINCT o_custkey) AS c_distinct,
   CAST(min(o_custkey) AS DOUBLE) AS c_min, CAST(max(o_custkey) AS DOUBLE) AS c_max,
-  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
   count(DISTINCT o_totalprice) AS t_distinct,
   CAST(min(o_totalprice) AS DOUBLE) AS t_min, CAST(max(o_totalprice) AS DOUBLE) AS t_max
   FROM orders)

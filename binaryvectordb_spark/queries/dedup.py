@@ -474,7 +474,7 @@ def dedup_corpus_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("dedup_corpus_kept", dedup_corpus_kept, oracle=_CLUSTERS_CTES + """
 , clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
-SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars_kept
+SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
 FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
 GROUP BY lang

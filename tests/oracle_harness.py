@@ -54,6 +54,19 @@ def compare(spark_df, sql: str, con: duckdb.DuckDBPyConnection,
         f"{name}: columns {list(s.columns)} vs {list(o.columns)}"
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        # The driver's value-hash distinguishes int from float (DuckDB HUGEINT
+        # lands as float64: 0.0 vs Spark bigint 0 hash-mismatches even though
+        # values are equal).  Mirror that strictness: an int column on one
+        # side and a float column on the other is a FAILURE — fix the oracle
+        # with CAST(... AS BIGINT), not the comparison.
+        s_int = pd.api.types.is_integer_dtype(s[c])
+        o_int = pd.api.types.is_integer_dtype(o[c])
+        s_flt = pd.api.types.is_float_dtype(s[c])
+        o_flt = pd.api.types.is_float_dtype(o[c])
+        assert not ((s_int and o_flt) or (s_flt and o_int)), (
+            f"{name}.{c}: dtype kind mismatch — spark {s[c].dtype} vs oracle "
+            f"{o[c].dtype}; the driver's hash treats these as different "
+            f"(CAST the oracle aggregate to BIGINT/DOUBLE to match)")
         if pd.api.types.is_float_dtype(s[c]) or pd.api.types.is_float_dtype(o[c]):
             sv = sv.astype(np.float64)
             ov = ov.astype(np.float64)
