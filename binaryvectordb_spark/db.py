@@ -6,8 +6,13 @@ Maps the reference's stores (BinaryVectorDB/BinaryVectorDB.py):
   config.json (:42-53)       -> <folder>/_meta.json {version, model, dim}
 
 Mutation is delete-then-insert upsert exactly as :93-101, implemented as an
-anti-join + union + atomic directory swap (the reference's full-index rewrite
-per delete, :165-166, is batched away — SURVEY §2.10).  No external embedding
+anti-join + union over hash-bucketed storage: both tiers are laid out as
+``bucket=K/`` partition dirs with K = pmod(doc_id, buckets), and an
+upsert/delete rewrites ONLY the buckets containing touched keys (the
+reference full-rewrites index.bin per save, :165-172 — at 100 TB a 1-row
+upsert must not rewrite the corpus; this is the Delta-MERGE-shaped fix
+promised in SURVEY §1.3/§2.10).  Untouched bucket files are not opened, not
+read, not rewritten.  No external embedding
 API: a deterministic local embedder stands in for the Cohere call (:109), and
 pre-embedded input takes the `_add_batch` path (:117-143).
 
@@ -58,10 +63,17 @@ def local_embedder(texts: Sequence[str], dim: int) -> np.ndarray:
 class BinaryVectorDB:
     def __init__(self, spark: SparkSession, folder: str,
                  model: str = "local-bow-v1", dim: int = 64,
-                 embed_fn: Callable[[Sequence[str]], np.ndarray] | None = None):
+                 embed_fn: Callable[[Sequence[str]], np.ndarray] | None = None,
+                 buckets: int = 32):
         self.spark = spark
         self.folder = folder
         self.dim = dim
+        # bucket count is a layout constant fixed at DB creation (like the
+        # reference's dim); pmod(doc_id, buckets) must be computable both
+        # driver-side (to pick touched buckets without a Spark job) and
+        # plan-side, hence identity-mod rather than murmur3.  At 100 TB
+        # create the DB with buckets sized so one bucket ~ a few GB.
+        self.buckets = buckets
         # _custom_embed_fn must be picklable for the distributed ingest path;
         # the default (None) is rebuilt executor-side from local_embedder+dim
         self._custom_embed_fn = embed_fn
@@ -73,6 +85,7 @@ class BinaryVectorDB:
                 meta = json.load(f)
             self.dim = int(meta["dim"])
             self.model = meta["model"]
+            self.buckets = int(meta.get("buckets", buckets))
         elif os.listdir(folder):
             # mirrors :43-45 — refuse a non-empty folder without config
             raise Exception(
@@ -80,29 +93,66 @@ class BinaryVectorDB:
         else:
             self.model = model
             with open(meta_path, "w") as f:
-                json.dump({"version": "1.0", "model": model, "dim": dim}, f)
+                json.dump({"version": "1.0", "model": model, "dim": dim,
+                           "buckets": buckets}, f)
 
     # -- storage ------------------------------------------------------------
+    # Layout: <folder>/<name>/bucket=K/part-*.parquet with
+    # K = pmod(doc_id, buckets).  Partition discovery exposes `bucket` as a
+    # column on read; it is dropped from the exposed DataFrames and
+    # recomputed on write.  Mutations rewrite ONLY the touched bucket dirs.
+
     def _path(self, name: str) -> str:
         return os.path.join(self.folder, name)
 
     def _exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
 
+    def _bucket_dirs(self, name: str) -> list[str]:
+        p = self._path(name)
+        if not os.path.isdir(p):
+            return []
+        return sorted(d for d in os.listdir(p) if d.startswith("bucket="))
+
+    def _is_bucketed(self, name: str) -> bool:
+        return bool(self._bucket_dirs(name))
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(self.buckets)).cast("int"))
+
+    def _read_df(self, name: str) -> DataFrame | None:
+        if not self._exists(name):
+            return None
+        df = self.spark.read.parquet(self._path(name))
+        return df.drop("bucket") if "bucket" in df.columns else df
+
     def index_df(self) -> DataFrame | None:
-        return (self.spark.read.parquet(self._path("index"))
-                if self._exists("index") else None)
+        return self._read_df("index")
 
     def docs_df(self) -> DataFrame | None:
-        return (self.spark.read.parquet(self._path("documents"))
-                if self._exists("documents") else None)
+        return self._read_df("documents")
+
+    def _read_buckets(self, name: str, touched: list[int]) -> DataFrame | None:
+        """Scan ONLY the touched bucket dirs — the partial-rewrite read path.
+        Returns None when none of them exist yet."""
+        p = self._path(name)
+        dirs = [os.path.join(p, f"bucket={b}") for b in touched]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return None
+        return (self.spark.read.option("basePath", p).parquet(*dirs)
+                .drop("bucket"))
 
     def _swap_write(self, df: DataFrame, name: str) -> None:
-        """Atomic-ish overwrite: write to tmp dir, then swap.  Needed because
-        Parquet can't overwrite a path while a plan is reading it; on Delta
-        this would be a MERGE/DELETE transaction instead (SURVEY §1.3)."""
+        """Full-table overwrite in bucketed layout: write to tmp dir, then
+        swap.  Needed because Parquet can't overwrite a path while a plan is
+        reading it; on Delta this would be a MERGE/DELETE transaction instead
+        (SURVEY §1.3).  Used for initial load, flat-layout migration, and
+        compact(); steady-state mutations go through _rewrite_buckets."""
         tmp, final = self._path(name + "__tmp"), self._path(name)
-        df.write.mode("overwrite").parquet(tmp)
+        (self._with_bucket(df).repartition(self.buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
@@ -113,6 +163,31 @@ class BinaryVectorDB:
         # BinaryVectorDB instances on the same folder in this session (the
         # reference has no multi-process story at all, README.md:174).
         self.spark.catalog.refreshByPath(final)
+
+    def _rewrite_buckets(self, df: DataFrame, name: str,
+                         touched: list[int]) -> None:
+        """Swap in `df` as the new contents of the touched buckets; every
+        other bucket dir is left untouched on disk (byte-identical files —
+        the point of the layout: an upsert of B buckets costs O(size of B),
+        not O(corpus)).  A touched bucket that ends up empty is removed; a
+        table with no buckets left is dropped entirely (full-delete edge)."""
+        p, tmp = self._path(name), self._path(name + "__tmp")
+        (self._with_bucket(df).repartition(len(touched), "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+        for b in touched:
+            dst = os.path.join(p, f"bucket={b}")
+            src = os.path.join(tmp, f"bucket={b}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp)
+        if not self._bucket_dirs(name):
+            shutil.rmtree(p)
+        self.spark.catalog.refreshByPath(p)
+
+    def _touched_buckets(self, doc_ids: Sequence[int]) -> list[int]:
+        return sorted({int(i) % self.buckets for i in doc_ids})
 
     # -- mutation (reference "DML", §2.10) ----------------------------------
     def add_documents(self, doc_ids: Sequence[int], docs: Sequence,
@@ -149,9 +224,29 @@ class BinaryVectorDB:
                      np.asarray(embeddings, dtype=np.float32))
 
     def _merge_and_swap(self, new_index: DataFrame, new_docs: DataFrame,
-                        keys: DataFrame) -> None:
-        """Delete-then-insert merge (:93-101) + atomic swap of both tiers —
-        the single upsert implementation shared by every ingest path."""
+                        keys: DataFrame,
+                        touched: list[int] | None = None) -> None:
+        """Delete-then-insert merge (:93-101) — the single upsert
+        implementation shared by every ingest path.  With `touched` bucket
+        ids and a bucketed table on disk, only those buckets are read,
+        anti-joined, and swapped; otherwise (initial load, or a pre-bucketing
+        flat layout that this merge migrates) both tiers are fully
+        rewritten."""
+        if (touched is not None and self._is_bucketed("index")
+                and self._is_bucketed("documents")):
+            surv_index = self._read_buckets("index", touched)
+            surv_docs = self._read_buckets("documents", touched)
+            if surv_index is not None:
+                new_index = (surv_index
+                             .join(F.broadcast(keys), "doc_id", "left_anti")
+                             .unionByName(new_index))
+            if surv_docs is not None:
+                new_docs = (surv_docs
+                            .join(F.broadcast(keys), "doc_id", "left_anti")
+                            .unionByName(new_docs))
+            self._rewrite_buckets(new_index, "index", touched)
+            self._rewrite_buckets(new_docs, "documents", touched)
+            return
         old_index, old_docs = self.index_df(), self.docs_df()
         if old_index is not None:
             new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
@@ -173,7 +268,8 @@ class BinaryVectorDB:
         new_index = new.select("doc_id", pack_bits("embedding", self.dim).alias("vec"))
         new_docs = new.select("doc_id", "doc",
                               int8_quantize("embedding").alias("emb_int8"))
-        self._merge_and_swap(new_index, new_docs, new.select("doc_id"))
+        self._merge_and_swap(new_index, new_docs, new.select("doc_id"),
+                             touched=self._touched_buckets(doc_ids))
 
     def add_documents_df(self, docs_df, id_col: str = "doc_id",
                          text_col: str = "text") -> None:
@@ -191,16 +287,38 @@ class BinaryVectorDB:
         new_docs = embedded.select(
             "doc_id", F.col("text").alias("doc"),
             int8_quantize("embedding").alias("emb_int8"))
-        self._merge_and_swap(new_index, new_docs, embedded.select("doc_id"))
+        # touched buckets from the (cheap) id column scan, BEFORE embedding:
+        # a bucket-count-sized collect, never the corpus
+        touched = [int(r[0]) for r in
+                   docs_df.select(F.pmod(F.col(id_col), F.lit(self.buckets))
+                                  .cast("int").alias("b")).distinct().collect()]
+        self._merge_and_swap(new_index, new_docs, embedded.select("doc_id"),
+                             touched=sorted(touched))
 
     def remove_docs(self, doc_ids: Sequence[int]) -> None:
-        """Batched delete (reference deletes one id + full rewrite, :155-166;
-        batching amortizes the rewrite)."""
-        idx = self.index_df()
-        if idx is None:
+        """Batched delete (reference deletes one id + full rewrite, :155-166).
+        On bucketed storage only the buckets holding the deleted ids are
+        read (for the missing-id check) and rewritten."""
+        if not self._exists("index"):
             raise ValueError("empty DB")
         keys = self.spark.createDataFrame([(int(i),) for i in doc_ids],
                                           "doc_id: long")
+        if self._is_bucketed("index") and self._is_bucketed("documents"):
+            touched = self._touched_buckets(doc_ids)
+            scope_idx = self._read_buckets("index", touched)
+            missing = (keys.count() if scope_idx is None else
+                       keys.join(scope_idx, "doc_id", "left_anti").count())
+            if missing:
+                raise ValueError(f"{missing} doc_id(s) not in index")  # :159-160
+            self._rewrite_buckets(
+                scope_idx.join(F.broadcast(keys), "doc_id", "left_anti"),
+                "index", touched)
+            self._rewrite_buckets(
+                self._read_buckets("documents", touched)
+                .join(F.broadcast(keys), "doc_id", "left_anti"),
+                "documents", touched)
+            return
+        idx = self.index_df()
         missing = keys.join(idx, "doc_id", "left_anti").count()
         if missing:
             raise ValueError(f"{missing} doc_id(s) not in index")  # :159-160
@@ -216,19 +334,20 @@ class BinaryVectorDB:
         """API parity with :168-172 — every mutation already persisted."""
 
     def compact(self, target_partitions: int | None = None) -> None:
-        """Small-file compaction: every micro-batch upsert adds files; at
-        scale the doc store degrades into millions of tiny parquet files
-        (the classic streaming-sink pathology — the reference's full-index
-        rewrite per save, :165-172, is the same cost paid EVERY time).
-        Rewrites both tiers into ``target_partitions`` files (default:
-        spark.sql.shuffle.partitions).  On Delta this would be OPTIMIZE."""
-        n = target_partitions or int(
-            self.spark.conf.get("spark.sql.shuffle.partitions"))
+        """Small-file compaction: every micro-batch upsert adds files inside
+        the touched bucket dirs; at scale the doc store degrades into
+        millions of tiny parquet files (the classic streaming-sink
+        pathology — the reference's full-index rewrite per save, :165-172,
+        is the same cost paid EVERY time).  Rewrites both tiers into one
+        file per bucket (also migrates a pre-bucketing flat layout).  On
+        Delta this would be OPTIMIZE.  `target_partitions` is accepted for
+        API compatibility; the bucketed layout fixes file count = buckets."""
+        del target_partitions  # layout now pins files-per-table to buckets
         idx, docs = self.index_df(), self.docs_df()
         if idx is not None:
-            self._swap_write(idx.repartition(n, "doc_id"), "index")
+            self._swap_write(idx, "index")
         if docs is not None:
-            self._swap_write(docs.repartition(n, "doc_id"), "documents")
+            self._swap_write(docs, "documents")
 
     def __len__(self) -> int:
         idx = self.index_df()

@@ -91,12 +91,19 @@ def foreach_batch_index_upsert(events: DataFrame, db,
                                checkpoint_dir: str):
     """Incremental index maintenance: every micro-batch of events is folded
     into the BinaryVectorDB with add_documents' delete-then-insert semantics
-    (streaming upsert = §2.10 applied per micro-batch)."""
+    (streaming upsert = §2.10 applied per micro-batch).  The batch stays
+    DISTRIBUTED end-to-end: add_documents_df embeds executor-side via
+    mapInPandas and merges into the bucketed store — no driver collect, so
+    a micro-batch can be arbitrarily large."""
+    from pyspark.sql import functions as F
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        rows = (batch_df.select("event_id", "event_type", "props").collect())
-        if rows:
-            db.add_documents([int(r.event_id) for r in rows],
-                             [f"{r.event_type} {r.props}" for r in rows])
+        if not batch_df.take(1):
+            return
+        db.add_documents_df(
+            batch_df.select(F.col("event_id").cast("long").alias("doc_id"),
+                            F.concat_ws(" ", "event_type", "props")
+                            .alias("text")))
 
     return (events.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir)

@@ -169,9 +169,69 @@ def test_compact_preserves_content(db):
     assert len(db) == 14
     import glob
     import os
-    files = glob.glob(os.path.join(db.folder, "documents", "*.parquet"))
-    assert len(files) <= 2
+    # bucketed layout: compaction pins file count to one per bucket dir
+    files = glob.glob(
+        os.path.join(db.folder, "documents", "bucket=*", "*.parquet"))
+    buckets = glob.glob(os.path.join(db.folder, "documents", "bucket=*"))
+    assert len(files) == len(buckets)
     assert db.search("text 3", k=1)[0]["doc_id"] in range(14)
+
+
+def _bucket_snapshot(folder: str, name: str) -> dict[str, bytes]:
+    """bucket dir -> concatenated bytes of its parquet files."""
+    import glob
+    import os
+    out = {}
+    for bdir in glob.glob(os.path.join(folder, name, "bucket=*")):
+        blob = b""
+        for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+            with open(f, "rb") as fh:
+                blob += fh.read()
+        out[os.path.basename(bdir)] = blob
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB mutation contract: an upsert of one doc_id leaves every
+    bucket file it does not own byte-identical on disk (no read, no
+    rewrite) — the partial-rewrite fix for the reference's full index.bin
+    rewrite per save (BinaryVectorDB/BinaryVectorDB.py:165-172)."""
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=32, buckets=8)
+    db.add_documents(list(range(16)), [f"text {i}" for i in range(16)])
+    before_idx = _bucket_snapshot(db.folder, "index")
+    before_docs = _bucket_snapshot(db.folder, "documents")
+    assert len(before_idx) == 8  # ids 0..15 cover all 8 buckets
+    db.add_documents([3], ["updated text three"])  # touches bucket=3 only
+    after_idx = _bucket_snapshot(db.folder, "index")
+    after_docs = _bucket_snapshot(db.folder, "documents")
+    for b in before_idx:
+        if b == "bucket=3":
+            assert after_docs[b] != before_docs[b]
+        else:
+            assert after_idx[b] == before_idx[b], f"{b} was rewritten"
+            assert after_docs[b] == before_docs[b], f"{b} was rewritten"
+    # content is the merged corpus, not just the touched bucket
+    rows = {r.doc_id: r.doc for r in db.docs_df().collect()}
+    assert len(rows) == 16 and rows[3] == "updated text three"
+    # delete also touches only its bucket
+    db.remove_docs([5, 13])  # both in bucket=5
+    final_idx = _bucket_snapshot(db.folder, "index")
+    for b in after_idx:
+        if b != "bucket=5":
+            assert final_idx[b] == after_idx[b], f"{b} was rewritten by delete"
+    assert len(db) == 14
+
+
+def test_delete_everything_empties_db(spark, tmp_path):
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=32, buckets=4)
+    db.add_documents([1, 2, 3], ["a", "b", "c"])
+    db.remove_docs([1, 2, 3])
+    assert len(db) == 0
+    with pytest.raises(Exception, match="[Ee]mpty"):
+        db.search("anything", k=1)
+    # and the DB is usable again after re-adding
+    db.add_documents([7], ["seven"])
+    assert len(db) == 1
 
 
 def test_wrong_dim_embeddings_rejected(db):
