@@ -403,7 +403,18 @@ class BinaryVectorDB:
         if idx is None or not idx.take(1):
             raise Exception("Index is empty; add documents first")
         texts = [q for q in queries if isinstance(q, str)]
-        embedded = iter(self.embed_fn(texts)) if texts else iter(())
+        if texts:
+            emb_out = list(self.embed_fn(texts))
+            if len(emb_out) != len(texts):
+                # a short embed_fn result would otherwise surface as a bare
+                # StopIteration from the zip below — raise the same error the
+                # other ingest paths use for length mismatches
+                raise ValueError(
+                    f"embed_fn returned {len(emb_out)} vectors for "
+                    f"{len(texts)} texts")
+            embedded = iter(emb_out)
+        else:
+            embedded = iter(())
         # normalize BEFORE the shape check: a custom embed_fn may return
         # plain lists, not ndarrays
         vecs = [np.asarray(next(embedded) if isinstance(q, str) else q,

@@ -176,6 +176,12 @@ def _phase1_arrow_topk(index_df: DataFrame, dim: int, queries_df: DataFrame,
     if qmat.ndim != 2 or qmat.shape[1] != dim:
         raise ValueError(
             f"query vectors shape {qmat.shape} does not match dim={dim}")
+    if not np.isfinite(qmat).all():
+        # NaN would quantize differently here (np sign test: NaN >= 0 is
+        # False) vs the SQL packer (Spark orders NaN above all numerics, so
+        # x >= 0 is true) — reject at the boundary instead of letting the
+        # two Phase-I paths silently disagree
+        raise ValueError("query vectors must be finite (got NaN/Inf)")
     bc = index_df.sparkSession.sparkContext.broadcast(
         (qids, qmat.astype(np.float64), binary_k, NUM_LANES(dim)))
 
@@ -399,4 +405,6 @@ def cascade_search_batch_sharded(index_df: DataFrame, doc_df: DataFrame,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # union row-order is undefined; re-impose the global serving order so
+    # the result is identical (not just set-equal) to the unsharded call
+    return out.orderBy("qid", F.desc("score_cossim"), F.asc("doc_id"))

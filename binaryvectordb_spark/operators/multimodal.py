@@ -94,13 +94,13 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, frame_checksum b
 
 
 def frame_sample(payload_df: DataFrame, frame_size: int = 4,
-                 stride: int = 2) -> DataFrame:
+                 stride: int = 2, sample_every: int = 2) -> DataFrame:
     """One-to-many frame sampling over an opaque binary 'video' column:
-    every ``stride``-th window of ``frame_size`` bytes becomes a row —
-    the mapInPandas shape for video frame extraction (a real decoder would
-    seek keyframes; the byte-window fake keeps the plumbing testable).
-    Output rows per input scale with payload size, constant memory per
-    Arrow batch."""
+    windows of ``frame_size`` bytes advance by ``stride``, and every
+    ``sample_every``-th window becomes a row — the mapInPandas shape for
+    video frame extraction (a real decoder would seek keyframes; the
+    byte-window fake keeps the plumbing testable).  Output rows per input
+    scale with payload size, constant memory per Arrow batch."""
     from collections.abc import Iterator
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,7 +109,7 @@ def frame_sample(payload_df: DataFrame, frame_size: int = 4,
             for doc_id, buf in zip(b["doc_id"], b["image_bytes"]):
                 arr = np.frombuffer(buf, dtype=np.uint8)
                 n_frames = max(0, (len(arr) - frame_size) // stride + 1)
-                for f in range(0, n_frames, 2):      # sample every 2nd frame
+                for f in range(0, n_frames, sample_every):
                     start = f * stride
                     frame = arr[start:start + frame_size]
                     out_id.append(doc_id)

@@ -214,8 +214,6 @@ def test_batch_phase1_paths_agree_large_multibatch(spark):
 
 
 def test_sharded_batch_matches_unsharded(spark):
-    from pyspark.sql import functions as F
-
     from binaryvectordb_spark.operators.cascade import (
         cascade_search_batch,
         cascade_search_batch_sharded,
@@ -229,8 +227,24 @@ def test_sharded_batch_matches_unsharded(spark):
     qs = spark.createDataFrame([(int(i), V[i].tolist()) for i in range(9)],
                                "qid: long, qvec: array<float>")
     whole = cascade_search_batch(index, store, DIM, qs, k=5).collect()
-    sharded = (cascade_search_batch_sharded(index, store, DIM, qs,
-                                            shard_size=4, k=5)
-               .orderBy("qid", F.desc("score_cossim"), F.asc("doc_id"))
-               .collect())
+    # no re-sort: the sharded union itself re-imposes the global serving
+    # order, so collect() output is row-for-row identical
+    sharded = cascade_search_batch_sharded(index, store, DIM, qs,
+                                           shard_size=4, k=5).collect()
     assert sharded == whole
+
+
+def test_nonfinite_query_rejected(spark):
+    from binaryvectordb_spark.operators.cascade import cascade_search_batch
+
+    rng = np.random.RandomState(3)
+    V = rng.uniform(-1, 1, (10, DIM)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(V)],
+        "vec_id: long, embedding: array<float>")
+    index, store = build_index(emb, DIM), build_doc_store(emb)
+    bad = V[0].tolist()
+    bad[3] = float("nan")
+    qs = spark.createDataFrame([(0, bad)], "qid: long, qvec: array<float>")
+    with pytest.raises(ValueError, match="finite"):
+        cascade_search_batch(index, store, DIM, qs, k=3).collect()

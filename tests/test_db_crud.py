@@ -234,6 +234,41 @@ def test_delete_everything_empties_db(spark, tmp_path):
     assert len(db) == 1
 
 
+def test_short_embed_fn_result_rejected(spark, tmp_path):
+    """A custom embed_fn returning fewer vectors than texts must raise the
+    same ValueError as the other ingest length checks — not an opaque
+    StopIteration out of the zip."""
+    def bad_embed(texts):
+        from binaryvectordb_spark.db import local_embedder
+        return local_embedder(texts, 32)[:-1]   # one short
+
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=32)
+    db.add_documents([1, 2], ["a", "b"])
+    db.embed_fn = bad_embed
+    with pytest.raises(ValueError, match="embed_fn returned"):
+        db.search_batch(["x", "y"], k=1)
+
+
+def test_frame_sample_emits_every_sampled_window(spark):
+    """sample_every is honored: sample_every=1 emits EVERY stride window,
+    the default (2) emits half — the sampling step is a parameter, not a
+    hardcoded constant."""
+    from binaryvectordb_spark.operators.multimodal import frame_sample
+
+    payload = spark.createDataFrame(
+        [(1, bytes(range(12)))], "doc_id: long, image_bytes: binary")
+    all_frames = frame_sample(payload, frame_size=4, stride=2,
+                              sample_every=1).collect()
+    half_frames = frame_sample(payload, frame_size=4, stride=2).collect()
+    # 12 bytes, window 4, stride 2 -> 5 windows; every-2nd -> idx 0,2,4
+    assert [r.frame_idx for r in sorted(all_frames, key=lambda r: r.frame_idx)] \
+        == [0, 1, 2, 3, 4]
+    assert [r.frame_idx for r in sorted(half_frames, key=lambda r: r.frame_idx)] \
+        == [0, 2, 4]
+    first = next(r for r in all_frames if r.frame_idx == 1)
+    assert first.frame_bytes == bytes([2, 3, 4, 5])
+
+
 def test_wrong_dim_embeddings_rejected(db):
     with pytest.raises(ValueError, match="dim"):
         db.add_batch([1], ["x"], np.ones((1, 7), dtype=np.float32))
