@@ -68,6 +68,7 @@ _PRIORITY = [
     "ann_ivf_search",
     "ann_lsh_bucket_search",
     "ann_lsh_multitable_search",
+    "ann_lsh_multitable_batch",
     # round-1 hash-fails, re-check the cast fix
     "profile_orders",
     "dedup_corpus_kept",

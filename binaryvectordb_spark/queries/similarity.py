@@ -118,11 +118,11 @@ ORDER BY score_cosine DESC, doc_id ASC LIMIT 5
 """)
 
 
-def ann_lsh_multitable_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH: three independent 8-bit sign buckets (dimension
-    groups 0-7, 8-15, 16-23); candidates = union of the query's bucket in
-    EACH table (the standard recall-boosting construction — one table's
-    miss is another's hit).  Exact cosine re-ranks the deduped union."""
+def _bucketed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> (doc_id, dvec, b0, b1, b2): three independent 8-bit
+    sign buckets over dimension groups 0-7, 8-15, 16-23 (a fixed
+    random-hyperplane family degenerate to axis planes — deterministic,
+    oracle-friendly)."""
     e = load_table(spark, sf_dir, "embeddings")
 
     def bucket(lo: int):
@@ -131,14 +131,41 @@ def ann_lsh_multitable_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"IF(element_at(embedding, {lo} + i + 1) >= CAST(0 AS FLOAT), "
             f"shiftleft(1, i), 0))")
 
-    eb = e.select(F.col("vec_id").alias("doc_id"),
-                  F.col("embedding").alias("dvec"),
-                  *[bucket(8 * t).alias(f"b{t}") for t in range(3)])
+    return e.select(F.col("vec_id").alias("doc_id"),
+                    F.col("embedding").alias("dvec"),
+                    *[bucket(8 * t).alias(f"b{t}") for t in range(3)])
+
+
+def _multitable_candidates(eb: DataFrame, q: DataFrame) -> DataFrame:
+    """(table, bucket) equi-join form of the multi-table OR-match: both
+    sides unpivot their bucket columns to (table, bucket) rows and meet in
+    a broadcast HASH join on the composite key — the OR-of-equalities form
+    plans as BroadcastNestedLoopJoin (a full scan per query batch), which
+    defeats bucket pruning exactly when batching matters.  dropDuplicates
+    keeps one candidate per (qid, doc_id): a doc matching in two tables is
+    still one candidate (the shuffle carries only candidate rows)."""
+    eb_long = eb.select(
+        "doc_id", "dvec",
+        F.posexplode(F.array("b0", "b1", "b2")).alias("tbl", "bucket"))
+    q_long = q.select(
+        "qid", "qvec",
+        F.posexplode(F.array("qb0", "qb1", "qb2")).alias("qtbl", "qbucket"))
+    return (eb_long.join(
+        F.broadcast(q_long),
+        (eb_long["tbl"] == q_long["qtbl"])
+        & (eb_long["bucket"] == q_long["qbucket"]))
+        .dropDuplicates(["qid", "doc_id"]))
+
+
+def ann_lsh_multitable_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH: candidates = union of the query's bucket in EACH of
+    3 tables (the standard recall-boosting construction — one table's miss
+    is another's hit).  Exact cosine re-ranks the deduped union."""
+    eb = _bucketed_embeddings(spark, sf_dir)
     q = (eb.where(F.col("doc_id") == QID)
-         .select(F.col("dvec").alias("qvec"),
+         .select(F.lit(0).alias("qid"), F.col("dvec").alias("qvec"),
                  *[F.col(f"b{t}").alias(f"qb{t}") for t in range(3)]))
-    cand = eb.join(F.broadcast(q),
-                   (eb.b0 == q.qb0) | (eb.b1 == q.qb1) | (eb.b2 == q.qb2))
+    cand = _multitable_candidates(eb, q)
     return (cand.select("doc_id", cosine("qvec", "dvec").alias("score_cosine"))
             .orderBy(F.desc("score_cosine"), F.asc("doc_id"))
             .limit(10))
@@ -160,4 +187,48 @@ d AS (SELECT doc_id, b0, b1, b2, embedding AS dv FROM b)
 SELECT doc_id, {_COS} AS score_cosine
 FROM d, q WHERE b0 = qb0 OR b1 = qb1 OR b2 = qb2
 ORDER BY score_cosine DESC, doc_id ASC LIMIT 10
+""")
+
+BATCH_QIDS = [0, 1, 2, 3]
+
+
+def ann_lsh_multitable_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-table LSH: N queries resolve their candidates in ONE
+    (table, bucket) broadcast hash join over ONE scan of the bucketed
+    embeddings — the scale path the single-query OR-form could not take
+    (BroadcastNestedLoopJoin re-scans everything per query batch).
+    Per-query exact-cosine top-10, ordered (qid, score desc, doc_id)."""
+    from pyspark.sql import Window
+
+    eb = _bucketed_embeddings(spark, sf_dir)
+    q = (eb.where(F.col("doc_id").isin(BATCH_QIDS))
+         .select(F.col("doc_id").alias("qid"), F.col("dvec").alias("qvec"),
+                 *[F.col(f"b{t}").alias(f"qb{t}") for t in range(3)]))
+    scored = (_multitable_candidates(eb, q)
+              .select("qid", "doc_id",
+                      cosine("qvec", "dvec").alias("score_cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_cosine"),
+                                          F.asc("doc_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10).drop("rn")
+            .orderBy("qid", F.desc("score_cosine"), F.asc("doc_id")))
+
+
+register("ann_lsh_multitable_batch", ann_lsh_multitable_batch, oracle=f"""
+WITH b AS (SELECT vec_id AS doc_id, embedding,
+                  {_DUCK_BKT.format(lo=0)} AS b0,
+                  {_DUCK_BKT.format(lo=8)} AS b1,
+                  {_DUCK_BKT.format(lo=16)} AS b2
+           FROM embeddings),
+q AS (SELECT doc_id AS qid, embedding AS qv, b0 AS qb0, b1 AS qb1, b2 AS qb2
+      FROM b WHERE doc_id IN ({", ".join(map(str, BATCH_QIDS))})),
+d AS (SELECT doc_id, b0, b1, b2, embedding AS dv FROM b),
+scored AS (SELECT DISTINCT qid, doc_id, {_COS} AS score_cosine
+           FROM d, q WHERE b0 = qb0 OR b1 = qb1 OR b2 = qb2),
+ranked AS (SELECT qid, doc_id, score_cosine,
+                  row_number() OVER (PARTITION BY qid
+                      ORDER BY score_cosine DESC, doc_id ASC) AS rn
+           FROM scored)
+SELECT qid, doc_id, score_cosine FROM ranked WHERE rn <= 10
+ORDER BY qid, score_cosine DESC, doc_id ASC
 """)

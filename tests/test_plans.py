@@ -66,6 +66,21 @@ def test_q6_predicates_pushed(spark):
     assert "l_returnflag" not in read_schema  # pruned: not referenced
 
 
+def test_multitable_lsh_is_hash_join(spark):
+    """The multi-table LSH OR-match must plan as a broadcast HASH join on
+    the unpivoted (table, bucket) key — the OR-of-equalities form planned
+    as BroadcastNestedLoopJoin, which re-scans the corpus per query batch."""
+    from binaryvectordb_spark.queries.similarity import (
+        ann_lsh_multitable_batch,
+        ann_lsh_multitable_search,
+    )
+    for q in (ann_lsh_multitable_search, ann_lsh_multitable_batch):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastHashJoin" in plan, q.__name__
+
+
 def test_gap_fill_grid_broadcast(spark):
     """The calendar grid joins broadcast — raw events are never shuffled
     into a grid-sized exchange."""
