@@ -64,7 +64,11 @@ class BinaryVectorDB:
     def __init__(self, spark: SparkSession, folder: str,
                  model: str = "local-bow-v1", dim: int = 64,
                  embed_fn: Callable[[Sequence[str]], np.ndarray] | None = None,
-                 buckets: int = 32):
+                 buckets: int = 32,
+                 index_type: str = "flat", index_args: dict | None = None):
+        if index_type not in ("flat", "ivf"):
+            raise ValueError(
+                f"index_type must be 'flat' or 'ivf', got {index_type!r}")
         self.spark = spark
         self.folder = folder
         self.dim = dim
@@ -74,6 +78,13 @@ class BinaryVectorDB:
         # plan-side, hence identity-mod rather than murmur3.  At 100 TB
         # create the DB with buckets sized so one bucket ~ a few GB.
         self.buckets = buckets
+        # pluggable index structure (reference index_type/index_args,
+        # BinaryVectorDB/BinaryVectorDB.py:17,:60): "flat" = brute-force
+        # Phase I over the whole binary index; "ivf" = KMeans-partitioned,
+        # Phase I scans only the nprobe nearest partitions
+        self.index_type = index_type
+        self.index_args = dict(index_args or {})
+        self._ivf_model_cache = None
         # _custom_embed_fn must be picklable for the distributed ingest path;
         # the default (None) is rebuilt executor-side from local_embedder+dim
         self._custom_embed_fn = embed_fn
@@ -86,6 +97,8 @@ class BinaryVectorDB:
             self.dim = int(meta["dim"])
             self.model = meta["model"]
             self.buckets = int(meta.get("buckets", buckets))
+            self.index_type = meta.get("index_type", "flat")
+            self.index_args = dict(meta.get("index_args", {}))
         elif os.listdir(folder):
             # mirrors :43-45 — refuse a non-empty folder without config
             raise Exception(
@@ -94,7 +107,8 @@ class BinaryVectorDB:
             self.model = model
             with open(meta_path, "w") as f:
                 json.dump({"version": "1.0", "model": model, "dim": dim,
-                           "buckets": buckets}, f)
+                           "buckets": buckets, "index_type": index_type,
+                           "index_args": self.index_args}, f)
 
     # -- storage ------------------------------------------------------------
     # Layout: <folder>/<name>/bucket=K/part-*.parquet with
@@ -189,6 +203,88 @@ class BinaryVectorDB:
     def _touched_buckets(self, doc_ids: Sequence[int]) -> list[int]:
         return sorted({int(i) % self.buckets for i in doc_ids})
 
+    # -- pluggable IVF index (reference index_type/index_args,
+    #    BinaryVectorDB/BinaryVectorDB.py:17,:60) ----------------------------
+    # The partitioner is a seeded MLlib KMeans over the stored int8
+    # embeddings; each index row carries its `cluster` id.  Serving probes
+    # the nprobe nearest centroids (a tiny driver-side argsort) and filters
+    # the index scan to those clusters BEFORE Phase I.  On the cached RAM
+    # tier the filter prunes compute; at 100 TB the index would additionally
+    # be laid out partitionBy(cluster, bucket) so probes prune I/O too.
+
+    def _ivf_args(self) -> dict:
+        args = {"n_clusters": 16, "nprobe": 4}
+        args.update(self.index_args)
+        return args
+
+    def _ivf_model(self):
+        if self._ivf_model_cache is None and self._exists("ivf_model"):
+            from pyspark.ml.clustering import KMeansModel
+            self._ivf_model_cache = KMeansModel.load(self._path("ivf_model"))
+        return self._ivf_model_cache
+
+    def _with_cluster(self, df: DataFrame, int8_col: str) -> DataFrame:
+        """Attach the IVF partition id by nearest trained centroid — a
+        map-side model.transform over the int8 feature space (the space the
+        model was trained in), no shuffle, no join."""
+        from pyspark.ml.functions import array_to_vector
+        feats = df.withColumn(
+            "features", array_to_vector(F.col(int8_col).cast("array<double>")))
+        return self._ivf_model().transform(feats).drop("features")
+
+    def build_ivf(self, n_clusters: int | None = None) -> None:
+        """Train (or retrain) the IVF partitioner on the current corpus and
+        rewrite the index with per-row cluster ids.  Called automatically on
+        the first ingest of an index_type='ivf' DB; call explicitly to
+        re-center after heavy churn (the reference retrains by rebuilding
+        the faiss index the same way).  One full-index join+rewrite — a
+        build-time cost, never paid per search or per mutation."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        docs = self.docs_df()
+        if docs is None or not docs.take(1):
+            raise Exception("Index is empty; add documents first")
+        k = int(n_clusters or self._ivf_args()["n_clusters"])
+        k = max(1, min(k, docs.count()))
+        feats = docs.select(
+            "doc_id",
+            array_to_vector(F.col("emb_int8").cast("array<double>"))
+            .alias("features"))
+        km = KMeans(k=k, seed=42, maxIter=20, featuresCol="features",
+                    predictionCol="cluster")
+        model = km.fit(feats)
+        model.write().overwrite().save(self._path("ivf_model"))
+        self._ivf_model_cache = None
+        assign = self._with_cluster(
+            docs.select("doc_id", "emb_int8"), "emb_int8"
+        ).select("doc_id", "cluster")
+        idx = self.index_df()
+        if "cluster" in idx.columns:
+            idx = idx.drop("cluster")
+        self._swap_write(idx.join(assign, "doc_id"), "index")
+
+    def _probe_clusters(self, qvec: np.ndarray, nprobe: int) -> list[int]:
+        """nprobe nearest centroids to the query (L2 in the trained int8
+        space; ties by cluster id) — a k-row numpy argsort on the driver."""
+        centers = np.vstack(self._ivf_model().clusterCenters())
+        qi = np.round(np.clip(np.asarray(qvec, dtype=np.float64), -1, 1) * 127)
+        d2 = ((centers - qi) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(d2)), d2))
+        return [int(i) for i in order[:max(1, nprobe)]]
+
+    def _maybe_prune_index(self, idx: DataFrame, qvecs, nprobe: int | None
+                           ) -> DataFrame:
+        """IVF probe filter for serving: restrict the index to the union of
+        the queries' nprobe nearest clusters.  No-op on flat DBs or before
+        the first build."""
+        if (self.index_type != "ivf" or "cluster" not in idx.columns
+                or self._ivf_model() is None):
+            return idx
+        np_ = int(nprobe or self._ivf_args()["nprobe"])
+        probe = sorted({c for q in qvecs for c in self._probe_clusters(q, np_)})
+        return idx.where(F.col("cluster").isin(probe))
+
     # -- mutation (reference "DML", §2.10) ----------------------------------
     def add_documents(self, doc_ids: Sequence[int], docs: Sequence,
                       docs2text: Callable | None = None) -> None:
@@ -246,15 +342,19 @@ class BinaryVectorDB:
                             .unionByName(new_docs))
             self._rewrite_buckets(new_index, "index", touched)
             self._rewrite_buckets(new_docs, "documents", touched)
-            return
-        old_index, old_docs = self.index_df(), self.docs_df()
-        if old_index is not None:
-            new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
-                         .unionByName(new_index))
-            new_docs = (old_docs.join(F.broadcast(keys), "doc_id", "left_anti")
-                        .unionByName(new_docs))
-        self._swap_write(new_index, "index")
-        self._swap_write(new_docs, "documents")
+        else:
+            old_index, old_docs = self.index_df(), self.docs_df()
+            if old_index is not None:
+                new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
+                             .unionByName(new_index))
+                new_docs = (old_docs.join(F.broadcast(keys), "doc_id", "left_anti")
+                            .unionByName(new_docs))
+            self._swap_write(new_index, "index")
+            self._swap_write(new_docs, "documents")
+        # first ingest of an ivf DB: train the partitioner now; later
+        # ingests attach clusters incrementally via the trained model
+        if self.index_type == "ivf" and self._ivf_model() is None:
+            self.build_ivf()
 
     def _upsert(self, doc_ids: list[int], docs: list[str], emb: np.ndarray) -> None:
         emb = np.asarray(emb)
@@ -265,9 +365,14 @@ class BinaryVectorDB:
                 for i, d, e in zip(doc_ids, docs, emb)]
         new = self.spark.createDataFrame(
             rows, "doc_id: long, doc: string, embedding: array<float>")
-        new_index = new.select("doc_id", pack_bits("embedding", self.dim).alias("vec"))
-        new_docs = new.select("doc_id", "doc",
-                              int8_quantize("embedding").alias("emb_int8"))
+        base = new.withColumn("emb_int8", int8_quantize("embedding"))
+        new_index = base.select(
+            "doc_id", pack_bits("embedding", self.dim).alias("vec"))
+        if self._ivf_model() is not None:
+            new_index = self._with_cluster(
+                base.select("doc_id", pack_bits("embedding", self.dim).alias("vec"),
+                            "emb_int8"), "emb_int8").drop("emb_int8")
+        new_docs = base.select("doc_id", "doc", "emb_int8")
         self._merge_and_swap(new_index, new_docs, new.select("doc_id"),
                              touched=self._touched_buckets(doc_ids))
 
@@ -282,11 +387,16 @@ class BinaryVectorDB:
             docs_df.select(F.col(id_col).alias("doc_id"),
                            F.col(text_col).alias("text")),
             self.dim, embed_fn=self._custom_embed_fn)
-        new_index = embedded.select(
+        base = embedded.withColumn("emb_int8", int8_quantize("embedding"))
+        new_index = base.select(
             "doc_id", pack_bits("embedding", self.dim).alias("vec"))
-        new_docs = embedded.select(
-            "doc_id", F.col("text").alias("doc"),
-            int8_quantize("embedding").alias("emb_int8"))
+        if self._ivf_model() is not None:
+            new_index = self._with_cluster(
+                base.select("doc_id",
+                            pack_bits("embedding", self.dim).alias("vec"),
+                            "emb_int8"), "emb_int8").drop("emb_int8")
+        new_docs = base.select(
+            "doc_id", F.col("text").alias("doc"), "emb_int8")
         # touched buckets from the (cheap) id column scan, BEFORE embedding:
         # a bucket-count-sized collect, never the corpus
         touched = [int(r[0]) for r in
@@ -371,7 +481,8 @@ class BinaryVectorDB:
 
     def search(self, query: str | Sequence[float], k: int = DEFAULT_K,
                binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
-               int8_oversample: int = DEFAULT_INT8_OVERSAMPLE) -> list[dict]:
+               int8_oversample: int = DEFAULT_INT8_OVERSAMPLE,
+               nprobe: int | None = None) -> list[dict]:
         # emptiness probe, not a full count() job per query (:190-191)
         idx = self.index_df()
         if idx is None or not idx.take(1):
@@ -380,7 +491,8 @@ class BinaryVectorDB:
             qvec = self.embed_fn([query])[0]
         else:
             qvec = np.asarray(query, dtype=np.float32)
-        hits_df = cascade_search(self._cached_index(), self.docs_df(), self.dim,
+        idx = self._maybe_prune_index(self._cached_index(), [qvec], nprobe)
+        hits_df = cascade_search(idx, self.docs_df(), self.dim,
                                  query_vec=qvec.tolist(), k=k,
                                  binary_oversample=binary_oversample,
                                  int8_oversample=int8_oversample)
@@ -389,8 +501,8 @@ class BinaryVectorDB:
     def search_batch(self, queries: Sequence[str | Sequence[float]],
                      k: int = DEFAULT_K,
                      binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
-                     int8_oversample: int = DEFAULT_INT8_OVERSAMPLE
-                     ) -> list[list[dict]]:
+                     int8_oversample: int = DEFAULT_INT8_OVERSAMPLE,
+                     nprobe: int | None = None) -> list[list[dict]]:
         """Batched serving: N queries against the cascade in ONE job
         (operators/cascade.py cascade_search_batch — the index is scanned
         once for the whole batch; per-query latency amortizes ~10x vs
@@ -426,7 +538,8 @@ class BinaryVectorDB:
         qdf = self.spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
             "qid: long, qvec: array<float>")
-        rows = cascade_search_batch(self._cached_index(), self.docs_df(),
+        idx = self._maybe_prune_index(self._cached_index(), vecs, nprobe)
+        rows = cascade_search_batch(idx, self.docs_df(),
                                     self.dim, qdf, k=k,
                                     binary_oversample=binary_oversample,
                                     int8_oversample=int8_oversample).collect()

@@ -54,6 +54,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 _PRIORITY = [
     # §2.5 cascade family — flagship
     "knn_cascade",
+    "knn_cascade_ivf",
     "knn_phase1_hamming",
     "knn_cascade_batch",
     "knn_cascade_filtered",

@@ -92,6 +92,75 @@ FROM p3s ORDER BY score_cossim DESC, doc_id ASC LIMIT 10
 """)
 
 
+# -- IVF-pruned cascade: the pluggable-index serving path (db.py
+#    index_type='ivf', reference index_type/index_args :17,:60) -------------
+
+NPROBE_CASCADE = 2
+
+
+def knn_cascade_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-phase cascade over ONLY the NPROBE_CASCADE IVF partitions
+    nearest the query — the deterministic twin of BinaryVectorDB's KMeans
+    IVF (db.py build_ivf): clusters = the fixture's label column, centroids
+    = exact per-dimension decimal means (order-independent, oracle-exact),
+    probe ranking by cosine.  Phases I-III then run unchanged on the pruned
+    index — at scale the probe filter becomes partition pruning when the
+    index is laid out by cluster."""
+    emb, docs = _tables(spark, sf_dir)
+    q = _qdf(emb)
+
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent_dims = (exploded.groupBy("label", "pos")
+                 .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                       / F.count("*")).alias("c")))
+    centroids = (cent_dims.groupBy("label")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                      .alias("pc"))
+                 .select("label",
+                         F.expr("transform(pc, x -> x.c)").alias("cvec")))
+    best = (centroids.join(F.broadcast(q))
+            .select("label", cosine("qvec", "cvec").alias("cscore"))
+            .orderBy(F.desc("cscore"), F.asc("label"))
+            .limit(NPROBE_CASCADE))
+
+    pruned = emb.join(F.broadcast(best.select("label")), "label")
+    index_df = build_index(pruned, DIM)
+    doc_df = build_doc_store(emb, docs)
+    return cascade_search(index_df, doc_df, DIM, query_df=q)
+
+
+_CENT_COS = """
+list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * cvec[i]))
+/ (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+ * sqrt(list_sum(list_transform(range(1, 65), i -> cvec[i] * cvec[i]))))
+"""
+
+register(
+    "knn_cascade_ivf", knn_cascade_ivf,
+    oracle=f"""
+WITH {_Q_CTE},
+ex AS (SELECT label, i AS pos, CAST(embedding[i + 1] AS DECIMAL(20,10)) AS v
+       FROM embeddings, range(0, 64) t(i)),
+cent_dims AS (SELECT label, pos, CAST(SUM(v) AS DOUBLE) / count(*) AS c
+              FROM ex GROUP BY label, pos),
+centroids AS (SELECT label, list(c ORDER BY pos) AS cvec
+              FROM cent_dims GROUP BY label),
+best AS (SELECT label, {_CENT_COS} AS cscore FROM centroids, q
+         ORDER BY cscore DESC, label ASC LIMIT {NPROBE_CASCADE}),
+d AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings
+      WHERE label IN (SELECT label FROM best)),
+scored AS (SELECT doc_id, dv, CAST({_H} AS INTEGER) AS score_hamming FROM d, q),
+p1 AS (SELECT * FROM scored ORDER BY score_hamming ASC, doc_id ASC LIMIT 100),
+p2s AS (SELECT doc_id, dv, score_hamming, {_BDOT} AS score_binary FROM p1, q),
+p2 AS (SELECT * FROM p2s ORDER BY score_binary DESC, doc_id ASC LIMIT 30),
+p3s AS (SELECT p2.doc_id, score_hamming, score_binary,
+               {_I8DOT} / {_I8NORM} AS score_cossim, dcs.text AS doc
+        FROM p2, q, documents dcs WHERE dcs.doc_id = p2.doc_id)
+SELECT doc_id, score_hamming, score_binary, score_cossim, doc
+FROM p3s ORDER BY score_cossim DESC, doc_id ASC LIMIT 10
+""")
+
+
 # -- Phase I alone: hamming top-k over the packed binary index --------------
 
 def knn_phase1_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -234,6 +234,64 @@ def test_delete_everything_empties_db(spark, tmp_path):
     assert len(db) == 1
 
 
+def test_ivf_full_probe_matches_flat_exactly(spark, tmp_path):
+    """index_type='ivf' with nprobe = n_clusters probes every partition, so
+    results must be IDENTICAL to the flat brute-force cascade — the pruning
+    is the only approximation in the IVF path."""
+    docs = {i: f"document {i} topic {i % 5} words {i * 7 % 11}"
+            for i in range(40)}
+    flat = BinaryVectorDB(spark, str(tmp_path / "flat"), dim=32)
+    flat.add_documents(list(docs), list(docs.values()))
+    ivf = BinaryVectorDB(spark, str(tmp_path / "ivf"), dim=32,
+                         index_type="ivf",
+                         index_args={"n_clusters": 4, "nprobe": 4})
+    ivf.add_documents(list(docs), list(docs.values()))
+    for q in ["document 3 topic", "words 9", [0.25] * 32]:
+        assert ivf.search(q, k=5) == flat.search(q, k=5)
+    assert ivf.search_batch(["document 3 topic", "words 9"], k=5) == \
+        flat.search_batch(["document 3 topic", "words 9"], k=5)
+
+
+def test_ivf_prunes_and_keeps_recall(spark, tmp_path):
+    """nprobe=1 scans a strict subset of the index; the top hit for a query
+    that IS a stored document must still be that document (its own cluster
+    is always the nearest probe)."""
+    docs = {i: f"document {i} topic {i % 5}" for i in range(40)}
+    ivf = BinaryVectorDB(spark, str(tmp_path / "ivf"), dim=32,
+                         index_type="ivf",
+                         index_args={"n_clusters": 4, "nprobe": 1})
+    ivf.add_documents(list(docs), list(docs.values()))
+    idx = ivf.index_df()
+    assert "cluster" in idx.columns
+    assert idx.select("cluster").distinct().count() > 1
+    hits = ivf.search("document 7 topic 2", k=3)
+    assert hits[0]["doc_id"] == 7
+    # pruned scan really is smaller than the corpus
+    pruned = ivf._maybe_prune_index(
+        idx, [ivf.embed_fn(["document 7 topic 2"])[0]], 1)
+    assert 0 < pruned.count() < 40
+
+
+def test_ivf_upsert_assigns_cluster_incrementally(spark, tmp_path):
+    """After the initial build, new docs get cluster ids from the trained
+    model (no retrain, partial bucket rewrite preserved) and are findable."""
+    ivf = BinaryVectorDB(spark, str(tmp_path / "ivf"), dim=32, buckets=8,
+                         index_type="ivf",
+                         index_args={"n_clusters": 3, "nprobe": 3})
+    ivf.add_documents(list(range(20)), [f"text {i}" for i in range(20)])
+    before = _bucket_snapshot(ivf.folder, "index")
+    ivf.add_documents([100], ["a brand new document"])   # bucket 100%8=4
+    after = _bucket_snapshot(ivf.folder, "index")
+    untouched = [b for b in before if b != "bucket=4"]
+    assert untouched and all(after[b] == before[b] for b in untouched)
+    row = ivf.index_df().where("doc_id = 100").collect()[0]
+    assert row["cluster"] is not None
+    assert ivf.search("a brand new document", k=1)[0]["doc_id"] == 100
+    # delete keeps working on the cluster-bearing schema
+    ivf.remove_docs([100])
+    assert len(ivf) == 20
+
+
 def test_short_embed_fn_result_rejected(spark, tmp_path):
     """A custom embed_fn returning fewer vectors than texts must raise the
     same ValueError as the other ingest length checks — not an opaque
