@@ -89,6 +89,8 @@ class BinaryVectorDB:
         # the default (None) is rebuilt executor-side from local_embedder+dim
         self._custom_embed_fn = embed_fn
         self.embed_fn = embed_fn or (lambda texts: local_embedder(texts, self.dim))
+        # save=False buffer: list of (doc_ids, payloads, kinds, emb) batches
+        self._pending: list[tuple[list[int], list[str], list[str], np.ndarray]] = []
         meta_path = os.path.join(folder, _META)
         os.makedirs(folder, exist_ok=True)
         if os.path.exists(meta_path):
@@ -242,6 +244,7 @@ class BinaryVectorDB:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        self._flush_pending()
         docs = self.docs_df()
         if docs is None or not docs.take(1):
             raise Exception("Index is empty; add documents first")
@@ -286,9 +289,34 @@ class BinaryVectorDB:
         return idx.where(F.col("cluster").isin(probe))
 
     # -- mutation (reference "DML", §2.10) ----------------------------------
+    @staticmethod
+    def _encode_payload(d) -> tuple[str, str]:
+        """Typed payloads (reference stores any pickleable object, :73,:153):
+        strings pass through; anything else round-trips via JSON with a
+        `doc_kind` tag so reads return the ORIGINAL Python object, not its
+        serialization.  (A production system on Spark 4 could store VARIANT;
+        tagged JSON keeps the table portable to any parquet reader.)"""
+        if isinstance(d, str):
+            return d, "str"
+        try:
+            return json.dumps(d), "json"
+        except TypeError as e:
+            raise ValueError(
+                f"payload {type(d).__name__} is not str or JSON-serializable"
+            ) from e
+
+    @staticmethod
+    def decode_payload(doc: str, kind: str):
+        return json.loads(doc) if kind == "json" else doc
+
     def add_documents(self, doc_ids: Sequence[int], docs: Sequence,
-                      docs2text: Callable | None = None) -> None:
-        """Bulk upsert = delete-then-insert (:93-101) via anti-join + union."""
+                      docs2text: Callable | None = None,
+                      save: bool = True) -> None:
+        """Bulk upsert = delete-then-insert (:93-101) via anti-join + union.
+        ``save=False`` (reference :67,:114,:155) defers persistence: batches
+        buffer on the driver and the next ``save()`` — or any read/serve/
+        delete call, which flushes implicitly so results always reflect
+        every add — merges them in ONE bucket-rewrite round instead of N."""
         if len(doc_ids) != len(docs):
             raise ValueError("doc_ids and docs must have the same length")  # :78-79
         for i in doc_ids:
@@ -301,13 +329,12 @@ class BinaryVectorDB:
             if not isinstance(t, str):
                 raise ValueError("docs2text must return str")  # :88-89
             texts.append(t)
+        payloads, kinds = zip(*[self._encode_payload(d) for d in docs])
         emb = self.embed_fn(texts)
-        self._upsert(list(doc_ids),
-                     [d if isinstance(d, str) else json.dumps(d) for d in docs],
-                     emb)
+        self._enqueue(list(doc_ids), list(payloads), list(kinds), emb, save)
 
     def add_batch(self, doc_ids: Sequence[int], docs: Sequence[str],
-                  embeddings: np.ndarray) -> None:
+                  embeddings: np.ndarray, save: bool = True) -> None:
         """Pre-embedded bulk upsert — the `_add_batch` path (:117-143)."""
         if not (len(doc_ids) == len(docs) == len(embeddings)):
             raise ValueError("length mismatch")  # :134-136
@@ -316,8 +343,9 @@ class BinaryVectorDB:
         ids = np.asarray(doc_ids)
         if not np.issubdtype(ids.dtype, np.integer):
             raise ValueError("doc_ids dtype must be integer")  # :131-132
-        self._upsert([int(i) for i in doc_ids], list(docs),
-                     np.asarray(embeddings, dtype=np.float32))
+        payloads, kinds = zip(*[self._encode_payload(d) for d in docs])
+        self._enqueue([int(i) for i in doc_ids], list(payloads), list(kinds),
+                      np.asarray(embeddings, dtype=np.float32), save)
 
     def _merge_and_swap(self, new_index: DataFrame, new_docs: DataFrame,
                         keys: DataFrame,
@@ -328,6 +356,13 @@ class BinaryVectorDB:
         anti-joined, and swapped; otherwise (initial load, or a pre-bucketing
         flat layout that this merge migrates) both tiers are fully
         rewritten."""
+        # doc_kind arrived after round 1: tables written before it get the
+        # column back-filled as 'str' at merge time, so unionByName aligns
+        def _align(df: DataFrame) -> DataFrame:
+            return (df if "doc_kind" in df.columns
+                    else df.withColumn("doc_kind", F.lit("str")))
+
+        new_docs = _align(new_docs)
         if (touched is not None and self._is_bucketed("index")
                 and self._is_bucketed("documents")):
             surv_index = self._read_buckets("index", touched)
@@ -337,7 +372,7 @@ class BinaryVectorDB:
                              .join(F.broadcast(keys), "doc_id", "left_anti")
                              .unionByName(new_index))
             if surv_docs is not None:
-                new_docs = (surv_docs
+                new_docs = (_align(surv_docs)
                             .join(F.broadcast(keys), "doc_id", "left_anti")
                             .unionByName(new_docs))
             self._rewrite_buckets(new_index, "index", touched)
@@ -347,7 +382,8 @@ class BinaryVectorDB:
             if old_index is not None:
                 new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
                              .unionByName(new_index))
-                new_docs = (old_docs.join(F.broadcast(keys), "doc_id", "left_anti")
+                new_docs = (_align(old_docs)
+                            .join(F.broadcast(keys), "doc_id", "left_anti")
                             .unionByName(new_docs))
             self._swap_write(new_index, "index")
             self._swap_write(new_docs, "documents")
@@ -356,15 +392,36 @@ class BinaryVectorDB:
         if self.index_type == "ivf" and self._ivf_model() is None:
             self.build_ivf()
 
-    def _upsert(self, doc_ids: list[int], docs: list[str], emb: np.ndarray) -> None:
+    def _enqueue(self, doc_ids: list[int], docs: list[str], kinds: list[str],
+                 emb: np.ndarray, save: bool) -> None:
+        """Validate eagerly (errors surface at the add call even when
+        deferred), buffer, and flush unless ``save=False``."""
         emb = np.asarray(emb)
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(
                 f"embeddings shape {emb.shape} does not match dim={self.dim}")
-        rows = [(int(i), str(d), [float(x) for x in e])
-                for i, d, e in zip(doc_ids, docs, emb)]
+        self._pending.append((doc_ids, docs, kinds,
+                              emb.astype(np.float32, copy=False)))
+        if save:
+            self._flush_pending()
+
+    def _flush_pending(self) -> None:
+        """Fold every buffered batch into ONE delete-then-insert merge.
+        Later batches win for a repeated doc_id (same as N sequential
+        upserts), but the storage pays a single bucket-rewrite round —
+        the batching knob the reference's per-save full rewrite lacks."""
+        if not self._pending:
+            return
+        merged: dict[int, tuple[str, str, np.ndarray]] = {}
+        for ids, docs, kinds, emb in self._pending:
+            for i, d, kd, e in zip(ids, docs, kinds, emb):
+                merged[int(i)] = (d, kd, e)
+        self._pending.clear()
+        rows = [(i, d, kd, [float(x) for x in e])
+                for i, (d, kd, e) in merged.items()]
         new = self.spark.createDataFrame(
-            rows, "doc_id: long, doc: string, embedding: array<float>")
+            rows,
+            "doc_id: long, doc: string, doc_kind: string, embedding: array<float>")
         base = new.withColumn("emb_int8", int8_quantize("embedding"))
         new_index = base.select(
             "doc_id", pack_bits("embedding", self.dim).alias("vec"))
@@ -372,9 +429,9 @@ class BinaryVectorDB:
             new_index = self._with_cluster(
                 base.select("doc_id", pack_bits("embedding", self.dim).alias("vec"),
                             "emb_int8"), "emb_int8").drop("emb_int8")
-        new_docs = base.select("doc_id", "doc", "emb_int8")
+        new_docs = base.select("doc_id", "doc", "doc_kind", "emb_int8")
         self._merge_and_swap(new_index, new_docs, new.select("doc_id"),
-                             touched=self._touched_buckets(doc_ids))
+                             touched=self._touched_buckets(list(merged)))
 
     def add_documents_df(self, docs_df, id_col: str = "doc_id",
                          text_col: str = "text") -> None:
@@ -396,7 +453,8 @@ class BinaryVectorDB:
                             pack_bits("embedding", self.dim).alias("vec"),
                             "emb_int8"), "emb_int8").drop("emb_int8")
         new_docs = base.select(
-            "doc_id", F.col("text").alias("doc"), "emb_int8")
+            "doc_id", F.col("text").alias("doc"), F.lit("str").alias("doc_kind"),
+            "emb_int8")
         # touched buckets from the (cheap) id column scan, BEFORE embedding:
         # a bucket-count-sized collect, never the corpus
         touched = [int(r[0]) for r in
@@ -409,6 +467,7 @@ class BinaryVectorDB:
         """Batched delete (reference deletes one id + full rewrite, :155-166).
         On bucketed storage only the buckets holding the deleted ids are
         read (for the missing-id check) and rewritten."""
+        self._flush_pending()
         if not self._exists("index"):
             raise ValueError("empty DB")
         keys = self.spark.createDataFrame([(int(i),) for i in doc_ids],
@@ -441,7 +500,10 @@ class BinaryVectorDB:
         self.remove_docs([doc_id])
 
     def save(self) -> None:
-        """API parity with :168-172 — every mutation already persisted."""
+        """Persist buffered save=False batches in one merge (:168-172).
+        With no buffered batches this is a no-op — every save=True mutation
+        is already persisted."""
+        self._flush_pending()
 
     def compact(self, target_partitions: int | None = None) -> None:
         """Small-file compaction: every micro-batch upsert adds files inside
@@ -453,6 +515,7 @@ class BinaryVectorDB:
         Delta this would be OPTIMIZE.  `target_partitions` is accepted for
         API compatibility; the bucketed layout fixes file count = buckets."""
         del target_partitions  # layout now pins files-per-table to buckets
+        self._flush_pending()
         idx, docs = self.index_df(), self.docs_df()
         if idx is not None:
             self._swap_write(idx, "index")
@@ -460,6 +523,7 @@ class BinaryVectorDB:
             self._swap_write(docs, "documents")
 
     def __len__(self) -> int:
+        self._flush_pending()
         idx = self.index_df()
         return 0 if idx is None else idx.count()
 
@@ -479,10 +543,17 @@ class BinaryVectorDB:
         idx.cache()  # no-op when an equivalent plan is already cached
         return idx
 
+    def _decode_hit(self, d: dict) -> dict:
+        kind = d.pop("doc_kind", "str")
+        if d.get("doc") is not None:
+            d["doc"] = self.decode_payload(d["doc"], kind)
+        return d
+
     def search(self, query: str | Sequence[float], k: int = DEFAULT_K,
                binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
                int8_oversample: int = DEFAULT_INT8_OVERSAMPLE,
                nprobe: int | None = None) -> list[dict]:
+        self._flush_pending()
         # emptiness probe, not a full count() job per query (:190-191)
         idx = self.index_df()
         if idx is None or not idx.take(1):
@@ -496,7 +567,7 @@ class BinaryVectorDB:
                                  query_vec=qvec.tolist(), k=k,
                                  binary_oversample=binary_oversample,
                                  int8_oversample=int8_oversample)
-        return [r.asDict() for r in hits_df.collect()]
+        return [self._decode_hit(r.asDict()) for r in hits_df.collect()]
 
     def search_batch(self, queries: Sequence[str | Sequence[float]],
                      k: int = DEFAULT_K,
@@ -509,6 +580,7 @@ class BinaryVectorDB:
         looping single searches).  Returns hits per query, in input order."""
         from binaryvectordb_spark.operators.cascade import cascade_search_batch
 
+        self._flush_pending()
         if len(queries) == 0:
             return []
         idx = self.index_df()
@@ -546,5 +618,5 @@ class BinaryVectorDB:
         out: list[list[dict]] = [[] for _ in queries]
         for r in rows:
             d = r.asDict()
-            out[d.pop("qid")].append(d)
+            out[d.pop("qid")].append(self._decode_hit(d))
         return out

@@ -130,11 +130,13 @@ def cascade_search(index_df: DataFrame, doc_df: DataFrame, dim: int,
           .limit(rescore_k))
 
     # Phase III — broadcast candidates against the documents table (late
-    # materialization: payload + int8 read only for survivors, :236-241)
+    # materialization: payload + int8 read only for survivors, :236-241).
+    # doc_kind (typed-payload tag, db.py) rides along when the store has it.
+    extra = [c for c in doc_df.columns if c == "doc_kind"]
     p3 = (F.broadcast(p2).join(doc_df, "doc_id")
           .select("doc_id", "score_hamming", "score_binary",
                   int8_cosine("qvec", "emb_int8").alias("score_cossim"),
-                  "doc")
+                  "doc", *extra)
           .orderBy(F.desc("score_cossim"), F.asc("doc_id"))
           .limit(k))
     return p3
@@ -359,9 +361,11 @@ def cascade_search_batch(index_df: DataFrame, doc_df: DataFrame, dim: int,
           .where(F.col("rn") <= rescore_k).drop("rn")
           .join(F.broadcast(q.select("qid", "qvec")), "qid"))
 
+    extra = [c for c in doc_df.columns if c == "doc_kind"]
     p3s = (F.broadcast(p2).join(doc_df, "doc_id")
            .select("qid", "doc_id", "score_hamming", "score_binary",
-                   int8_cosine("qvec", "emb_int8").alias("score_cossim"), "doc"))
+                   int8_cosine("qvec", "emb_int8").alias("score_cossim"), "doc",
+                   *extra))
     w3 = Window.partitionBy("qid").orderBy(F.desc("score_cossim"), F.asc("doc_id"))
     return (p3s.withColumn("rn", F.row_number().over(w3))
             .where(F.col("rn") <= k).drop("rn")
@@ -390,9 +394,11 @@ def cascade_search_batch_sharded(index_df: DataFrame, doc_df: DataFrame,
     qrows = queries_df.select("qid", "qvec").collect()
     spark = queries_df.sparkSession
     if not qrows:  # empty serving batch -> empty result, not a crash
-        return spark.createDataFrame(
-            [], "qid bigint, doc_id bigint, score_hamming int, "
-                "score_binary double, score_cossim double, doc string")
+        schema = ("qid bigint, doc_id bigint, score_hamming int, "
+                  "score_binary double, score_cossim double, doc string")
+        if "doc_kind" in doc_df.columns:
+            schema += ", doc_kind string"
+        return spark.createDataFrame([], schema)
     shards = [qrows[i:i + shard_size] for i in range(0, len(qrows), shard_size)]
     parts = []
     for shard in shards:

@@ -5,6 +5,8 @@ error-semantics inventory (SURVEY §2.13)."""
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pytest
 
@@ -40,7 +42,9 @@ def test_crud_lifecycle(spark, db):
     assert len(db) == 3
     hits = db.search("Madrid capital Spain", k=1)
     assert hits[0]["doc_id"] == 2
-    assert "Madrid" in hits[0]["doc"]
+    # typed payloads: the ORIGINAL dict comes back (reference stores/returns
+    # arbitrary objects, :73,:153), not its JSON serialization
+    assert hits[0]["doc"] == {"title": "Madrid", "text": "capital of Spain"}
 
     # delete doc 2 (:92-100)
     db.remove_doc(2)
@@ -290,6 +294,50 @@ def test_ivf_upsert_assigns_cluster_incrementally(spark, tmp_path):
     # delete keeps working on the cluster-bearing schema
     ivf.remove_docs([100])
     assert len(ivf) == 20
+
+
+def test_typed_payload_roundtrip(spark, tmp_path):
+    """Non-string payloads (reference stores any pickleable object, :73)
+    round-trip: search returns the ORIGINAL Python object, not its
+    serialization; str payloads are untouched."""
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=32)
+    payloads = {1: {"title": "alpha report", "pages": 3, "tags": ["x", "y"]},
+                2: "plain string doc about beta",
+                3: [1, 2.5, "gamma"],
+                4: 42}
+    db.add_documents(
+        list(payloads), list(payloads.values()),
+        docs2text=lambda d: (d["title"] if isinstance(d, dict)
+                             else d if isinstance(d, str) else json.dumps(d)))
+    hits = db.search("alpha report", k=1)
+    assert hits[0]["doc_id"] == 1
+    assert hits[0]["doc"] == payloads[1]          # dict, not a JSON string
+    assert isinstance(db.search("plain string doc beta", k=1)[0]["doc"], str)
+    got = {h["doc_id"]: h["doc"]
+           for hs in db.search_batch(["gamma", "alpha report"], k=4)
+           for h in hs}
+    assert got[3] == payloads[3] and got[4] == payloads[4]
+    with pytest.raises(ValueError, match="JSON-serializable"):
+        db.add_documents([9], [object()], docs2text=lambda d: "x")
+
+
+def test_deferred_save_batches_merge_once(spark, tmp_path):
+    """save=False buffers; save() folds every buffered batch into ONE
+    merge; reads/serves flush implicitly so no add is ever invisible."""
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=32, buckets=4)
+    db.add_documents([1, 2], ["one", "two"], save=False)
+    db.add_documents([3], ["three"], save=False)
+    db.add_documents([1], ["one updated"], save=False)   # later batch wins
+    assert not db._exists("documents")                   # nothing on disk yet
+    db.save()
+    assert not db._pending
+    rows = {r.doc_id: r.doc for r in db.docs_df().collect()}
+    assert rows == {1: "one updated", 2: "two", 3: "three"}
+    # implicit flush on read/serve
+    db.add_documents([4], ["four"], save=False)
+    assert len(db) == 4                                   # __len__ flushed
+    db.add_batch([5], ["five"], db.embed_fn(["five"]), save=False)
+    assert db.search("five", k=1)[0]["doc_id"] == 5       # search flushed
 
 
 def test_short_embed_fn_result_rejected(spark, tmp_path):
