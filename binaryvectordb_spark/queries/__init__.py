@@ -144,6 +144,11 @@ _PRIORITY = [
 def _apply_priority() -> None:
     global QUERIES, ORACLES
     ordered = [n for n in _PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES
+                if n not in set(ordered) and n in ORACLES]
+    # rows-only queries last: they are the most expensive (MLlib fits,
+    # distributed embedding) AND carry the weakest driver signal — they
+    # must not eat evaluation budget before value-hashed queries run
     ordered += [n for n in QUERIES if n not in set(ordered)]
     QUERIES = {n: QUERIES[n] for n in ordered}
     ORACLES = {n: ORACLES[n] for n in ordered if n in ORACLES}
