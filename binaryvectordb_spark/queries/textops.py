@@ -197,3 +197,110 @@ SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
             AS INTEGER) AS n_chunk_tokens
 FROM ex WHERE chunk_idx * 16 < n_tokens
 """)
+
+
+# -- training-data pipeline ops (EXT): deterministic splits, sequence
+#    packing, term masking — the corpus-preparation stages between dedup
+#    and the trainer ---------------------------------------------------------
+
+def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: bucket = first 2 hex chars of
+    md5(doc_id) — 256 buckets, ~80/10/10 by hex-string range.  Hash-based
+    (not random) so the assignment is stable across runs, engines, and
+    cluster sizes — the property a 100 TB pipeline needs to keep train and
+    test disjoint forever; adding data never moves an existing doc."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (d.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < "cd", "train")
+         .when(bucket < "e8", "val")
+         .otherwise("test").alias("split"))
+        .orderBy("doc_id"))
+
+
+register("text_train_val_test_split", text_train_val_test_split, oracle="""
+WITH b AS (SELECT doc_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 'cd' THEN 'train'
+            WHEN bucket < 'e8' THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+""")
+
+
+PACK_BUDGET = 512
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate consecutive docs (per source, ordered
+    by doc_id) into packs of ~PACK_BUDGET tokens — the batch-shaping step
+    before LLM training.  pack_id = floor(tokens_before_doc / budget) over
+    a running sum, so packing is one window + one agg: no driver loop, no
+    UDF, and each source packs independently (parallel at 100 TB)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = (d.select("source", "doc_id", n_tok.alias("n_tokens"))
+              .withColumn("cum", F.sum("n_tokens").over(w))
+              .withColumn("pack_id",
+                          F.floor((F.col("cum") - F.col("n_tokens"))
+                                  / PACK_BUDGET)))
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("source", "pack_id"))
+
+
+register("text_pack_sequences", text_pack_sequences, oracle=f"""
+WITH t AS (SELECT source, doc_id,
+                  len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+c AS (SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t),
+p AS (SELECT source, doc_id, n_tokens,
+             CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM c)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY source, pack_id ORDER BY source, pack_id
+""")
+
+
+_MASK_PATTERN = r"\b(customer|key|hash|value)\b"
+
+
+def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term masking / redaction: replace a term set with [MASK] and count
+    the replacements — the shape of PII scrubbing or vocabulary filtering
+    (per-row regexp, shuffle-free; the pattern would be a broadcast list
+    at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    # pattern goes through the function API as a literal — never through a
+    # SQL string literal, where \b would be parsed as a backspace escape
+    return (d.where(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                F.regexp_replace(F.col("text"), _MASK_PATTERN, "[MASK]")
+                .alias("redacted"),
+                F.size(F.regexp_extract_all(
+                    F.col("text"), F.lit(_MASK_PATTERN), F.lit(0)))
+                .alias("n_masked"))
+            .orderBy("doc_id"))
+
+
+register("text_redact_terms", text_redact_terms, oracle=f"""
+SELECT doc_id,
+       regexp_replace(text, '{_MASK_PATTERN}', '[MASK]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_MASK_PATTERN}', 0)) AS INTEGER)
+         AS n_masked
+FROM documents WHERE doc_id < 300 ORDER BY doc_id
+""")
