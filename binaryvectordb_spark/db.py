@@ -499,6 +499,33 @@ class BinaryVectorDB:
     def remove_doc(self, doc_id: int) -> None:
         self.remove_docs([doc_id])
 
+    def get_docs(self, doc_ids: Sequence[int]) -> dict[int, object]:
+        """KV point read (the RocksDB get, :238): opens ONLY the bucket
+        dirs owning the requested ids — at 100 TB a point read touches a
+        few GB of one bucket, never the corpus — then broadcast-semi-joins
+        the id set.  Missing ids are simply absent from the result (RocksDB
+        get semantics).  Typed payloads come back as original objects."""
+        self._flush_pending()
+        if not doc_ids or not self._exists("documents"):
+            return {}
+        docs = (self._read_buckets("documents", self._touched_buckets(doc_ids))
+                if self._is_bucketed("documents") else self.docs_df())
+        if docs is None:
+            return {}
+        keys = self.spark.createDataFrame([(int(i),) for i in doc_ids],
+                                          "doc_id: long")
+        cols = ["doc_id", "doc"] + (["doc_kind"] if "doc_kind" in docs.columns
+                                    else [])
+        rows = (docs.join(F.broadcast(keys), "doc_id", "left_semi")
+                .select(*cols).collect())
+        return {r["doc_id"]: self.decode_payload(r["doc"],
+                                                 r["doc_kind"] if "doc_kind" in cols
+                                                 else "str")
+                for r in rows}
+
+    def get_doc(self, doc_id: int):
+        return self.get_docs([doc_id]).get(int(doc_id))
+
     def save(self) -> None:
         """Persist buffered save=False batches in one merge (:168-172).
         With no buffered batches this is a no-op — every save=True mutation

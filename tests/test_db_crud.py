@@ -340,6 +340,23 @@ def test_deferred_save_batches_merge_once(spark, tmp_path):
     assert db.search("five", k=1)[0]["doc_id"] == 5       # search flushed
 
 
+def test_get_docs_point_read(spark, tmp_path):
+    """KV point read returns original payloads, skips missing ids, and
+    reads ONLY the bucket dirs owning the requested ids."""
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=32, buckets=8)
+    db.add_documents([1, 2, 9], ["one", {"k": "two"}, "nine"])
+    got = db.get_docs([1, 2, 777])
+    assert got == {1: "one", 2: {"k": "two"}}
+    assert db.get_doc(9) == "nine"
+    assert db.get_doc(777) is None
+    # pruned read: only buckets 1 (ids 1, 9) and 2 (id 2) are opened
+    pruned = db._read_buckets("documents", db._touched_buckets([1, 2, 777]))
+    assert {r.doc_id for r in pruned.select("doc_id").collect()} == {1, 2, 9}
+    # unsaved adds are visible (implicit flush)
+    db.add_documents([3], ["three"], save=False)
+    assert db.get_doc(3) == "three"
+
+
 def test_short_embed_fn_result_rejected(spark, tmp_path):
     """A custom embed_fn returning fewer vectors than texts must raise the
     same ValueError as the other ingest length checks — not an opaque
