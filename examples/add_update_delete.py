@@ -17,7 +17,8 @@ D2T = lambda d: d["title"] + " " + d["text"]  # noqa: E731
 
 def show(hits):
     for h in hits:
-        print(f"  {h['doc_id']}  cossim={h['score_cossim']:.4f}  {h['doc'][:50]}")
+        # typed payloads: dict payloads come back as dicts, not JSON strings
+        print(f"  {h['doc_id']}  cossim={h['score_cossim']:.4f}  {str(h['doc'])[:50]}")
 
 
 def main() -> None:

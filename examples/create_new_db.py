@@ -45,7 +45,9 @@ def main() -> None:
     print(f"built db at {db_folder}: {len(db)} docs")
 
     for hit in db.search("vector similarity search", k=2):
-        print(f"  {hit['doc_id']}  cossim={hit['score_cossim']:.4f}  {hit['doc'][:60]}")
+        # dict payloads round-trip as dicts (typed payloads)
+        print(f"  {hit['doc_id']}  cossim={hit['score_cossim']:.4f}  "
+              f"{str(hit['doc'])[:60]}")
 
 
 if __name__ == "__main__":
