@@ -137,6 +137,23 @@ def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
         total = min(total, time.perf_counter() - t0)
     out["cascade_1m_batch100_total"] = round(total, 4)
     out["cascade_1m_per_query_ms"] = round(total / 100 * 1000, 2)
+
+    # RAM-tier single-query serving (the reference's own serving mode:
+    # in-RAM index, one node): materialize the shard once, then serve
+    # in-process — bit-identical to the distributed cascade (pinned by
+    # tests/test_local_serve.py), no per-job scheduling floor
+    from binaryvectordb_spark.operators.local_serve import LocalCascadeSearcher
+    local = LocalCascadeSearcher.from_dataframes(index, store, dim)
+    qvecs = [r[0] for r in
+             (emb.where(F.col("vec_id") < 20)
+              .select("embedding").collect())]
+    local.search(qvecs[0])  # warm-up (BLAS thread spin-up)
+    t0 = time.perf_counter()
+    for v in qvecs:
+        local.search(v)
+    out["cascade_1m_local_ms"] = round(
+        (time.perf_counter() - t0) / len(qvecs) * 1000, 2)
+
     index.unpersist()
     store.unpersist()
     return out

@@ -596,6 +596,24 @@ class BinaryVectorDB:
                                  int8_oversample=int8_oversample)
         return [self._decode_hit(r.asDict()) for r in hits_df.collect()]
 
+    def to_local_searcher(self):
+        """Materialize the index + doc store into an in-process RAM-tier
+        searcher (operators/local_serve.py) — the reference's single-node
+        in-RAM serving mode (README.md:68), bit-identical to the
+        distributed cascade but without Spark's ~0.2 s per-job floor:
+        single-query latency drops to single-digit ms.  Memory is
+        O(n × dim); at 100 TB serve one searcher per cached shard and keep
+        the Spark cascade as the batch/throughput path."""
+        from binaryvectordb_spark.operators.local_serve import (
+            LocalCascadeSearcher,
+        )
+        self._flush_pending()
+        idx = self.index_df()
+        if idx is None or not idx.take(1):
+            raise Exception("Index is empty; add documents first")
+        return LocalCascadeSearcher.from_dataframes(
+            idx, self.docs_df(), self.dim, embed_fn=self.embed_fn)
+
     def search_batch(self, queries: Sequence[str | Sequence[float]],
                      k: int = DEFAULT_K,
                      binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
