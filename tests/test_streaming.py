@@ -80,6 +80,25 @@ def test_foreach_batch_incremental_upsert(spark, tmp_path, events_dir):
     assert len(db) == n_events  # ids 1,2 already existed -> replaced
 
 
+def test_foreach_batch_into_ivf_db(spark, tmp_path, events_dir):
+    """The streaming sink composes with the IVF index: the partitioner
+    trains on the first micro-batch, later batches assign clusters via the
+    trained model, and every indexed row carries a cluster id."""
+    from binaryvectordb_spark.db import BinaryVectorDB
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16,
+                        index_type="ivf",
+                        index_args={"n_clusters": 4, "nprobe": 4})
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = foreach_batch_index_upsert(stream, db, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert len(db) == n_events
+    idx = db.index_df()
+    assert "cluster" in idx.columns
+    assert idx.where("cluster IS NULL").count() == 0
+    assert idx.select("cluster").distinct().count() > 1
+
+
 def test_stateful_user_totals(spark, tmp_path, events_dir):
     """applyInPandasWithState carries state across micro-batches: the final
     emitted row per user equals the batch groupBy totals."""
