@@ -186,17 +186,29 @@ class BinaryVectorDB:
         other bucket dir is left untouched on disk (byte-identical files —
         the point of the layout: an upsert of B buckets costs O(size of B),
         not O(corpus)).  A touched bucket that ends up empty is removed; a
-        table with no buckets left is dropped entirely (full-delete edge)."""
+        table with no buckets left is dropped entirely (full-delete edge).
+
+        Swap order is crash-conscious: old data is renamed aside BEFORE the
+        new dir moves in and only deleted after, so at no instant is a
+        bucket's data absent from disk (recoverable from ``__old``/``__tmp``
+        by hand).  Cross-bucket atomicity — all-or-nothing across buckets
+        and across the two tiers — needs a transaction log; that is exactly
+        what adopting Delta would buy (SURVEY §1.3)."""
         p, tmp = self._path(name), self._path(name + "__tmp")
+        bak = self._path(name + "__old")    # OUTSIDE the table dir, so
+        if os.path.isdir(bak):              # partition discovery never
+            shutil.rmtree(bak)              # sees backed-up buckets
+        os.makedirs(bak)
         (self._with_bucket(df).repartition(len(touched), "bucket")
          .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
         for b in touched:
             dst = os.path.join(p, f"bucket={b}")
             src = os.path.join(tmp, f"bucket={b}")
             if os.path.isdir(dst):
-                shutil.rmtree(dst)
+                os.rename(dst, os.path.join(bak, f"bucket={b}"))
             if os.path.isdir(src):
                 os.rename(src, dst)
+        shutil.rmtree(bak)
         shutil.rmtree(tmp)
         if not self._bucket_dirs(name):
             shutil.rmtree(p)
@@ -271,7 +283,11 @@ class BinaryVectorDB:
         """nprobe nearest centroids to the query (L2 in the trained int8
         space; ties by cluster id) — a k-row numpy argsort on the driver."""
         centers = np.vstack(self._ivf_model().clusterCenters())
-        qi = np.round(np.clip(np.asarray(qvec, dtype=np.float64), -1, 1) * 127)
+        scaled = np.clip(np.asarray(qvec, dtype=np.float64), -1, 1) * 127
+        # HALF_UP (away from zero), matching int8_quantize — np.round is
+        # half-to-even and would land .5 cases in a different int8 space
+        # than the one the centroids were trained in
+        qi = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
         d2 = ((centers - qi) ** 2).sum(axis=1)
         order = np.lexsort((np.arange(len(d2)), d2))
         return [int(i) for i in order[:max(1, nprobe)]]
@@ -319,6 +335,8 @@ class BinaryVectorDB:
         every add — merges them in ONE bucket-rewrite round instead of N."""
         if len(doc_ids) != len(docs):
             raise ValueError("doc_ids and docs must have the same length")  # :78-79
+        if len(doc_ids) == 0:
+            return  # empty batches are legitimate no-ops (as in add_batch)
         for i in doc_ids:
             if not isinstance(i, (int, np.integer)) or isinstance(i, bool):
                 raise ValueError(f"doc_id {i!r} is not an int")  # :95-96
@@ -400,8 +418,10 @@ class BinaryVectorDB:
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(
                 f"embeddings shape {emb.shape} does not match dim={self.dim}")
+        # always COPY: a save=False batch outlives the call, and a no-copy
+        # view would silently absorb caller mutations made before save()
         self._pending.append((doc_ids, docs, kinds,
-                              emb.astype(np.float32, copy=False)))
+                              np.array(emb, dtype=np.float32)))
         if save:
             self._flush_pending()
 
@@ -423,28 +443,14 @@ class BinaryVectorDB:
             rows,
             "doc_id: long, doc: string, doc_kind: string, embedding: array<float>")
         base = new.withColumn("emb_int8", int8_quantize("embedding"))
-        new_index = base.select(
-            "doc_id", pack_bits("embedding", self.dim).alias("vec"))
-        if self._ivf_model() is not None:
-            new_index = self._with_cluster(
-                base.select("doc_id", pack_bits("embedding", self.dim).alias("vec"),
-                            "emb_int8"), "emb_int8").drop("emb_int8")
         new_docs = base.select("doc_id", "doc", "doc_kind", "emb_int8")
-        self._merge_and_swap(new_index, new_docs, new.select("doc_id"),
+        self._merge_and_swap(self._new_index_from(base), new_docs,
+                             new.select("doc_id"),
                              touched=self._touched_buckets(list(merged)))
 
-    def add_documents_df(self, docs_df, id_col: str = "doc_id",
-                         text_col: str = "text") -> None:
-        """Distributed bulk upsert: embedding runs executor-side via
-        mapInPandas (operators/embed.py) — the ingest path for corpora that
-        don't fit through the driver (the list-based add_documents embeds
-        driver-side, faithful to the reference's single-process loop)."""
-        from binaryvectordb_spark.operators.embed import embed_texts
-        embedded = embed_texts(
-            docs_df.select(F.col(id_col).alias("doc_id"),
-                           F.col(text_col).alias("text")),
-            self.dim, embed_fn=self._custom_embed_fn)
-        base = embedded.withColumn("emb_int8", int8_quantize("embedding"))
+    def _new_index_from(self, base: DataFrame) -> DataFrame:
+        """(doc_id, embedding, emb_int8, ...) -> new index rows; the ONE
+        place that decides whether rows carry an IVF cluster id."""
         new_index = base.select(
             "doc_id", pack_bits("embedding", self.dim).alias("vec"))
         if self._ivf_model() is not None:
@@ -452,16 +458,45 @@ class BinaryVectorDB:
                 base.select("doc_id",
                             pack_bits("embedding", self.dim).alias("vec"),
                             "emb_int8"), "emb_int8").drop("emb_int8")
-        new_docs = base.select(
-            "doc_id", F.col("text").alias("doc"), F.lit("str").alias("doc_kind"),
-            "emb_int8")
-        # touched buckets from the (cheap) id column scan, BEFORE embedding:
-        # a bucket-count-sized collect, never the corpus
-        touched = [int(r[0]) for r in
-                   docs_df.select(F.pmod(F.col(id_col), F.lit(self.buckets))
-                                  .cast("int").alias("b")).distinct().collect()]
-        self._merge_and_swap(new_index, new_docs, embedded.select("doc_id"),
-                             touched=sorted(touched))
+        return new_index
+
+    def add_documents_df(self, docs_df, id_col: str = "doc_id",
+                         text_col: str = "text") -> None:
+        """Distributed bulk upsert: embedding runs executor-side via
+        mapInPandas (operators/embed.py) — the ingest path for corpora that
+        don't fit through the driver (the list-based add_documents embeds
+        driver-side, faithful to the reference's single-process loop).
+        Duplicate ids WITHIN the batch collapse to one arbitrary-but-
+        deterministic-per-run row (a DataFrame has no row order for 'later
+        wins' to mean anything); across batches, delete-then-insert applies."""
+        from binaryvectordb_spark.operators.embed import embed_texts
+        # deferred save=False batches must merge BEFORE this df does, or a
+        # later implicit flush would replay older buffered rows on top
+        self._flush_pending()
+        embedded = embed_texts(
+            docs_df.select(F.col(id_col).alias("doc_id"),
+                           F.col(text_col).alias("text"))
+            .dropDuplicates(["doc_id"]),
+            self.dim, embed_fn=self._custom_embed_fn)
+        # persist: the merge reads this lineage ~4x (index write, docs
+        # write, keys anti-join) and Spark cannot prune through mapInPandas
+        # — without it every micro-batch pays the embedding UDF 4x over
+        embedded = embedded.persist()
+        try:
+            base = embedded.withColumn("emb_int8", int8_quantize("embedding"))
+            new_docs = base.select(
+                "doc_id", F.col("text").alias("doc"),
+                F.lit("str").alias("doc_kind"), "emb_int8")
+            # touched buckets from the (cheap) id column scan, BEFORE
+            # embedding: a bucket-count-sized collect, never the corpus
+            touched = [int(r[0]) for r in
+                       docs_df.select(F.pmod(F.col(id_col), F.lit(self.buckets))
+                                      .cast("int").alias("b")).distinct().collect()]
+            self._merge_and_swap(self._new_index_from(base), new_docs,
+                                 embedded.select("doc_id"),
+                                 touched=sorted(touched))
+        finally:
+            embedded.unpersist()
 
     def remove_docs(self, doc_ids: Sequence[int]) -> None:
         """Batched delete (reference deletes one id + full rewrite, :155-166).
@@ -470,6 +505,8 @@ class BinaryVectorDB:
         self._flush_pending()
         if not self._exists("index"):
             raise ValueError("empty DB")
+        if len(doc_ids) == 0:
+            return  # nothing to delete; not a full-rewrite no-op either
         keys = self.spark.createDataFrame([(int(i),) for i in doc_ids],
                                           "doc_id: long")
         if self._is_bucketed("index") and self._is_bucketed("documents"):
@@ -589,6 +626,11 @@ class BinaryVectorDB:
             qvec = self.embed_fn([query])[0]
         else:
             qvec = np.asarray(query, dtype=np.float32)
+        if not np.isfinite(qvec).all():
+            # same boundary check as search_batch/LocalCascadeSearcher —
+            # the SQL packer treats NaN >= 0 as true (Spark orders NaN above
+            # all numerics) and would silently return NaN-scored hits
+            raise ValueError("query vectors must be finite (got NaN/Inf)")
         idx = self._maybe_prune_index(self._cached_index(), [qvec], nprobe)
         hits_df = cascade_search(idx, self.docs_df(), self.dim,
                                  query_vec=qvec.tolist(), k=k,

@@ -340,6 +340,42 @@ def test_deferred_save_batches_merge_once(spark, tmp_path):
     assert db.search("five", k=1)[0]["doc_id"] == 5       # search flushed
 
 
+def test_review_regressions(spark, tmp_path):
+    """Pinned fixes from the round-2 review: empty batches are no-ops,
+    deferred buffers copy their embeddings, add_documents_df flushes the
+    save=False buffer first, in-batch duplicate ids collapse, and single
+    search rejects NaN like the batch paths."""
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=32, buckets=4)
+    db.add_documents([], [])                              # no-op, no crash
+    db.add_documents([1, 2], ["one", "two"])
+    db.remove_docs([])                                    # no-op, no crash
+    assert len(db) == 2
+
+    # deferred buffer must not alias the caller's array
+    emb = local_embedder(["three"], 32)
+    db.add_batch([3], ["three"], emb, save=False)
+    emb[:] = 0.0
+    db.save()
+    assert db.search("three", k=1)[0]["doc_id"] == 3      # original vector
+
+    # df-ingest flushes pending first => buffered older write cannot win
+    db.add_documents([4], ["stale four"], save=False)
+    df = spark.createDataFrame([(4, "fresh four")], "doc_id: long, text: string")
+    db.add_documents_df(df)
+    assert db.get_doc(4) == "fresh four"
+
+    # duplicate ids within one df batch collapse to one row
+    dup = spark.createDataFrame([(7, "a"), (7, "b"), (8, "c")],
+                                "doc_id: long, text: string")
+    db.add_documents_df(dup)
+    assert db.docs_df().where("doc_id = 7").count() == 1
+
+    with pytest.raises(ValueError, match="finite"):
+        bad = np.zeros(32, dtype=np.float32)
+        bad[1] = np.inf
+        db.search(bad, k=1)
+
+
 def test_get_docs_point_read(spark, tmp_path):
     """KV point read returns original payloads, skips missing ids, and
     reads ONLY the bucket dirs owning the requested ids."""
