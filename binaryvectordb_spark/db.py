@@ -12,7 +12,10 @@ upsert/delete rewrites ONLY the buckets containing touched keys (the
 reference full-rewrites index.bin per save, :165-172 — at 100 TB a 1-row
 upsert must not rewrite the corpus; this is the Delta-MERGE-shaped fix
 promised in SURVEY §1.3/§2.10).  Untouched bucket files are not opened, not
-read, not rewritten.  No external embedding
+read, not rewritten.  Visibility is governed by a transaction log
+(<folder>/_log/ versioned JSON manifests; see the storage section): every
+mutation commits by one atomic manifest rename covering both tiers, so
+readers see either all of an upsert or none of it.  No external embedding
 API: a deterministic local embedder stands in for the Cohere call (:109), and
 pre-embedded input takes the `_add_batch` path (:117-143).
 
@@ -114,14 +117,158 @@ class BinaryVectorDB:
 
     # -- storage ------------------------------------------------------------
     # Layout: <folder>/<name>/bucket=K/part-*.parquet with
-    # K = pmod(doc_id, buckets).  Partition discovery exposes `bucket` as a
-    # column on read; it is dropped from the exposed DataFrames and
-    # recomputed on write.  Mutations rewrite ONLY the touched bucket dirs.
+    # K = pmod(doc_id, buckets), plus a transaction log <folder>/_log/
+    # holding one JSON manifest per committed version:
+    #   v0000000042.json = {"version": 42,
+    #                       "tables": {"index":     {"<bucket>": [files...]},
+    #                                  "documents": {"<bucket>": [files...]}}}
+    # The manifest — not the directory listing — defines what a reader sees
+    # (the Delta/Iceberg idea, SURVEY §1.3).  A mutation stages new parquet
+    # files into the live bucket dirs under unique names (invisible: not in
+    # any manifest), then COMMITS by atomically renaming one new manifest
+    # covering BOTH tiers — so an upsert is all-or-nothing across every
+    # touched bucket of `index` AND `documents`, the cross-tier atomicity
+    # the reference lacks entirely (full rewrite + no rollback story,
+    # README.md:174).  A crash before the rename leaves the previous
+    # version fully intact; stray staged files are garbage-collected by the
+    # next successful commit.  At 100 TB the manifest also replaces
+    # object-store LIST calls with one small JSON read per query.
+    # Single-writer by design (as is the reference); manifests are tiny and
+    # kept forever as an audit trail (`history()`), data files of superseded
+    # versions are deleted at commit time.
+
+    _LOG = "_log"
+    _DATA_TABLES = ("index", "documents")
 
     def _path(self, name: str) -> str:
         return os.path.join(self.folder, name)
 
+    def _log_dir(self) -> str:
+        return os.path.join(self.folder, self._LOG)
+
+    def _manifest_version(self) -> int | None:
+        """Latest committed version, or None when the DB predates the log
+        (legacy round-1 layout: directory listing is the source of truth)."""
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return None
+        vs = [int(f[1:-5]) for f in os.listdir(d)
+              if f.startswith("v") and f.endswith(".json")]
+        return max(vs) if vs else None
+
+    def _manifest_tables(self) -> dict | None:
+        v = self._manifest_version()
+        if v is None:
+            return None
+        with open(os.path.join(self._log_dir(), f"v{v:010d}.json")) as f:
+            return json.load(f)["tables"]
+
+    def _adopt_tables(self) -> dict:
+        """First commit on a pre-log DB: reconstruct its current state from
+        directory listings so the new manifest keeps every live file.  A
+        legacy flat (unbucketed) table is recorded under the pseudo-bucket
+        key "_flat" (files at the table root); the next rewrite of that
+        table migrates it to bucketed layout and the key disappears."""
+        tables: dict = {}
+        for name in self._DATA_TABLES:
+            p = self._path(name)
+            if not os.path.isdir(p):
+                continue
+            bmap: dict = {}
+            flat = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+            if flat:
+                bmap["_flat"] = flat
+            for d in sorted(os.listdir(p)):
+                if d.startswith("bucket=") and os.path.isdir(os.path.join(p, d)):
+                    fl = sorted(f for f in os.listdir(os.path.join(p, d))
+                                if f.endswith(".parquet"))
+                    if fl:
+                        bmap[d.split("=", 1)[1]] = fl
+            if bmap:
+                tables[name] = bmap
+        return tables
+
+    def _current_tables(self) -> dict:
+        t = self._manifest_tables()
+        return self._adopt_tables() if t is None else t
+
+    def _commit(self, updates: dict[str, dict[str, list[str]]]) -> None:
+        """THE atomic commit point: one manifest rename makes every table in
+        `updates` (full new bucket->files maps) visible simultaneously.
+        Tables not mentioned keep their current entry; an update with no
+        files drops the table (full-delete edge).  After the rename,
+        superseded data files are deleted and Spark caches on the updated
+        paths invalidated (cache manager matches by plan, and a plan built
+        from the old manifest's file list must not serve stale blocks)."""
+        tables = dict(self._current_tables())
+        for name, bmap in updates.items():
+            bmap = {b: fl for b, fl in bmap.items() if fl}
+            if bmap:
+                tables[name] = bmap
+            else:
+                tables.pop(name, None)
+        v = (self._manifest_version() or 0) + 1
+        os.makedirs(self._log_dir(), exist_ok=True)
+        final = os.path.join(self._log_dir(), f"v{v:010d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "tables": tables}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # POSIX-atomic: the commit instant
+        self._gc(tables)
+        for name in updates:
+            self.spark.catalog.refreshByPath(self._path(name))
+
+    def _gc(self, tables: dict) -> None:
+        """Delete every data file the current manifest does not reference:
+        superseded versions' files and strays from crashed attempts.  Safe
+        under the single-writer assumption — nothing unreferenced can be
+        mid-read by a committed reader."""
+        for name in self._DATA_TABLES:
+            p = self._path(name)
+            if not os.path.isdir(p):
+                continue
+            bmap = tables.get(name) or {}
+            root_keep = set(bmap.get("_flat", []))
+            for entry in os.listdir(p):
+                full = os.path.join(p, entry)
+                if entry.startswith("bucket=") and os.path.isdir(full):
+                    keep = set(bmap.get(entry.split("=", 1)[1], []))
+                    for f in os.listdir(full):
+                        if f not in keep:
+                            os.remove(os.path.join(full, f))
+                    if not os.listdir(full):
+                        os.rmdir(full)
+                elif os.path.isfile(full) and entry not in root_keep:
+                    os.remove(full)  # stale flat file or staging artifact
+            if not os.listdir(p):
+                os.rmdir(p)
+
+    def history(self) -> list[dict]:
+        """The committed version trail, oldest first:
+        [{'version': N, 'tables': {name: total file count}}].  Manifests are
+        retained forever (bytes); superseded DATA files are not — history is
+        an audit trail, not time travel."""
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    m = json.load(fh)
+                out.append({"version": m["version"],
+                            "tables": {n: sum(len(fl) for fl in b.values())
+                                       for n, b in m["tables"].items()}})
+        return out
+
     def _exists(self, name: str) -> bool:
+        if name in self._DATA_TABLES:
+            t = self._manifest_tables()
+            if t is not None:
+                return bool(t.get(name))
+        # non-logged artifacts (ivf_model) and legacy pre-log tables
         return os.path.isdir(self._path(name))
 
     def _bucket_dirs(self, name: str) -> list[str]:
@@ -131,17 +278,40 @@ class BinaryVectorDB:
         return sorted(d for d in os.listdir(p) if d.startswith("bucket="))
 
     def _is_bucketed(self, name: str) -> bool:
+        t = self._manifest_tables()
+        if t is not None:
+            bmap = t.get(name)
+            return bool(bmap) and "_flat" not in bmap
         return bool(self._bucket_dirs(name))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
             "bucket", F.pmod(F.col("doc_id"), F.lit(self.buckets)).cast("int"))
 
-    def _read_df(self, name: str) -> DataFrame | None:
-        if not self._exists(name):
-            return None
-        df = self.spark.read.parquet(self._path(name))
+    def _files_df(self, name: str, bmap: dict) -> DataFrame | None:
+        """Build the reader for a manifest entry: explicit file list, with
+        basePath so the bucket partition column still prunes."""
+        p = self._path(name)
+        if "_flat" in bmap:
+            files = [os.path.join(p, f) for f in bmap["_flat"]]
+            df = self.spark.read.parquet(*files)
+        else:
+            files = [os.path.join(p, f"bucket={b}", f)
+                     for b in sorted(bmap, key=int) for f in bmap[b]]
+            if not files:
+                return None
+            df = self.spark.read.option("basePath", p).parquet(*files)
         return df.drop("bucket") if "bucket" in df.columns else df
+
+    def _read_df(self, name: str) -> DataFrame | None:
+        t = self._manifest_tables()
+        if t is None:  # legacy pre-log DB: directory listing is the truth
+            if not os.path.isdir(self._path(name)):
+                return None
+            df = self.spark.read.parquet(self._path(name))
+            return df.drop("bucket") if "bucket" in df.columns else df
+        bmap = t.get(name)
+        return self._files_df(name, bmap) if bmap else None
 
     def index_df(self) -> DataFrame | None:
         return self._read_df("index")
@@ -150,8 +320,15 @@ class BinaryVectorDB:
         return self._read_df("documents")
 
     def _read_buckets(self, name: str, touched: list[int]) -> DataFrame | None:
-        """Scan ONLY the touched bucket dirs — the partial-rewrite read path.
-        Returns None when none of them exist yet."""
+        """Scan ONLY the touched buckets — the partial-rewrite read path.
+        Returns None when none of them hold data yet."""
+        t = self._manifest_tables()
+        if t is not None:
+            bmap = t.get(name) or {}
+            if "_flat" in bmap:  # unbucketed legacy data: cannot prune
+                return self._read_df(name)
+            sel = {str(b): bmap[str(b)] for b in touched if bmap.get(str(b))}
+            return self._files_df(name, sel) if sel else None
         p = self._path(name)
         dirs = [os.path.join(p, f"bucket={b}") for b in touched]
         dirs = [d for d in dirs if os.path.isdir(d)]
@@ -160,59 +337,51 @@ class BinaryVectorDB:
         return (self.spark.read.option("basePath", p).parquet(*dirs)
                 .drop("bucket"))
 
-    def _swap_write(self, df: DataFrame, name: str) -> None:
-        """Full-table overwrite in bucketed layout: write to tmp dir, then
-        swap.  Needed because Parquet can't overwrite a path while a plan is
-        reading it; on Delta this would be a MERGE/DELETE transaction instead
-        (SURVEY §1.3).  Used for initial load, flat-layout migration, and
-        compact(); steady-state mutations go through _rewrite_buckets."""
-        tmp, final = self._path(name + "__tmp"), self._path(name)
-        (self._with_bucket(df).repartition(self.buckets, "bucket")
+    def _stage(self, df: DataFrame, name: str, nparts: int
+               ) -> dict[str, list[str]]:
+        """Write `df` in bucketed layout and move the part files into the
+        live bucket dirs under their (globally unique) names.  Returns
+        {bucket: [filenames]} for the manifest.  Staged files are INVISIBLE
+        until a manifest referencing them is committed — a crash here
+        leaves only strays for the next commit's GC."""
+        tmp = self._path(name + "__stage")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        (self._with_bucket(df).repartition(max(1, nparts), "bucket")
          .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        # EAGER cache invalidation: Spark's cache manager matches by logical
-        # plan, so even a fresh read of this path would silently serve stale
-        # cached blocks after the swap.  refreshByPath drops every cache
-        # entry touching this path — including ones held by OTHER
-        # BinaryVectorDB instances on the same folder in this session (the
-        # reference has no multi-process story at all, README.md:174).
-        self.spark.catalog.refreshByPath(final)
-
-    def _rewrite_buckets(self, df: DataFrame, name: str,
-                         touched: list[int]) -> None:
-        """Swap in `df` as the new contents of the touched buckets; every
-        other bucket dir is left untouched on disk (byte-identical files —
-        the point of the layout: an upsert of B buckets costs O(size of B),
-        not O(corpus)).  A touched bucket that ends up empty is removed; a
-        table with no buckets left is dropped entirely (full-delete edge).
-
-        Swap order is crash-conscious: old data is renamed aside BEFORE the
-        new dir moves in and only deleted after, so at no instant is a
-        bucket's data absent from disk (recoverable from ``__old``/``__tmp``
-        by hand).  Cross-bucket atomicity — all-or-nothing across buckets
-        and across the two tiers — needs a transaction log; that is exactly
-        what adopting Delta would buy (SURVEY §1.3)."""
-        p, tmp = self._path(name), self._path(name + "__tmp")
-        bak = self._path(name + "__old")    # OUTSIDE the table dir, so
-        if os.path.isdir(bak):              # partition discovery never
-            shutil.rmtree(bak)              # sees backed-up buckets
-        os.makedirs(bak)
-        (self._with_bucket(df).repartition(len(touched), "bucket")
-         .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-        for b in touched:
-            dst = os.path.join(p, f"bucket={b}")
-            src = os.path.join(tmp, f"bucket={b}")
-            if os.path.isdir(dst):
-                os.rename(dst, os.path.join(bak, f"bucket={b}"))
-            if os.path.isdir(src):
-                os.rename(src, dst)
-        shutil.rmtree(bak)
+        out: dict[str, list[str]] = {}
+        p = self._path(name)
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith("bucket="):
+                continue
+            names = [f for f in os.listdir(os.path.join(tmp, d))
+                     if f.endswith(".parquet")]
+            if not names:
+                continue
+            os.makedirs(os.path.join(p, d), exist_ok=True)
+            for f in names:
+                os.rename(os.path.join(tmp, d, f), os.path.join(p, d, f))
+            out[d.split("=", 1)[1]] = sorted(names)
         shutil.rmtree(tmp)
-        if not self._bucket_dirs(name):
-            shutil.rmtree(p)
-        self.spark.catalog.refreshByPath(p)
+        return out
+
+    def _full_update(self, df: DataFrame, name: str) -> dict[str, list[str]]:
+        """Stage a full-table rewrite (initial load, flat-layout migration,
+        compact); the caller commits."""
+        return self._stage(df, name, self.buckets)
+
+    def _bucket_update(self, df: DataFrame, name: str,
+                       touched: list[int]) -> dict[str, list[str]]:
+        """Stage `df` as the new contents of the touched buckets; every
+        other bucket keeps its current (untouched, byte-identical) files —
+        an upsert of B buckets costs O(size of B), not O(corpus).  A touched
+        bucket `df` has no rows for maps to [] (deleted at commit)."""
+        staged = self._stage(df, name, len(touched))
+        out = dict(self._current_tables().get(name) or {})
+        out.pop("_flat", None)  # only reachable when table was bucketed
+        for b in touched:
+            out[str(b)] = staged.get(str(b), [])
+        return out
 
     def _touched_buckets(self, doc_ids: Sequence[int]) -> list[int]:
         return sorted({int(i) % self.buckets for i in doc_ids})
@@ -277,7 +446,8 @@ class BinaryVectorDB:
         idx = self.index_df()
         if "cluster" in idx.columns:
             idx = idx.drop("cluster")
-        self._swap_write(idx.join(assign, "doc_id"), "index")
+        self._commit(
+            {"index": self._full_update(idx.join(assign, "doc_id"), "index")})
 
     def _probe_clusters(self, qvec: np.ndarray, nprobe: int) -> list[int]:
         """nprobe nearest centroids to the query (L2 in the trained int8
@@ -393,8 +563,12 @@ class BinaryVectorDB:
                 new_docs = (_align(surv_docs)
                             .join(F.broadcast(keys), "doc_id", "left_anti")
                             .unionByName(new_docs))
-            self._rewrite_buckets(new_index, "index", touched)
-            self._rewrite_buckets(new_docs, "documents", touched)
+            # both tiers staged first, then ONE manifest commit: the upsert
+            # is atomic across index and documents (and all their buckets)
+            self._commit({
+                "index": self._bucket_update(new_index, "index", touched),
+                "documents": self._bucket_update(new_docs, "documents",
+                                                 touched)})
         else:
             old_index, old_docs = self.index_df(), self.docs_df()
             if old_index is not None:
@@ -403,8 +577,9 @@ class BinaryVectorDB:
                 new_docs = (_align(old_docs)
                             .join(F.broadcast(keys), "doc_id", "left_anti")
                             .unionByName(new_docs))
-            self._swap_write(new_index, "index")
-            self._swap_write(new_docs, "documents")
+            self._commit({
+                "index": self._full_update(new_index, "index"),
+                "documents": self._full_update(new_docs, "documents")})
         # first ingest of an ivf DB: train the partitioner now; later
         # ingests attach clusters incrementally via the trained model
         if self.index_type == "ivf" and self._ivf_model() is None:
@@ -516,22 +691,25 @@ class BinaryVectorDB:
                        keys.join(scope_idx, "doc_id", "left_anti").count())
             if missing:
                 raise ValueError(f"{missing} doc_id(s) not in index")  # :159-160
-            self._rewrite_buckets(
-                scope_idx.join(F.broadcast(keys), "doc_id", "left_anti"),
-                "index", touched)
-            self._rewrite_buckets(
-                self._read_buckets("documents", touched)
-                .join(F.broadcast(keys), "doc_id", "left_anti"),
-                "documents", touched)
+            self._commit({
+                "index": self._bucket_update(
+                    scope_idx.join(F.broadcast(keys), "doc_id", "left_anti"),
+                    "index", touched),
+                "documents": self._bucket_update(
+                    self._read_buckets("documents", touched)
+                    .join(F.broadcast(keys), "doc_id", "left_anti"),
+                    "documents", touched)})
             return
         idx = self.index_df()
         missing = keys.join(idx, "doc_id", "left_anti").count()
         if missing:
             raise ValueError(f"{missing} doc_id(s) not in index")  # :159-160
-        self._swap_write(idx.join(F.broadcast(keys), "doc_id", "left_anti"), "index")
-        self._swap_write(
-            self.docs_df().join(F.broadcast(keys), "doc_id", "left_anti"),
-            "documents")
+        self._commit({
+            "index": self._full_update(
+                idx.join(F.broadcast(keys), "doc_id", "left_anti"), "index"),
+            "documents": self._full_update(
+                self.docs_df().join(F.broadcast(keys), "doc_id", "left_anti"),
+                "documents")})
 
     def remove_doc(self, doc_id: int) -> None:
         self.remove_docs([doc_id])
@@ -581,10 +759,13 @@ class BinaryVectorDB:
         del target_partitions  # layout now pins files-per-table to buckets
         self._flush_pending()
         idx, docs = self.index_df(), self.docs_df()
+        updates = {}
         if idx is not None:
-            self._swap_write(idx, "index")
+            updates["index"] = self._full_update(idx, "index")
         if docs is not None:
-            self._swap_write(docs, "documents")
+            updates["documents"] = self._full_update(docs, "documents")
+        if updates:
+            self._commit(updates)
 
     def __len__(self) -> int:
         self._flush_pending()
@@ -600,7 +781,7 @@ class BinaryVectorDB:
         file listing and throws FileNotFound after another instance swaps the
         directory.  Re-reading per search costs only a plan lookup: Spark's
         cache manager dedupes equivalent parquet-scan plans, and
-        _swap_write's refreshByPath is the single invalidation point."""
+        _commit's refreshByPath is the single invalidation point."""
         idx = self.index_df()
         if idx is None:
             return None

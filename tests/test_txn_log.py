@@ -1,0 +1,166 @@
+"""Transaction-log semantics: atomic cross-tier commits, crash safety,
+garbage collection, history, and legacy (pre-log) adoption.
+
+The reference has no transactional story at all — a delete rewrites the
+whole faiss index in place (BinaryVectorDB/BinaryVectorDB.py:165-172) and
+README.md:174 concedes "multi-process safety, rollbacks etc." are missing.
+SURVEY §1.3 names Delta MERGE as the target shape; this log is that shape
+on plain parquet: a mutation stages files invisibly, then one atomic
+manifest rename makes every touched bucket of BOTH tiers visible at once.
+"""
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+from binaryvectordb_spark.db import BinaryVectorDB
+
+
+def _manifest_files(folder):
+    return sorted(glob.glob(os.path.join(folder, "_log", "v*.json")))
+
+
+def _data_files(folder, name):
+    return {os.path.basename(f)
+            for f in glob.glob(os.path.join(folder, name, "bucket=*", "*"))}
+
+
+def _referenced(db, name):
+    return {f for fl in (db._manifest_tables()[name]).values() for f in fl}
+
+
+def _md5s(folder, name):
+    out = {}
+    for f in glob.glob(os.path.join(folder, name, "bucket=*", "*.parquet")):
+        with open(f, "rb") as fh:
+            out[os.path.relpath(f, folder)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_one_commit_per_mutation_covers_both_tiers(spark, tmp_path):
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    db.add_documents([1, 2, 3], ["one", "two", "three"])
+    assert len(_manifest_files(folder)) == 1
+    m = json.load(open(_manifest_files(folder)[-1]))
+    # a single manifest lists BOTH tables: the cross-tier commit point
+    assert set(m["tables"]) == {"index", "documents"}
+    db.add_documents([2, 9], ["TWO", "nine"])     # upsert
+    assert len(_manifest_files(folder)) == 2
+    db.remove_docs([1])                           # delete
+    assert len(_manifest_files(folder)) == 3
+    hist = db.history()
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[-1]["tables"]["index"] == hist[-1]["tables"]["documents"]
+
+
+def test_crash_before_commit_preserves_old_version(spark, tmp_path):
+    """A failure after staging but before the manifest rename must leave
+    readers on the previous version for BOTH tiers, and the strays must be
+    collected by the next successful commit."""
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    db.add_documents([1, 2], ["one", "two"])
+    before = json.load(open(_manifest_files(folder)[-1]))
+
+    real_commit = db._commit
+    def boom(updates):
+        raise RuntimeError("simulated crash between stage and commit")
+    db._commit = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        db.add_documents([2, 3], ["TWO", "three"])
+    db._commit = real_commit
+
+    # nothing moved: same manifest, old values visible, new id invisible
+    assert json.load(open(_manifest_files(folder)[-1])) == before
+    assert len(db) == 2
+    assert db.get_doc(2) == "two"
+    assert db.get_doc(3) is None
+    # staged strays exist on disk but are unreferenced...
+    assert _data_files(folder, "index") > _referenced(db, "index")
+    # ...and the next commit garbage-collects them
+    db.add_documents([4], ["four"])
+    assert _data_files(folder, "index") == _referenced(db, "index")
+    assert _data_files(folder, "documents") == _referenced(db, "documents")
+    assert len(db) == 3 and db.get_doc(2) == "two"
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    """Partial rewrite through the log: files of untouched buckets stay
+    byte-identical AND keep their manifest entries (no re-stage)."""
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=8)
+    db.add_documents(list(range(16)), [f"doc {i}" for i in range(16)])
+    before = _md5s(folder, "documents")
+    db.add_documents([3], ["doc three updated"])  # touches bucket 3 only
+    after = _md5s(folder, "documents")
+    untouched_before = {p: h for p, h in before.items() if "bucket=3" not in p}
+    untouched_after = {p: h for p, h in after.items() if "bucket=3" not in p}
+    assert untouched_before == untouched_after
+    assert {p for p in before if "bucket=3" in p} != \
+           {p for p in after if "bucket=3" in p}
+
+
+def test_gc_keeps_disk_equal_to_manifest(spark, tmp_path):
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    db.add_documents(list(range(8)), [f"doc {i}" for i in range(8)])
+    for i in range(3):  # churn: upserts + a delete + compaction
+        db.add_documents([i], [f"doc {i} v2"])
+    db.remove_docs([5])
+    db.compact()
+    for name in ("index", "documents"):
+        assert _data_files(folder, name) == _referenced(db, name)
+    # manifests are all retained (audit trail)
+    assert [h["version"] for h in db.history()] == list(range(1, 7))
+
+
+def test_full_delete_drops_tables(spark, tmp_path):
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    db.add_documents([1, 2], ["one", "two"])
+    db.remove_docs([1, 2])
+    assert len(db) == 0
+    with pytest.raises(Exception, match="empty"):
+        db.search("one", k=1)
+    # tables dropped from the manifest and the data dirs GC'd away
+    assert db._manifest_tables() == {}
+    assert not os.path.isdir(os.path.join(folder, "index"))
+    # and the DB is still usable afterwards
+    db.add_documents([7], ["seven"])
+    assert db.search("seven", k=1)[0]["doc_id"] == 7
+
+
+def test_legacy_pre_log_db_adopted_on_first_mutation(spark, tmp_path):
+    """A round-1 DB (bucketed dirs, no _log) stays readable, and the first
+    mutation adopts every live file into v1 without losing rows."""
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    db.add_documents(list(range(6)), [f"doc {i}" for i in range(6)])
+    import shutil
+    shutil.rmtree(os.path.join(folder, "_log"))   # simulate pre-log layout
+
+    db2 = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    assert len(db2) == 6                          # legacy dir-listing read
+    db2.add_documents([6], ["doc 6"])             # first logged mutation
+    assert db2._manifest_version() == 1
+    assert len(db2) == 7
+    assert db2.get_doc(3) == "doc 3"
+    assert _data_files(folder, "index") == _referenced(db2, "index")
+
+
+def test_ivf_build_commits_through_log(spark, tmp_path):
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4,
+                        index_type="ivf", index_args={"n_clusters": 2})
+    db.add_documents(list(range(10)), [f"doc number {i}" for i in range(10)])
+    # ingest commit + automatic IVF build commit
+    assert db._manifest_version() == 2
+    assert db.search("doc number 4", k=1)[0]["doc_id"] == 4
+    db.remove_docs([4])
+    assert len(db) == 9
+    assert _data_files(folder, "index") == _referenced(db, "index")
