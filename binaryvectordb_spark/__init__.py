@@ -20,4 +20,7 @@ no driver-side loops in the hot path.
 
 __version__ = "0.1.0"
 
-from binaryvectordb_spark.db import BinaryVectorDB  # noqa: F401
+from binaryvectordb_spark.db import (  # noqa: F401
+    BinaryVectorDB,
+    ConcurrentWriteError,
+)

@@ -45,6 +45,16 @@ from binaryvectordb_spark.operators.cascade import (
 )
 
 _META = "_meta.json"
+_UNSET = object()
+
+
+class ConcurrentWriteError(Exception):
+    """Another writer committed between this mutation's snapshot and its
+    commit attempt.  The mutation's staged output was computed against the
+    old snapshot (its anti-join merge would silently drop the other
+    writer's rows — a lost update), so it is aborted; its staged files are
+    unreferenced strays, garbage-collected at the next successful commit.
+    Re-run the mutation to retry against the new state."""
 
 
 def local_embedder(texts: Sequence[str], dim: int) -> np.ndarray:
@@ -68,7 +78,8 @@ class BinaryVectorDB:
                  model: str = "local-bow-v1", dim: int = 64,
                  embed_fn: Callable[[Sequence[str]], np.ndarray] | None = None,
                  buckets: int = 32,
-                 index_type: str = "flat", index_args: dict | None = None):
+                 index_type: str = "flat", index_args: dict | None = None,
+                 retain_versions: int = 0):
         if index_type not in ("flat", "ivf"):
             raise ValueError(
                 f"index_type must be 'flat' or 'ivf', got {index_type!r}")
@@ -87,6 +98,12 @@ class BinaryVectorDB:
         # Phase I scans only the nprobe nearest partitions
         self.index_type = index_type
         self.index_args = dict(index_args or {})
+        # how many SUPERSEDED versions keep their data files (0 = eager GC,
+        # the reference-faithful default: latest state only).  With N > 0,
+        # index_df/docs_df(version=...) time-travel to any of the last N+1
+        # versions and restore() rolls the DB back — an operational knob
+        # (per handle), not a layout constant, so it is not persisted
+        self.retain_versions = int(retain_versions)
         self._ivf_model_cache = None
         # _custom_embed_fn must be picklable for the distributed ingest path;
         # the default (None) is rebuilt executor-side from local_embedder+dim
@@ -192,14 +209,28 @@ class BinaryVectorDB:
         t = self._manifest_tables()
         return self._adopt_tables() if t is None else t
 
-    def _commit(self, updates: dict[str, dict[str, list[str]]]) -> None:
+    def _commit(self, updates: dict[str, dict[str, list[str]]],
+                expect=_UNSET) -> None:
         """THE atomic commit point: one manifest rename makes every table in
         `updates` (full new bucket->files maps) visible simultaneously.
         Tables not mentioned keep their current entry; an update with no
-        files drops the table (full-delete edge).  After the rename,
-        superseded data files are deleted and Spark caches on the updated
-        paths invalidated (cache manager matches by plan, and a plan built
-        from the old manifest's file list must not serve stale blocks)."""
+        files drops the table (full-delete edge).  After the commit,
+        no-longer-retained data files are deleted and Spark caches on the
+        updated paths invalidated (cache manager matches by plan, and a plan
+        built from the old manifest's file list must not serve stale blocks).
+
+        Optimistic concurrency: `expect` is the manifest version the
+        mutation read its snapshot from (None for a fresh/pre-log DB).  If
+        another writer committed since, the merge was computed from stale
+        data; abort with ConcurrentWriteError rather than lose its update.
+        The link(2) create — which fails on an existing target, unlike
+        rename(2) — closes the residual window between the check and the
+        commit instant: two racers on the same version cannot both win."""
+        if expect is not _UNSET and self._manifest_version() != expect:
+            raise ConcurrentWriteError(
+                f"snapshot was v{expect}, but v{self._manifest_version()} "
+                "has since been committed; mutation aborted (staged files "
+                "will be garbage-collected)")
         tables = dict(self._current_tables())
         for name, bmap in updates.items():
             bmap = {b: fl for b, fl in bmap.items() if fl}
@@ -215,28 +246,56 @@ class BinaryVectorDB:
             json.dump({"version": v, "tables": tables}, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)  # POSIX-atomic: the commit instant
-        self._gc(tables)
+        try:
+            os.link(tmp, final)  # atomic create-if-absent: the commit instant
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {v} was committed by another writer at the commit "
+                "instant; mutation aborted (staged files will be "
+                "garbage-collected)") from None
+        finally:
+            os.unlink(tmp)
+        self._gc(self.retain_versions + 1)
         for name in updates:
             self.spark.catalog.refreshByPath(self._path(name))
 
-    def _gc(self, tables: dict) -> None:
-        """Delete every data file the current manifest does not reference:
-        superseded versions' files and strays from crashed attempts.  Safe
-        under the single-writer assumption — nothing unreferenced can be
-        mid-read by a committed reader."""
+    def _retained_tables(self, keep_last: int) -> list[dict]:
+        """Table maps of the latest `keep_last` committed manifests —
+        the versions whose data files must survive GC."""
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        vs = sorted(int(f[1:-5]) for f in os.listdir(d)
+                    if f.startswith("v") and f.endswith(".json"))
+        out = []
+        for v in vs[-max(1, keep_last):]:
+            with open(os.path.join(d, f"v{v:010d}.json")) as f:
+                out.append(json.load(f)["tables"])
+        return out
+
+    def _gc(self, keep_last: int) -> None:
+        """Delete every data file none of the latest `keep_last` manifests
+        reference: files of versions that aged out of retention, and strays
+        from crashed or aborted commit attempts.  Safe under the
+        single-writer assumption — nothing unreferenced can be mid-read by
+        a committed reader."""
+        keep: dict[str, dict[str, set]] = {}
+        for tables in self._retained_tables(keep_last):
+            for name, bmap in tables.items():
+                for b, fl in bmap.items():
+                    keep.setdefault(name, {}).setdefault(b, set()).update(fl)
         for name in self._DATA_TABLES:
             p = self._path(name)
             if not os.path.isdir(p):
                 continue
-            bmap = tables.get(name) or {}
-            root_keep = set(bmap.get("_flat", []))
+            bmap = keep.get(name) or {}
+            root_keep = bmap.get("_flat", set())
             for entry in os.listdir(p):
                 full = os.path.join(p, entry)
                 if entry.startswith("bucket=") and os.path.isdir(full):
-                    keep = set(bmap.get(entry.split("=", 1)[1], []))
+                    kept = bmap.get(entry.split("=", 1)[1], set())
                     for f in os.listdir(full):
-                        if f not in keep:
+                        if f not in kept:
                             os.remove(os.path.join(full, f))
                     if not os.listdir(full):
                         os.rmdir(full)
@@ -245,11 +304,22 @@ class BinaryVectorDB:
             if not os.listdir(p):
                 os.rmdir(p)
 
+    def vacuum(self, keep_last: int = 1) -> None:
+        """One-shot GC to the latest `keep_last` versions' files (Delta
+        VACUUM): reclaims space held by `retain_versions` immediately, at
+        the cost of time-travel reach.  Manifests themselves are never
+        deleted — history() stays complete; a read of a vacuumed version
+        fails with an explicit error."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the live version)")
+        self._gc(keep_last)
+
     def history(self) -> list[dict]:
         """The committed version trail, oldest first:
         [{'version': N, 'tables': {name: total file count}}].  Manifests are
-        retained forever (bytes); superseded DATA files are not — history is
-        an audit trail, not time travel."""
+        retained forever (bytes); DATA files of superseded versions survive
+        only within `retain_versions` (see index_df/docs_df(version=...) and
+        restore()) — beyond that, history is an audit trail."""
         d = self._log_dir()
         if not os.path.isdir(d):
             return []
@@ -313,11 +383,58 @@ class BinaryVectorDB:
         bmap = t.get(name)
         return self._files_df(name, bmap) if bmap else None
 
-    def index_df(self) -> DataFrame | None:
+    def _tables_at(self, version: int) -> dict:
+        """Table maps of a specific committed version, with an existence
+        check on every referenced data file (a version older than the
+        retention window has been vacuumed: its manifest survives, its
+        data does not)."""
+        path = os.path.join(self._log_dir(), f"v{int(version):010d}.json")
+        if not os.path.isfile(path):
+            raise ValueError(f"no committed version {version} "
+                             f"(latest is {self._manifest_version()})")
+        with open(path) as f:
+            tables = json.load(f)["tables"]
+        for name, bmap in tables.items():
+            p = self._path(name)
+            for b, fl in bmap.items():
+                d = p if b == "_flat" else os.path.join(p, f"bucket={b}")
+                for fn in fl:
+                    if not os.path.isfile(os.path.join(d, fn)):
+                        raise ValueError(
+                            f"version {version} has been vacuumed (data file "
+                            f"{name}/bucket={b}/{fn} is gone); only versions "
+                            "inside the retention window are readable")
+        return tables
+
+    def _read_version_df(self, name: str, version: int) -> DataFrame | None:
+        bmap = self._tables_at(version).get(name)
+        return self._files_df(name, bmap) if bmap else None
+
+    def index_df(self, version: int | None = None) -> DataFrame | None:
+        """The binary index tier; `version` time-travels to an earlier
+        committed snapshot (requires retain_versions > 0 to still have the
+        files — the manifest pins exactly which)."""
+        if version is not None:
+            return self._read_version_df("index", version)
         return self._read_df("index")
 
-    def docs_df(self) -> DataFrame | None:
+    def docs_df(self, version: int | None = None) -> DataFrame | None:
+        if version is not None:
+            return self._read_version_df("documents", version)
         return self._read_df("documents")
+
+    def restore(self, version: int) -> None:
+        """Roll the DB back to an earlier committed snapshot (Delta
+        RESTORE): commits a NEW version whose manifest references version
+        `version`'s files — history moves forward, data moves back.  Needs
+        the target inside the retention window (files still on disk); the
+        restored files are referenced by the new head, so they survive
+        subsequent GC regardless of age."""
+        self._flush_pending()
+        expect = self._manifest_version()
+        old = self._tables_at(version)  # validates existence + files
+        self._commit({name: dict(old.get(name) or {})
+                      for name in self._DATA_TABLES}, expect=expect)
 
     def _read_buckets(self, name: str, touched: list[int]) -> DataFrame | None:
         """Scan ONLY the touched buckets — the partial-rewrite read path.
@@ -443,11 +560,13 @@ class BinaryVectorDB:
         assign = self._with_cluster(
             docs.select("doc_id", "emb_int8"), "emb_int8"
         ).select("doc_id", "cluster")
+        expect = self._manifest_version()  # OCC snapshot
         idx = self.index_df()
         if "cluster" in idx.columns:
             idx = idx.drop("cluster")
         self._commit(
-            {"index": self._full_update(idx.join(assign, "doc_id"), "index")})
+            {"index": self._full_update(idx.join(assign, "doc_id"), "index")},
+            expect=expect)
 
     def _probe_clusters(self, qvec: np.ndarray, nprobe: int) -> list[int]:
         """nprobe nearest centroids to the query (L2 in the trained int8
@@ -550,6 +669,9 @@ class BinaryVectorDB:
             return (df if "doc_kind" in df.columns
                     else df.withColumn("doc_kind", F.lit("str")))
 
+        # OCC snapshot: the version every read below is planned against;
+        # _commit aborts if another writer lands in between (lost update)
+        expect = self._manifest_version()
         new_docs = _align(new_docs)
         if (touched is not None and self._is_bucketed("index")
                 and self._is_bucketed("documents")):
@@ -568,7 +690,7 @@ class BinaryVectorDB:
             self._commit({
                 "index": self._bucket_update(new_index, "index", touched),
                 "documents": self._bucket_update(new_docs, "documents",
-                                                 touched)})
+                                                 touched)}, expect=expect)
         else:
             old_index, old_docs = self.index_df(), self.docs_df()
             if old_index is not None:
@@ -579,7 +701,8 @@ class BinaryVectorDB:
                             .unionByName(new_docs))
             self._commit({
                 "index": self._full_update(new_index, "index"),
-                "documents": self._full_update(new_docs, "documents")})
+                "documents": self._full_update(new_docs, "documents")},
+                expect=expect)
         # first ingest of an ivf DB: train the partitioner now; later
         # ingests attach clusters incrementally via the trained model
         if self.index_type == "ivf" and self._ivf_model() is None:
@@ -682,6 +805,7 @@ class BinaryVectorDB:
             raise ValueError("empty DB")
         if len(doc_ids) == 0:
             return  # nothing to delete; not a full-rewrite no-op either
+        expect = self._manifest_version()  # OCC snapshot
         keys = self.spark.createDataFrame([(int(i),) for i in doc_ids],
                                           "doc_id: long")
         if self._is_bucketed("index") and self._is_bucketed("documents"):
@@ -698,7 +822,7 @@ class BinaryVectorDB:
                 "documents": self._bucket_update(
                     self._read_buckets("documents", touched)
                     .join(F.broadcast(keys), "doc_id", "left_anti"),
-                    "documents", touched)})
+                    "documents", touched)}, expect=expect)
             return
         idx = self.index_df()
         missing = keys.join(idx, "doc_id", "left_anti").count()
@@ -709,7 +833,7 @@ class BinaryVectorDB:
                 idx.join(F.broadcast(keys), "doc_id", "left_anti"), "index"),
             "documents": self._full_update(
                 self.docs_df().join(F.broadcast(keys), "doc_id", "left_anti"),
-                "documents")})
+                "documents")}, expect=expect)
 
     def remove_doc(self, doc_id: int) -> None:
         self.remove_docs([doc_id])
@@ -758,6 +882,7 @@ class BinaryVectorDB:
         API compatibility; the bucketed layout fixes file count = buckets."""
         del target_partitions  # layout now pins files-per-table to buckets
         self._flush_pending()
+        expect = self._manifest_version()  # OCC snapshot
         idx, docs = self.index_df(), self.docs_df()
         updates = {}
         if idx is not None:
@@ -765,7 +890,7 @@ class BinaryVectorDB:
         if docs is not None:
             updates["documents"] = self._full_update(docs, "documents")
         if updates:
-            self._commit(updates)
+            self._commit(updates, expect=expect)
 
     def __len__(self) -> int:
         self._flush_pending()

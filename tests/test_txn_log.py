@@ -17,7 +17,7 @@ import os
 import numpy as np
 import pytest
 
-from binaryvectordb_spark.db import BinaryVectorDB
+from binaryvectordb_spark.db import BinaryVectorDB, ConcurrentWriteError
 
 
 def _manifest_files(folder):
@@ -68,7 +68,7 @@ def test_crash_before_commit_preserves_old_version(spark, tmp_path):
     before = json.load(open(_manifest_files(folder)[-1]))
 
     real_commit = db._commit
-    def boom(updates):
+    def boom(updates, expect=None):
         raise RuntimeError("simulated crash between stage and commit")
     db._commit = boom
     with pytest.raises(RuntimeError, match="simulated crash"):
@@ -151,6 +151,107 @@ def test_legacy_pre_log_db_adopted_on_first_mutation(spark, tmp_path):
     assert len(db2) == 7
     assert db2.get_doc(3) == "doc 3"
     assert _data_files(folder, "index") == _referenced(db2, "index")
+
+
+def test_time_travel_reads_prior_version(spark, tmp_path):
+    """retain_versions keeps superseded versions' files on disk; a versioned
+    read plans against exactly that manifest's file list (Delta
+    `VERSION AS OF`)."""
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4, retain_versions=2)
+    db.add_documents([1, 2], ["one", "two"])             # v1
+    db.add_documents([2, 3], ["TWO", "three"])           # v2 (upsert)
+    db.remove_docs([1])                                  # v3
+    # live head: {2: TWO, 3: three}
+    assert db.get_doc(2) == "TWO" and db.get_doc(1) is None
+    v1 = {r.doc_id: r.doc for r in db.docs_df(version=1).collect()}
+    assert v1 == {1: "one", 2: "two"}
+    v2 = {r.doc_id: r.doc for r in db.docs_df(version=2).collect()}
+    assert v2 == {1: "one", 2: "TWO", 3: "three"}
+    assert db.index_df(version=1).count() == 2
+    with pytest.raises(ValueError, match="no committed version 99"):
+        db.docs_df(version=99)
+
+
+def test_default_retention_vacuums_eagerly(spark, tmp_path):
+    """retain_versions=0 (the reference-faithful default: latest state only)
+    GCs superseded files at commit; a versioned read of an aged-out version
+    fails with an explicit 'vacuumed' error, not a silent partial result."""
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    db.add_documents([1, 2], ["one", "two"])             # v1
+    db.add_documents([1], ["ONE"])                       # v2 supersedes v1
+    assert _data_files(folder, "documents") == _referenced(db, "documents")
+    with pytest.raises(ValueError, match="vacuumed"):
+        db.docs_df(version=1)
+    assert [h["version"] for h in db.history()] == [1, 2]  # audit trail stays
+
+
+def test_restore_rolls_back_and_moves_history_forward(spark, tmp_path):
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4, retain_versions=3)
+    db.add_documents([1, 2], ["one", "two"])             # v1
+    db.add_documents([2], ["TWO"])                       # v2
+    db.remove_docs([1])                                  # v3
+    assert len(db) == 1
+    db.restore(1)                                        # commits v4 == v1
+    assert db._manifest_version() == 4
+    assert len(db) == 2
+    assert db.get_doc(1) == "one" and db.get_doc(2) == "two"
+    # restored files are head-referenced: churn past the window keeps them
+    db.add_documents([9], ["nine"])                      # v5
+    db.add_documents([10], ["ten"])                      # v6
+    db.add_documents([11], ["eleven"])                   # v7
+    db.add_documents([12], ["twelve"])                   # v8
+    assert db.get_doc(1) == "one"
+    assert db.search("one", k=1)[0]["doc_id"] == 1
+
+
+def test_vacuum_reclaims_retained_versions(spark, tmp_path):
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4, retain_versions=5)
+    db.add_documents([1, 2], ["one", "two"])             # v1
+    db.add_documents([1], ["ONE"])                       # v2
+    assert db.docs_df(version=1) is not None             # retained
+    with pytest.raises(ValueError, match="keep_last"):
+        db.vacuum(0)
+    db.vacuum(1)                                         # latest only
+    with pytest.raises(ValueError, match="vacuumed"):
+        db.docs_df(version=1)
+    assert _data_files(folder, "documents") == _referenced(db, "documents")
+    assert db.get_doc(1) == "ONE"                        # head unharmed
+    assert [h["version"] for h in db.history()] == [1, 2]
+
+
+def test_concurrent_writer_aborts_instead_of_lost_update(spark, tmp_path):
+    """Two handles on one folder: the slower writer's merge was computed
+    against a superseded snapshot — committing it would silently drop the
+    faster writer's rows (lost update).  It must abort; a retry on the
+    fresh snapshot then succeeds and preserves BOTH writers' rows."""
+    folder = str(tmp_path / "db")
+    a = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    b = BinaryVectorDB(spark, folder, dim=32, buckets=4)
+    a.add_documents([1], ["one"])                        # v1, seen by both
+
+    # interleave: b captures its snapshot, then a commits first
+    real_commit = b._commit
+    def racy_commit(updates, expect=None):
+        a.add_documents([2], ["two"])                    # a wins the race
+        real_commit(updates, expect=expect)
+    b._commit = racy_commit
+    with pytest.raises(ConcurrentWriteError, match="aborted"):
+        b.add_documents([3], ["three"])
+    b._commit = real_commit
+
+    # b's aborted rows are invisible; both committed writers' rows live
+    assert len(a) == 2
+    assert a.get_doc(3) is None
+    b.add_documents([3], ["three"])                      # retry succeeds
+    assert len(b) == 3
+    assert b.get_doc(1) == "one" and b.get_doc(2) == "two"
+    # the aborted attempt's staged strays were GC'd by the retry's commit
+    assert _data_files(folder, "documents") == _referenced(b, "documents")
+    assert _data_files(folder, "index") == _referenced(b, "index")
 
 
 def test_ivf_build_commits_through_log(spark, tmp_path):
