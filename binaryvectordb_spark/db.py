@@ -79,7 +79,7 @@ class BinaryVectorDB:
                  embed_fn: Callable[[Sequence[str]], np.ndarray] | None = None,
                  buckets: int = 32,
                  index_type: str = "flat", index_args: dict | None = None,
-                 retain_versions: int = 0):
+                 retain_versions: int | None = None):
         if index_type not in ("flat", "ivf"):
             raise ValueError(
                 f"index_type must be 'flat' or 'ivf', got {index_type!r}")
@@ -101,9 +101,16 @@ class BinaryVectorDB:
         # how many SUPERSEDED versions keep their data files (0 = eager GC,
         # the reference-faithful default: latest state only).  With N > 0,
         # index_df/docs_df(version=...) time-travel to any of the last N+1
-        # versions and restore() rolls the DB back — an operational knob
-        # (per handle), not a layout constant, so it is not persisted
-        self.retain_versions = int(retain_versions)
+        # versions and restore() rolls the DB back.  PERSISTED in _meta.json:
+        # retention is a property of the DB, not of one handle — otherwise
+        # any writer opened with the default would GC the window another
+        # handle relies on.  Constructor arg None = adopt the stored value;
+        # an explicit int updates the stored value for every future handle.
+        self.retain_versions = 0 if retain_versions is None else int(retain_versions)
+        # versions whose files a read in THIS session depends on: _gc/vacuum
+        # will not delete them mid-session (time-travel DataFrames are lazy;
+        # see index_df/docs_df)
+        self._read_pinned: set[int] = set()
         self._ivf_model_cache = None
         # _custom_embed_fn must be picklable for the distributed ingest path;
         # the default (None) is rebuilt executor-side from local_embedder+dim
@@ -121,16 +128,31 @@ class BinaryVectorDB:
             self.buckets = int(meta.get("buckets", buckets))
             self.index_type = meta.get("index_type", "flat")
             self.index_args = dict(meta.get("index_args", {}))
+            if retain_versions is None:
+                self.retain_versions = int(meta.get("retain_versions", 0))
+            elif int(retain_versions) != int(meta.get("retain_versions", 0)):
+                meta["retain_versions"] = int(retain_versions)
+                self._write_meta(meta_path, meta)
         elif os.listdir(folder):
             # mirrors :43-45 — refuse a non-empty folder without config
             raise Exception(
                 f"Folder {folder} has files but no {_META}; not a BinaryVectorDB")
         else:
             self.model = model
-            with open(meta_path, "w") as f:
-                json.dump({"version": "1.0", "model": model, "dim": dim,
-                           "buckets": buckets, "index_type": index_type,
-                           "index_args": self.index_args}, f)
+            self._write_meta(meta_path, {
+                "version": "1.0", "model": model, "dim": dim,
+                "buckets": buckets, "index_type": index_type,
+                "index_args": self.index_args,
+                "retain_versions": self.retain_versions})
+
+    @staticmethod
+    def _write_meta(meta_path: str, meta: dict) -> None:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, meta_path)
 
     # -- storage ------------------------------------------------------------
     # Layout: <folder>/<name>/bucket=K/part-*.parquet with
@@ -177,7 +199,16 @@ class BinaryVectorDB:
         v = self._manifest_version()
         if v is None:
             return None
-        with open(os.path.join(self._log_dir(), f"v{v:010d}.json")) as f:
+        return self._manifest_tables_of(v)
+
+    def _manifest_tables_of(self, version: int) -> dict:
+        """Table maps of one committed manifest (no data-file existence
+        check — callers that serve reads use _tables_at instead)."""
+        path = os.path.join(self._log_dir(), f"v{int(version):010d}.json")
+        if not os.path.isfile(path):
+            raise ValueError(f"no committed version {version} "
+                             f"(latest is {self._manifest_version()})")
+        with open(path) as f:
             return json.load(f)["tables"]
 
     def _adopt_tables(self) -> dict:
@@ -223,25 +254,36 @@ class BinaryVectorDB:
         mutation read its snapshot from (None for a fresh/pre-log DB).  If
         another writer committed since, the merge was computed from stale
         data; abort with ConcurrentWriteError rather than lose its update.
-        The link(2) create — which fails on an existing target, unlike
-        rename(2) — closes the residual window between the check and the
-        commit instant: two racers on the same version cannot both win."""
-        if expect is not _UNSET and self._manifest_version() != expect:
-            raise ConcurrentWriteError(
-                f"snapshot was v{expect}, but v{self._manifest_version()} "
-                "has since been committed; mutation aborted (staged files "
-                "will be garbage-collected)")
-        tables = dict(self._current_tables())
+        Both the base tables AND the target version number are pinned to the
+        snapshot — re-reading the live manifest here would let a racer that
+        lands after the version check slip underneath (we would merge our
+        stale tables over its commit and link a FRESH filename, silently
+        dropping its rows).  Pinned, any intervening commit owns v+1 already
+        and the link(2) create — which fails on an existing target, unlike
+        rename(2) — aborts us at the commit instant."""
+        if expect is not _UNSET:
+            live = self._manifest_version()
+            if live != expect:
+                raise ConcurrentWriteError(
+                    f"snapshot was v{expect}, but v{live} has since been "
+                    "committed; mutation aborted (staged files will be "
+                    "garbage-collected)")
+            base = (self._adopt_tables() if expect is None
+                    else self._manifest_tables_of(expect))
+            v = (expect or 0) + 1
+        else:
+            base = self._current_tables()
+            v = (self._manifest_version() or 0) + 1
+        tables = dict(base)
         for name, bmap in updates.items():
             bmap = {b: fl for b, fl in bmap.items() if fl}
             if bmap:
                 tables[name] = bmap
             else:
                 tables.pop(name, None)
-        v = (self._manifest_version() or 0) + 1
         os.makedirs(self._log_dir(), exist_ok=True)
         final = os.path.join(self._log_dir(), f"v{v:010d}.json")
-        tmp = final + ".tmp"
+        tmp = final + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"version": v, "tables": tables}, f)
             f.flush()
@@ -255,6 +297,14 @@ class BinaryVectorDB:
                 "garbage-collected)") from None
         finally:
             os.unlink(tmp)
+        # fsync the directory too: without it, power loss after the ack can
+        # drop the new directory entry and roll the DB back a version even
+        # though the commit was reported durable
+        dfd = os.open(self._log_dir(), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         self._gc(self.retain_versions + 1)
         for name in updates:
             self.spark.catalog.refreshByPath(self._path(name))
@@ -273,14 +323,24 @@ class BinaryVectorDB:
                 out.append(json.load(f)["tables"])
         return out
 
-    def _gc(self, keep_last: int) -> None:
+    def _gc(self, keep_last: int, respect_pins: bool = True) -> None:
         """Delete every data file none of the latest `keep_last` manifests
         reference: files of versions that aged out of retention, and strays
         from crashed or aborted commit attempts.  Safe under the
         single-writer assumption — nothing unreferenced can be mid-read by
-        a committed reader."""
+        a committed reader.  Versions this handle time-traveled to are
+        pinned for the session: commit-time GC keeps their files even past
+        the retention window (versioned DataFrames are lazy and may execute
+        after a later commit); an explicit vacuum() overrides the pins."""
+        retained = self._retained_tables(keep_last)
+        if respect_pins:
+            for pv in sorted(self._read_pinned):
+                try:
+                    retained.append(self._manifest_tables_of(pv))
+                except ValueError:
+                    self._read_pinned.discard(pv)
         keep: dict[str, dict[str, set]] = {}
-        for tables in self._retained_tables(keep_last):
+        for tables in retained:
             for name, bmap in tables.items():
                 for b, fl in bmap.items():
                     keep.setdefault(name, {}).setdefault(b, set()).update(fl)
@@ -309,10 +369,12 @@ class BinaryVectorDB:
         VACUUM): reclaims space held by `retain_versions` immediately, at
         the cost of time-travel reach.  Manifests themselves are never
         deleted — history() stays complete; a read of a vacuumed version
-        fails with an explicit error."""
+        fails with an explicit error.  Unlike commit-time GC, an explicit
+        vacuum also reclaims versions this session has time-traveled to
+        (the Delta VACUUM contract) — collect those DataFrames first."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (the live version)")
-        self._gc(keep_last)
+        self._gc(keep_last, respect_pins=False)
 
     def history(self) -> list[dict]:
         """The committed version trail, oldest first:
@@ -388,12 +450,7 @@ class BinaryVectorDB:
         check on every referenced data file (a version older than the
         retention window has been vacuumed: its manifest survives, its
         data does not)."""
-        path = os.path.join(self._log_dir(), f"v{int(version):010d}.json")
-        if not os.path.isfile(path):
-            raise ValueError(f"no committed version {version} "
-                             f"(latest is {self._manifest_version()})")
-        with open(path) as f:
-            tables = json.load(f)["tables"]
+        tables = self._manifest_tables_of(version)
         for name, bmap in tables.items():
             p = self._path(name)
             for b, fl in bmap.items():
@@ -408,6 +465,9 @@ class BinaryVectorDB:
 
     def _read_version_df(self, name: str, version: int) -> DataFrame | None:
         bmap = self._tables_at(version).get(name)
+        # time-travel DataFrames are lazy: pin the version so this handle's
+        # own _gc/vacuum cannot delete its files before the plan executes
+        self._read_pinned.add(int(version))
         return self._files_df(name, bmap) if bmap else None
 
     def index_df(self, version: int | None = None) -> DataFrame | None:

@@ -804,16 +804,19 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-collecting aggregates, sorted so the array value is deterministic
     under any partitioning (bare collect_set order is not)."""
     o = _t(spark, sf_dir, "orders")
+    # the set is rendered as a joined string: the driver's value-hash cannot
+    # hash ARRAY cells (unhashable python lists), and the join loses nothing
+    # since o_orderstatus values never contain the delimiter
     return (o.groupBy("o_orderpriority")
-            .agg(F.array_sort(F.collect_set("o_orderstatus"))
+            .agg(F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
                  .alias("statuses"),
-                 F.size(F.array_sort(F.collect_set("o_orderstatus")))
+                 F.size(F.collect_set("o_orderstatus"))
                  .alias("n_statuses")))
 
 
 register("agg_collect_set", agg_collect_set, oracle="""
 SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        CAST(length(list(DISTINCT o_orderstatus)) AS INTEGER) AS n_statuses
 FROM orders GROUP BY o_orderpriority
 """)

@@ -22,13 +22,24 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-        # rejects outright; read the raw int64 nanos and truncate to micros
-        # (same truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP).
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader surfaces only as int64 via the legacy
+        # conf) or TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).  Normalize both
+        # to a plain TIMESTAMP so downstream windows/aggregates see one type:
+        #   int64 nanos  -> truncate to micros (same truncation DuckDB applies
+        #                   casting TIMESTAMP_NS -> TIMESTAMP)
+        #   ntz micros   -> cast; wall-clock is preserved (cast interprets and
+        #                   collect renders in the same session zone), so the
+        #                   values DuckDB reads from the file match exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
-        return (spark.read.parquet(path)
-                .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
