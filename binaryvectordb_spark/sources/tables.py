@@ -19,20 +19,50 @@ TABLE_NAMES = (
 )
 
 
+def events_ts_encoding(path: str) -> str:
+    """Footer-only probe (pyarrow, driver-side — no Spark job) of the events
+    table's ``ts`` physical encoding.  The fixture has shipped as both
+    parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across generations; the
+    batch and streaming readers MUST branch identically or event-time values
+    silently land in 1970 (a nanos-assuming reader dividing micros by 1000).
+
+    Returns ``'nanos'`` | ``'micros'`` | ``'other'``.  ``path`` may be a
+    single parquet file or a directory of them (streaming source dir).
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if not files:
+        return "micros"  # current fixture default; harmless for empty dirs
+    t = str(pq.read_schema(files[0]).field("ts").type)
+    if t.startswith("timestamp[ns"):
+        return "nanos"
+    if t.startswith("timestamp"):
+        return "micros"
+    return "other"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
-        # Spark's vectorized reader surfaces only as int64 via the legacy
-        # conf) or TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).  Normalize both
-        # to a plain TIMESTAMP so downstream windows/aggregates see one type:
-        #   int64 nanos  -> truncate to micros (same truncation DuckDB applies
-        #                   casting TIMESTAMP_NS -> TIMESTAMP)
-        #   ntz micros   -> cast; wall-clock is preserved (cast interprets and
-        #                   collect renders in the same session zone), so the
-        #                   values DuckDB reads from the file match exactly.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Normalize ts to a plain TIMESTAMP so downstream windows/aggregates
+        # see one type regardless of the fixture generation:
+        #   NANOS  -> int64 via the legacy conf, truncate to micros (same
+        #             truncation DuckDB applies casting TIMESTAMP_NS ->
+        #             TIMESTAMP).  The conf is only set when the footer probe
+        #             says NANOS (it must stay set for the lazy plan's
+        #             execution, so it cannot be save/restored here — but the
+        #             common micros path no longer touches it at all).
+        #   MICROS -> read as TIMESTAMP_NTZ, cast; wall-clock preserved, so
+        #             values match what DuckDB reads from the same file.
         from pyspark.sql import functions as F
+        if events_ts_encoding(path) == "nanos":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts", "")
         if ts_type == "bigint":

@@ -17,20 +17,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# raw file schema: ts is int64 nanos (parquet TIMESTAMP(NANOS) read via
-# nanosAsLong — same workaround as the batch loader in sources/tables.py)
-RAW_SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
+# streaming requires an explicit schema; ts's declared type depends on the
+# fixture's physical encoding, probed from the parquet footer exactly as the
+# batch loader does (sources/tables.py events_ts_encoding) — a nanos-assuming
+# reader fed micros divides twice and lands every timestamp in January 1970.
+_RAW_FIELDS = ("event_id long, {ts}, user_id long, event_type string, "
+               "value double, props string")
 
 
 def read_events_stream(spark: SparkSession, events_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(RAW_SCHEMA)
+    from binaryvectordb_spark.sources.tables import events_ts_encoding
+
+    enc = events_ts_encoding(events_dir)
+    if enc == "nanos":
+        # TIMESTAMP(NANOS) is only readable as int64 via the legacy conf;
+        # it must stay set for the lifetime of the (lazy) streaming query.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _RAW_FIELDS.format(ts="ts long")
+    else:
+        schema = _RAW_FIELDS.format(ts="ts timestamp")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (reader.parquet(events_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    out = reader.parquet(events_dir)
+    if enc == "nanos":
+        out = out.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return out
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour",

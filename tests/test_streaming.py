@@ -114,7 +114,6 @@ def test_stateful_user_totals(spark, tmp_path, events_dir):
     # split input into 2 arriving files to force state carry-over
     multi = tmp_path / "multi"
     multi.mkdir()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     for i in range(2):
         part = tmp_path / f"part{i}"
@@ -147,10 +146,10 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     got = run_append_to_memory(
         stream_stream_click_purchase_join(stream), "t_ssjoin")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
-    raw = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-           .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+
+    from binaryvectordb_spark.sources.tables import load_table
+    raw = load_table(spark, SF_SMOKE, "events")
     clicks = raw.where("event_type = 'click'").selectExpr(
         "user_id c_user", "event_id click_id", "ts click_ts")
     purchases = raw.where("event_type = 'purchase'").selectExpr(
