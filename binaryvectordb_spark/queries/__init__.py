@@ -46,71 +46,15 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority: the three-phase cascade (the engine's reason to exist,
-# reference BinaryVectorDB/BinaryVectorDB.py:200-252) and its ANN siblings
-# first, then families without a prior driver-correctness row, then queries
-# already driver-green in round 1.  Names not listed keep registration order
-# after the listed ones.
+# Evaluation priority (rotated round 5): the driver value-hashes the first
+# ~50 registry entries per round, so hard-signal coverage is maximized by
+# putting (a) the 30 queries that have NEVER had a driver row, then (b) the
+# 5 rows-only queries that errored in round 1 and were never re-checked,
+# then (c) the queries last driver-checked in rounds 1-2 (mutation family
+# first).  Queries green in rounds 3-4 fall to the back — their code is
+# unchanged and locally parity-green, so they carry the least new signal.
 _PRIORITY = [
-    # §2.5 cascade family — flagship
-    "knn_cascade",
-    "knn_cascade_ivf",
-    "knn_phase1_hamming",
-    "knn_cascade_batch",
-    "knn_cascade_filtered",
-    "knn_radius_search",
-    "knn_label_vote",
-    "knn_bruteforce_cosine",
-    "knn_dot_topk",
-    "index_popcount_stats",
-    "db_len",
-    "point_lookup",
-    # ANN scale path
-    "ann_ivf_search",
-    "ann_lsh_bucket_search",
-    "ann_lsh_multitable_search",
-    "ann_lsh_multitable_batch",
-    # round-1 hash-fails, re-check the cast fix
-    "profile_orders",
-    "dedup_corpus_kept",
-    # TPC-H-shaped joins/aggs (no round-1 driver row)
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_by_status",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers",
-    # window pack (no round-1 driver row)
-    "window_topk_per_customer",
-    "window_rank_variants",
-    "window_lag_lead",
-    "window_moving_sum",
-    "window_running_total",
-    "window_distribution_funcs",
-    "window_first_last",
-    # grouping/rollup/pivot pack
-    "agg_rollup_region_nation",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_pivot_status",
-    "unpivot_acctbal",
-    "agg_percentiles",
-    "agg_stats_moments",
-    "agg_collect_set",
-    # remaining untested relational
-    "scalar_subquery_above_avg",
-    "set_ops_segments",
-    "union_by_name_parties",
-    "join_full_outer_nation_profile",
-    "join_right_outer_orders",
-    "orderby_limit_offset",
-    # scalar fn packs
+    # (a) never driver-checked — scalar fn packs
     "string_funcs",
     "date_funcs",
     "math_funcs",
@@ -121,12 +65,13 @@ _PRIORITY = [
     "date_arithmetic",
     "string_funcs2",
     "date_funcs2",
-    # events batch twins + text + udf surface (no round-1 driver row)
+    # (a) events batch twins (streaming §2.9 batch-equivalents)
     "events_tumbling_window",
     "events_sliding_window",
     "events_session_window",
     "events_dedup_first",
     "events_click_purchase_attribution",
+    # (a) text-analysis pack
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
@@ -134,10 +79,66 @@ _PRIORITY = [
     "text_source_profile",
     "text_chunk_documents",
     "text_normalize",
+    "text_train_val_test_split",
+    "text_pack_sequences",
+    "text_redact_terms",
+    # (a) UDF/UDAF/UDTF surface + remaining relational
     "udf_scalar_pandas",
     "udf_arrow_scalar",
     "udf_grouped_map",
     "udf_grouped_agg",
+    "orderby_limit_offset",
+    # (b) round-1 errors, fixed + pytest-pinned since, never re-shown to the
+    # driver — the only driver-red history in the repo
+    "ann_ivf_kmeans_search",
+    "similarity_join_brp_lsh",
+    "dedup_minhash_mllib",
+    "embed_documents_distributed",
+    "agg_approx_count_distinct",
+    # (c) last driver-checked in r01/r02 — mutation family first
+    "mutation_upsert_documents",
+    "mutation_delete_documents",
+    "mutation_upsert_index",
+    "join_asof_purchase_click",
+    "join_range_value_bands",
+    "dedup_exact_stats",
+    "dedup_fingerprint_groups",
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "dedup_lsh_jaccard",
+    "dedup_clusters",
+    "dedup_levenshtein_pairs",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "events_multigrain_rollup",
+    "events_gap_fill_daily",
+    "window_range_frame_30d",
+    "agg_min_by_max_by",
+    "agg_filter_clause",
+    "agg_equiwidth_histogram",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_having",
+    "set_ops_bag_semantics",
+    "filter_range_pushdown",
+    "filter_in_like_null",
+    "filter_empty_result",
+    "join_null_safe_eq",
+    "join_multiway_revenue",
+    "join_semi_customers_with_errors",
+    "join_anti_customers_no_orders",
+    "join_outer_order_counts",
+    "distinct_pairs",
+    "case_when_buckets",
+    "explode_token_topk",
+    "posexplode_embedding_head",
+    "explode_outer_null_preserving",
+    "text_tf_rarity_topk",
 ]
 
 
