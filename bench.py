@@ -1,20 +1,39 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "variance": {name: rel_spread}, "sf": ...}.
 
 Timing protocol: one untimed warm-up of the flagship query absorbs JVM/
 codegen/file-listing cold costs (the reference's numbers are steady-state
 in-memory scans, README.md:14-15); each query is then timed end-to-end
-(plan + execute + collect).
+(plan + execute + collect) as the MEDIAN of 5 fresh plans.  Round 3-vs-4
+ran identical code and differed 31% total / 2x per-query, so a single (or
+min-of-2) sample is not trustworthy on shared infra; the reported
+``variance`` field is (max-min)/median per query — read any cross-round
+delta smaller than that spread as noise, not regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+
+def _time_runs(make_plan, n: int = 5) -> tuple[float, float]:
+    """(median_sec, rel_spread) over n FRESHLY-BUILT plans — re-collecting
+    one DataFrame object would reuse its shuffle map outputs (skipped
+    stages) and measure nothing."""
+    runs = []
+    for _ in range(n):
+        plan = make_plan()
+        t0 = time.perf_counter()
+        plan.collect()
+        runs.append(time.perf_counter() - t0)
+    med = statistics.median(runs)
+    return med, (max(runs) - min(runs)) / med if med > 0 else 0.0
 
 HEADLINE = [
     "knn_cascade",            # the reference's flagship operation
@@ -35,7 +54,8 @@ HEADLINE = [
 ]
 
 
-def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
+def bench_1m_scan(spark, sf_dir: str,
+                  variance: dict[str, float]) -> dict[str, float]:
     """Search over a 1M-vector binary index (the BASELINE.md configuration:
     '1M docs, binary: 24 ms / + int8 rescore: 28 ms').  The fixture corpus is
     replicated to 1M rows with distinct ids, packed, and cached — the same
@@ -88,23 +108,15 @@ def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
     build = build_index(fresh, dim).select(
         F.expr("aggregate(vec, 0, (a, x) -> a + bit_count(x))").alias("s"))
     build.agg(F.sum("s")).collect()  # warm-up
-    # min-of-3: run-to-run swings of 1.5-2x were observed on shared infra
-    # (VERDICT r1 flagged a 2.82s vs 0.74 Mvec/s discrepancy that was noise)
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        build.agg(F.sum("s")).collect()
-        dt = min(dt, time.perf_counter() - t0)
+    dt, sp = _time_runs(lambda: build.agg(F.sum("s")))
     out["index_build_1m"] = round(dt, 4)
     out["index_build_mvecs_per_s"] = round(n_big / dt / 1e6, 2)
+    variance["index_build_1m"] = round(sp, 2)
 
     scan().collect()  # steady-state warm-up (codegen + scheduler)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        scan().collect()
-        best = min(best, time.perf_counter() - t0)
-    out["hamming_scan_1m"] = round(best, 4)
+    dt, sp = _time_runs(scan)
+    out["hamming_scan_1m"] = round(dt, 4)
+    variance["hamming_scan_1m"] = round(sp, 2)
 
     # the int8 store is an INGEST-time artifact (the reference persists int8
     # embeddings, it never quantizes at query time) — materialize before timing
@@ -116,13 +128,68 @@ def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
     store.count()
     cascade_search(index, store, dim,
                    query_df=q.select("qvec", "qbits")).collect()  # warm-up
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cascade_search(index, store, dim,
-                       query_df=q.select("qvec", "qbits")).collect()
-        best = min(best, time.perf_counter() - t0)
-    out["cascade_1m"] = round(best, 4)
+
+    # IVF serving path: the persisted-KMeans partitioner (BinaryVectorDB
+    # index_type='ivf', db.py build_ivf) over the same 1M corpus — the probe
+    # selects nprobe nearest centroids driver-side and the cascade scans only
+    # those clusters.  Build (distributed pre-embedded ingest + sampled
+    # KMeans train + cluster assignment) is untimed: it is ingest-time work,
+    # paid once, exactly like the reference's faiss index build.  The flat
+    # and IVF timings are INTERLEAVED below so session-state drift (cache-
+    # manager size, JVM heap) hits both equally — timed back-to-back they
+    # are at parity, timed minutes apart the later one reads ~2x worse.
+    import shutil
+    import tempfile
+
+    from binaryvectordb_spark.db import BinaryVectorDB
+    dbdir = tempfile.mkdtemp(prefix="bvdb_ivf_bench_")
+    try:
+        db = BinaryVectorDB(spark, dbdir, dim=dim, index_type="ivf",
+                            index_args={"n_clusters": 32, "nprobe": 2,
+                                        "maxIter": 10,
+                                        "train_fraction": 0.05})
+        db.add_batch_df(big.select(
+            F.col("vec_id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("vec_id")).alias("doc"),
+            "embedding"))
+        qvec = [r[0] for r in
+                (emb.where(F.col("vec_id") == 0)
+                 .select("embedding").collect())][0]
+        db.search(qvec)  # warm-up: memoizes serving handles, caches tiers
+
+        # three comparators, interleaved: the raw cascade primitive over the
+        # cached tiers (cascade_1m — the historical key), the db serving API
+        # with nprobe pruning (cascade_1m_ivf), and the SAME db API probing
+        # every cluster (cascade_1m_ivf_fullprobe — flat semantics through
+        # identical machinery, so ivf vs fullprobe isolates the pruning gain
+        # from API overhead)
+        flat_runs, ivf_runs, full_runs = [], [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            cascade_search(index, store, dim,
+                           query_df=q.select("qvec", "qbits")).collect()
+            flat_runs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            db.search(qvec)
+            ivf_runs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            db.search(qvec, nprobe=32)
+            full_runs.append(time.perf_counter() - t0)
+        for key, runs in (("cascade_1m", flat_runs),
+                          ("cascade_1m_ivf", ivf_runs),
+                          ("cascade_1m_ivf_fullprobe", full_runs)):
+            med = statistics.median(runs)
+            out[key] = round(med, 4)
+            variance[key] = round((max(runs) - min(runs)) / med, 2)
+        # scan fraction: rows the probe leaves in the index scan / corpus —
+        # sub-linear by construction (~nprobe/n_clusters), the number that
+        # keeps shrinking as n_clusters grows with the corpus
+        import numpy as np
+        probe = db._probe_clusters(np.asarray(qvec, dtype=np.float32), 2)
+        pruned = db.index_df().where(F.col("cluster").isin(probe)).count()
+        out["cascade_1m_ivf_scan_fraction"] = round(pruned / n_big, 4)
+    finally:
+        shutil.rmtree(dbdir, ignore_errors=True)
 
     # batched serving: 100 queries against the same 1M index in ONE plan —
     # Spark's fixed per-job overhead amortizes across the batch, which is the
@@ -131,17 +198,11 @@ def bench_1m_scan(spark, sf_dir: str) -> dict[str, float]:
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
     cascade_search_batch(index, store, dim, queries, k=10).collect()  # warm-up
-    # time FRESHLY-BUILT plans: re-collecting the same DataFrame object
-    # reuses its shuffle map outputs (skipped stages) and measures nothing.
-    # min-of-3 damps GC/scheduler noise on the headline metric
-    total = float("inf")
-    for _ in range(3):
-        batch_plan = cascade_search_batch(index, store, dim, queries, k=10)
-        t0 = time.perf_counter()
-        batch_plan.collect()
-        total = min(total, time.perf_counter() - t0)
+    total, sp = _time_runs(
+        lambda: cascade_search_batch(index, store, dim, queries, k=10))
     out["cascade_1m_batch100_total"] = round(total, 4)
     out["cascade_1m_per_query_ms"] = round(total / 100 * 1000, 2)
+    variance["cascade_1m_batch100_total"] = round(sp, 2)
 
     # RAM-tier single-query serving (the reference's own serving mode:
     # in-RAM index, one node): materialize the shard once, then serve
@@ -186,17 +247,17 @@ def main() -> None:
     # per query: one untimed run absorbs per-plan codegen/compile cold cost,
     # then FRESHLY-BUILT plans are timed (new lineage => no shuffle-output
     # reuse, so every timed run does all its compute; only the codegen cache
-    # is warm — matching the baseline's steady-state protocol).  min-of-2
-    # damps machine noise (observed 1.5x run-to-run swings on shared infra).
+    # is warm — matching the baseline's steady-state protocol).  The
+    # reported number is the MEDIAN of 5 runs; `variance` carries each
+    # query's (max-min)/median so readers can tell noise from regression
+    # (round 3-vs-4 proved 2x per-query swings on identical code).
     times: dict[str, float] = {}
+    variance: dict[str, float] = {}
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).collect()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+        med, spread = _time_runs(lambda: QUERIES[name](spark, sf_dir))
+        times[name] = round(med, 4)
+        variance[name] = round(spread, 2)
 
     # drop the headline queries' cached relations before the 1M section so
     # its numbers aren't degraded by unrelated cache memory pressure
@@ -206,7 +267,9 @@ def main() -> None:
         "metric": "headline query wall-clock at sf" + sf,
         "value": round(sum(times.values()), 4),
         "unit": "sec",
-        "queries": {**times, **bench_1m_scan(spark, sf_dir)},
+        "queries": {**times, **bench_1m_scan(spark, sf_dir, variance)},
+        "variance": variance,
+        "protocol": "median of 5 fresh plans per query; variance = (max-min)/median",
         "sf": float(sf),
     }
     print(json.dumps(out))

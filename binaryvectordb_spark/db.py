@@ -112,6 +112,10 @@ class BinaryVectorDB:
         # see index_df/docs_df)
         self._read_pinned: set[int] = set()
         self._ivf_model_cache = None
+        self._ivf_centers = None
+        # serving-handle memo: (manifest_version, index_df, docs_df,
+        # index_nonempty) — see _serving_handles
+        self._serve_cache: tuple | None = None
         # _custom_embed_fn must be picklable for the distributed ingest path;
         # the default (None) is rebuilt executor-side from local_embedder+dim
         self._custom_embed_fn = embed_fn
@@ -147,12 +151,19 @@ class BinaryVectorDB:
 
     @staticmethod
     def _write_meta(meta_path: str, meta: dict) -> None:
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, meta_path)
+        # pid-suffixed tmp: two processes racing to create the same DB would
+        # otherwise interleave writes into ONE tmp file and rename a torn
+        # meta; with distinct tmps the last rename wins atomically
+        tmp = f"{meta_path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, meta_path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     # -- storage ------------------------------------------------------------
     # Layout: <folder>/<name>/bucket=K/part-*.parquet with
@@ -375,6 +386,14 @@ class BinaryVectorDB:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (the live version)")
         self._gc(keep_last, respect_pins=False)
+        # the override just reclaimed pinned versions' files: drop the pins
+        # that are now unreadable so later commit-time GCs stop carrying
+        # dead entries (and their manifests' file lists) forever
+        for pv in list(self._read_pinned):
+            try:
+                self._tables_at(pv)
+            except ValueError:
+                self._read_pinned.discard(pv)
 
     def history(self) -> list[dict]:
         """The committed version trail, oldest first:
@@ -465,8 +484,15 @@ class BinaryVectorDB:
 
     def _read_version_df(self, name: str, version: int) -> DataFrame | None:
         bmap = self._tables_at(version).get(name)
-        # time-travel DataFrames are lazy: pin the version so this handle's
-        # own _gc/vacuum cannot delete its files before the plan executes
+        # Time-travel DataFrames are lazy: pin the version so this handle's
+        # own commit-time GC cannot delete its files before the plan
+        # executes.  SCOPE: pins live in THIS handle's memory only — they do
+        # not persist, and another handle on the same folder (or this one
+        # after an explicit vacuum(), which overrides pins by contract) can
+        # still reclaim the files; a versioned read that must survive other
+        # writers should collect() promptly or raise retain_versions so the
+        # retention window itself (which every writer honors, no pin needed)
+        # covers the read.
         self._read_pinned.add(int(version))
         return self._files_df(name, bmap) if bmap else None
 
@@ -581,6 +607,12 @@ class BinaryVectorDB:
         if self._ivf_model_cache is None and self._exists("ivf_model"):
             from pyspark.ml.clustering import KMeansModel
             self._ivf_model_cache = KMeansModel.load(self._path("ivf_model"))
+            # memoize the centers matrix: clusterCenters() round-trips every
+            # centroid through py4j (~40 ms/query at k=32 — measurable
+            # against a ~0.5 s serving latency); the matrix is immutable for
+            # a given trained model
+            self._ivf_centers = (np.vstack(self._ivf_model_cache.clusterCenters())
+                                 if self._ivf_model_cache is not None else None)
         return self._ivf_model_cache
 
     def _with_cluster(self, df: DataFrame, int8_col: str) -> DataFrame:
@@ -612,11 +644,19 @@ class BinaryVectorDB:
             "doc_id",
             array_to_vector(F.col("emb_int8").cast("array<double>"))
             .alias("features"))
-        km = KMeans(k=k, seed=42, maxIter=20, featuresCol="features",
-                    predictionCol="cluster")
-        model = km.fit(feats)
+        km = KMeans(k=k, seed=42,
+                    maxIter=int(self._ivf_args().get("maxIter", 20)),
+                    featuresCol="features", predictionCol="cluster")
+        # train on a sample when asked (index_args train_fraction): the
+        # standard IVF practice (faiss trains coarse quantizers on a
+        # subsample) — centroid quality converges long before the full
+        # corpus is seen, and assignment below is always over ALL rows
+        frac = float(self._ivf_args().get("train_fraction", 1.0))
+        train = feats if frac >= 1.0 else feats.sample(frac, seed=42)
+        model = km.fit(train)
         model.write().overwrite().save(self._path("ivf_model"))
         self._ivf_model_cache = None
+        self._ivf_centers = None
         assign = self._with_cluster(
             docs.select("doc_id", "emb_int8"), "emb_int8"
         ).select("doc_id", "cluster")
@@ -624,14 +664,20 @@ class BinaryVectorDB:
         idx = self.index_df()
         if "cluster" in idx.columns:
             idx = idx.drop("cluster")
+        # shuffle_hash hint: both sides are corpus-sized, but Catalyst's
+        # column-pruned size estimate of the 2-column assignment can dip
+        # under the broadcast threshold and BROADCAST a corpus-sized side —
+        # flaky driver OOM at 1M rows, certain death at 100 TB
         self._commit(
-            {"index": self._full_update(idx.join(assign, "doc_id"), "index")},
+            {"index": self._full_update(
+                idx.join(assign.hint("shuffle_hash"), "doc_id"), "index")},
             expect=expect)
 
     def _probe_clusters(self, qvec: np.ndarray, nprobe: int) -> list[int]:
         """nprobe nearest centroids to the query (L2 in the trained int8
         space; ties by cluster id) — a k-row numpy argsort on the driver."""
-        centers = np.vstack(self._ivf_model().clusterCenters())
+        self._ivf_model()  # ensure loaded + centers memoized
+        centers = self._ivf_centers
         scaled = np.clip(np.asarray(qvec, dtype=np.float64), -1, 1) * 127
         # HALF_UP (away from zero), matching int8_quantize — np.round is
         # half-to-even and would land .5 cases in a different int8 space
@@ -856,6 +902,35 @@ class BinaryVectorDB:
         finally:
             embedded.unpersist()
 
+    def add_batch_df(self, df: DataFrame, id_col: str = "doc_id",
+                     doc_col: str = "doc", emb_col: str = "embedding") -> None:
+        """Distributed pre-embedded bulk upsert — the `_add_batch` path
+        (reference BinaryVectorDB/BinaryVectorDB.py:117-143) for corpora that
+        don't fit through the driver.  Embeddings are already a column, so
+        ingest is a narrow quantize+pack map over the source partitions (no
+        UDF, no shuffle) feeding the same bucketed delete-then-insert merge
+        as every other ingest path.  Duplicate ids within the batch collapse
+        to one row (a DataFrame has no order for 'later wins' to mean
+        anything); across batches, delete-then-insert applies."""
+        self._flush_pending()
+        base = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                          F.col(doc_col).cast("string").alias("doc"),
+                          F.col(emb_col).cast("array<float>").alias("embedding"))
+                .dropDuplicates(["doc_id"])
+                .withColumn("emb_int8", int8_quantize("embedding")))
+        bad = base.where(F.size("embedding") != self.dim).take(1)
+        if bad:
+            raise ValueError(
+                f"embeddings size {len(bad[0]['embedding'])} does not match "
+                f"dim={self.dim}")  # same contract as _enqueue's shape check
+        new_docs = base.select("doc_id", "doc", F.lit("str").alias("doc_kind"),
+                               "emb_int8")
+        touched = [int(r[0]) for r in
+                   base.select(F.pmod(F.col("doc_id"), F.lit(self.buckets))
+                               .cast("int").alias("b")).distinct().collect()]
+        self._merge_and_swap(self._new_index_from(base), new_docs,
+                             base.select("doc_id"), touched=sorted(touched))
+
     def remove_docs(self, doc_ids: Sequence[int]) -> None:
         """Batched delete (reference deletes one id + full rewrite, :155-166).
         On bucketed storage only the buckets holding the deleted ids are
@@ -967,11 +1042,44 @@ class BinaryVectorDB:
         directory.  Re-reading per search costs only a plan lookup: Spark's
         cache manager dedupes equivalent parquet-scan plans, and
         _commit's refreshByPath is the single invalidation point."""
-        idx = self.index_df()
-        if idx is None:
-            return None
-        idx.cache()  # no-op when an equivalent plan is already cached
+        idx, _, _ = self._serving_handles()
         return idx
+
+    def _cached_docs(self) -> DataFrame | None:
+        """RAM tier for the rescore side: Phases II/III join the doc store
+        (int8 embeddings + payloads) per search; without caching, every
+        query re-scans the documents parquet — 18x slower than the cached
+        index scan on a 1M corpus.  The reference keeps int8 on disk but
+        reads only the candidates by offset (a memmap point-read); columnar
+        Spark has no per-row offset read, so the RAM-tier equivalent is
+        caching the store alongside the index."""
+        _, docs, _ = self._serving_handles()
+        return docs
+
+    def _serving_handles(self) -> tuple[DataFrame | None, DataFrame | None,
+                                        bool]:
+        """(index_df, docs_df, index_nonempty) for the serving paths,
+        memoized per manifest version.  Rebuilding the DataFrames per query
+        costs a 2x bucket-dir listing + plan construction + a take(1)
+        emptiness job — ~0.5 s of pure driver overhead per search on a 1M
+        corpus.  Keying the memo on the manifest version makes invalidation
+        exact: EVERY mutation commits a new version (that is the OCC
+        contract), so a held handle can never see a swapped-out file
+        listing; the version read itself is one directory listing of the
+        txn log, paid per call.  Handles are cache()d — a no-op when the
+        equivalent plan is already cached, and _commit's refreshByPath
+        remains the data-invalidation point."""
+        v = self._manifest_version()
+        if self._serve_cache is not None and self._serve_cache[0] == v:
+            return self._serve_cache[1], self._serve_cache[2], self._serve_cache[3]
+        idx, docs = self.index_df(), self.docs_df()
+        if idx is not None:
+            idx.cache()
+        if docs is not None:
+            docs.cache()
+        nonempty = idx is not None and bool(idx.take(1))
+        self._serve_cache = (v, idx, docs, nonempty)
+        return idx, docs, nonempty
 
     def _decode_hit(self, d: dict) -> dict:
         kind = d.pop("doc_kind", "str")
@@ -984,9 +1092,9 @@ class BinaryVectorDB:
                int8_oversample: int = DEFAULT_INT8_OVERSAMPLE,
                nprobe: int | None = None) -> list[dict]:
         self._flush_pending()
-        # emptiness probe, not a full count() job per query (:190-191)
-        idx = self.index_df()
-        if idx is None or not idx.take(1):
+        # memoized emptiness flag, not a take(1) job per query (:190-191)
+        idx, docs, nonempty = self._serving_handles()
+        if not nonempty:
             raise Exception("Index is empty; add documents first")
         if isinstance(query, str):
             qvec = self.embed_fn([query])[0]
@@ -997,30 +1105,37 @@ class BinaryVectorDB:
             # the SQL packer treats NaN >= 0 as true (Spark orders NaN above
             # all numerics) and would silently return NaN-scored hits
             raise ValueError("query vectors must be finite (got NaN/Inf)")
-        idx = self._maybe_prune_index(self._cached_index(), [qvec], nprobe)
-        hits_df = cascade_search(idx, self.docs_df(), self.dim,
+        idx = self._maybe_prune_index(idx, [qvec], nprobe)
+        hits_df = cascade_search(idx, docs, self.dim,
                                  query_vec=qvec.tolist(), k=k,
                                  binary_oversample=binary_oversample,
                                  int8_oversample=int8_oversample)
         return [self._decode_hit(r.asDict()) for r in hits_df.collect()]
 
-    def to_local_searcher(self):
+    def to_local_searcher(self, n_shards: int = 1):
         """Materialize the index + doc store into an in-process RAM-tier
         searcher (operators/local_serve.py) — the reference's single-node
         in-RAM serving mode (README.md:68), bit-identical to the
         distributed cascade but without Spark's ~0.2 s per-job floor:
         single-query latency drops to single-digit ms.  Memory is
-        O(n × dim); at 100 TB serve one searcher per cached shard and keep
-        the Spark cascade as the batch/throughput path."""
+        O(n × dim); with ``n_shards > 1`` returns the sharded router
+        (ShardedLocalCascadeSearcher) — the architecture for serving beyond
+        one node's RAM: one searcher per shard, phase-wise fan-out + global
+        merge, still bit-identical.  The Spark cascade remains the
+        batch/throughput path."""
         from binaryvectordb_spark.operators.local_serve import (
             LocalCascadeSearcher,
+            ShardedLocalCascadeSearcher,
         )
         self._flush_pending()
         idx = self.index_df()
         if idx is None or not idx.take(1):
             raise Exception("Index is empty; add documents first")
-        return LocalCascadeSearcher.from_dataframes(
+        base = LocalCascadeSearcher.from_dataframes(
             idx, self.docs_df(), self.dim, embed_fn=self.embed_fn)
+        if n_shards <= 1:
+            return base
+        return ShardedLocalCascadeSearcher.from_searcher(base, n_shards)
 
     def search_batch(self, queries: Sequence[str | Sequence[float]],
                      k: int = DEFAULT_K,
@@ -1036,8 +1151,8 @@ class BinaryVectorDB:
         self._flush_pending()
         if len(queries) == 0:
             return []
-        idx = self.index_df()
-        if idx is None or not idx.take(1):
+        idx, docs, nonempty = self._serving_handles()
+        if not nonempty:
             raise Exception("Index is empty; add documents first")
         texts = [q for q in queries if isinstance(q, str)]
         if texts:
@@ -1063,8 +1178,8 @@ class BinaryVectorDB:
         qdf = self.spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
             "qid: long, qvec: array<float>")
-        idx = self._maybe_prune_index(self._cached_index(), vecs, nprobe)
-        rows = cascade_search_batch(idx, self.docs_df(),
+        idx = self._maybe_prune_index(idx, vecs, nprobe)
+        rows = cascade_search_batch(idx, docs,
                                     self.dim, qdf, k=k,
                                     binary_oversample=binary_oversample,
                                     int8_oversample=int8_oversample).collect()

@@ -104,9 +104,9 @@ class LocalCascadeSearcher:
             acc += q64[d] * mat64[:, d]
         return acc
 
-    def search(self, query, k: int = DEFAULT_K,
-               binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
-               int8_oversample: int = DEFAULT_INT8_OVERSAMPLE) -> list[dict]:
+    # -- phase kernels (shared by single-shard search and the sharded
+    #    router, which does the GLOBAL selection between phases itself) -----
+    def _validate_query(self, query) -> np.ndarray:
         if isinstance(query, str):
             if self.embed_fn is None:
                 raise ValueError("text query needs an embed_fn")
@@ -117,39 +117,59 @@ class LocalCascadeSearcher:
             raise ValueError(f"query shape {qf.shape} != dim {self.dim}")
         if not np.isfinite(qf).all():
             raise ValueError("query vectors must be finite (got NaN/Inf)")
+        return qf
 
-        binary_k = min(k * binary_oversample, self.n)
-        rescore_k = k * int8_oversample      # NOT clamped, as in :230
-
-        # Phase I — GEMM hamming + histogram-cutoff top-binary_k (hamming
-        # has only dim+1 values; ~5x faster than an argpartition composite
-        # key at 1M rows — same selection trick as _phase1_arrow_topk).
-        # The selected SET is exactly the (h asc, doc_id asc) top-binary_k:
-        # everything below the cutoff score, plus the smallest-row ties AT
-        # it (rows are doc_id-ordered); Phase II re-sorts by its own key,
-        # so no ordering of the set itself is needed.
+    def _hamming_all(self, qf: np.ndarray) -> np.ndarray:
+        """Phase I scores for every row — GEMM hamming via the ±1 identity."""
         qpm = np.where(qf >= 0, np.float32(1), np.float32(-1))
-        h = ((self.dim - self.dpm @ qpm) * 0.5).astype(np.int32)
+        return ((self.dim - self.dpm @ qpm) * 0.5).astype(np.int32)
+
+    def _phase1_select(self, h: np.ndarray, binary_k: int) -> np.ndarray:
+        """Histogram-cutoff top-binary_k row indices (hamming has only dim+1
+        values; ~5x faster than an argpartition composite key at 1M rows —
+        same selection trick as _phase1_arrow_topk).  The selected SET is
+        exactly the (h asc, doc_id asc) top-binary_k: everything below the
+        cutoff score, plus the smallest-row ties AT it (rows are
+        doc_id-ordered); later phases re-sort by their own keys, so no
+        ordering of the set itself is needed."""
         if binary_k < self.n:
             cum = np.bincount(h, minlength=self.dim + 1).cumsum()
             c = int(np.searchsorted(cum, binary_k))
             below = np.flatnonzero(h < c)
             ties = np.flatnonzero(h == c)[:binary_k - len(below)]
-            cand = np.concatenate((below, ties))
-        else:
-            cand = np.arange(self.n)
+            return np.concatenate((below, ties))
+        return np.arange(self.n)
 
-        # Phase II — ±q contribution fold on the candidates
+    def _binary_scores(self, q64: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """Phase II — ±q contribution fold on the given rows."""
+        return self._fold_dot(q64, self.dpm[rows].astype(np.float64))
+
+    def _int8_scores(self, q64: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """Phase III — doc-side-norm int8 cosine on the given rows."""
+        i8 = self.emb_int8[rows].astype(np.float64)
+        d3 = self._fold_dot(q64, i8)
+        nrm = np.sqrt(self._fold_dot(np.ones(self.dim), i8 * i8))
+        return np.where(nrm > 0, d3 / np.where(nrm > 0, nrm, 1.0), 0.0)
+
+    def search(self, query, k: int = DEFAULT_K,
+               binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
+               int8_oversample: int = DEFAULT_INT8_OVERSAMPLE) -> list[dict]:
+        qf = self._validate_query(query)
+        binary_k = min(k * binary_oversample, self.n)
+        rescore_k = k * int8_oversample      # NOT clamped, as in :230
+
+        # Phase I
+        h = self._hamming_all(qf)
+        cand = self._phase1_select(h, binary_k)
+
+        # Phase II — tie-break by row index == doc_id asc (rows are sorted)
         q64 = qf.astype(np.float64)
-        s2 = self._fold_dot(q64, self.dpm[cand].astype(np.float64))
+        s2 = self._binary_scores(q64, cand)
         o2 = np.lexsort((cand, -s2))[:rescore_k]
         cand2, s2 = cand[o2], s2[o2]
 
-        # Phase III — doc-side-norm int8 cosine on the survivors
-        i8 = self.emb_int8[cand2].astype(np.float64)
-        d3 = self._fold_dot(q64, i8)
-        nrm = np.sqrt(self._fold_dot(np.ones(self.dim), i8 * i8))
-        s3 = np.where(nrm > 0, d3 / np.where(nrm > 0, nrm, 1.0), 0.0)
+        # Phase III
+        s3 = self._int8_scores(q64, cand2)
         o3 = np.lexsort((cand2, -s3))[:k]
 
         h2 = h[cand2]
@@ -159,6 +179,114 @@ class LocalCascadeSearcher:
                  "score_cossim": float(s3[i]),
                  "doc": self.payloads[cand2[i]]}
                 for i in o3]
+
+    def search_batch(self, queries, **kw) -> list[list[dict]]:
+        return [self.search(q, **kw) for q in queries]
+
+
+class ShardedLocalCascadeSearcher:
+    """Multi-shard RAM-tier router: each shard is a LocalCascadeSearcher over
+    a disjoint doc_id slice (``doc_id % n_shards`` — the db's bucket
+    function), and ``search`` fans each PHASE out to the shards, doing the
+    global candidate selection between phases itself.
+
+    Phase-wise routing is what makes the router EXACT: a shard's top-binary_k
+    is a superset of the global top-binary_k restricted to that shard (fewer
+    than binary_k rows precede any global selectee within its own shard), so
+    re-selecting the merged Phase-I candidates by (hamming asc, doc_id asc)
+    yields exactly the global Phase-I set; Phases II/III then score only that
+    set.  Merging AFTER per-shard full cascades would not be exact — a
+    shard-local Phase II can rank a bad-hamming/good-float row (absent from
+    the global Phase-I set) above a global survivor and evict it.
+
+    Scale position: this is the serving architecture beyond one node's RAM —
+    one LocalCascadeSearcher per cached shard behind this router (the merge
+    is O(binary_k) per shard, network-cheap); results stay bit-identical to
+    the single-shard searcher and the distributed cascade
+    (tests/test_local_serve.py::test_sharded_router_exact)."""
+
+    def __init__(self, shards: list[LocalCascadeSearcher], embed_fn=None):
+        if not shards:
+            raise ValueError("need at least one shard")
+        self.shards = [s for s in shards if s.n > 0] or shards[:1]
+        self.dim = shards[0].dim
+        self.embed_fn = embed_fn
+        self.n = sum(s.n for s in self.shards)
+
+    @classmethod
+    def from_searcher(cls, base: LocalCascadeSearcher, n_shards: int = 2
+                      ) -> "ShardedLocalCascadeSearcher":
+        """Split a materialized searcher into n_shards by doc_id % n_shards
+        (no Spark job — a numpy partition of the already-loaded arrays)."""
+        shards = []
+        for s in range(max(1, n_shards)):
+            rows = np.flatnonzero(base.doc_ids % n_shards == s)
+            shards.append(LocalCascadeSearcher(
+                base.doc_ids[rows], base.dpm[rows], base.emb_int8[rows],
+                [base.payloads[r] for r in rows], base.dim,
+                embed_fn=base.embed_fn))
+        return cls(shards, embed_fn=base.embed_fn)
+
+    @classmethod
+    def from_dataframes(cls, index_df, doc_df, dim: int, n_shards: int = 2,
+                        embed_fn=None) -> "ShardedLocalCascadeSearcher":
+        return cls.from_searcher(
+            LocalCascadeSearcher.from_dataframes(index_df, doc_df, dim,
+                                                 embed_fn=embed_fn),
+            n_shards)
+
+    def search(self, query, k: int = DEFAULT_K,
+               binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
+               int8_oversample: int = DEFAULT_INT8_OVERSAMPLE) -> list[dict]:
+        ref = self.shards[0]
+        qf = (ref._validate_query(query) if not isinstance(query, str)
+              else self._embed(query))
+        binary_k = min(k * binary_oversample, self.n)
+        rescore_k = k * int8_oversample
+        q64 = qf.astype(np.float64)
+
+        # Phase I on every shard, then GLOBAL re-select by (h, doc_id)
+        sh, rows, hs, ids = [], [], [], []
+        for si, s in enumerate(self.shards):
+            h = s._hamming_all(qf)
+            cand = s._phase1_select(h, min(binary_k, s.n))
+            sh.append(np.full(len(cand), si, dtype=np.int32))
+            rows.append(cand)
+            hs.append(h[cand])
+            ids.append(s.doc_ids[cand])
+        sh, rows, hs, ids = map(np.concatenate, (sh, rows, hs, ids))
+        keep = np.lexsort((ids, hs))[:binary_k]
+        sh, rows, hs, ids = sh[keep], rows[keep], hs[keep], ids[keep]
+
+        # Phase II scores from the owning shards, global top-rescore_k
+        s2 = np.empty(len(rows), dtype=np.float64)
+        for si, s in enumerate(self.shards):
+            m = sh == si
+            if m.any():
+                s2[m] = s._binary_scores(q64, rows[m])
+        o2 = np.lexsort((ids, -s2))[:rescore_k]
+        sh, rows, hs, ids, s2 = (a[o2] for a in (sh, rows, hs, ids, s2))
+
+        # Phase III scores from the owning shards, global top-k
+        s3 = np.empty(len(rows), dtype=np.float64)
+        for si, s in enumerate(self.shards):
+            m = sh == si
+            if m.any():
+                s3[m] = s._int8_scores(q64, rows[m])
+        o3 = np.lexsort((ids, -s3))[:k]
+
+        return [{"doc_id": int(ids[i]),
+                 "score_hamming": int(hs[i]),
+                 "score_binary": float(s2[i]),
+                 "score_cossim": float(s3[i]),
+                 "doc": self.shards[sh[i]].payloads[rows[i]]}
+                for i in o3]
+
+    def _embed(self, query: str) -> np.ndarray:
+        if self.embed_fn is None:
+            raise ValueError("text query needs an embed_fn")
+        qf = np.asarray(self.embed_fn([query])[0], dtype=np.float32)
+        return self.shards[0]._validate_query(qf)
 
     def search_batch(self, queries, **kw) -> list[list[dict]]:
         return [self.search(q, **kw) for q in queries]

@@ -457,3 +457,37 @@ def test_empty_query_batch_returns_empty_frames(spark):
     empty = spark.createDataFrame([], "qid: long, qvec: array<float>")
     assert cascade_search_batch(index, store, 16, empty).count() == 0
     assert cascade_search_batch_sharded(index, store, 16, empty).count() == 0
+
+
+def test_add_batch_df_distributed_pre_embedded(spark, tmp_path):
+    """add_batch_df is the distributed twin of add_batch: same delete-then-
+    insert upsert semantics, embeddings taken from a column instead of the
+    driver."""
+    from pyspark.sql import functions as F
+
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    rng = np.random.RandomState(7)
+    rows = [(i, f"doc {i}", rng.uniform(-1, 1, 16).astype(float).tolist())
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, doc string, embedding array<float>")
+    db.add_batch_df(df)
+    assert len(db) == 50
+    # upsert: overlapping ids replace, new ids append
+    db.add_batch_df(df.where("doc_id < 10")
+                    .withColumn("doc", F.concat(F.lit("new "), "doc"))
+                    .unionByName(df.where("doc_id = 0")
+                                 .withColumn("doc_id", F.lit(100).cast("long"))))
+    assert len(db) == 51
+    assert db.get_doc(3) == "new doc 3"
+    assert db.get_doc(100) is not None
+    # search agrees with add_batch on the same data (same quantize+pack path)
+    other = BinaryVectorDB(spark, str(tmp_path / "db2"), dim=16)
+    other.add_batch([r[0] for r in rows], [r[1] for r in rows],
+                    np.array([r[2] for r in rows], dtype=np.float32))
+    q = rows[5][2]
+    got = [h["doc_id"] for h in db.search(q, k=5)]
+    want = [h["doc_id"] for h in other.search(q, k=5)]
+    assert got == want
+
+    with pytest.raises(ValueError, match="dim"):
+        db.add_batch_df(df.withColumn("embedding", F.expr("slice(embedding, 1, 7)")))

@@ -64,3 +64,64 @@ def test_local_batch_matches(db):
     local = db.to_local_searcher()
     qs = [emb[0], emb[5], "d7"]
     assert local.search_batch(qs, k=4) == db.search_batch(qs, k=4)
+
+
+def test_sharded_router_exact(db):
+    """N-shard router == single shard == distributed cascade, bit-identical,
+    for every shard count — including shard counts that leave shards empty
+    or wildly uneven."""
+    rng = np.random.RandomState(11)
+    n = 400
+    emb = rng.uniform(-1, 1, (n, DIM)).astype(np.float32)
+    # non-contiguous, gappy ids: shard assignment (id % n_shards) is uneven
+    ids = [i * 7 + (i % 3) for i in range(n)]
+    db.add_batch(ids, [f"doc {i}" for i in ids], emb)
+    single = db.to_local_searcher()
+    queries = [emb[3], emb[250], rng.uniform(-1, 1, DIM).astype(np.float32)]
+    for n_shards in (1, 2, 3, 8):
+        router = db.to_local_searcher(n_shards=n_shards)
+        for q in queries:
+            got = router.search(q, k=10)
+            assert got == single.search(q, k=10)
+            assert got == db.search(q, k=10)
+        # non-default oversamples move every truncation point
+        assert (router.search(emb[9], k=5, binary_oversample=3,
+                              int8_oversample=2)
+                == single.search(emb[9], k=5, binary_oversample=3,
+                                 int8_oversample=2))
+
+
+def test_sharded_router_ties_and_text(db):
+    """Tie-heavy corpus (duplicate vectors): global (score, doc_id) tie-break
+    must survive the shard merge; text queries embed once at the router."""
+    base = local_embedder([f"t {i % 4}" for i in range(60)], DIM)
+    db.add_batch(list(range(60)), [f"t {i % 4}" for i in range(60)], base)
+    single = db.to_local_searcher()
+    router = db.to_local_searcher(n_shards=4)
+    for qi in (0, 1, 2):
+        assert router.search(base[qi], k=15) == single.search(base[qi], k=15)
+    assert router.search("t 2", k=8) == single.search("t 2", k=8)
+    assert router.search_batch(["t 0", "t 1"], k=5) == \
+        single.search_batch(["t 0", "t 1"], k=5)
+
+
+def test_sharded_router_phase_boundary_adversarial(db):
+    """The case that breaks merge-after-full-cascade: rows whose hamming is
+    bad but whose float score is high.  In a shard-local cascade they enter
+    Phase I (fewer competitors per shard) and can evict a global survivor in
+    that shard's Phase II; phase-wise routing must not let that happen.
+    Constructed with tiny oversamples so the truncation points bite."""
+    rng = np.random.RandomState(23)
+    n = 120
+    emb = rng.uniform(-1, 1, (n, DIM)).astype(np.float32)
+    # a cluster of near-identical vectors (hamming ties at 0) plus noise
+    emb[:30] = emb[0] + rng.uniform(-0.01, 0.01, (30, DIM)).astype(np.float32)
+    db.add_batch(list(range(n)), [f"d{i}" for i in range(n)], emb)
+    single = db.to_local_searcher()
+    for n_shards in (2, 5):
+        router = db.to_local_searcher(n_shards=n_shards)
+        for qi in (0, 40):
+            assert (router.search(emb[qi], k=4, binary_oversample=2,
+                                  int8_oversample=1)
+                    == single.search(emb[qi], k=4, binary_oversample=2,
+                                     int8_oversample=1))

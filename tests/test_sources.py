@@ -65,3 +65,50 @@ def test_orc_and_csv_roundtrip(spark, tmp_path):
         .schema("n_nationkey int, n_name string, n_regionkey int")
         .csv(csv_path).collect())
     assert got_csv == want
+
+
+def test_events_nanos_and_micros_encodings_agree(spark, tmp_path):
+    """The events fixture has shipped as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS); the footer probe must route each encoding through the
+    right normalization in BOTH the batch loader and the streaming reader —
+    a nanos-assuming reader fed micros divides twice and lands every event
+    in January 1970 (the round-3/4 streaming bug)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from binaryvectordb_spark.sources.tables import events_ts_encoding
+    from binaryvectordb_spark.streaming.events import (
+        read_events_stream,
+        run_append_to_memory,
+    )
+
+    micros = [1704067200_000_000 + i * 61_000_000 for i in range(20)]
+    cols = {
+        "event_id": pa.array(range(20), pa.int64()),
+        "user_id": pa.array([i % 5 for i in range(20)], pa.int64()),
+        "event_type": pa.array(["click"] * 20),
+        "value": pa.array([float(i) for i in range(20)]),
+        "props": pa.array(["{}"] * 20),
+    }
+    for enc, unit, vals in (("nanos", "ns", [m * 1000 for m in micros]),
+                            ("micros", "us", micros)):
+        d = tmp_path / enc
+        d.mkdir()
+        tbl = pa.table({**cols, "ts": pa.array(vals, pa.timestamp(unit))})
+        pq.write_table(tbl, d / "events.parquet")
+        assert events_ts_encoding(str(d / "events.parquet")) == enc
+        assert events_ts_encoding(str(d)) == enc
+
+    batch_n = load_table(spark, str(tmp_path / "nanos"), "events")
+    batch_u = load_table(spark, str(tmp_path / "micros"), "events")
+    key = lambda df: sorted((r.event_id, r.ts) for r in df.collect())  # noqa: E731
+    assert dict(batch_n.dtypes)["ts"] == "timestamp"
+    assert key(batch_n) == key(batch_u)
+
+    stream_rows = {}
+    for enc in ("nanos", "micros"):
+        got = run_append_to_memory(
+            read_events_stream(spark, str(tmp_path / enc))
+            .select("event_id", "ts"), f"t_enc_{enc}")
+        stream_rows[enc] = key(got)
+    assert stream_rows["nanos"] == stream_rows["micros"] == key(batch_u)
