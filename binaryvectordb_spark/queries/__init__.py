@@ -41,6 +41,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     similarity,
     streaming_batch,
     textops,
+    textops2,
     tpch_more,
     udf_surface,
     vector,
@@ -54,6 +55,10 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # first).  Queries green in rounds 3-4 fall to the back — their code is
 # unchanged and locally parity-green, so they carry the least new signal.
 _PRIORITY = [
+    # (a0) new this round — curation ops (repetition, contamination, filter)
+    "text_repetition_ratios",
+    "text_contamination_overlap",
+    "text_gopher_filter",
     # (a) never driver-checked — scalar fn packs
     "string_funcs",
     "date_funcs",

@@ -1,0 +1,164 @@
+"""Training-data curation operators, part 2 (SURVEY §2.12, all EXT):
+Gopher-style repetition ratios, benchmark-contamination detection, and a
+composite keep/drop filter with per-source stats — the rule families a
+100 TB pretraining pipeline runs between ingest and dedup.
+
+All three are pure column expressions or short-key equi-joins: per-row
+compute is O(tokens) (docs are KB-sized), the contamination join is blocked
+on the shingle string (never all-pairs), and the filter aggregates map-side.
+The reference engine has no text pipeline at all (BinaryVectorDB/README.md
+is vector-search only); these extend the mandated LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.functions.text import shingles
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.queries.textops import _STOPWORDS
+from binaryvectordb_spark.sources.tables import load_table
+
+# deterministic pseudo-benchmark split for the contamination check: every
+# 97th doc plays the role of an eval/benchmark document
+_EVAL_MOD = 97
+
+
+def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition stats per document: fraction of bigram mass
+    held by the most frequent bigram, and the duplicate-token fraction.
+    The top-bigram scan is O(distinct x total) per row — documents are
+    KB-sized, so this stays a narrow per-row expression; nothing shuffles."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    d = d.withColumn("bi", shingles("toks", 2))
+    return d.select(
+        "doc_id",
+        F.expr("size(toks)").cast("int").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(bi) > 0 THEN CAST(array_max(transform("
+            "array_distinct(bi), b -> size(filter(bi, x -> x = b)))) AS DOUBLE)"
+            " / size(bi) ELSE CAST(0 AS DOUBLE) END").alias("top_bigram_frac"),
+        F.expr(
+            "CASE WHEN size(toks) > 0 THEN CAST(1 AS DOUBLE) - "
+            "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) "
+            "ELSE CAST(0 AS DOUBLE) END").alias("dup_token_frac"),
+        F.expr(
+            "CASE WHEN size(bi) > 0 AND CAST(array_max(transform("
+            "array_distinct(bi), b -> size(filter(bi, x -> x = b)))) AS DOUBLE)"
+            " / size(bi) > 0.1D THEN true ELSE false END").alias("repetitive"))
+
+
+register("text_repetition_ratios", text_repetition_ratios, oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT doc_id, toks,
+              list_transform(range(0, greatest(length(toks) - 1, 0)),
+                             i -> toks[i+1] || ' ' || toks[i+2]) AS bi
+       FROM tk)
+SELECT doc_id,
+       CAST(length(toks) AS INTEGER) AS n_tokens,
+       CASE WHEN length(bi) > 0 THEN CAST(list_max(list_transform(
+                list_distinct(bi),
+                b -> length(list_filter(bi, x -> x = b)))) AS DOUBLE)
+            / length(bi) ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+       CASE WHEN length(toks) > 0 THEN CAST(1 AS DOUBLE)
+            - CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks)
+            ELSE CAST(0 AS DOUBLE) END AS dup_token_frac,
+       CASE WHEN length(bi) > 0 AND CAST(list_max(list_transform(
+                list_distinct(bi),
+                b -> length(list_filter(bi, x -> x = b)))) AS DOUBLE)
+            / length(bi) > 0.1 THEN true ELSE false END AS repetitive
+FROM bg
+""")
+
+
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which training documents share 3-gram
+    shingles with the (deterministic) eval split?  3-grams maximize recall at fixture scale (production suites use 8-13-gram windows — one constant).  The canonical pretraining
+    hygiene op — at 100 TB this is a broadcast join against the benchmark
+    shingle set (eval suites are MBs, corpora are TBs), so the corpus is
+    scanned once and never shuffled."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles("toks", 3))).alias("s"))
+    ev = (sh.where(F.col("doc_id") % _EVAL_MOD == 0)
+          .select("s").distinct().withColumn("hit", F.lit(1)))
+    train = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+    return (train.join(F.broadcast(ev), "s", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("hit").alias("n_contaminated"))
+            .where(F.col("n_contaminated") > 0)
+            .select("doc_id", "n_shingles", "n_contaminated",
+                    (F.col("n_contaminated").cast("double")
+                     / F.col("n_shingles")).alias("contamination_frac")))
+
+
+register("text_contamination_overlap", text_contamination_overlap, oracle=f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shl AS (SELECT doc_id, list_distinct(list_transform(
+            range(0, greatest(length(toks) - 2, 0)),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shs
+        FROM tk),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % {_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, s FROM ex WHERE doc_id % {_EVAL_MOD} <> 0)
+SELECT tr.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(ev.s) AS n_contaminated,
+       CAST(COUNT(ev.s) AS DOUBLE) / COUNT(*) AS contamination_frac
+FROM tr LEFT JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id
+HAVING COUNT(ev.s) > 0
+""")
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop filter (Gopher/C4-style rule stack) with
+    per-source acceptance stats: mean token length in band, >= 1 stopword,
+    length band, low duplicate-token fraction.  One narrow scan + one
+    map-side-combined hash-agg; the per-source report is the shape a
+    curation dashboard reads."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", F.split(F.col("text"), " ").alias("toks"))
+    stop_list = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    mean_len = ("(CAST(n_chars AS DOUBLE) - (size(toks) - 1)) / size(toks)")
+    dup_frac = ("CAST(1 AS DOUBLE) - CAST(size(array_distinct(toks)) "
+                "AS DOUBLE) / size(toks)")
+    keep = (f"({mean_len}) BETWEEN 3.0D AND 8.0D "
+            f"AND size(filter(toks, t -> array_contains({stop_list}, t))) >= 1 "
+            f"AND n_chars BETWEEN 50 AND 500 "
+            f"AND ({dup_frac}) < 0.8D")
+    return (d.select("source", F.expr(keep).alias("keep"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count_if(F.col("keep")).alias("n_kept"))
+            .select("source", "n_docs", "n_kept",
+                    (F.col("n_kept").cast("double") / F.col("n_docs"))
+                    .alias("keep_rate")))
+
+
+_DUCK_STOP = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+_DUCK_MEAN_LEN = ("(CAST(n_chars AS DOUBLE) - (length(toks) - 1)) "
+                  "/ length(toks)")
+_DUCK_DUP = ("CAST(1 AS DOUBLE) - CAST(length(list_distinct(toks)) "
+             "AS DOUBLE) / length(toks)")
+
+register("text_gopher_filter", text_gopher_filter, oracle=f"""
+WITH tk AS (SELECT source, n_chars, string_split(text, ' ') AS toks
+            FROM documents),
+flags AS (SELECT source,
+                 ({_DUCK_MEAN_LEN}) BETWEEN 3.0 AND 8.0
+                 AND length(list_filter(toks,
+                     t -> list_contains({_DUCK_STOP}, t))) >= 1
+                 AND n_chars BETWEEN 50 AND 500
+                 AND ({_DUCK_DUP}) < 0.8 AS keep
+          FROM tk)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE keep) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE keep) AS DOUBLE) / COUNT(*) AS keep_rate
+FROM flags
+GROUP BY source
+""")
