@@ -220,6 +220,21 @@ def bench_1m_scan(spark, sf_dir: str,
     out["cascade_1m_local_ms"] = round(
         (time.perf_counter() - t0) / len(qvecs) * 1000, 2)
 
+    # sharded router over the same arrays (the beyond-one-node architecture,
+    # here 4 in-process shards): bit-identical results, and the per-query
+    # overhead vs the single shard IS the router cost (phase-wise fan-out +
+    # global merge) — at scale that's the per-shard network round-trips
+    from binaryvectordb_spark.operators.local_serve import (
+        ShardedLocalCascadeSearcher,
+    )
+    router = ShardedLocalCascadeSearcher.from_searcher(local, n_shards=4)
+    router.search(qvecs[0])  # warm-up
+    t0 = time.perf_counter()
+    for v in qvecs:
+        router.search(v)
+    out["cascade_1m_local_sharded4_ms"] = round(
+        (time.perf_counter() - t0) / len(qvecs) * 1000, 2)
+
     index.unpersist()
     store.unpersist()
     return out

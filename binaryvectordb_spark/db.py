@@ -760,9 +760,25 @@ class BinaryVectorDB:
         self._enqueue([int(i) for i in doc_ids], list(payloads), list(kinds),
                       np.asarray(embeddings, dtype=np.float32), save)
 
+    # above this many incoming keys, the anti-join's delete-filter side is
+    # no longer broadcast (1M longs ≈ tens of MB in JVM form — a flaky
+    # driver OOM locally, fatal at 100 TB); shuffle_hash keeps the join
+    # driver-free and still avoids a sort
+    _BROADCAST_KEYS_MAX = 1_000_000
+
+    def _keys_side(self, keys: DataFrame, n_keys: int | None):
+        """The delete-filter side of the upsert anti-join: broadcast when
+        the batch is known-small, shuffle_hash when corpus-sized or unknown
+        at corpus scale (n_keys=None means a driver-side batch — always
+        small by construction)."""
+        if n_keys is not None and n_keys > self._BROADCAST_KEYS_MAX:
+            return keys.hint("shuffle_hash")
+        return F.broadcast(keys)
+
     def _merge_and_swap(self, new_index: DataFrame, new_docs: DataFrame,
                         keys: DataFrame,
-                        touched: list[int] | None = None) -> None:
+                        touched: list[int] | None = None,
+                        n_keys: int | None = None) -> None:
         """Delete-then-insert merge (:93-101) — the single upsert
         implementation shared by every ingest path.  With `touched` bucket
         ids and a bucketed table on disk, only those buckets are read,
@@ -783,13 +799,14 @@ class BinaryVectorDB:
                 and self._is_bucketed("documents")):
             surv_index = self._read_buckets("index", touched)
             surv_docs = self._read_buckets("documents", touched)
+            kside = self._keys_side(keys, n_keys)
             if surv_index is not None:
                 new_index = (surv_index
-                             .join(F.broadcast(keys), "doc_id", "left_anti")
+                             .join(kside, "doc_id", "left_anti")
                              .unionByName(new_index))
             if surv_docs is not None:
                 new_docs = (_align(surv_docs)
-                            .join(F.broadcast(keys), "doc_id", "left_anti")
+                            .join(kside, "doc_id", "left_anti")
                             .unionByName(new_docs))
             # both tiers staged first, then ONE manifest commit: the upsert
             # is atomic across index and documents (and all their buckets)
@@ -800,10 +817,11 @@ class BinaryVectorDB:
         else:
             old_index, old_docs = self.index_df(), self.docs_df()
             if old_index is not None:
-                new_index = (old_index.join(F.broadcast(keys), "doc_id", "left_anti")
+                kside = self._keys_side(keys, n_keys)
+                new_index = (old_index.join(kside, "doc_id", "left_anti")
                              .unionByName(new_index))
                 new_docs = (_align(old_docs)
-                            .join(F.broadcast(keys), "doc_id", "left_anti")
+                            .join(kside, "doc_id", "left_anti")
                             .unionByName(new_docs))
             self._commit({
                 "index": self._full_update(new_index, "index"),
@@ -850,7 +868,8 @@ class BinaryVectorDB:
         new_docs = base.select("doc_id", "doc", "doc_kind", "emb_int8")
         self._merge_and_swap(self._new_index_from(base), new_docs,
                              new.select("doc_id"),
-                             touched=self._touched_buckets(list(merged)))
+                             touched=self._touched_buckets(list(merged)),
+                             n_keys=len(merged))
 
     def _new_index_from(self, base: DataFrame) -> DataFrame:
         """(doc_id, embedding, emb_int8, ...) -> new index rows; the ONE
@@ -891,14 +910,16 @@ class BinaryVectorDB:
             new_docs = base.select(
                 "doc_id", F.col("text").alias("doc"),
                 F.lit("str").alias("doc_kind"), "emb_int8")
-            # touched buckets from the (cheap) id column scan, BEFORE
-            # embedding: a bucket-count-sized collect, never the corpus
-            touched = [int(r[0]) for r in
-                       docs_df.select(F.pmod(F.col(id_col), F.lit(self.buckets))
-                                      .cast("int").alias("b")).distinct().collect()]
+            # touched buckets + batch size from ONE (cheap) id-column scan,
+            # BEFORE embedding: a bucket-count-sized collect, never the corpus
+            row = docs_df.agg(
+                F.count_distinct(F.col(id_col)).alias("n"),
+                F.collect_set(F.pmod(F.col(id_col), F.lit(self.buckets))
+                              .cast("int")).alias("bs")).first()
             self._merge_and_swap(self._new_index_from(base), new_docs,
                                  embedded.select("doc_id"),
-                                 touched=sorted(touched))
+                                 touched=sorted(int(b) for b in row["bs"]),
+                                 n_keys=int(row["n"]))
         finally:
             embedded.unpersist()
 
@@ -925,11 +946,14 @@ class BinaryVectorDB:
                 f"dim={self.dim}")  # same contract as _enqueue's shape check
         new_docs = base.select("doc_id", "doc", F.lit("str").alias("doc_kind"),
                                "emb_int8")
-        touched = [int(r[0]) for r in
-                   base.select(F.pmod(F.col("doc_id"), F.lit(self.buckets))
-                               .cast("int").alias("b")).distinct().collect()]
+        row = base.agg(
+            F.count("*").alias("n"),
+            F.collect_set(F.pmod(F.col("doc_id"), F.lit(self.buckets))
+                          .cast("int")).alias("bs")).first()
         self._merge_and_swap(self._new_index_from(base), new_docs,
-                             base.select("doc_id"), touched=sorted(touched))
+                             base.select("doc_id"),
+                             touched=sorted(int(b) for b in row["bs"]),
+                             n_keys=int(row["n"]))
 
     def remove_docs(self, doc_ids: Sequence[int]) -> None:
         """Batched delete (reference deletes one id + full rewrite, :155-166).

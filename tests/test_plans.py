@@ -88,3 +88,14 @@ def test_gap_fill_grid_broadcast(spark):
     plan = formatted_plan(events_gap_fill_daily(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_join_broadcasts_eval_set(spark):
+    """The contamination check joins the corpus shingle stream against the
+    (small) eval shingle set — the eval side must broadcast; the corpus must
+    never shuffle into a sort-merge join."""
+    from binaryvectordb_spark.queries.textops2 import text_contamination_overlap
+    plan = formatted_plan(text_contamination_overlap(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
