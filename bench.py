@@ -240,6 +240,48 @@ def bench_1m_scan(spark, sf_dir: str,
     return out
 
 
+def bench_streaming(spark, sf_dir: str,
+                    variance: dict[str, float]) -> dict[str, float]:
+    """Structured Streaming drain rate: the events table through a
+    watermarked tumbling aggregation (availableNow trigger) into a memory
+    sink.  Times the whole micro-batch machinery — source listing, watermark
+    tracking, state store, sink commit — i.e. the flagship extension the
+    reference (explicitly batch/single-process) has no counterpart for.
+    FileStreamSource requires a directory, so the fixture file is copied
+    into a temp dir (untimed)."""
+    import shutil
+    import tempfile
+
+    from binaryvectordb_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+    d = tempfile.mkdtemp(prefix="bvdb_stream_bench_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(d, "events.parquet"))
+        n = spark.read.parquet(os.path.join(d, "events.parquet")).count()
+        # untimed warm-up absorbs the streaming plan/codegen cold cost,
+        # matching the per-query protocol of the headline loop
+        run_to_memory(tumbling_counts(read_events_stream(spark, d)),
+                      "bench_stream_warm")
+        spark.catalog.dropTempView("bench_stream_warm")
+        runs = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            run_to_memory(tumbling_counts(read_events_stream(spark, d)),
+                          f"bench_stream_{i}")
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.dropTempView(f"bench_stream_{i}")
+        med = statistics.median(runs)
+        variance["events_stream_drain"] = round((max(runs) - min(runs)) / med, 2)
+        return {"events_stream_drain": round(med, 4),
+                "events_stream_krows_per_s": round(n / med / 1000, 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -282,7 +324,8 @@ def main() -> None:
         "metric": "headline query wall-clock at sf" + sf,
         "value": round(sum(times.values()), 4),
         "unit": "sec",
-        "queries": {**times, **bench_1m_scan(spark, sf_dir, variance)},
+        "queries": {**times, **bench_streaming(spark, sf_dir, variance),
+                    **bench_1m_scan(spark, sf_dir, variance)},
         "variance": variance,
         "protocol": "median of 5 fresh plans per query; variance = (max-min)/median",
         "sf": float(sf),
