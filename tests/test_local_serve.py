@@ -125,3 +125,49 @@ def test_sharded_router_phase_boundary_adversarial(db):
                                   int8_oversample=1)
                     == single.search(emb[qi], k=4, binary_oversample=2,
                                      int8_oversample=1))
+
+
+def test_sharded_router_property():
+    """Property-based: router == single shard on arbitrary corpora, dims,
+    duplicate-heavy id spaces, oversamples, and shard counts.  Pure numpy
+    (no Spark) — the searcher is constructed from arrays directly, so
+    hypothesis can afford many examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from binaryvectordb_spark.operators.local_serve import (
+        LocalCascadeSearcher,
+        ShardedLocalCascadeSearcher,
+    )
+
+    @st.composite
+    def params(draw):
+        return (draw(st.integers(5, 120)),            # n
+                draw(st.sampled_from([8, 16, 32])),   # dim
+                draw(st.integers(0, 2**31 - 1)),      # seed
+                draw(st.integers(1, 8)),              # k
+                draw(st.integers(1, 5)),              # binary oversample
+                draw(st.integers(1, 4)),              # int8 oversample
+                draw(st.integers(1, 9)))              # n_shards
+
+    @given(params())
+    @settings(max_examples=60, deadline=None)
+    def run(p):
+        n, dim, seed, k, bo, io, n_shards = p
+        rng = np.random.RandomState(seed)
+        V = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+        if n >= 10:  # duplicated rows force ties at every phase
+            V[: n // 5] = V[n // 5: 2 * (n // 5)]
+        ids = np.sort(rng.choice(10 * n, size=n, replace=False)).astype(np.int64)
+        dpm = np.where(V >= 0, 1, -1).astype(np.float32)
+        scaled = np.clip(V.astype(np.float64), -1, 1) * 127
+        i8 = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int8)
+        base = LocalCascadeSearcher(ids, dpm, i8,
+                                    [f"d{i}" for i in ids], dim)
+        router = ShardedLocalCascadeSearcher.from_searcher(base, n_shards)
+        q = rng.uniform(-1, 1, dim).astype(np.float32)
+        got = router.search(q, k=k, binary_oversample=bo, int8_oversample=io)
+        want = base.search(q, k=k, binary_oversample=bo, int8_oversample=io)
+        assert got == want
+
+    run()
