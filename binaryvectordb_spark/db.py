@@ -764,7 +764,7 @@ class BinaryVectorDB:
     # no longer broadcast (1M longs ≈ tens of MB in JVM form — a flaky
     # driver OOM locally, fatal at 100 TB); shuffle_hash keeps the join
     # driver-free and still avoids a sort
-    _BROADCAST_KEYS_MAX = 1_000_000
+    _BROADCAST_KEYS_MAX = 500_000
 
     def _keys_side(self, keys: DataFrame, n_keys: int | None):
         """The delete-filter side of the upsert anti-join: broadcast when
