@@ -38,10 +38,98 @@ def with_fake_payload(docs_df: DataFrame) -> DataFrame:
 
 
 def decode_image(data: bytes):
-    """Real decoder hook — not available in this container."""
+    """Real decoder hook for COMPRESSED formats (png/jpeg/webp) — requires
+    an imaging library not present in this container.  Uncompressed P6 PPM
+    decodes for real via decode_ppm below."""
     raise NotImplementedError(
-        "image decoding requires an imaging library not present here; "
-        "use fake_decode_features for the deterministic test path")
+        "compressed-image decoding requires an imaging library not present "
+        "here; decode_ppm handles P6 PPM, fake_decode_features is the "
+        "deterministic stand-in for everything else")
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """REAL image decoder (pure numpy, no imaging library): parses the P6
+    PPM header — magic, '#' comment lines, arbitrary whitespace, width,
+    height, maxval — and returns the (height, width, 3) uint8 pixel array
+    view over the raw RGB plane."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        c = data[i:i + 1]
+        if c == b"#":
+            i = data.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while not data[j:j + 1].isspace():
+                j += 1
+            tokens.append(int(data[i:j]))
+            i = j
+    i += 1  # exactly one whitespace byte separates maxval from the plane
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3,
+                         offset=i).reshape(h, w, 3)
+
+
+def with_ppm_payload(docs_df: DataFrame) -> DataFrame:
+    """Deterministic striped P6 images per doc: even pixel rows are color
+    A(doc_id), odd rows color B(doc_id), dims vary with doc_id.  Because
+    the stripes have closed-form channel means, a REAL decoder's output is
+    oracle-checkable in plain SQL — the decode below is not a fake."""
+    from collections.abc import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 2 + d % 7
+                ca = np.array([d * 3 % 256, d * 5 % 256, d * 7 % 256],
+                              np.uint8)
+                cb = np.array([(d * 11 + 1) % 256, (d * 13 + 2) % 256,
+                               (d * 17 + 3) % 256], np.uint8)
+                px = np.empty((h, w, 3), np.uint8)
+                px[0::2] = ca
+                px[1::2] = cb
+                payloads.append(b"P6\n# stripes\n%d %d\n255\n" % (w, h)
+                                + px.tobytes())
+            yield pd.DataFrame({"doc_id": b["doc_id"].values,
+                                "image_bytes": payloads})
+
+    return docs_df.select("doc_id").mapInPandas(
+        gen, "doc_id long, image_bytes binary")
+
+
+PPM_SCHEMA = ("doc_id long, width int, height int, "
+              "mean_r double, mean_g double, mean_b double")
+
+
+def decode_ppm_features(payload_df: DataFrame) -> DataFrame:
+    """mapInPandas over binary payloads through the REAL PPM decoder:
+    per-image integer channel sums divided once in float64, so the means
+    are bit-exact against an integer-arithmetic oracle."""
+    from collections.abc import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, buf in zip(b["doc_id"], b["image_bytes"]):
+                px = decode_ppm(bytes(buf))
+                h, w, _ = px.shape
+                s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                rows.append((doc_id, w, h,
+                             s[0] / n, s[1] / n, s[2] / n))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                              "mean_r", "mean_g", "mean_b"])
+
+    return payload_df.select("doc_id", "image_bytes").mapInPandas(
+        gen, schema=PPM_SCHEMA)
 
 
 def fake_decode_features(batch: pd.DataFrame) -> pd.DataFrame:

@@ -55,10 +55,11 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # first).  Queries green in rounds 3-4 fall to the back — their code is
 # unchanged and locally parity-green, so they carry the least new signal.
 _PRIORITY = [
-    # (a0) new this round — curation ops (repetition, contamination, filter)
+    # (a0) new this round — curation ops + real PPM decode
     "text_repetition_ratios",
     "text_contamination_overlap",
     "text_gopher_filter",
+    "multimodal_ppm_decode",
     # (a) never driver-checked — scalar fn packs
     "string_funcs",
     "date_funcs",

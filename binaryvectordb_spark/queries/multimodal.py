@@ -68,6 +68,41 @@ FROM b
 """)
 
 
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL image decode, oracle-checked: deterministic striped P6 PPM
+    payloads (header with comment line + raw RGB plane) go through the
+    pure-numpy decode_ppm parser on mapInPandas; the oracle recomputes the
+    closed-form stripe means with integer arithmetic.  This upgrades the
+    multimodal row from byte-stats-on-a-stub to a real parse->reshape->
+    reduce decode path — only COMPRESSED formats remain stubbed."""
+    from binaryvectordb_spark.operators.multimodal import (
+        decode_ppm_features,
+        with_ppm_payload,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return decode_ppm_features(with_ppm_payload(d))
+
+
+register("multimodal_ppm_decode", multimodal_ppm_decode, oracle="""
+WITH p AS (SELECT doc_id,
+                  4 + doc_id % 5 AS w, 2 + doc_id % 7 AS h,
+                  (doc_id * 3) % 256 AS ra, (doc_id * 5) % 256 AS ga,
+                  (doc_id * 7) % 256 AS ba,
+                  (doc_id * 11 + 1) % 256 AS rb, (doc_id * 13 + 2) % 256 AS gb,
+                  (doc_id * 17 + 3) % 256 AS bb
+           FROM documents)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(((h + 1) // 2) * w * ra + (h // 2) * w * rb AS DOUBLE) / (h * w)
+         AS mean_r,
+       CAST(((h + 1) // 2) * w * ga + (h // 2) * w * gb AS DOUBLE) / (h * w)
+         AS mean_g,
+       CAST(((h + 1) // 2) * w * ba + (h // 2) * w * bb AS DOUBLE) / (h * w)
+         AS mean_b
+FROM p
+""")
+
+
 def embed_documents_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executor-side embedding of the documents corpus via mapInPandas
     (operators/embed.py, the scale ingest path).  The embedder is a Python

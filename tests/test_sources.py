@@ -112,3 +112,24 @@ def test_events_nanos_and_micros_encodings_agree(spark, tmp_path):
             .select("event_id", "ts"), f"t_enc_{enc}")
         stream_rows[enc] = key(got)
     assert stream_rows["nanos"] == stream_rows["micros"] == key(batch_u)
+
+
+def test_ppm_decoder_roundtrip():
+    """decode_ppm is a real parser: round-trips arbitrary pixel arrays,
+    skips header comments, rejects non-P6 and non-8-bit payloads."""
+    import numpy as np
+    import pytest
+
+    from binaryvectordb_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.RandomState(3)
+    for (h, w) in ((1, 1), (3, 5), (7, 2)):
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        data = b"P6\n# a comment\n# another\n %d\t%d\n255\n" % (w, h) + px.tobytes()
+        out = decode_ppm(data)
+        assert out.shape == (h, w, 3)
+        assert (out == px).all()
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
