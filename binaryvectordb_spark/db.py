@@ -939,11 +939,16 @@ class BinaryVectorDB:
                           F.col(emb_col).cast("array<float>").alias("embedding"))
                 .dropDuplicates(["doc_id"])
                 .withColumn("emb_int8", int8_quantize("embedding")))
+        # F.size(null) = -1, so null embeddings (cast failures / null input)
+        # trip this filter too — report them as null, not len(None)
         bad = base.where(F.size("embedding") != self.dim).take(1)
         if bad:
+            e = bad[0]["embedding"]
+            sz = "null" if e is None else len(e)
             raise ValueError(
-                f"embeddings size {len(bad[0]['embedding'])} does not match "
-                f"dim={self.dim}")  # same contract as _enqueue's shape check
+                f"embeddings size {sz} does not match dim={self.dim} "
+                "(null means a missing or uncastable embedding)"
+            )  # same contract as _enqueue's shape check
         new_docs = base.select("doc_id", "doc", F.lit("str").alias("doc_kind"),
                                "emb_int8")
         row = base.agg(
@@ -1096,6 +1101,19 @@ class BinaryVectorDB:
         v = self._manifest_version()
         if self._serve_cache is not None and self._serve_cache[0] == v:
             return self._serve_cache[1], self._serve_cache[2], self._serve_cache[3]
+        if self._serve_cache is not None:
+            # version moved under us (a commit from ANOTHER handle on the
+            # same folder — our own _commit path refreshes by path, but
+            # refresh does not drop this process's cached blocks for the
+            # superseded plans): unpersist the stale handles so a long-lived
+            # serving process under external writers doesn't leak cache
+            # memory one manifest version at a time
+            for stale in (self._serve_cache[1], self._serve_cache[2]):
+                if stale is not None:
+                    try:
+                        stale.unpersist()
+                    except Exception:
+                        pass  # best-effort; the executor may be gone
         idx, docs = self.index_df(), self.docs_df()
         if idx is not None:
             idx.cache()

@@ -55,21 +55,30 @@ def decode_ppm(data: bytes) -> np.ndarray:
     if not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     tokens: list[int] = []
-    i = 2
+    i, n = 2, len(data)
     while len(tokens) < 3:
+        if i >= n:
+            raise ValueError("truncated PPM header")
         c = data[i:i + 1]
         if c == b"#":
-            i = data.index(b"\n", i) + 1
+            nl = data.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated PPM header (unterminated comment)")
+            i = nl + 1
         elif c.isspace():
             i += 1
         else:
             j = i
-            while not data[j:j + 1].isspace():
+            while j < n and not data[j:j + 1].isspace():
                 j += 1
+            if j >= n:
+                raise ValueError("truncated PPM header")
             tokens.append(int(data[i:j]))
             i = j
     i += 1  # exactly one whitespace byte separates maxval from the plane
     w, h, maxval = tokens
+    if n - i < w * h * 3:
+        raise ValueError("truncated PPM pixel plane")
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
     return np.frombuffer(data, dtype=np.uint8, count=w * h * 3,

@@ -28,6 +28,14 @@ def events_ts_encoding(path: str) -> str:
 
     Returns ``'nanos'`` | ``'micros'`` | ``'other'``.  ``path`` may be a
     single parquet file or a directory of them (streaming source dir).
+
+    CONTRACT (probe-at-setup): every file in a directory must share one
+    encoding — all files are probed and a mix raises ValueError at setup
+    rather than failing mid-query with an Illegal Parquet type.  An EMPTY
+    directory returns 'micros' (the fixture default): a streaming source dir
+    that is empty at ``read_events_stream()`` setup but later receives NANOS
+    files would get the micros schema and fail at runtime — stage at least
+    one file (or a schema-bearing seed file) before opening the stream.
     """
     import glob
 
@@ -38,13 +46,22 @@ def events_ts_encoding(path: str) -> str:
         files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     if not files:
-        return "micros"  # current fixture default; harmless for empty dirs
-    t = str(pq.read_schema(files[0]).field("ts").type)
-    if t.startswith("timestamp[ns"):
-        return "nanos"
-    if t.startswith("timestamp"):
-        return "micros"
-    return "other"
+        return "micros"  # fixture default; see contract note above
+
+    def enc(f: str) -> str:
+        t = str(pq.read_schema(f).field("ts").type)
+        if t.startswith("timestamp[ns"):
+            return "nanos"
+        if t.startswith("timestamp"):
+            return "micros"
+        return "other"
+
+    encodings = {enc(f) for f in files}
+    if len(encodings) > 1:
+        raise ValueError(
+            f"mixed ts encodings {sorted(encodings)} under {path}; one reader "
+            "schema cannot serve both — rewrite the stragglers to one encoding")
+    return encodings.pop()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
