@@ -350,28 +350,29 @@ class BinaryVectorDB:
                     retained.append(self._manifest_tables_of(pv))
                 except ValueError:
                     self._read_pinned.discard(pv)
-        keep: dict[str, dict[str, set]] = {}
+        keep: dict[str, set[str]] = {}  # table -> kept relpaths
         for tables in retained:
             for name, bmap in tables.items():
+                s = keep.setdefault(name, set())
                 for b, fl in bmap.items():
-                    keep.setdefault(name, {}).setdefault(b, set()).update(fl)
+                    rd = self._key_reldir(b)
+                    for f in fl:
+                        s.add(os.path.join(rd, f) if rd else f)
         for name in self._DATA_TABLES:
             p = self._path(name)
             if not os.path.isdir(p):
                 continue
-            bmap = keep.get(name) or {}
-            root_keep = bmap.get("_flat", set())
-            for entry in os.listdir(p):
-                full = os.path.join(p, entry)
-                if entry.startswith("bucket=") and os.path.isdir(full):
-                    kept = bmap.get(entry.split("=", 1)[1], set())
-                    for f in os.listdir(full):
-                        if f not in kept:
-                            os.remove(os.path.join(full, f))
-                    if not os.listdir(full):
+            kset = keep.get(name) or set()
+            # bottom-up walk: remove unreferenced files (aged-out versions,
+            # crashed-commit strays), then now-empty partition dirs
+            for root, dirs, files in os.walk(p, topdown=False):
+                for f in files:
+                    if os.path.relpath(os.path.join(root, f), p) not in kset:
+                        os.remove(os.path.join(root, f))
+                for d in dirs:
+                    full = os.path.join(root, d)
+                    if os.path.isdir(full) and not os.listdir(full):
                         os.rmdir(full)
-                elif os.path.isfile(full) and entry not in root_keep:
-                    os.remove(full)  # stale flat file or staging artifact
             if not os.listdir(p):
                 os.rmdir(p)
 
@@ -439,16 +440,46 @@ class BinaryVectorDB:
         return df.withColumn(
             "bucket", F.pmod(F.col("doc_id"), F.lit(self.buckets)).cast("int"))
 
+    # -- manifest keys --------------------------------------------------------
+    # A manifest bucket key is either "K" (layout bucket=K/, every table) or
+    # "C/K" (layout cluster=C/bucket=K/ — the IVF index after build_ivf:
+    # the OUTER partition level is the IVF cluster, so a probe's
+    # `cluster IN (...)` predicate is a PARTITION filter and Spark never
+    # opens the unprobed clusters' files; the INNER level keeps doc_id
+    # bucketing so mutations still rewrite only touched buckets).
+
+    @staticmethod
+    def _key_reldir(key: str) -> str:
+        """Manifest bucket key -> directory path relative to the table root
+        ('' for the legacy flat pseudo-key)."""
+        if key == "_flat":
+            return ""
+        if "/" in key:
+            c, b = key.split("/", 1)
+            return os.path.join(f"cluster={c}", f"bucket={b}")
+        return f"bucket={key}"
+
+    @staticmethod
+    def _key_sort(key: str) -> tuple:
+        return tuple(int(x) for x in key.split("/"))
+
+    @staticmethod
+    def _key_bucket(key: str) -> str:
+        """The doc_id-bucket component of a manifest key (last segment)."""
+        return key.rsplit("/", 1)[-1]
+
     def _files_df(self, name: str, bmap: dict) -> DataFrame | None:
         """Build the reader for a manifest entry: explicit file list, with
-        basePath so the bucket partition column still prunes."""
+        basePath so the partition columns (bucket; cluster+bucket for an
+        IVF-partitioned index) still prune."""
         p = self._path(name)
         if "_flat" in bmap:
             files = [os.path.join(p, f) for f in bmap["_flat"]]
             df = self.spark.read.parquet(*files)
         else:
-            files = [os.path.join(p, f"bucket={b}", f)
-                     for b in sorted(bmap, key=int) for f in bmap[b]]
+            files = [os.path.join(p, self._key_reldir(b), f)
+                     for b in sorted(bmap, key=self._key_sort)
+                     for f in bmap[b]]
             if not files:
                 return None
             df = self.spark.read.option("basePath", p).parquet(*files)
@@ -473,13 +504,14 @@ class BinaryVectorDB:
         for name, bmap in tables.items():
             p = self._path(name)
             for b, fl in bmap.items():
-                d = p if b == "_flat" else os.path.join(p, f"bucket={b}")
+                d = os.path.join(p, self._key_reldir(b))
                 for fn in fl:
                     if not os.path.isfile(os.path.join(d, fn)):
                         raise ValueError(
                             f"version {version} has been vacuumed (data file "
-                            f"{name}/bucket={b}/{fn} is gone); only versions "
-                            "inside the retention window are readable")
+                            f"{name}/{self._key_reldir(b)}/{fn} is gone); "
+                            "only versions inside the retention window are "
+                            "readable")
         return tables
 
     def _read_version_df(self, name: str, version: int) -> DataFrame | None:
@@ -530,7 +562,9 @@ class BinaryVectorDB:
             bmap = t.get(name) or {}
             if "_flat" in bmap:  # unbucketed legacy data: cannot prune
                 return self._read_df(name)
-            sel = {str(b): bmap[str(b)] for b in touched if bmap.get(str(b))}
+            tset = {str(b) for b in touched}
+            sel = {k: fl for k, fl in bmap.items()
+                   if self._key_bucket(k) in tset and fl}
             return self._files_df(name, sel) if sel else None
         p = self._path(name)
         dirs = [os.path.join(p, f"bucket={b}") for b in touched]
@@ -544,27 +578,38 @@ class BinaryVectorDB:
                ) -> dict[str, list[str]]:
         """Write `df` in bucketed layout and move the part files into the
         live bucket dirs under their (globally unique) names.  Returns
-        {bucket: [filenames]} for the manifest.  Staged files are INVISIBLE
+        {bucket_key: [filenames]} for the manifest.  A df carrying a
+        `cluster` column (IVF index after build_ivf) is written
+        partitionBy(cluster, bucket) — two directory levels, keys "C/K" —
+        so serving probes prune FILES, not rows.  Staged files are INVISIBLE
         until a manifest referencing them is committed — a crash here
         leaves only strays for the next commit's GC."""
         tmp = self._path(name + "__stage")
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        (self._with_bucket(df).repartition(max(1, nparts), "bucket")
-         .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+        part_cols = (["cluster", "bucket"] if "cluster" in df.columns
+                     else ["bucket"])
+        # repartition by ALL partition columns: each (cluster, bucket) pair
+        # then lands in exactly one task, so partitionBy emits exactly one
+        # file per leaf dir instead of nparts files per dir
+        (self._with_bucket(df).repartition(max(1, nparts), *part_cols)
+         .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp))
         out: dict[str, list[str]] = {}
         p = self._path(name)
-        for d in sorted(os.listdir(tmp)):
-            if not d.startswith("bucket="):
+        for root, _dirs, names in os.walk(tmp):
+            pq = [f for f in names if f.endswith(".parquet")]
+            if not pq:
                 continue
-            names = [f for f in os.listdir(os.path.join(tmp, d))
-                     if f.endswith(".parquet")]
-            if not names:
-                continue
-            os.makedirs(os.path.join(p, d), exist_ok=True)
-            for f in names:
-                os.rename(os.path.join(tmp, d, f), os.path.join(p, d, f))
-            out[d.split("=", 1)[1]] = sorted(names)
+            rel = os.path.relpath(root, tmp)
+            segs = rel.split(os.sep)
+            if not all("=" in s for s in segs):
+                continue  # not a partition leaf (defensive)
+            key = "/".join(s.split("=", 1)[1] for s in segs)
+            dest = os.path.join(p, rel)
+            os.makedirs(dest, exist_ok=True)
+            for f in pq:
+                os.rename(os.path.join(root, f), os.path.join(dest, f))
+            out[key] = sorted(pq)
         shutil.rmtree(tmp)
         return out
 
@@ -578,12 +623,24 @@ class BinaryVectorDB:
         """Stage `df` as the new contents of the touched buckets; every
         other bucket keeps its current (untouched, byte-identical) files —
         an upsert of B buckets costs O(size of B), not O(corpus).  A touched
-        bucket `df` has no rows for maps to [] (deleted at commit)."""
+        bucket `df` has no rows for maps to [] (deleted at commit).  On a
+        cluster-partitioned index the replace unit is still the doc_id
+        bucket: every "C/K" entry with K touched is dropped and the staged
+        "C'/K" entries (the bucket's rows, wherever they now cluster) take
+        their place."""
         staged = self._stage(df, name, len(touched))
         out = dict(self._current_tables().get(name) or {})
         out.pop("_flat", None)  # only reachable when table was bucketed
-        for b in touched:
-            out[str(b)] = staged.get(str(b), [])
+        tset = {str(b) for b in touched}
+        for k in list(out):
+            if self._key_bucket(k) in tset:
+                del out[k]
+        for k, fl in staged.items():
+            if self._key_bucket(k) in tset:
+                out[k] = fl
+            else:  # staged rows outside the touched set would be orphaned
+                raise AssertionError(
+                    f"staged key {k} outside touched buckets {sorted(tset)}")
         return out
 
     def _touched_buckets(self, doc_ids: Sequence[int]) -> list[int]:
@@ -592,11 +649,14 @@ class BinaryVectorDB:
     # -- pluggable IVF index (reference index_type/index_args,
     #    BinaryVectorDB/BinaryVectorDB.py:17,:60) ----------------------------
     # The partitioner is a seeded MLlib KMeans over the stored int8
-    # embeddings; each index row carries its `cluster` id.  Serving probes
-    # the nprobe nearest centroids (a tiny driver-side argsort) and filters
-    # the index scan to those clusters BEFORE Phase I.  On the cached RAM
-    # tier the filter prunes compute; at 100 TB the index would additionally
-    # be laid out partitionBy(cluster, bucket) so probes prune I/O too.
+    # embeddings.  build_ivf rewrites the index partitionBy(cluster, bucket):
+    # the cluster is the OUTER directory level, so the serving probe's
+    # `cluster IN (...)` predicate plans as a PartitionFilter — Spark skips
+    # the unprobed clusters' FILES at planning time (the Spark realization
+    # of faiss scanning only probed lists: at 100 TB a probe touches
+    # nprobe/k of the index bytes, not all of them).  The inner bucket level
+    # keeps mutations rewriting only touched doc_id buckets.  On the cached
+    # RAM tier the same predicate prunes via in-memory batch stats.
 
     def _ivf_args(self) -> dict:
         args = {"n_clusters": 16, "nprobe": 4}
@@ -691,7 +751,9 @@ class BinaryVectorDB:
                            ) -> DataFrame:
         """IVF probe filter for serving: restrict the index to the union of
         the queries' nprobe nearest clusters.  No-op on flat DBs or before
-        the first build."""
+        the first build.  On the cluster-partitioned layout this predicate
+        is a PARTITION filter (asserted in tests/test_plans.py): a cold scan
+        opens only the probed clusters' files."""
         if (self.index_type != "ivf" or "cluster" not in idx.columns
                 or self._ivf_model() is None):
             return idx
@@ -1178,6 +1240,45 @@ class BinaryVectorDB:
         if n_shards <= 1:
             return base
         return ShardedLocalCascadeSearcher.from_searcher(base, n_shards)
+
+    def export_serving_shards(self, n_shards: int = 2,
+                              path: str | None = None) -> str:
+        """Materialize the RAM-tier router and persist its shards to disk
+        for CROSS-PROCESS serving: each ``shard_<i>/`` dir under the
+        returned path is independently loadable on a different host
+        (LocalCascadeSearcher.load — numpy + json only, no Spark), and
+        ``router.json`` stamps the DB's committed manifest version so a
+        serving fleet can verify every node holds a disjoint shard of the
+        SAME snapshot.  Default path is ``<folder>/_serving/v<version>`` —
+        version-suffixed, so a re-export after new commits lands beside the
+        old one and traffic flips atomically by path."""
+        self._flush_pending()
+        router = self.to_local_searcher(n_shards=max(2, n_shards)) \
+            if n_shards > 1 else None
+        if router is None:
+            from binaryvectordb_spark.operators.local_serve import (
+                ShardedLocalCascadeSearcher,
+            )
+            router = ShardedLocalCascadeSearcher.from_searcher(
+                self.to_local_searcher(), 1)
+        v = self._manifest_version()
+        out = path or os.path.join(self.folder, "_serving", f"v{v}")
+        router.save_shards(out, db_manifest_version=v)
+        return out
+
+    def load_serving_router(self, path: str | None = None,
+                            allow_stale: bool = False):
+        """Load a persisted serving export (export_serving_shards).  By
+        default the export must match the DB's CURRENT manifest version —
+        pass allow_stale=True to serve a superseded snapshot knowingly."""
+        from binaryvectordb_spark.operators.local_serve import (
+            ShardedLocalCascadeSearcher,
+        )
+        p = path or os.path.join(self.folder, "_serving",
+                                 f"v{self._manifest_version()}")
+        return ShardedLocalCascadeSearcher.load(
+            p, embed_fn=self.embed_fn,
+            expect_version=None if allow_stale else self._manifest_version())
 
     def search_batch(self, queries: Sequence[str | Sequence[float]],
                      k: int = DEFAULT_K,

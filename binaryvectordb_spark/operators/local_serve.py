@@ -183,6 +183,45 @@ class LocalCascadeSearcher:
     def search_batch(self, queries, **kw) -> list[list[dict]]:
         return [self.search(q, **kw) for q in queries]
 
+    # -- persistence (cross-process serving shards) -------------------------
+    # A materialized shard saves to a plain directory: one .npz with the
+    # numeric arrays (doc bits re-PACKED 8-per-byte — 8x smaller than the
+    # ±1 float32 working form) plus JSON payloads/meta.  Any process — a
+    # serving node with no Spark at all — loads it back bit-identical.
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        bits = np.packbits((self.dpm > 0).astype(np.uint8), axis=1,
+                           bitorder="little")
+        tmp = os.path.join(path, f".arrays.npz.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, doc_ids=self.doc_ids, packed_bits=bits,
+                                emb_int8=self.emb_int8)
+        os.replace(tmp, os.path.join(path, "arrays.npz"))
+        with open(os.path.join(path, "payloads.json"), "w") as f:
+            json.dump(self.payloads, f)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"dim": self.dim, "n": self.n}, f)
+
+    @classmethod
+    def load(cls, path: str, embed_fn=None) -> "LocalCascadeSearcher":
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        dim = int(meta["dim"])
+        arrs = np.load(os.path.join(path, "arrays.npz"))
+        bits = np.unpackbits(arrs["packed_bits"], axis=1,
+                             bitorder="little")[:, :dim]
+        with open(os.path.join(path, "payloads.json")) as f:
+            payloads = json.load(f)
+        return cls(arrs["doc_ids"].astype(np.int64),
+                   bits.astype(np.float32) * 2 - 1,
+                   arrs["emb_int8"].astype(np.int8), payloads, dim,
+                   embed_fn=embed_fn)
+
 
 class ShardedLocalCascadeSearcher:
     """Multi-shard RAM-tier router: each shard is a LocalCascadeSearcher over
@@ -290,3 +329,49 @@ class ShardedLocalCascadeSearcher:
 
     def search_batch(self, queries, **kw) -> list[list[dict]]:
         return [self.search(q, **kw) for q in queries]
+
+    # -- persistence --------------------------------------------------------
+    # save_shards writes shard_<i>/ dirs (each independently loadable by a
+    # different serving process/host via LocalCascadeSearcher.load) plus a
+    # router.json manifest {n_shards, dim, n, db_manifest_version}.  The
+    # version stamp ties the export to ONE committed DB snapshot, so a
+    # fleet of serving nodes can assert they hold disjoint shards of the
+    # SAME version before taking traffic (BinaryVectorDB.export_serving_
+    # shards records it; load_serving_router enforces it).
+
+    def save_shards(self, path: str,
+                    db_manifest_version: int | None = None) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        for i, s in enumerate(self.shards):
+            s.save(os.path.join(path, f"shard_{i}"))
+        with open(os.path.join(path, "router.json"), "w") as f:
+            json.dump({"n_shards": len(self.shards), "dim": self.dim,
+                       "n": self.n,
+                       "db_manifest_version": db_manifest_version}, f)
+
+    @classmethod
+    def from_shard_dirs(cls, paths: list[str], embed_fn=None
+                        ) -> "ShardedLocalCascadeSearcher":
+        """Load a router over explicitly listed shard dirs (the multi-host
+        shape: each host loads ITS shard; a router process points at all)."""
+        return cls([LocalCascadeSearcher.load(p, embed_fn=embed_fn)
+                    for p in paths], embed_fn=embed_fn)
+
+    @classmethod
+    def load(cls, path: str, embed_fn=None,
+             expect_version: int | None = None
+             ) -> "ShardedLocalCascadeSearcher":
+        import os
+
+        with open(os.path.join(path, "router.json")) as f:
+            meta = json.load(f)
+        if (expect_version is not None
+                and meta.get("db_manifest_version") != expect_version):
+            raise ValueError(
+                f"serving export is DB version {meta.get('db_manifest_version')}, "
+                f"expected {expect_version} — re-export before serving")
+        return cls.from_shard_dirs(
+            [os.path.join(path, f"shard_{i}")
+             for i in range(int(meta["n_shards"]))], embed_fn=embed_fn)

@@ -182,16 +182,19 @@ def test_compact_preserves_content(db):
 
 
 def _bucket_snapshot(folder: str, name: str) -> dict[str, bytes]:
-    """bucket dir -> concatenated bytes of its parquet files."""
+    """bucket=K -> concatenated bytes of its parquet files; on the IVF
+    two-level layout (cluster=C/bucket=K) files are aggregated per doc_id
+    bucket K across clusters — the bucket stays the mutation unit."""
     import glob
     import os
-    out = {}
-    for bdir in glob.glob(os.path.join(folder, name, "bucket=*")):
-        blob = b""
-        for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-            with open(f, "rb") as fh:
-                blob += fh.read()
-        out[os.path.basename(bdir)] = blob
+    out: dict[str, bytes] = {}
+    files = (glob.glob(os.path.join(folder, name, "bucket=*", "*.parquet"))
+             + glob.glob(os.path.join(folder, name, "cluster=*", "bucket=*",
+                                      "*.parquet")))
+    for f in sorted(files):
+        b = os.path.basename(os.path.dirname(f))
+        with open(f, "rb") as fh:
+            out[b] = out.get(b, b"") + fh.read()
     return out
 
 

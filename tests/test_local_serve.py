@@ -171,3 +171,47 @@ def test_sharded_router_property():
         assert got == want
 
     run()
+
+
+def test_shard_persistence_cross_process(db, tmp_path):
+    """export_serving_shards -> fresh-PROCESS load (no Spark, numpy+json
+    only) -> results bit-identical to the in-process router AND the
+    distributed cascade.  This is the multi-host serving story: each
+    shard_<i>/ dir is independently loadable on a different node."""
+    import json as _json
+    import subprocess
+    import sys
+
+    rng = np.random.RandomState(21)
+    n = 250
+    emb = rng.uniform(-1, 1, (n, DIM)).astype(np.float32)
+    db.add_batch(list(range(n)), [f"doc {i}" for i in range(n)], emb)
+    out = db.export_serving_shards(n_shards=4)
+    qs = [emb[5].tolist(), emb[123].tolist(),
+          rng.uniform(-1, 1, DIM).astype(np.float32).tolist()]
+    expected = [db.search(np.asarray(q, np.float32), k=7) for q in qs]
+    # same-process load must round-trip exactly
+    router = db.load_serving_router()
+    assert [router.search(np.asarray(q, np.float32), k=7) for q in qs] \
+        == expected
+    # fresh process: no SparkSession, no BinaryVectorDB — just the shards
+    script = (
+        "import sys, json, numpy as np\n"
+        "from binaryvectordb_spark.operators.local_serve import "
+        "ShardedLocalCascadeSearcher\n"
+        "path, qs = sys.argv[1], json.loads(sys.argv[2])\n"
+        "r = ShardedLocalCascadeSearcher.load(path)\n"
+        "print(json.dumps([r.search(np.asarray(q, np.float32), k=7) "
+        "for q in qs]))\n")
+    proc = subprocess.run(
+        [sys.executable, "-c", script, out, _json.dumps(qs)],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert got == _json.loads(_json.dumps(expected))  # same JSON values
+    # version guard: a new commit invalidates the export by default
+    db.add_batch([999], ["late doc"],
+                 rng.uniform(-1, 1, (1, DIM)).astype(np.float32))
+    with pytest.raises(ValueError, match="re-export"):
+        db.load_serving_router(out)
+    assert db.load_serving_router(out, allow_stale=True).n == n

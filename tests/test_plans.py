@@ -90,6 +90,49 @@ def test_gap_fill_grid_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_probe_is_partition_filter(spark, tmp_path):
+    """The IVF probe must prune FILES, not rows: build_ivf lays the index
+    out partitionBy(cluster, bucket), so the serving filter
+    `cluster IN (probe)` plans as a PartitionFilter on the parquet scan —
+    unprobed clusters' files are never opened (at 100 TB the probe reads
+    nprobe/k of the index bytes).  A row filter (DataFilters/PushedFilters)
+    would scan everything and merely skip scoring."""
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.db import BinaryVectorDB
+
+    db = BinaryVectorDB(spark, str(tmp_path / "ivfdb"), dim=16, buckets=4,
+                        index_type="ivf",
+                        index_args={"n_clusters": 4, "nprobe": 1})
+    rng = np.random.RandomState(7)
+    n = 200
+    db.add_batch(list(range(n)), [f"d{i}" for i in range(n)],
+                 rng.uniform(-1, 1, (n, 16)).astype(np.float32))
+    idx = db.index_df()
+    pruned = db._maybe_prune_index(idx, [rng.uniform(-1, 1, 16)], nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf is not None and "cluster" in pf.group(1), plan[:2000]
+    # and it must NOT degrade into a data filter over every file
+    df_m = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert df_m is None or "cluster" not in df_m.group(1), plan[:2000]
+    # mutation pruning still works on the two-level layout: a one-doc
+    # upsert reads/rewrites only the touched doc_id bucket within clusters
+    before = {k for k in db._current_tables()["index"]}
+    assert all("/" in k for k in before)  # two-level keys C/K
+    db.add_batch([3], ["upd"], rng.uniform(-1, 1, (1, 16)).astype(np.float32))
+    after = db._current_tables()["index"]
+    changed = {k for k in set(before) | set(after)
+               if db._key_bucket(k) == "3"}
+    unchanged = {k: after[k] for k in after if db._key_bucket(k) != "3"}
+    assert all(k in after or k in before for k in changed)
+    for k, fl in unchanged.items():
+        assert db._key_bucket(k) != "3" and fl  # untouched buckets intact
+
+
 def test_contamination_join_broadcasts_eval_set(spark):
     """The contamination check joins the corpus shingle stream against the
     (small) eval shingle set — the eval side must broadcast; the corpus must

@@ -25,8 +25,11 @@ def _manifest_files(folder):
 
 
 def _data_files(folder, name):
-    return {os.path.basename(f)
-            for f in glob.glob(os.path.join(folder, name, "bucket=*", "*"))}
+    # bucket=K/ for plain tables, cluster=C/bucket=K/ for the IVF index
+    return ({os.path.basename(f)
+             for f in glob.glob(os.path.join(folder, name, "bucket=*", "*"))}
+            | {os.path.basename(f) for f in glob.glob(
+                os.path.join(folder, name, "cluster=*", "bucket=*", "*"))})
 
 
 def _referenced(db, name):
