@@ -83,7 +83,12 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm_features(with_ppm_payload(d))
 
 
-register("multimodal_ppm_decode", multimodal_ppm_decode, oracle="""
+# registered below, after _STRIPE_ORACLE: both payload generators derive
+# from the same _stripe_pixels images, so the PPM and PNG decodes share one
+# closed-form stripe-mean oracle
+
+
+_STRIPE_ORACLE = """
 WITH p AS (SELECT doc_id,
                   4 + doc_id % 5 AS w, 2 + doc_id % 7 AS h,
                   (doc_id * 3) % 256 AS ra, (doc_id * 5) % 256 AS ga,
@@ -100,23 +105,54 @@ SELECT doc_id,
        CAST(((h + 1) // 2) * w * ba + (h // 2) * w * bb AS DOUBLE) / (h * w)
          AS mean_b
 FROM p
-""")
+"""
+
+
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL compressed-image decode, oracle-checked: the deterministic
+    striped images are PNG-ENCODED (zlib deflate, per-row filter types
+    cycling None/Sub/Up/Average/Paeth) and decoded back by the pure
+    stdlib-zlib+numpy decode_png (chunk walk + CRC check + inflate +
+    unfilter) on mapInPandas.  The oracle recomputes the closed-form stripe
+    means with integer arithmetic — any unfilter or inflate mistake breaks
+    the hash.  This removes the last decoder stub: PPM (uncompressed) and
+    PNG (compressed) both decode for real; only jpeg/webp remain external."""
+    from binaryvectordb_spark.operators.multimodal import (
+        decode_png_features,
+        with_png_payload,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return decode_png_features(with_png_payload(d))
+
+
+register("multimodal_ppm_decode", multimodal_ppm_decode,
+         oracle=_STRIPE_ORACLE)
+register("multimodal_png_decode", multimodal_png_decode,
+         oracle=_STRIPE_ORACLE)
 
 
 def embed_documents_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executor-side embedding of the documents corpus via mapInPandas
-    (operators/embed.py, the scale ingest path).  The embedder is a Python
-    function, so this is a rows-only check (no SQL oracle) — determinism is
-    covered by tests/test_db_crud.py::test_distributed_ingest_matches_driver_side."""
+    (operators/embed.py, the scale ingest path), driver-checked via an
+    INVARIANT: the embedder L2-normalizes every non-empty text (db.py
+    local_embedder), so per-doc |‖e‖ − 1| < 1e-5 is SQL-predictable from
+    the text alone (empty/whitespace text → zero vector → False).  The
+    embedding UDF really runs — a broken batch flips booleans.  Exact
+    vector determinism across ingest paths is pinned by
+    tests/test_db_crud.py::test_distributed_ingest_matches_driver_side."""
     from binaryvectordb_spark.functions.vector import norm
     from binaryvectordb_spark.operators.embed import embed_texts
 
     d = load_table(spark, sf_dir, "documents")
     emb = embed_texts(d, dim=32)
-    return emb.select("doc_id", norm("embedding").alias("l2_norm"))
+    return emb.select(
+        "doc_id",
+        (F.abs(norm("embedding") - 1.0) < 1e-5).alias("unit_norm"))
 
 
-register("embed_documents_distributed", embed_documents_distributed)  # rows-only
+register("embed_documents_distributed", embed_documents_distributed, oracle="""
+SELECT doc_id, length(trim(text)) > 0 AS unit_norm FROM documents
+""")
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

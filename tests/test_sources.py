@@ -158,6 +158,44 @@ def test_ppm_decoder_truncated_inputs_raise():
             decode_ppm(data)
 
 
+def test_png_codec_roundtrip():
+    """encode_png/decode_png are independent implementations (vectorized
+    filter vs sequential unfilter): random pixel arrays round-trip through
+    every PNG filter type (the encoder cycles 0..4 per row); malformed
+    payloads raise instead of decoding garbage."""
+    import numpy as np
+    import pytest
+
+    from binaryvectordb_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for (h, w) in ((1, 1), (2, 3), (6, 5), (13, 9), (40, 23)):
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_png(encode_png(px))
+        assert out.shape == (h, w, 3) and (out == px).all()
+    # gradient image: filters Sub/Average/Paeth all become non-trivial
+    g = (np.arange(20 * 15 * 3, dtype=np.int64) % 256).astype(np.uint8)
+    g = g.reshape(20, 15, 3)
+    assert (decode_png(encode_png(g)) == g).all()
+    # decode_image dispatches by magic bytes
+    assert (decode_image(encode_png(g)) == g).all()
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope")
+    data = encode_png(g)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(data[:40])
+    corrupt = bytearray(data)
+    corrupt[33 + 10] ^= 0xFF  # flip a byte inside the IDAT payload
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff jpeg-ish")
+
+
 def test_events_ts_encoding_mixed_dir_raises(tmp_path):
     """A directory mixing NANOS and MICROS files must fail AT SETUP with a
     clear error, not at runtime inside a micro-batch (round-5 advice: the
