@@ -22,18 +22,29 @@ import sys
 import time
 
 
-def _time_runs(make_plan, n: int = 5) -> tuple[float, float]:
+def _time_runs(make_plan, n: int = 5, extra_if_noisy: int = 4
+               ) -> tuple[float, float]:
     """(median_sec, rel_spread) over n FRESHLY-BUILT plans — re-collecting
     one DataFrame object would reuse its shuffle map outputs (skipped
-    stages) and measure nothing."""
-    runs = []
-    for _ in range(n):
+    stages) and measure nothing.  A noisy first sample (spread > 0.5 —
+    usually one GC/compilation outlier on shared infra) triggers
+    ``extra_if_noisy`` additional runs: the median over 9 is far more
+    stable than over 5, and only noisy queries pay for it."""
+    def one() -> float:
         plan = make_plan()
         t0 = time.perf_counter()
         plan.collect()
-        runs.append(time.perf_counter() - t0)
-    med = statistics.median(runs)
-    return med, (max(runs) - min(runs)) / med if med > 0 else 0.0
+        return time.perf_counter() - t0
+
+    runs = [one() for _ in range(n)]
+
+    def spread(rs: list[float]) -> float:
+        med = statistics.median(rs)
+        return (max(rs) - min(rs)) / med if med > 0 else 0.0
+
+    if spread(runs) > 0.5 and extra_if_noisy > 0:
+        runs += [one() for _ in range(extra_if_noisy)]
+    return statistics.median(runs), spread(runs)
 
 HEADLINE = [
     "knn_cascade",            # the reference's flagship operation
@@ -164,7 +175,10 @@ def bench_1m_scan(spark, sf_dir: str,
         # identical machinery, so ivf vs fullprobe isolates the pruning gain
         # from API overhead)
         flat_runs, ivf_runs, full_runs = [], [], []
-        for _ in range(5):
+        # 8 interleaved rounds, first DISCARDED: round 0 routinely carries a
+        # leftover compile/GC spike that alone pushed cascade_1m's reported
+        # spread to 1.79 in round 5; the 7 kept rounds give a stable median
+        for it in range(8):
             t0 = time.perf_counter()
             cascade_search(index, store, dim,
                            query_df=q.select("qvec", "qbits")).collect()
@@ -175,9 +189,9 @@ def bench_1m_scan(spark, sf_dir: str,
             t0 = time.perf_counter()
             db.search(qvec, nprobe=32)
             full_runs.append(time.perf_counter() - t0)
-        for key, runs in (("cascade_1m", flat_runs),
-                          ("cascade_1m_ivf", ivf_runs),
-                          ("cascade_1m_ivf_fullprobe", full_runs)):
+        for key, runs in (("cascade_1m", flat_runs[1:]),
+                          ("cascade_1m_ivf", ivf_runs[1:]),
+                          ("cascade_1m_ivf_fullprobe", full_runs[1:])):
             med = statistics.median(runs)
             out[key] = round(med, 4)
             variance[key] = round((max(runs) - min(runs)) / med, 2)
