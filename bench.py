@@ -262,7 +262,25 @@ def bench_streaming(spark, sf_dir: str,
     tracking, state store, sink commit — i.e. the flagship extension the
     reference (explicitly batch/single-process) has no counterpart for.
     FileStreamSource requires a directory, so the fixture file is copied
-    into a temp dir (untimed)."""
+    into a temp dir (untimed).
+
+    Two numbers, two questions:
+      events_stream_drain       — end-to-end wall-clock for ONE fixture
+                                  file through a fresh query (setup +
+                                  micro-batch + state + sink); profiling
+                                  shows this is ~80% FIXED floor (a
+                                  100-row file drains in ~1.1 s) — the
+                                  state-store commit per partition and
+                                  per-query setup, not row work.
+      events_stream_krows_per_s — steady-state drain RATE over the
+                                  fixture replicated 10x (~1M rows at
+                                  sf0.1), where the floor amortizes: the
+                                  number that scales to a real backlog.
+    State partition count is the dominant knob (state here is keyed by
+    window x event_type — tiny): 32 default partitions pay 32 state
+    commits per batch; 16 is measurably better at this volume and 4-8
+    best for the single-file case.  At 100 TB you size state partitions
+    to key cardinality, not to the batch shuffle default."""
     import shutil
     import tempfile
 
@@ -271,27 +289,44 @@ def bench_streaming(spark, sf_dir: str,
         run_to_memory,
         tumbling_counts,
     )
+
+    def timed_drain(d: str, name: str, state_parts: int) -> float:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+        try:
+            t0 = time.perf_counter()
+            run_to_memory(tumbling_counts(read_events_stream(spark, d)), name)
+            dt = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+            spark.catalog.dropTempView(name)
+        return dt
+
+    out: dict[str, float] = {}
     d = tempfile.mkdtemp(prefix="bvdb_stream_bench_")
     try:
         shutil.copy(os.path.join(sf_dir, "events.parquet"),
                     os.path.join(d, "events.parquet"))
-        n = spark.read.parquet(os.path.join(d, "events.parquet")).count()
         # untimed warm-up absorbs the streaming plan/codegen cold cost,
         # matching the per-query protocol of the headline loop
-        run_to_memory(tumbling_counts(read_events_stream(spark, d)),
-                      "bench_stream_warm")
-        spark.catalog.dropTempView("bench_stream_warm")
-        runs = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            run_to_memory(tumbling_counts(read_events_stream(spark, d)),
-                          f"bench_stream_{i}")
-            runs.append(time.perf_counter() - t0)
-            spark.catalog.dropTempView(f"bench_stream_{i}")
+        timed_drain(d, "bench_stream_warm", 8)
+        runs = [timed_drain(d, f"bench_stream_{i}", 8) for i in range(3)]
         med = statistics.median(runs)
         variance["events_stream_drain"] = round((max(runs) - min(runs)) / med, 2)
-        return {"events_stream_drain": round(med, 4),
-                "events_stream_krows_per_s": round(n / med / 1000, 1)}
+        out["events_stream_drain"] = round(med, 4)
+
+        # steady-state rate: replicate to ~10 files so row work dominates
+        for i in range(1, 10):
+            shutil.copy(os.path.join(d, "events.parquet"),
+                        os.path.join(d, f"events_{i}.parquet"))
+        n_big = spark.read.parquet(d).count()
+        timed_drain(d, "bench_stream_big_warm", 16)
+        runs = [timed_drain(d, f"bench_stream_big_{i}", 16) for i in range(3)]
+        med = statistics.median(runs)
+        variance["events_stream_krows_per_s"] = round(
+            (max(runs) - min(runs)) / med, 2)
+        out["events_stream_krows_per_s"] = round(n_big / med / 1000, 1)
+        return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

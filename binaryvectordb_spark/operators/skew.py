@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 _SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
              "leftsemi", "left_anti", "leftanti"}
+_RIGHT_HOW = {"right", "rightouter", "right_outer"}
+_FULL_HOW = {"full", "fullouter", "full_outer", "outer"}
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,
@@ -25,17 +27,44 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     """Equi-join ``big ⋈ small`` on ``key`` with the hot-key rows of ``big``
     spread over ``n_salts`` partitions.  ``small`` is replicated n_salts
     times (keep it small).  Output is identical to
-    ``big.join(small, key, how)`` for inner/left/semi/anti joins; RIGHT and
-    FULL outer are rejected — an unmatched small-side row would survive once
-    per salt replica, so those need the salt applied to the other side.
+    ``big.join(small, key, how)`` for every supported ``how``.
 
-    The salt mixes a per-row id into the hash so byte-identical duplicate
-    rows of a hot key (the degenerate-skew case) still spread across salts.
+    inner/left/semi/anti salt directly: the salt mixes a per-row id into
+    the hash so byte-identical duplicate rows of a hot key (the
+    degenerate-skew case) still spread across salts.
+
+    RIGHT and FULL outer cannot salt directly — an unmatched small-side row
+    would survive once per salt replica — so they decompose into the salted
+    INNER plus the unmatched rows of each side, null-padded: unmatched
+    small rows via anti-join against big's distinct keys (map-side partial
+    distinct collapses the hot key before any shuffle), unmatched big rows
+    via anti-join against the BROADCAST small key set (a broadcast probe —
+    skew-immune by construction).
     """
-    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_HOW}:
-        raise ValueError(
-            f"salted_join supports inner/left/semi/anti, not {how!r}: "
-            "small-side replication would duplicate unmatched rows")
+    hw = how.lower().replace("_", "")
+    if hw in {h.replace("_", "") for h in _RIGHT_HOW | _FULL_HOW}:
+        inner = salted_join(big, small, key, n_salts, "inner")
+        big_rest = [(f.name, f.dataType) for f in big.schema
+                    if f.name != key]
+        small_rest = [(f.name, f.dataType) for f in small.schema
+                      if f.name != key]
+        un_small = (small.join(big.select(key).distinct(), key, "left_anti")
+                    .select(F.col(key),
+                            *[F.lit(None).cast(t).alias(c)
+                              for c, t in big_rest],
+                            *[F.col(c) for c, _ in small_rest]))
+        out = inner.unionByName(un_small)
+        if hw in {h.replace("_", "") for h in _FULL_HOW}:
+            un_big = (big.join(F.broadcast(small.select(key).distinct()),
+                               key, "left_anti")
+                      .select(F.col(key),
+                              *[F.col(c) for c, _ in big_rest],
+                              *[F.lit(None).cast(t).alias(c)
+                                for c, t in small_rest]))
+            out = out.unionByName(un_big)
+        return out
+    if hw not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(f"salted_join does not support how={how!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns])
                   + F.monotonically_increasing_id(),
                   F.lit(n_salts)).alias("_salt")

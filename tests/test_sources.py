@@ -223,3 +223,55 @@ def test_events_ts_encoding_mixed_dir_raises(tmp_path):
             events_ts_encoding(str(d))
     else:  # this pyarrow coerced ns->us on write; dir probe must still agree
         assert events_ts_encoding(str(d)) in encs
+
+
+def test_ts_encoding_property_nanos_micros_agree(spark, tmp_path):
+    """PROPERTY: for arbitrary nanosecond timestamps (including sub-micro
+    residues, negatives-of-epoch-free range, and far-future values), the
+    NANOS-encoded fixture read through the probed batch loader equals the
+    MICROS-encoded fixture holding the truncated values — the same
+    truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from binaryvectordb_spark.sources.tables import events_ts_encoding
+
+    case_n = [0]
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.integers(min_value=1_000_000_000_000_000_000,   # 2001-09-09
+                    max_value=2_000_000_000_000_000_000),  # 2033-05-18
+        min_size=1, max_size=12))
+    def run(nanos_vals):
+        case_n[0] += 1
+        base = tmp_path / f"case{case_n[0]}"
+        n = len(nanos_vals)
+        cols = {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([0.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+        for enc, unit, vals in (
+                ("nanos", "ns", nanos_vals),
+                ("micros", "us", [v // 1000 for v in nanos_vals])):
+            d = base / enc
+            d.mkdir(parents=True)
+            pq.write_table(
+                pa.table({**cols, "ts": pa.array(vals, pa.timestamp(unit))}),
+                d / "events.parquet")
+        assert events_ts_encoding(str(base / "nanos")) == "nanos"
+        assert events_ts_encoding(str(base / "micros")) == "micros"
+        key = lambda df: sorted(  # noqa: E731
+            (r.event_id, r.ts) for r in df.select("event_id", "ts").collect())
+        got_n = load_table(spark, str(base / "nanos"), "events")
+        got_u = load_table(spark, str(base / "micros"), "events")
+        assert dict(got_n.dtypes)["ts"] == "timestamp"
+        assert key(got_n) == key(got_u)
+
+    run()
