@@ -31,6 +31,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 from binaryvectordb_spark.queries import (  # noqa: E402,F401
     analytics2,
     dedup,
+    hybrid,
     lateral,
     mllib_ops,
     multimodal,
@@ -56,6 +57,8 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # back — unchanged code, freshest hashes, least new signal.
 _PRIORITY = [
     # (a) new or output-changed this round
+    "search_bm25_topk",
+    "search_hybrid_rrf",
     "multimodal_png_decode",
     "agg_approx_count_distinct",
     "ann_ivf_kmeans_search",

@@ -1,0 +1,198 @@
+"""Hybrid retrieval: BM25-shaped keyword scoring and reciprocal-rank fusion
+(RRF) of the keyword list with the vector top-k.
+
+The reference is a semantic (vector-only) search engine over a document
+corpus (/root/reference/README.md:1-40, search at
+BinaryVectorDB/BinaryVectorDB.py:193-252).  Production retrieval over the
+same corpus is almost always HYBRID — a lexical BM25 list fused with the
+embedding top-k — so the engine ships both halves as first-class queries
+over the ``documents``/``embeddings`` fixtures.
+
+Determinism (oracle value-hash contract):
+- BM25's idf uses the log-free rarity form (N - df + 0.5) / (df + 0.5):
+  IEEE division of exactly-representable operands is correctly rounded and
+  engine-identical, while libm log() is not (NOTES.md).  Ranking is
+  unaffected for any fixed df ordering (the map is monotonic).
+- The per-term double score is floored to integer 1e-10 units
+  (floor(score * 1e10) AS BIGINT) BEFORE the per-doc sum: bigint sums are
+  exact and fold-order-independent, so the cross-engine hash cannot be
+  poisoned by double accumulation order.  Magnitudes stay far under 2^53.
+- The RRF score is a SINGLE IEEE add of two correctly-rounded divisions
+  (1/(60+rank)), computed in a fixed expression tree — bit-identical.
+
+Scale (100 TB): the keyword side is one explode -> two hash aggregations
+(doc length + term frequency); the query-term tf table is filtered to the
+query's terms BEFORE any join, so the join input is O(matching docs), and
+the df/avgdl side is a handful of scalars (broadcast).  The vector side
+here is the brute-force baseline (the cascade/IVF paths are the scale
+story, queries/vector.py); the fusion itself joins two top-k lists —
+k rows each, trivially broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.queries.vector import _DNORM, _DOT, _QNORM
+from binaryvectordb_spark.sources.tables import load_table
+
+# fixed query: three mid-frequency fixture-vocabulary terms + the flagship
+# query vector (vec_id = 0, same as every knn_* query)
+TERMS = ("vector", "window", "merge")
+K1, B = 1.2, 0.75
+RRF_K = 60
+TOPN = 100  # depth of each fused list
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 score (bigint 1e-10 units) for TERMS, every doc that
+    matches at least one term."""
+    tokens = _doc_tokens(spark, sf_dir)
+    dl = tokens.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
+    tf = (tokens.where(F.col("token").isin(*TERMS))
+          .groupBy("doc_id", "token")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df_ = tf.groupBy("token").agg(
+        F.count("*").cast("double").alias("df"))
+    # identical expression tree to the oracle SQL below — every constant is
+    # a SINGLE short decimal literal (never literal-on-literal arithmetic,
+    # whose rounding can land exactly on a tie and diverge across engines),
+    # and every sub-operation is a correctly-rounded IEEE double op, so the
+    # floored bigint is bit-identical across engines
+    term_score = (
+        "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D) / "
+        "(tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
+        "* 1e10) AS BIGINT)")
+    return (tf.join(F.broadcast(df_), "token")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("term_score_e10", F.expr(term_score))
+            .groupBy("doc_id")
+            .agg(F.sum("term_score_e10").alias("bm25_e10")))
+
+
+_BM25_ORACLE_CTE = f"""
+tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tokens GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tokens
+  WHERE token IN ('{TERMS[0]}', '{TERMS[1]}', '{TERMS[2]}')
+  GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), bm25 AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(((n_docs - df) + CAST(0.5 AS DOUBLE)) /
+             (df + CAST(0.5 AS DOUBLE)) * ((tf * CAST(2.2 AS DOUBLE)) /
+             (tf + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+             (CAST(0.75 AS DOUBLE) * (dl / avgdl)))))) *
+             1e10) AS BIGINT)) AS BIGINT) AS bm25_e10
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+)"""
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25(k1=1.2, b=0.75) for the fixed 3-term query."""
+    w = Window.orderBy(F.desc("bm25_e10"), F.asc("doc_id"))
+    return (_bm25_scored(spark, sf_dir)
+            .withColumn("kw_rank", F.row_number().over(w))
+            .where(F.col("kw_rank") <= 10)
+            .select("doc_id", "bm25_e10", "kw_rank"))
+
+
+register("search_bm25_topk", search_bm25_topk, oracle=f"""
+WITH {_BM25_ORACLE_CTE}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-100 and the cosine top-100
+    (query vector = embedding of vec_id 0): score = 1/(60+kw_rank) +
+    1/(60+vec_rank), absent list membership contributing 0.  The standard
+    hybrid-retrieval fusion — rank-based, so the two score scales never
+    need calibration."""
+    kw = (_bm25_scored(spark, sf_dir)
+          .withColumn("kw_rank", F.row_number().over(
+              Window.orderBy(F.desc("bm25_e10"), F.asc("doc_id"))))
+          .where(F.col("kw_rank") <= TOPN)
+          .select("doc_id", "kw_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    from binaryvectordb_spark.functions.vector import cosine
+    vec = (emb.select(F.col("vec_id").alias("doc_id"),
+                      F.col("embedding").alias("dv"))
+           .crossJoin(F.broadcast(q))
+           .withColumn("cos", cosine("qv", "dv"))
+           .withColumn("vec_rank", F.row_number().over(
+               Window.orderBy(F.desc("cos"), F.asc("doc_id"))))
+           .where(F.col("vec_rank") <= TOPN)
+           .select("doc_id", "vec_rank"))
+
+    fused = (kw.join(vec, "doc_id", "full_outer")
+             .withColumn("rrf", F.expr(
+                 f"coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + kw_rank AS "
+                 f"DOUBLE), 0.0D) + coalesce(CAST(1 AS DOUBLE) / "
+                 f"CAST({RRF_K} + vec_rank AS DOUBLE), 0.0D)")))
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= 10)
+            .select("doc_id", "kw_rank", "vec_rank", "rrf", "fused_rank"))
+
+
+register("search_hybrid_rrf", search_hybrid_rrf, oracle=f"""
+WITH {_BM25_ORACLE_CTE},
+kw AS (
+  SELECT doc_id, kw_rank
+  FROM (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+        FROM bm25)
+  WHERE kw_rank <= {TOPN}
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings),
+vec AS (
+  SELECT doc_id, vec_rank
+  FROM (SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+        FROM (SELECT doc_id,
+                     CASE WHEN {_QNORM} > 0 AND {_DNORM} > 0
+                          THEN {_DOT} / ({_QNORM} * {_DNORM})
+                          ELSE CAST(0 AS DOUBLE) END AS cos
+              FROM d, q))
+  WHERE vec_rank <= {TOPN}
+), fused AS (
+  SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank,
+         coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + kw_rank AS DOUBLE), 0.0)
+         + coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + vec_rank AS DOUBLE),
+                    0.0) AS rrf
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+)
+SELECT doc_id, kw_rank, vec_rank, rrf, fused_rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused)
+WHERE fused_rank <= 10
+""")
