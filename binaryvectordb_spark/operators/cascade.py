@@ -142,6 +142,74 @@ def cascade_search(index_df: DataFrame, doc_df: DataFrame, dim: int,
     return p3
 
 
+def cascade_search_filtered_adaptive(
+        index_df: DataFrame, doc_df: DataFrame, dim: int,
+        eligible: DataFrame, query_vec=None,
+        query_df: DataFrame | None = None, k: int = DEFAULT_K,
+        switch: float = 0.5, overfetch: int = 4,
+        selectivity: float | None = None) -> DataFrame:
+    """Filtered k-NN with a selectivity-adaptive strategy — the standard
+    production-ANN planner choice the reference (filter-free, faiss-only)
+    never needs but any metadata-filtered deployment does:
+
+    - **prefilter** (selective predicate, sel <= ``switch``): semi-join the
+      index against the eligible ids BEFORE Phase I, so every phase budget
+      is spent on eligible docs only — exact filtered top-k, at the cost of
+      touching the filter column for the whole corpus.
+    - **postfilter** (broad predicate): run Phase I UNFILTERED with an
+      ``overfetch``-inflated budget (binary_k * overfetch), drop ineligible
+      survivors, then continue Phases II/III on the survivors.  Skips the
+      corpus-wide semi-join; recall is bounded by the over-fetch (with a
+      broad predicate the expected eligible count in the pool is
+      overfetch * binary_k * sel >> binary_k).
+
+    ``eligible`` is a (doc_id)-only DataFrame.  ``selectivity`` overrides
+    the measured |eligible| / |index| ratio (two cheap count jobs) when the
+    caller already knows it (e.g. from table stats at 100 TB).  The chosen
+    strategy is returned as a literal ``strategy`` column so result
+    consumers — and the cross-engine oracle — can assert the plan choice,
+    not just the rows.
+    """
+    if selectivity is None:
+        total = index_df.count()
+        selectivity = (eligible.count() / total) if total else 0.0
+
+    if selectivity <= switch:
+        hits = cascade_search(
+            index_df.join(eligible, "doc_id", "left_semi"), doc_df, dim,
+            query_vec=query_vec, query_df=query_df, k=k)
+        return hits.withColumn("strategy", F.lit("prefilter"))
+
+    if query_df is None:
+        q = _query_df(index_df, query_vec, dim)
+    else:
+        q = query_df
+        if "qbits" not in q.columns:
+            q = q.select("qvec", pack_bits("qvec", dim).alias("qbits"))
+    binary_k = k * DEFAULT_BINARY_OVERSAMPLE * overfetch
+    rescore_k = k * DEFAULT_INT8_OVERSAMPLE
+    p1 = (index_df.join(F.broadcast(q))
+          .select("doc_id", "vec", "qvec",
+                  hamming("qbits", "vec", NUM_LANES(dim)).alias("score_hamming"))
+          .orderBy(F.asc("score_hamming"), F.asc("doc_id"))
+          .limit(binary_k))
+    # the over-fetched pool is <= binary_k rows — the semi-join against the
+    # filter runs on candidates, never the corpus (broadcast the tiny side)
+    p1f = F.broadcast(p1).join(eligible, "doc_id", "left_semi")
+    p2 = (p1f.select("doc_id", "qvec", "score_hamming",
+                     binary_dot("qvec", "vec", dim).alias("score_binary"))
+          .orderBy(F.desc("score_binary"), F.asc("doc_id"))
+          .limit(rescore_k))
+    extra = [c for c in doc_df.columns if c == "doc_kind"]
+    p3 = (F.broadcast(p2).join(doc_df, "doc_id")
+          .select("doc_id", "score_hamming", "score_binary",
+                  int8_cosine("qvec", "emb_int8").alias("score_cossim"),
+                  "doc", *extra)
+          .orderBy(F.desc("score_cossim"), F.asc("doc_id"))
+          .limit(k))
+    return p3.withColumn("strategy", F.lit("postfilter"))
+
+
 def _phase1_arrow_topk(index_df: DataFrame, dim: int, queries_df: DataFrame,
                        binary_k: int) -> DataFrame:
     """One-pass batched Phase I+II scoring: an Arrow kernel computes, per

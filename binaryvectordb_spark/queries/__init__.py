@@ -59,6 +59,8 @@ _PRIORITY = [
     # (a) new or output-changed this round
     "search_bm25_topk",
     "search_hybrid_rrf",
+    "knn_filtered_adaptive_rare",
+    "knn_filtered_adaptive_broad",
     "multimodal_png_decode",
     "agg_approx_count_distinct",
     "ann_ivf_kmeans_search",

@@ -365,6 +365,78 @@ FROM p3s ORDER BY score_cossim DESC, doc_id ASC LIMIT 10
 """)
 
 
+# -- adaptive filtered search: selectivity-driven pre/post-filter ----------
+
+def knn_filtered_adaptive_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive filtered cascade with a SELECTIVE predicate
+    (source = 'src0', ~5% of docs): the measured selectivity falls under the
+    0.5 switch, so the operator must choose the PREFILTER branch (exact
+    filtered top-k; asserted by the oracle through the strategy column)."""
+    from binaryvectordb_spark.operators.cascade import (
+        cascade_search_filtered_adaptive,
+    )
+    emb, docs = _tables(spark, sf_dir)
+    eligible = docs.where(F.col("source") == "src0").select("doc_id")
+    return cascade_search_filtered_adaptive(
+        build_index(emb, DIM), build_doc_store(emb, docs), DIM,
+        eligible, query_df=_qdf(emb))
+
+
+register(
+    "knn_filtered_adaptive_rare", knn_filtered_adaptive_rare,
+    oracle=f"""
+WITH {_Q_CTE},
+d AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM documents WHERE source = 'src0')),
+scored AS (SELECT doc_id, dv, CAST({_H} AS INTEGER) AS score_hamming FROM d, q),
+p1 AS (SELECT * FROM scored ORDER BY score_hamming ASC, doc_id ASC LIMIT 100),
+p2s AS (SELECT doc_id, dv, score_hamming, {_BDOT} AS score_binary FROM p1, q),
+p2 AS (SELECT * FROM p2s ORDER BY score_binary DESC, doc_id ASC LIMIT 30),
+p3s AS (SELECT p2.doc_id, score_hamming, score_binary,
+               {_I8DOT} / {_I8NORM} AS score_cossim, dcs.text AS doc
+        FROM p2, q, documents dcs WHERE dcs.doc_id = p2.doc_id)
+SELECT doc_id, score_hamming, score_binary, score_cossim, doc,
+       'prefilter' AS strategy
+FROM p3s ORDER BY score_cossim DESC, doc_id ASC LIMIT 10
+""")
+
+
+def knn_filtered_adaptive_broad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive filtered cascade with a BROAD predicate (lang <> 'zh',
+    ~85% of docs): selectivity exceeds the switch, so the operator must
+    choose the POSTFILTER branch — Phase I over-fetches 4x on the
+    unfiltered index, ineligible survivors are dropped, Phases II/III run
+    on the rest.  The oracle replicates the over-fetch pipeline exactly
+    (including its bounded-recall semantics) and pins the strategy."""
+    from binaryvectordb_spark.operators.cascade import (
+        cascade_search_filtered_adaptive,
+    )
+    emb, docs = _tables(spark, sf_dir)
+    eligible = docs.where(F.col("lang") != "zh").select("doc_id")
+    return cascade_search_filtered_adaptive(
+        build_index(emb, DIM), build_doc_store(emb, docs), DIM,
+        eligible, query_df=_qdf(emb))
+
+
+register(
+    "knn_filtered_adaptive_broad", knn_filtered_adaptive_broad,
+    oracle=f"""
+WITH {_Q_CTE}, {_D_CTE},
+scored AS (SELECT doc_id, dv, CAST({_H} AS INTEGER) AS score_hamming FROM d, q),
+p1 AS (SELECT * FROM scored ORDER BY score_hamming ASC, doc_id ASC LIMIT 400),
+p1f AS (SELECT * FROM p1 WHERE doc_id IN
+        (SELECT doc_id FROM documents WHERE lang <> 'zh')),
+p2s AS (SELECT doc_id, dv, score_hamming, {_BDOT} AS score_binary FROM p1f, q),
+p2 AS (SELECT * FROM p2s ORDER BY score_binary DESC, doc_id ASC LIMIT 30),
+p3s AS (SELECT p2.doc_id, score_hamming, score_binary,
+               {_I8DOT} / {_I8NORM} AS score_cossim, dcs.text AS doc
+        FROM p2, q, documents dcs WHERE dcs.doc_id = p2.doc_id)
+SELECT doc_id, score_hamming, score_binary, score_cossim, doc,
+       'postfilter' AS strategy
+FROM p3s ORDER BY score_cossim DESC, doc_id ASC LIMIT 10
+""")
+
+
 # -- radius (range) search: the dual of top-k -------------------------------
 
 def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
