@@ -167,6 +167,12 @@ def bench_1m_scan(spark, sf_dir: str,
                 (emb.where(F.col("vec_id") == 0)
                  .select("embedding").collect())][0]
         db.search(qvec)  # warm-up: memoizes serving handles, caches tiers
+        # the replicated source corpus is not referenced below and its
+        # ~400 MB cache would crowd the four serving relations (index,
+        # store, db index, db docs) out of heap during the interleaved
+        # comparison — index/store are already materialized (and spill to
+        # disk, never recompute, under MEMORY_AND_DISK)
+        big.unpersist()
 
         # three comparators, interleaved: the raw cascade primitive over the
         # cached tiers (cascade_1m — the historical key), the db serving API
@@ -334,6 +340,15 @@ def bench_streaming(spark, sf_dir: str,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # 2g heap for the bench session (explicit SPARK_GRAFT_DRIVER_MEM still
+    # wins): the 1M section holds ~4 cached 1M-row relations at peak, which
+    # thrashes a 1g heap — eviction-to-disk made cascade_1m/cascade_1m_ivf
+    # both slow AND noisy (r6 measured the same cached phase-I scan at
+    # 125 ms early-session vs 460-630 ms once the heap filled).  2g stays
+    # inside the 1-2g band NOTES.md measured as optimal (8g+ regresses the
+    # Arrow path via GC churn).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
 
     from binaryvectordb_spark.queries import QUERIES
     from binaryvectordb_spark.session import get_spark

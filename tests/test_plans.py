@@ -142,3 +142,27 @@ def test_contamination_join_broadcasts_eval_set(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_aggs_partial_and_small_sides_broadcast(spark):
+    """BM25's tf/df/dl aggregations must map-side combine, and the tiny
+    df/stats sides must broadcast — the corpus token stream shuffles once
+    for the tf agg and never into a sort-merge join."""
+    from binaryvectordb_spark.queries.hybrid import search_bm25_topk
+    plan = formatted_plan(search_bm25_topk(spark, SF_SMOKE))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_adaptive_postfilter_overfetches_then_semi_joins(spark):
+    """The broad-predicate adaptive branch must over-fetch Phase I on the
+    UNFILTERED index (TakeOrderedAndProject limit = k*oversample*overfetch
+    = 400) and semi-join eligibility on the candidate pool (broadcast), not
+    run a corpus-wide pre-filter."""
+    from binaryvectordb_spark.queries.vector import knn_filtered_adaptive_broad
+    plan = formatted_plan(knn_filtered_adaptive_broad(spark, SF_SMOKE))
+    # the over-fetched Phase-I top-k (TakeOrderedAndProject's limit arg)
+    assert "Arguments: 400, [score_hamming" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
