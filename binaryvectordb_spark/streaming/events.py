@@ -25,6 +25,27 @@ _RAW_FIELDS = ("event_id long, {ts}, user_id long, event_type string, "
                "value double, props string")
 
 
+ROCKSDB_STATE_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                          "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
+    """Switch subsequently-started streaming queries to the RocksDB state
+    store.  The default HDFS-backed provider keeps every state row on the
+    JVM heap — fine for window×group keys, fatal for 100 TB-scale keyed
+    state (billions of dedup or per-user keys): RocksDB spills state to
+    local disk with bounded memory, changelog-checkpoints incrementally,
+    and is the standard large-state choice.  Per-query semantics are
+    identical (pinned by tests/test_streaming.py — same results as the
+    default provider bit-for-bit); the provider only changes WHERE state
+    lives.  Call before .start(); running queries keep their provider."""
+    if enabled:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       ROCKSDB_STATE_PROVIDER)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def read_events_stream(spark: SparkSession, events_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     from binaryvectordb_spark.sources.tables import events_ts_encoding

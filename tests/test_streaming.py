@@ -179,3 +179,23 @@ def test_stream_static_enrich_matches_batch(spark, events_dir):
     cols = ["event_id", "user_id", "c_mktsegment"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() == batch.count() > 0
+
+
+def test_rocksdb_state_store_matches_default(spark, events_dir):
+    """The RocksDB provider must be a drop-in: identical windowed-agg
+    results to the default HDFS-backed provider (it only moves WHERE state
+    lives — heap vs local disk — which is the 100 TB-scale requirement)."""
+    from binaryvectordb_spark.streaming.events import use_rocksdb_state
+
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    want = _rows(run_to_memory(
+        tumbling_counts(read_events_stream(spark, events_dir)),
+        "t_state_default"), cols)
+    use_rocksdb_state(spark)
+    try:
+        got = _rows(run_to_memory(
+            tumbling_counts(read_events_stream(spark, events_dir)),
+            "t_state_rocks"), cols)
+    finally:
+        use_rocksdb_state(spark, enabled=False)
+    assert got == want
