@@ -266,6 +266,45 @@ def decode_ppm_features(payload_df: DataFrame) -> DataFrame:
         gen, schema=PPM_SCHEMA)
 
 
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) pixel array: output pixel
+    (j, i) samples source pixel (j*h//out_h, i*w//out_w) — the standard
+    floor-mapping, purely integer, so a resized image's statistics stay
+    closed-form-predictable for the stripe oracle."""
+    h, w = px.shape[:2]
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid resize target {out_w}x{out_h}")
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[np.ix_(rows, cols)]
+
+
+def resize_ppm_features(payload_df: DataFrame, out_w: int = 4,
+                        out_h: int = 4) -> DataFrame:
+    """Decode + RESIZE + reduce on mapInPandas: each PPM payload is decoded
+    (decode_ppm, the real parser), nearest-neighbor-resized to
+    ``out_w x out_h``, and summarized by resized channel means — the
+    decode/resize/feature pipeline a multimodal training-data pipeline
+    runs per image, Arrow-batched and partition-parallel.  Integer sums
+    divided once in float64 keep the means bit-exact for the oracle."""
+    from collections.abc import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, buf in zip(b["doc_id"], b["image_bytes"]):
+                px = resize_nearest(decode_ppm(bytes(buf)), out_w, out_h)
+                s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = out_h * out_w
+                rows.append((doc_id, out_w, out_h,
+                             s[0] / n, s[1] / n, s[2] / n))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                              "mean_r", "mean_g", "mean_b"])
+
+    return payload_df.select("doc_id", "image_bytes").mapInPandas(
+        gen, schema=PPM_SCHEMA)
+
+
 def _stripe_pixels(d: int) -> np.ndarray:
     """The deterministic striped test image for doc_id d (shared by the PPM
     and PNG payload generators, so both decoders check against the same

@@ -62,6 +62,7 @@ _PRIORITY = [
     "knn_filtered_adaptive_rare",
     "knn_filtered_adaptive_broad",
     "multimodal_png_decode",
+    "multimodal_resize",
     "agg_approx_count_distinct",
     "ann_ivf_kmeans_search",
     "similarity_join_brp_lsh",

@@ -131,6 +131,46 @@ register("multimodal_png_decode", multimodal_png_decode,
          oracle=_STRIPE_ORACLE)
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL decode + nearest-neighbor RESIZE + reduce, oracle-checked:
+    each striped PPM payload is decoded and resized to 4x4 with the
+    standard floor mapping (output row j samples source row j*h//4), then
+    summarized by resized channel means.  Because the floor mapping is
+    integer, the oracle can recompute which stripe color each resized row
+    samples — a wrong row index or interpolation mode breaks the hash.
+    This completes the mandated decode/feature-extract/RESIZE/frame-sample
+    multimodal verb set with a real pixel-plane operation."""
+    from binaryvectordb_spark.operators.multimodal import (
+        resize_ppm_features,
+        with_ppm_payload,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return resize_ppm_features(with_ppm_payload(d), out_w=4, out_h=4)
+
+
+register("multimodal_resize", multimodal_resize, oracle="""
+WITH p AS (SELECT doc_id,
+                  2 + doc_id % 7 AS h,
+                  (doc_id * 3) % 256 AS ra, (doc_id * 5) % 256 AS ga,
+                  (doc_id * 7) % 256 AS ba,
+                  (doc_id * 11 + 1) % 256 AS rb, (doc_id * 13 + 2) % 256 AS gb,
+                  (doc_id * 17 + 3) % 256 AS bb
+           FROM documents),
+e AS (SELECT *,
+             (CASE WHEN ((0 * h) // 4) % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN ((1 * h) // 4) % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN ((2 * h) // 4) % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN ((3 * h) // 4) % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+      FROM p)
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(n_even * ra + (4 - n_even) * rb AS DOUBLE) / 4 AS mean_r,
+       CAST(n_even * ga + (4 - n_even) * gb AS DOUBLE) / 4 AS mean_g,
+       CAST(n_even * ba + (4 - n_even) * bb AS DOUBLE) / 4 AS mean_b
+FROM e
+""")
+
+
 def embed_documents_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executor-side embedding of the documents corpus via mapInPandas
     (operators/embed.py, the scale ingest path), driver-checked via an
