@@ -275,3 +275,65 @@ def test_ts_encoding_property_nanos_micros_agree(spark, tmp_path):
         assert key(got_n) == key(got_u)
 
     run()
+
+
+def test_resize_nearest_semantics():
+    """resize_nearest is the exact floor mapping on both axes — downscale,
+    upscale, and identity all round-trip against a naive per-pixel loop;
+    non-positive targets raise."""
+    import numpy as np
+    import pytest
+
+    from binaryvectordb_spark.operators.multimodal import resize_nearest
+
+    rng = np.random.RandomState(11)
+    for (h, w, oh, ow) in ((5, 7, 3, 2), (2, 2, 6, 6), (4, 4, 4, 4),
+                           (1, 9, 8, 1), (3, 3, 1, 1)):
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        got = resize_nearest(px, ow, oh)
+        assert got.shape == (oh, ow, 3)
+        for j in range(oh):
+            for i in range(ow):
+                assert (got[j, i] == px[(j * h) // oh, (i * w) // ow]).all()
+    with pytest.raises(ValueError, match="invalid resize"):
+        resize_nearest(np.zeros((2, 2, 3), np.uint8), 0, 4)
+
+
+def test_adaptive_filtered_branches(spark):
+    """The adaptive filtered cascade must (a) pick prefilter under the
+    switch and return ONLY eligible docs, (b) pick postfilter above it,
+    (c) behave on an empty eligible set (prefilter branch, zero rows)."""
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.operators.cascade import (
+        build_doc_store,
+        build_index,
+        cascade_search_filtered_adaptive,
+    )
+    from binaryvectordb_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    index_df, doc_df = build_index(emb, 64), build_doc_store(emb, docs)
+    qv = [r[0] for r in emb.where(F.col("vec_id") == 0)
+          .select("embedding").collect()][0]
+
+    rare = docs.where(F.col("source") == "src0").select("doc_id")
+    hits = cascade_search_filtered_adaptive(
+        index_df, doc_df, 64, rare, query_vec=qv).collect()
+    assert hits and all(r.strategy == "prefilter" for r in hits)
+    eligible_ids = {r.doc_id for r in rare.collect()}
+    assert all(r.doc_id in eligible_ids for r in hits)
+
+    broad = docs.where(F.col("lang") != "zh").select("doc_id")
+    hits_b = cascade_search_filtered_adaptive(
+        index_df, doc_df, 64, broad, query_vec=qv).collect()
+    assert hits_b and all(r.strategy == "postfilter" for r in hits_b)
+    broad_ids = {r.doc_id for r in broad.collect()}
+    assert all(r.doc_id in broad_ids for r in hits_b)
+
+    empty = docs.where(F.lit(False)).select("doc_id")
+    hits_e = cascade_search_filtered_adaptive(
+        index_df, doc_df, 64, empty, query_vec=qv).collect()
+    assert hits_e == []
