@@ -1001,9 +1001,11 @@ class BinaryVectorDB:
                           F.col(emb_col).cast("array<float>").alias("embedding"))
                 .dropDuplicates(["doc_id"])
                 .withColumn("emb_int8", int8_quantize("embedding")))
-        # F.size(null) = -1, so null embeddings (cast failures / null input)
-        # trip this filter too — report them as null, not len(None)
-        bad = base.where(F.size("embedding") != self.dim).take(1)
+        # under ANSI (Spark 4 default) size(NULL) is NULL, so the size
+        # predicate alone silently PASSES null embeddings (cast failures /
+        # null input) — match them explicitly and report them as null
+        bad = base.where(F.col("embedding").isNull()
+                         | (F.size("embedding") != self.dim)).take(1)
         if bad:
             e = bad[0]["embedding"]
             sz = "null" if e is None else len(e)
@@ -1268,15 +1270,14 @@ class BinaryVectorDB:
         SAME snapshot.  Default path is ``<folder>/_serving/v<version>`` —
         version-suffixed, so a re-export after new commits lands beside the
         old one and traffic flips atomically by path."""
+        from binaryvectordb_spark.operators.local_serve import (
+            ShardedLocalCascadeSearcher,
+        )
         self._flush_pending()
-        router = self.to_local_searcher(n_shards=max(2, n_shards)) \
-            if n_shards > 1 else None
-        if router is None:
-            from binaryvectordb_spark.operators.local_serve import (
-                ShardedLocalCascadeSearcher,
-            )
-            router = ShardedLocalCascadeSearcher.from_searcher(
-                self.to_local_searcher(), 1)
+        # from_searcher handles n_shards=1 (a single-shard router), so both
+        # cases reduce to one construction
+        router = ShardedLocalCascadeSearcher.from_searcher(
+            self.to_local_searcher(), max(1, n_shards))
         v = self._manifest_version()
         out = path or os.path.join(self.folder, "_serving", f"v{v}")
         router.save_shards(out, db_manifest_version=v)
@@ -1290,11 +1291,24 @@ class BinaryVectorDB:
         from binaryvectordb_spark.operators.local_serve import (
             ShardedLocalCascadeSearcher,
         )
-        p = path or os.path.join(self.folder, "_serving",
-                                 f"v{self._manifest_version()}")
+        v = self._manifest_version()
+        p = path or os.path.join(self.folder, "_serving", f"v{v}")
+        if path is None and not os.path.isdir(p):
+            # the default path is keyed to the CURRENT version, so a stale
+            # export (made before newer commits) would otherwise surface as
+            # a bare FileNotFoundError instead of the re-export contract
+            import glob
+            stale = sorted(glob.glob(
+                os.path.join(self.folder, "_serving", "v*")))
+            raise ValueError(
+                f"no serving export for current DB version {v} at {p}"
+                + (f"; found stale exports {stale} — re-export "
+                   "(export_serving_shards) or load a stale path "
+                   "explicitly with allow_stale=True" if stale
+                   else " — run export_serving_shards() first"))
         return ShardedLocalCascadeSearcher.load(
             p, embed_fn=self.embed_fn,
-            expect_version=None if allow_stale else self._manifest_version())
+            expect_version=None if allow_stale else v)
 
     def search_batch(self, queries: Sequence[str | Sequence[float]],
                      k: int = DEFAULT_K,

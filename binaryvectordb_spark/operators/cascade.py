@@ -207,9 +207,16 @@ def cascade_search_filtered_adaptive(
                   hamming("qbits", "vec", NUM_LANES(dim)).alias("score_hamming"))
           .orderBy(F.asc("score_hamming"), F.asc("doc_id"))
           .limit(binary_k))
-    # the over-fetched pool is <= binary_k rows — the semi-join against the
-    # filter runs on candidates, never the corpus (broadcast the tiny side)
-    p1f = F.broadcast(p1).join(eligible, "doc_id", "left_semi")
+    # the over-fetched pool is <= binary_k rows, but BroadcastHashJoin
+    # LeftSemi only builds on the RIGHT side — broadcasting the left would
+    # be silently ignored and the broad (corpus-sized) eligible side would
+    # shuffle into a sort-merge join at scale.  Two build-right broadcasts
+    # keep everything map-side: eligible is semi-joined against the
+    # broadcast candidate ids (one scan of the filter table, no shuffle),
+    # and the <= binary_k surviving ids broadcast back onto the pool.
+    surviving = eligible.join(F.broadcast(p1.select("doc_id")),
+                              "doc_id", "left_semi")
+    p1f = p1.join(F.broadcast(surviving), "doc_id", "left_semi")
     p2 = (p1f.select("doc_id", "qvec", "score_hamming",
                      binary_dot("qvec", "vec", dim).alias("score_binary"))
           .orderBy(F.desc("score_binary"), F.asc("doc_id"))

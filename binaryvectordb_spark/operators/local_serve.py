@@ -200,10 +200,14 @@ class LocalCascadeSearcher:
             np.savez_compressed(f, doc_ids=self.doc_ids, packed_bits=bits,
                                 emb_int8=self.emb_int8)
         os.replace(tmp, os.path.join(path, "arrays.npz"))
-        with open(os.path.join(path, "payloads.json"), "w") as f:
-            json.dump(self.payloads, f)
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"dim": self.dim, "n": self.n}, f)
+        # same tmp+replace discipline for the JSON files: a reader that
+        # races a re-save must never see a partially written file
+        for name, obj in (("payloads.json", self.payloads),
+                          ("meta.json", {"dim": self.dim, "n": self.n})):
+            tmp = os.path.join(path, f".{name}.tmp{os.getpid()}")
+            with open(tmp, "w") as f:
+                json.dump(obj, f)
+            os.replace(tmp, os.path.join(path, name))
 
     @classmethod
     def load(cls, path: str, embed_fn=None) -> "LocalCascadeSearcher":
@@ -342,14 +346,25 @@ class ShardedLocalCascadeSearcher:
     def save_shards(self, path: str,
                     db_manifest_version: int | None = None) -> None:
         import os
+        import shutil
 
-        os.makedirs(path, exist_ok=True)
+        # stage the WHOLE export in a sibling tmp dir and rename it into
+        # place: a serving node polling `path` either sees nothing or a
+        # complete export (shards + router.json) — never a directory with
+        # shards but no manifest, or half-written JSON from a crashed
+        # exporter
+        tmp = f"{path.rstrip(os.sep)}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         for i, s in enumerate(self.shards):
-            s.save(os.path.join(path, f"shard_{i}"))
-        with open(os.path.join(path, "router.json"), "w") as f:
+            s.save(os.path.join(tmp, f"shard_{i}"))
+        with open(os.path.join(tmp, "router.json"), "w") as f:
             json.dump({"n_shards": len(self.shards), "dim": self.dim,
                        "n": self.n,
                        "db_manifest_version": db_manifest_version}, f)
+        if os.path.isdir(path):
+            shutil.rmtree(path)  # re-export over the same path
+        os.rename(tmp, path)
 
     @classmethod
     def from_shard_dirs(cls, paths: list[str], embed_fn=None

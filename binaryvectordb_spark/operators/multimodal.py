@@ -83,7 +83,9 @@ def decode_png(data: bytes) -> np.ndarray:
             ended = True
             break
         pos += 12 + length
-    if not ended and pos < n:
+    if not ended:
+        # unconditional: a stream cut exactly at a chunk boundary (pos == n)
+        # is still truncated — IEND is mandatory in every complete PNG
         raise ValueError("truncated PNG chunk stream")
     if ihdr is None or len(ihdr) != 13 or not idat:
         raise ValueError("missing or malformed IHDR/IDAT")

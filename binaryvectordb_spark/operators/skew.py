@@ -65,8 +65,13 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         return out
     if hw not in {h.replace("_", "") for h in _SAFE_HOW}:
         raise ValueError(f"salted_join does not support how={how!r}")
+    # xor, not +: under ANSI (Spark 4 default) a long + overflows with
+    # probability ~id/2^64 per row — monotonically_increasing_id reaches
+    # ~partitionIndex*2^33, so at 100k-partition scale a plain add aborts
+    # the job with ARITHMETIC_OVERFLOW; xor mixes the same entropy and
+    # cannot overflow
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns])
-                  + F.monotonically_increasing_id(),
+                  .bitwiseXOR(F.monotonically_increasing_id()),
                   F.lit(n_salts)).alias("_salt")
     big_s = big.withColumn("_salt", salt)
     small_s = (small.withColumn(

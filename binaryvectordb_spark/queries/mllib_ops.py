@@ -31,14 +31,14 @@ from binaryvectordb_spark.operators.mllib_ann import (
 from binaryvectordb_spark.queries import register
 from binaryvectordb_spark.sources.tables import load_table
 
-# SQL fragments shared with queries/vector.py's oracles (64-dim fold,
-# ascending dimension, operands widened to DOUBLE — bit-identical engines)
-_DOT = ("list_sum(list_transform(range(1, 65), i -> "
-        "CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))")
-_QNORM = ("sqrt(list_sum(list_transform(range(1, 65), i -> "
-          "CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))")
-_DNORM = ("sqrt(list_sum(list_transform(range(1, 65), i -> "
-          "CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))))")
+# SQL fragments imported from queries/vector.py's oracles (64-dim fold,
+# ascending dimension, operands widened to DOUBLE — bit-identical engines);
+# ONE definition so a future fold change cannot drift between modules
+from binaryvectordb_spark.queries.vector import (  # noqa: E402
+    _DNORM,
+    _DOT,
+    _QNORM,
+)
 
 
 def ann_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -494,3 +494,22 @@ def test_add_batch_df_distributed_pre_embedded(spark, tmp_path):
 
     with pytest.raises(ValueError, match="dim"):
         db.add_batch_df(df.withColumn("embedding", F.expr("slice(embedding, 1, 7)")))
+
+
+def test_add_batch_df_null_embedding_raises(spark, tmp_path):
+    """A null embedding (null input or failed cast) must be REJECTED with
+    the dim-mismatch contract, not silently ingested: under ANSI
+    size(NULL) is NULL, so the size predicate alone would pass null rows
+    through to the index, where their NULL hamming score sorts first and
+    poisons every top-k."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.db import BinaryVectorDB
+
+    db = BinaryVectorDB(spark, str(tmp_path / "nulldb"), dim=4)
+    rows = spark.createDataFrame(
+        [(1, "ok", [0.1, 0.2, 0.3, 0.4]), (2, "bad", None)],
+        "doc_id long, doc string, embedding array<float>")
+    with pytest.raises(ValueError, match="null"):
+        db.add_batch_df(rows)

@@ -121,16 +121,18 @@ def test_ivf_probe_is_partition_filter(spark, tmp_path):
     assert df_m is None or "cluster" not in df_m.group(1), plan[:2000]
     # mutation pruning still works on the two-level layout: a one-doc
     # upsert reads/rewrites only the touched doc_id bucket within clusters
-    before = {k for k in db._current_tables()["index"]}
+    before = dict(db._current_tables()["index"])
     assert all("/" in k for k in before)  # two-level keys C/K
     db.add_batch([3], ["upd"], rng.uniform(-1, 1, (1, 16)).astype(np.float32))
     after = db._current_tables()["index"]
-    changed = {k for k in set(before) | set(after)
-               if db._key_bucket(k) == "3"}
-    unchanged = {k: after[k] for k in after if db._key_bucket(k) != "3"}
-    assert all(k in after or k in before for k in changed)
-    for k, fl in unchanged.items():
-        assert db._key_bucket(k) != "3" and fl  # untouched buckets intact
+    # the doc-3 bucket's staged FILES must actually change (the upsert
+    # rewrote it), and every other bucket's file list must be IDENTICAL —
+    # untouched buckets are never restaged
+    b3_before = {k: v for k, v in before.items() if db._key_bucket(k) == "3"}
+    b3_after = {k: v for k, v in after.items() if db._key_bucket(k) == "3"}
+    assert b3_after and b3_after != b3_before
+    assert ({k: v for k, v in before.items() if db._key_bucket(k) != "3"}
+            == {k: v for k, v in after.items() if db._key_bucket(k) != "3"})
 
 
 def test_contamination_join_broadcasts_eval_set(spark):

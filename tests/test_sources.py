@@ -337,3 +337,21 @@ def test_adaptive_filtered_branches(spark):
     hits_e = cascade_search_filtered_adaptive(
         index_df, doc_df, 64, empty, query_vec=qv).collect()
     assert hits_e == []
+
+
+def test_png_missing_iend_raises():
+    """A PNG cut exactly at a chunk boundary (IEND stripped) must still
+    raise — IEND is mandatory, and a boundary-aligned truncation is
+    otherwise indistinguishable from a complete file."""
+    import numpy as np
+    import pytest
+
+    from binaryvectordb_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    data = encode_png(np.zeros((2, 3, 3), np.uint8))
+    stripped = data[:-12]  # IEND is the trailing 12-byte chunk
+    with pytest.raises(ValueError, match="truncated PNG chunk stream"):
+        decode_png(stripped)
