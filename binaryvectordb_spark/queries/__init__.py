@@ -59,6 +59,7 @@ _PRIORITY = [
     # (a) new or output-changed this round
     "search_bm25_topk",
     "search_hybrid_rrf",
+    "search_rerank_overlap",
     "knn_filtered_adaptive_rare",
     "knn_filtered_adaptive_broad",
     "multimodal_png_decode",

@@ -164,6 +164,82 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "kw_rank", "vec_rank", "rrf", "fused_rank"))
 
 
+def search_rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage rerank over the vector top-50 — the retrieve->rerank
+    production shape (a cross-encoder in a model deployment; here a
+    deterministic lexical scorer, so the full pipeline is oracle-checkable):
+    candidates come from the cosine top-50, the reranker scores each
+    (query, doc) pair by Jaccard overlap between the query terms and the
+    doc's distinct token set, and the final order is (rerank score desc,
+    first-stage rank asc, doc_id asc) top-10.  At scale the candidate set
+    is k rows per query — the rerank join and scoring touch candidates
+    only, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    from binaryvectordb_spark.functions.vector import cosine
+    cand = (emb.select(F.col("vec_id").alias("doc_id"),
+                       F.col("embedding").alias("dv"))
+            .crossJoin(F.broadcast(q))
+            .withColumn("cos", cosine("qv", "dv"))
+            .withColumn("vec_rank", F.row_number().over(
+                Window.orderBy(F.desc("cos"), F.asc("doc_id"))))
+            .where(F.col("vec_rank") <= 50)
+            .select("doc_id", "vec_rank"))
+    toks = (docs.select("doc_id",
+                        F.explode(F.array_distinct(
+                            F.split(F.col("text"), " "))).alias("token"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.count(F.when(F.col("token").isin(*TERMS), 1))
+                 .alias("n_hit")))
+    # broadcast the 50-row candidate list into the token-stats stream —
+    # the rerank join is map-side and scoring touches candidates only
+    scored = (toks.join(F.broadcast(cand), "doc_id")
+              .withColumn("rerank_score", F.expr(
+                  f"CAST(n_hit AS DOUBLE) / CAST((n_tokens + {len(TERMS)}) "
+                  "- n_hit AS DOUBLE)")))
+    w = Window.orderBy(F.desc("rerank_score"), F.asc("vec_rank"),
+                       F.asc("doc_id"))
+    return (scored.withColumn("final_rank", F.row_number().over(w))
+            .where(F.col("final_rank") <= 10)
+            .select("doc_id", "vec_rank", "rerank_score", "final_rank"))
+
+
+register("search_rerank_overlap", search_rerank_overlap, oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings),
+cand AS (
+  SELECT doc_id, vec_rank
+  FROM (SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+        FROM (SELECT doc_id,
+                     CASE WHEN {_QNORM} > 0 AND {_DNORM} > 0
+                          THEN {_DOT} / ({_QNORM} * {_DNORM})
+                          ELSE CAST(0 AS DOUBLE) END AS cos
+              FROM d, q))
+  WHERE vec_rank <= 50
+), toks AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(CASE WHEN token IN ('{TERMS[0]}', '{TERMS[1]}', '{TERMS[2]}')
+                    THEN 1 END) AS n_hit
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents)
+  GROUP BY doc_id
+), scored AS (
+  SELECT cand.doc_id, vec_rank,
+         CAST(n_hit AS DOUBLE) / CAST((n_tokens + {len(TERMS)}) - n_hit
+             AS DOUBLE) AS rerank_score
+  FROM cand JOIN toks ON cand.doc_id = toks.doc_id
+)
+SELECT doc_id, vec_rank, rerank_score, final_rank
+FROM (SELECT *, row_number() OVER (ORDER BY rerank_score DESC, vec_rank,
+                                   doc_id) AS final_rank
+      FROM scored)
+WHERE final_rank <= 10
+""")
+
+
 register("search_hybrid_rrf", search_hybrid_rrf, oracle=f"""
 WITH {_BM25_ORACLE_CTE},
 kw AS (
