@@ -60,6 +60,8 @@ _PRIORITY = [
     "search_bm25_topk",
     "search_hybrid_rrf",
     "search_rerank_overlap",
+    "agg_approx_percentile",
+    "text_stratified_sample",
     "knn_filtered_adaptive_rare",
     "knn_filtered_adaptive_broad",
     "multimodal_png_decode",

@@ -329,6 +329,31 @@ FROM lineitem
 """)
 
 
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style quantile sketch (percentile_approx, accuracy 10000 → rank
+    error 1e-4), oracle-checked by the invariant pattern: the sketch picks
+    a real data value whose RANK is within ε of the target, so for this
+    price distribution |approx − exact| / exact < 0.02 is deterministic
+    with a fat margin; the exact interpolated median IS hashable
+    (Spark percentile() ≡ DuckDB quantile_cont(), same interpolation).
+    The sketch is the 100 TB path — one pass, mergeable partials, no sort."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"))
+    return agg.select(
+        "exact_median",
+        (F.abs(F.col("approx") - F.col("exact_median"))
+         / F.col("exact_median") < 0.02).alias("approx_within_2pct"))
+
+
+register("agg_approx_percentile", agg_approx_percentile, oracle="""
+SELECT quantile_cont(o_totalprice, 0.5) AS exact_median,
+       TRUE AS approx_within_2pct
+FROM orders
+""")
+
+
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return (c.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))

@@ -219,6 +219,40 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling by hash threshold: per-source
+    sampling rates (25% for sources src0-src4, 50% for the rest) applied
+    as a comparison on md5(doc_id)'s leading hex — stable across runs,
+    engines, and cluster sizes, and each stratum's rate is independent
+    (the downsample-overrepresented-sources step of corpus curation).
+    Unlike rand()-based sample(), adding data never resamples an existing
+    doc.  Output: the kept rows with their stratum and rate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        F.lit(0.25)).otherwise(F.lit(0.5))
+    thresh = F.when(rate == 0.25, F.lit("40")).otherwise(F.lit("80"))
+    return (d.select("doc_id", "source", bucket.alias("bucket"),
+                     rate.alias("rate"))
+            .where(F.col("bucket") < thresh)
+            .orderBy("doc_id"))
+
+
+register("text_stratified_sample", text_stratified_sample, oracle="""
+WITH b AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         CAST(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+                   THEN 0.25 ELSE 0.5 END AS DOUBLE) AS rate
+  FROM documents)
+SELECT doc_id, source, bucket, rate
+FROM b
+WHERE bucket < (CASE WHEN rate = 0.25 THEN '40' ELSE '80' END)
+ORDER BY doc_id
+""")
+
+
 register("text_train_val_test_split", text_train_val_test_split, oracle="""
 WITH b AS (SELECT doc_id,
                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
