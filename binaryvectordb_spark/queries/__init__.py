@@ -55,6 +55,10 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # then (b) the 32 queries last driver-checked in round 1 (the stalest green
 # rows), then (c) the round-4 cohort.  Round-5-green queries fall to the
 # back — unchanged code, freshest hashes, least new signal.
+#
+# ROUND-7 ROTATION NOTE: after this round's driver run, the stalest hashes
+# will be section (c)'s round-4 cohort (positions ~51+, last hashed r4) —
+# move them to the front of the r7 window, then the round-5 cohort.
 _PRIORITY = [
     # (a) new or output-changed this round
     "search_bm25_topk",
