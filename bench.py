@@ -240,6 +240,23 @@ def bench_1m_scan(spark, sf_dir: str,
             (max(cold_p) - min(cold_p)) / statistics.median(cold_p), 2)
         variance["ivf_cold_full_scan"] = round(
             (max(cold_f) - min(cold_f)) / statistics.median(cold_f), 2)
+        # BYTES fraction the probe reads — deterministic and the number
+        # that prices an object-storage scan (local wall-clock buries the
+        # I/O win under ~1.5 s of fixed listing/planning/job overhead):
+        # sum parquet bytes under probed cluster= dirs vs the whole index
+        import re as _re
+        probe_set = {int(c) for c in probe}
+        probe_bytes = total_bytes = 0
+        for root, _, files in os.walk(os.path.join(dbdir, "index")):
+            m = _re.search(r"cluster=(\d+)", root)
+            for fname in files:
+                sz = os.path.getsize(os.path.join(root, fname))
+                total_bytes += sz
+                if m and int(m.group(1)) in probe_set:
+                    probe_bytes += sz
+        if total_bytes:
+            out["ivf_cold_probe_bytes_fraction"] = round(
+                probe_bytes / total_bytes, 4)
     finally:
         shutil.rmtree(dbdir, ignore_errors=True)
 
