@@ -48,71 +48,24 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority (rotated round 6): the driver value-hashes the first
-# ~50 registry entries per round.  Order: (a) queries whose OUTPUT changed
-# this round (the 5 former rows-only entries, now returning oracle-checkable
-# invariants — they need a fresh driver hash) plus any brand-new queries,
-# then (b) the 32 queries last driver-checked in round 1 (the stalest green
-# rows), then (c) the round-4 cohort.  Round-5-green queries fall to the
-# back — unchanged code, freshest hashes, least new signal.
+# Evaluation priority (rotated round 7): the driver value-hashes the first
+# ~50 registry entries per round.  Order: (a) queries that are brand-new or
+# output-changed this round (never hashed / need a fresh hash), then (b) the
+# 46 queries last driver-checked in round 4 (the stalest green rows), then
+# (c) the round-5 cohort.  Round-6-green queries fall to the back —
+# unchanged code, freshest hashes, least new signal.
 #
-# ROUND-7 ROTATION NOTE: after this round's driver run, the stalest hashes
-# will be section (c)'s round-4 cohort (positions ~51+, last hashed r4) —
-# move them to the front of the r7 window, then the round-5 cohort.
+# ROUND-8 ROTATION NOTE: after this round's driver run, the stalest hashes
+# will be section (c)'s round-5 cohort (45 queries, positions ~51+) — move
+# them to the front of the r8 window, then the round-6 cohort.
 _PRIORITY = [
-    # (a) new or output-changed this round
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "search_rerank_overlap",
-    "agg_approx_percentile",
-    "text_stratified_sample",
-    "knn_filtered_adaptive_rare",
-    "knn_filtered_adaptive_broad",
-    "multimodal_png_decode",
-    "multimodal_resize",
-    "agg_approx_count_distinct",
-    "ann_ivf_kmeans_search",
-    "similarity_join_brp_lsh",
-    "dedup_minhash_mllib",
-    "embed_documents_distributed",
-    # (b) last driver-checked in round 1 — stalest hashes first
-    "dedup_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "dedup_lsh_jaccard",
-    "dedup_clusters",
-    "dedup_levenshtein_pairs",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "events_multigrain_rollup",
-    "events_gap_fill_daily",
-    "window_range_frame_30d",
-    "agg_min_by_max_by",
-    "agg_filter_clause",
-    "agg_equiwidth_histogram",
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_having",
-    "set_ops_bag_semantics",
-    "filter_range_pushdown",
-    "filter_in_like_null",
-    "filter_empty_result",
-    "join_null_safe_eq",
-    "join_multiway_revenue",
-    "join_semi_customers_with_errors",
-    "join_anti_customers_no_orders",
-    "join_outer_order_counts",
-    "distinct_pairs",
-    "case_when_buckets",
-    "explode_token_topk",
-    "posexplode_embedding_head",
-    "explode_outer_null_preserving",
-    "text_tf_rarity_topk",
-    # (c) last driver-checked in round 4
-    "profile_orders",
-    "dedup_corpus_kept",
-    "agg_rollup_region_nation",
-    "agg_cube_flag_status",
+    # (a) brand-new in round 7 (never hashed)
+    "search_bm25_topk_batch",
+    "search_hybrid_rrf_batch",
+    # (b) last driver-checked in round 4 — stalest hashes first.  (The
+    # round-7 decimal precision-tier rewrite touches agg_pricing_summary —
+    # r6-fresh, output pinned bit-identical by test_oracle_parity — and
+    # tpch_q6_forecast_revenue, which is in this cohort anyway.)
     "agg_pivot_status",
     "scalar_subquery_above_avg",
     "window_topk_per_customer",
@@ -159,6 +112,104 @@ _PRIORITY = [
     "knn_cascade_filtered",
     "knn_radius_search",
     "knn_label_vote",
+    # (c) last driver-checked in round 5 — next-stalest; the first few fit
+    # in this round's ~50-query window after (a)+(b)
+    "dedup_exact_stats",
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_fingerprint_groups",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "events_click_purchase_attribution",
+    "join_asof_purchase_click",
+    "join_range_value_bands",
+    "mutation_upsert_documents",
+    "mutation_upsert_index",
+    "mutation_delete_documents",
+    "multimodal_ppm_decode",
+    "orderby_limit_offset",
+    "string_funcs",
+    "string_funcs2",
+    "date_funcs",
+    "date_funcs2",
+    "date_arithmetic",
+    "math_funcs",
+    "array_funcs",
+    "array_higher_order",
+    "map_funcs",
+    "json_funcs",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_chunk_documents",
+    "text_gopher_filter",
+    "text_contamination_overlap",
+    "text_normalize",
+    "text_redact_terms",
+    "text_repetition_ratios",
+    "text_source_profile",
+    "text_pack_sequences",
+    "text_train_val_test_split",
+    "udf_scalar_pandas",
+    "udf_arrow_scalar",
+    "udf_grouped_map",
+    "udf_grouped_agg",
+    # (d) round-6-green — freshest hashes, least new signal; explicit so the
+    # fallback append can't interleave them ahead of (c)
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "search_rerank_overlap",
+    "agg_approx_percentile",
+    "text_stratified_sample",
+    "knn_filtered_adaptive_rare",
+    "knn_filtered_adaptive_broad",
+    "multimodal_png_decode",
+    "multimodal_resize",
+    "agg_approx_count_distinct",
+    "ann_ivf_kmeans_search",
+    "similarity_join_brp_lsh",
+    "dedup_minhash_mllib",
+    "embed_documents_distributed",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "dedup_lsh_jaccard",
+    "dedup_clusters",
+    "dedup_levenshtein_pairs",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "events_multigrain_rollup",
+    "events_gap_fill_daily",
+    "window_range_frame_30d",
+    "agg_min_by_max_by",
+    "agg_filter_clause",
+    "agg_equiwidth_histogram",
+    "agg_count_distinct",
+    "agg_having",
+    "set_ops_bag_semantics",
+    "filter_range_pushdown",
+    "filter_in_like_null",
+    "filter_empty_result",
+    "join_null_safe_eq",
+    "join_multiway_revenue",
+    "join_semi_customers_with_errors",
+    "join_anti_customers_no_orders",
+    "join_outer_order_counts",
+    "distinct_pairs",
+    "case_when_buckets",
+    "explode_token_topk",
+    "posexplode_embedding_head",
+    "explode_outer_null_preserving",
+    "text_tf_rarity_topk",
+    "profile_orders",
+    "dedup_corpus_kept",
+    "agg_rollup_region_nation",
+    "agg_cube_flag_status",
 ]
 
 
