@@ -263,19 +263,41 @@ _CHG = _REV + " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"
 
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical partial-agg + final-agg grouped rollup.
-    Whole pipeline is hash-agg with map-side combine; one shuffle on the
-    2-column group key."""
+
+    Precision-tier rewrite (NOTES.md decimal tiers): Spark's decimal SUM
+    stays on the compact-long path only while the buffer precision is <= 18
+    (input p <= 8), so every per-row accumulation here uses p <= 8 inputs.
+    The discounted/taxed product terms — whose per-row decimal products
+    would force the slow >18-precision path — are factored through an exact
+    two-stage aggregation: group additionally by (discount, tax), sum raw
+    price on the fast path, then apply the constant (1-d)(1+t) per
+    sub-group and fold the ~O(|flags|*|d|*|t|) sub-rows (a few hundred at
+    any SF).  Decimal +/* are exact, so distributing the constant over the
+    sub-group sums is bit-identical to the per-row product the oracle
+    computes.  Scale safety: the finer key also shrinks per-group magnitude
+    ~100x, so the decimal(18,2) fast buffer holds to SF100k with >100x
+    headroom.  Whole pipeline is still hash-agg with map-side combine; the
+    extra final agg folds a few hundred rows."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2001-09-01")
-    return (li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(15,2)")).cast("double").alias("sum_base_price"),
-        F.sum(F.expr(_REV)).cast("double").alias("sum_disc_price"),
-        F.sum(F.expr(_CHG)).cast("double").alias("sum_charge"),
-        (F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double")
-         / F.count("*")).alias("avg_qty"),
-        (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double")
-         / F.count("*")).alias("avg_disc"),
-        F.count("*").alias("count_order")))
+    d = F.col("l_discount").cast("decimal(4,2)")
+    t = F.col("l_tax").cast("decimal(4,2)")
+    inner = (li.groupBy("l_returnflag", "l_linestatus",
+                        d.alias("d"), t.alias("t"))
+             .agg(F.sum(F.col("l_quantity").cast("decimal(8,2)")).alias("s_qty"),
+                  F.sum(F.col("l_extendedprice").cast("decimal(8,2)")).alias("s_price"),
+                  F.sum(d).alias("s_disc"),
+                  F.count("*").alias("n")))
+    one = F.lit(1).cast("decimal(3,2)")
+    rev_c = one - F.col("d")
+    chg_c = rev_c * (one + F.col("t"))
+    return (inner.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("s_qty").cast("double").alias("sum_qty"),
+        F.sum("s_price").cast("double").alias("sum_base_price"),
+        F.sum(F.col("s_price") * rev_c).cast("double").alias("sum_disc_price"),
+        F.sum(F.col("s_price") * chg_c).cast("double").alias("sum_charge"),
+        (F.sum("s_qty").cast("double") / F.sum("n")).alias("avg_qty"),
+        (F.sum("s_disc").cast("double") / F.sum("n")).alias("avg_disc"),
+        F.sum("n").alias("count_order")))
 
 
 register("agg_pricing_summary", agg_pricing_summary, oracle=f"""

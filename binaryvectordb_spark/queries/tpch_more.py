@@ -64,14 +64,21 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(l_discount*100) so both engines band identically."""
     li = _t(spark, sf_dir, "lineitem")
     pct = F.round(F.col("l_discount") * 100).cast("int")
-    rev = F.expr("CAST(l_extendedprice AS DECIMAL(15,2)) * "
-                 "CAST(l_discount AS DECIMAL(4,2))")
-    return (li.where((F.col("l_shipdate") >= "1996-01-01")
-                     & (F.col("l_shipdate") < "1997-01-01")
-                     & pct.between(5, 7)
-                     & (F.col("l_quantity") < 24))
-            .agg(F.sum(rev).cast("double").alias("revenue"),
-                 F.count("*").alias("n_items")))
+    # Precision-tier factoring (NOTES.md decimal tiers): sum the p<=8 price
+    # on the compact-long decimal path per discount value (3 groups), then
+    # apply the exact constant d to each sub-sum — bit-identical to the
+    # per-row decimal product by distributivity.
+    inner = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & pct.between(5, 7)
+                      & (F.col("l_quantity") < 24))
+             .groupBy(F.col("l_discount").cast("decimal(4,2)").alias("d"))
+             .agg(F.sum(F.col("l_extendedprice").cast("decimal(8,2)"))
+                  .alias("s_price"),
+                  F.count("*").alias("n")))
+    return inner.agg(
+        F.sum(F.col("s_price") * F.col("d")).cast("double").alias("revenue"),
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_items"))
 
 
 register("tpch_q6_forecast_revenue", tpch_q6_forecast_revenue, oracle="""

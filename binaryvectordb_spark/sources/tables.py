@@ -65,6 +65,28 @@ def events_ts_encoding(path: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve a fixture table to a DataFrame, memoized per session+path.
+
+    ``spark.read.parquet`` re-lists files and re-reads footers on every
+    call (~0.1-0.2 s of driver work) — a catalog would cache that table
+    metadata, so we do the same: the resolved DataFrame (logical scan +
+    file index) is cached on the session keyed by (abs path, table).
+    Downstream operators derive fresh plans from it, so no shuffle-output
+    reuse is introduced; only the listing/footer work is saved.  The file
+    index snapshots the listing at first load — correct for the immutable
+    fixtures (mutable stores under db.py manage their own reads)."""
+    cache = getattr(spark, "_bvdb_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._bvdb_table_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    if key not in cache:
+        cache[key] = _load_table_uncached(spark, sf_dir, name)
+    return cache[key]
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str,
+                         name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Normalize ts to a plain TIMESTAMP so downstream windows/aggregates
