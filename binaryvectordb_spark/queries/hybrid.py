@@ -75,8 +75,16 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D) / "
         "(tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
         "* 1e10) AS BIGINT)")
+    # candidates-only dl fetch: document lengths are needed only for docs
+    # that matched a query term, so semi-join dl against tf's doc_ids
+    # (broadcast the small term-matched id list — the RIGHT side, since
+    # BroadcastHashJoin LeftSemi is BuildRight-only) before the main join.
+    # At corpus scale this turns a corpus-wide dl shuffle into a map-side
+    # prune; results are identical because the tf<->dl join was inner.
+    dl_cand = dl.join(F.broadcast(tf.select("doc_id").distinct()),
+                      "doc_id", "left_semi")
     return (tf.join(F.broadcast(df_), "token")
-            .join(dl, "doc_id")
+            .join(dl_cand, "doc_id")
             .crossJoin(F.broadcast(stats))
             .withColumn("term_score_e10", F.expr(term_score))
             .groupBy("doc_id")
@@ -269,6 +277,203 @@ vec AS (
 )
 SELECT doc_id, kw_rank, vec_rank, rrf, fused_rank
 FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused)
+WHERE fused_rank <= 10
+""")
+
+
+# ---------------------------------------------------------------------------
+# batch (multi-query) hybrid retrieval — the serving-pipeline form: a
+# (qid, term) query table on the lexical side, qid = vec_id 0..4 on the
+# vector side (mirroring knn_cascade_batch), qid-partitioned rank windows,
+# RRF per qid.  One corpus scan serves the whole batch.
+# ---------------------------------------------------------------------------
+
+BATCH_TERMS: dict[int, tuple[str, ...]] = {
+    0: ("vector", "window", "merge"),   # the fixed single-query terms
+    1: ("hash", "join", "table"),
+    2: ("stream", "batch", "scan"),
+    3: ("sort", "group", "order"),
+    4: ("dup", "filter", "key"),        # includes a rare term (df ~ 25)
+}
+N_BATCH = len(BATCH_TERMS)
+
+
+def _query_terms_df(spark: SparkSession) -> DataFrame:
+    """The (qid, token) query table as an inline literal plan — never
+    createDataFrame (~0.2 s of Arrow/py4j per call, NOTES.md)."""
+    structs = ", ".join(
+        f"struct(bigint({qid}) AS qid, '{t}' AS token)"
+        for qid, ts in sorted(BATCH_TERMS.items()) for t in ts)
+    return (spark.range(1)
+            .select(F.explode(F.expr(f"array({structs})")).alias("s"))
+            .select("s.qid", "s.token"))
+
+
+def _bm25_scored_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(qid, doc) BM25 score for the whole query batch in one corpus
+    scan: tf is computed once over the UNION of all batch terms, the tiny
+    (qid, term) table joins in on term (broadcast), and the per-doc sum is
+    grouped by (qid, doc_id).  df/avgdl are query-independent corpus stats,
+    identical to the single-query path."""
+    tokens = _doc_tokens(spark, sf_dir)
+    dl = tokens.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
+    all_terms = sorted({t for ts in BATCH_TERMS.values() for t in ts})
+    tf = (tokens.where(F.col("token").isin(*all_terms))
+          .groupBy("doc_id", "token")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df_ = tf.groupBy("token").agg(
+        F.count("*").cast("double").alias("df"))
+    dl_cand = dl.join(F.broadcast(tf.select("doc_id").distinct()),
+                      "doc_id", "left_semi")
+    term_score = (
+        "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D) / "
+        "(tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
+        "* 1e10) AS BIGINT)")
+    return (tf.join(F.broadcast(_query_terms_df(spark)), "token")
+            .join(F.broadcast(df_), "token")
+            .join(dl_cand, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("term_score_e10", F.expr(term_score))
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("term_score_e10").alias("bm25_e10")))
+
+
+_QTERMS_VALUES = ", ".join(
+    f"(CAST({qid} AS BIGINT), '{t}')"
+    for qid, ts in sorted(BATCH_TERMS.items()) for t in ts)
+_ALL_TERMS_IN = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in BATCH_TERMS.values() for t in ts}))
+
+_BM25_BATCH_ORACLE_CTE = f"""
+qterms(qid, token) AS (SELECT * FROM (VALUES {_QTERMS_VALUES})),
+tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tokens GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tokens
+  WHERE token IN ({_ALL_TERMS_IN})
+  GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), bm25 AS (
+  SELECT qid, doc_id,
+         CAST(sum(CAST(floor(((n_docs - df) + CAST(0.5 AS DOUBLE)) /
+             (df + CAST(0.5 AS DOUBLE)) * ((tf * CAST(2.2 AS DOUBLE)) /
+             (tf + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+             (CAST(0.75 AS DOUBLE) * (dl / avgdl)))))) *
+             1e10) AS BIGINT)) AS BIGINT) AS bm25_e10
+  FROM tf JOIN qterms USING (token) JOIN df USING (token)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY qid, doc_id
+)"""
+
+
+def search_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query for the 5-query batch — one corpus scan,
+    qid-partitioned rank window (plans under Spark 4's window-group-limit,
+    so each partition keeps only its top rows pre-shuffle)."""
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25_e10"), F.asc("doc_id"))
+    return (_bm25_scored_batch(spark, sf_dir)
+            .withColumn("kw_rank", F.row_number().over(w))
+            .where(F.col("kw_rank") <= 10)
+            .select("qid", "doc_id", "bm25_e10", "kw_rank"))
+
+
+register("search_bm25_topk_batch", search_bm25_topk_batch, oracle=f"""
+WITH {_BM25_BATCH_ORACLE_CTE}
+SELECT qid, doc_id, bm25_e10, kw_rank
+FROM (SELECT qid, doc_id, bm25_e10,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
+def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion per query over the 5-query batch: BM25
+    top-100 and cosine top-100 per qid (query vector = embedding of
+    vec_id = qid), full-outer joined on (qid, doc_id), fused with
+    1/(60+rank) + 1/(60+rank), top-10 per qid.  Both sides amortize one
+    corpus scan across the batch; the fusion joins two 5*k-row lists."""
+    kw = (_bm25_scored_batch(spark, sf_dir)
+          .withColumn("kw_rank", F.row_number().over(
+              Window.partitionBy("qid")
+              .orderBy(F.desc("bm25_e10"), F.asc("doc_id"))))
+          .where(F.col("kw_rank") <= TOPN)
+          .select("qid", "doc_id", "kw_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (emb.where(F.col("vec_id") < N_BATCH)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qv")))
+    from binaryvectordb_spark.functions.vector import cosine
+    vec = (emb.select(F.col("vec_id").alias("doc_id"),
+                      F.col("embedding").alias("dv"))
+           .crossJoin(F.broadcast(qs))
+           .withColumn("cos", cosine("qv", "dv"))
+           .withColumn("vec_rank", F.row_number().over(
+               Window.partitionBy("qid")
+               .orderBy(F.desc("cos"), F.asc("doc_id"))))
+           .where(F.col("vec_rank") <= TOPN)
+           .select("qid", "doc_id", "vec_rank"))
+
+    fused = (kw.join(vec, ["qid", "doc_id"], "full_outer")
+             .withColumn("rrf", F.expr(
+                 f"coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + kw_rank AS "
+                 f"DOUBLE), 0.0D) + coalesce(CAST(1 AS DOUBLE) / "
+                 f"CAST({RRF_K} + vec_rank AS DOUBLE), 0.0D)")))
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= 10)
+            .select("qid", "doc_id", "kw_rank", "vec_rank", "rrf",
+                    "fused_rank"))
+
+
+register("search_hybrid_rrf_batch", search_hybrid_rrf_batch, oracle=f"""
+WITH {_BM25_BATCH_ORACLE_CTE},
+kw AS (
+  SELECT qid, doc_id, kw_rank
+  FROM (SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+        FROM bm25)
+  WHERE kw_rank <= {TOPN}
+), qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < {N_BATCH}),
+d AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings),
+vec AS (
+  SELECT qid, doc_id, vec_rank
+  FROM (SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, doc_id) AS vec_rank
+        FROM (SELECT qid, doc_id,
+                     CASE WHEN {_QNORM} > 0 AND {_DNORM} > 0
+                          THEN {_DOT} / ({_QNORM} * {_DNORM})
+                          ELSE CAST(0 AS DOUBLE) END AS cos
+              FROM d, qs))
+  WHERE vec_rank <= {TOPN}
+), fused AS (
+  SELECT coalesce(kw.qid, vec.qid) AS qid,
+         coalesce(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank,
+         coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + kw_rank AS DOUBLE), 0.0)
+         + coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + vec_rank AS DOUBLE),
+                    0.0) AS rrf
+  FROM kw FULL OUTER JOIN vec
+       ON kw.qid = vec.qid AND kw.doc_id = vec.doc_id
+)
+SELECT qid, doc_id, kw_rank, vec_rank, rrf, fused_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY rrf DESC, doc_id) AS fused_rank
       FROM fused)
 WHERE fused_rank <= 10
 """)

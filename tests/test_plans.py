@@ -147,13 +147,22 @@ def test_contamination_join_broadcasts_eval_set(spark):
 
 
 def test_bm25_aggs_partial_and_small_sides_broadcast(spark):
-    """BM25's tf/df/dl aggregations must map-side combine, and the tiny
-    df/stats sides must broadcast — the corpus token stream shuffles once
-    for the tf agg and never into a sort-merge join."""
-    from binaryvectordb_spark.queries.hybrid import search_bm25_topk
-    plan = formatted_plan(search_bm25_topk(spark, SF_SMOKE))
-    assert "partial_count" in plan or "partial" in plan.lower()
-    assert "SortMergeJoin" not in plan
+    """BM25's tf and dl token aggregations must each map-side combine (the
+    SPECIFIC partial_count(1) partial aggregates — not 'partial' anywhere,
+    which any plan matches), document lengths must be fetched
+    candidates-only (a BuildRight broadcast LeftSemi of dl against tf's
+    matched doc_ids), and the corpus token stream must never shuffle into
+    a sort-merge join.  Applies to the single-query and batch forms."""
+    from binaryvectordb_spark.queries.hybrid import (
+        search_bm25_topk,
+        search_bm25_topk_batch,
+    )
+    for q in (search_bm25_topk, search_bm25_topk_batch):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        # tf agg + dl agg both partial-count before their exchanges
+        assert plan.count("partial_count(1)") >= 2, q.__name__
+        assert "BroadcastHashJoin LeftSemi BuildRight" in plan, q.__name__
+        assert "SortMergeJoin" not in plan, q.__name__
 
 
 def test_adaptive_postfilter_overfetches_then_semi_joins(spark):
