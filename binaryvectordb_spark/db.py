@@ -116,6 +116,10 @@ class BinaryVectorDB:
         # serving-handle memo: (manifest_version, index_df, docs_df,
         # index_nonempty) — see _serving_handles
         self._serve_cache: tuple | None = None
+        # commit-time table stats (see table_stats): advisory, cheap to
+        # recompute, so a handle can switch them off for bulk-load loops
+        self.auto_stats = True
+        self._stats_mem: tuple[int, dict] | None = None  # (version, stats)
         # _custom_embed_fn must be picklable for the distributed ingest path;
         # the default (None) is rebuilt executor-side from local_embedder+dim
         self._custom_embed_fn = embed_fn
@@ -319,6 +323,24 @@ class BinaryVectorDB:
         self._gc(self.retain_versions + 1)
         for name in updates:
             self.spark.catalog.refreshByPath(self._path(name))
+        # table stats ride the commit: a docs-changing commit recomputes
+        # them (narrow column-pruned scan of the tracked metadata columns);
+        # an index-only commit (build_ivf) carries the previous version's
+        # sidecar forward unchanged — stats are a property of the docs
+        # snapshot, and the version key makes invalidation exact
+        if self.auto_stats:
+            if "documents" in updates:
+                try:
+                    self._refresh_stats()
+                except Exception:
+                    pass  # stats are advisory; table_stats() recomputes
+            else:
+                prev = self._stats_path(v - 1)
+                if os.path.isfile(prev):
+                    with open(prev) as f:
+                        st = json.load(f)
+                    st["version"] = v
+                    self._write_stats(v, st)
 
     def _retained_tables(self, keep_last: int) -> list[dict]:
         """Table maps of the latest `keep_last` committed manifests —
@@ -471,19 +493,65 @@ class BinaryVectorDB:
     def _files_df(self, name: str, bmap: dict) -> DataFrame | None:
         """Build the reader for a manifest entry: explicit file list, with
         basePath so the partition columns (bucket; cluster+bucket for an
-        IVF-partitioned index) still prune."""
+        IVF-partitioned index) still prune.  The documents table applies
+        the schema recorded in _meta.json (when present): metadata columns
+        evolve the schema, buckets rewritten before the column existed
+        lack it physically, and ONE explicit schema makes parquet fill the
+        gaps with nulls — the Delta-style alternative to a mergeSchema
+        footer scan over every file."""
         p = self._path(name)
+        reader = self.spark.read
+        if name == "documents":
+            sch = self._docs_schema()
+            if sch is not None:
+                reader = reader.schema(sch)
         if "_flat" in bmap:
             files = [os.path.join(p, f) for f in bmap["_flat"]]
-            df = self.spark.read.parquet(*files)
+            df = reader.parquet(*files)
         else:
             files = [os.path.join(p, self._key_reldir(b), f)
                      for b in sorted(bmap, key=self._key_sort)
                      for f in bmap[b]]
             if not files:
                 return None
-            df = self.spark.read.option("basePath", p).parquet(*files)
-        return df.drop("bucket") if "bucket" in df.columns else df
+            df = reader.option("basePath", p).parquet(*files)
+        if "bucket" in df.columns:
+            df = df.drop("bucket")
+        if name == "documents" and "doc_kind" in df.columns:
+            # files from before doc_kind existed read as null under the
+            # explicit schema — preserve the merge-time 'str' backfill
+            df = df.withColumn("doc_kind",
+                               F.coalesce(F.col("doc_kind"), F.lit("str")))
+        return df
+
+    def _docs_schema(self):
+        """The committed documents schema from _meta.json, or None for DBs
+        that never recorded one (their buckets all share the written
+        schema, so inference is exact)."""
+        meta_path = os.path.join(self.folder, _META)
+        try:
+            with open(meta_path) as f:
+                s = json.load(f).get("docs_schema")
+        except (OSError, ValueError):
+            return None
+        if not s:
+            return None
+        from pyspark.sql.types import StructType
+        return StructType.fromJson(json.loads(s))
+
+    def _record_docs_schema(self, schema) -> None:
+        """Persist the (possibly evolved) documents schema after a commit.
+        Written post-commit so an aborted mutation cannot advertise a
+        column no committed file carries; a superset schema is harmless
+        (readers see nulls) which makes the non-transactional meta update
+        safe under the single-writer contract."""
+        meta_path = os.path.join(self.folder, _META)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        sj = schema.json()
+        if meta.get("docs_schema") != sj:
+            meta["docs_schema"] = sj
+            self._write_meta(meta_path, meta)
 
     def _read_df(self, name: str) -> DataFrame | None:
         t = self._manifest_tables()
@@ -540,6 +608,116 @@ class BinaryVectorDB:
         if version is not None:
             return self._read_version_df("documents", version)
         return self._read_df("documents")
+
+    # -- table statistics -----------------------------------------------------
+    # Per-snapshot stats over the docs table's filterable metadata columns
+    # (everything except the payload/embedding columns): row count, per-column
+    # NDV, and a value->count frequency map for low-NDV columns.  Persisted as
+    # a version-keyed sidecar (_stats/v<N>.json) written at commit time —
+    # stats describe a SNAPSHOT, so the version key gives exact invalidation,
+    # and a missing sidecar (crash between commit and stats write, or a
+    # pre-stats DB) just recomputes on demand.  The serving win: a filtered
+    # search estimates predicate selectivity from the frequency map instead
+    # of paying two count jobs per query (operators/cascade.py
+    # cascade_search_filtered_adaptive's `selectivity` input).
+
+    _STATS_DIR = "_stats"
+    _STATS_NDV_CAP = 64  # freq maps only for columns at or under this NDV
+    _STATS_SKIP_COLS = ("doc", "emb_int8")  # payload/embedding: not filterable
+
+    def _stats_path(self, version: int) -> str:
+        return os.path.join(self.folder, self._STATS_DIR,
+                            f"v{int(version):010d}.json")
+
+    def _write_stats(self, version: int, stats: dict) -> None:
+        os.makedirs(os.path.join(self.folder, self._STATS_DIR), exist_ok=True)
+        self._write_meta(self._stats_path(version), stats)
+        self._stats_mem = (int(version), stats)
+
+    def _compute_stats(self) -> dict:
+        v = self._manifest_version()
+        docs = self.docs_df()
+        if docs is None:
+            return {"version": v, "n_rows": 0, "columns": {}}
+        tracked = [c for c, t in docs.dtypes
+                   if c not in self._STATS_SKIP_COLS
+                   and t in ("string", "boolean", "tinyint", "smallint",
+                             "int", "bigint", "date")]
+        aggs = [F.count("*").alias("__n_rows")]
+        aggs += [F.count_distinct(F.col(c)).alias(c) for c in tracked]
+        row = docs.agg(*aggs).first()
+        n_rows = int(row["__n_rows"])
+        cols: dict = {c: {"ndv": int(row[c])} for c in tracked}
+        small = [c for c in tracked
+                 if c != "doc_id" and int(row[c]) <= self._STATS_NDV_CAP]
+        if small and n_rows:
+            # ONE grouped pass for every low-NDV column's frequency map:
+            # unpivot (col, value) pairs, hash-agg — rows out = sum of NDVs
+            ent = F.explode(F.array(*[
+                F.struct(F.lit(c).alias("c"),
+                         F.col(c).cast("string").alias("v"))
+                for c in small])).alias("e")
+            for r in docs.select(ent).groupBy("e.c", "e.v").count().collect():
+                info = cols[r["c"]]
+                if r["v"] is None:
+                    info["null_count"] = int(r["count"])
+                else:
+                    info.setdefault("freq", {})[r["v"]] = int(r["count"])
+        return {"version": v, "n_rows": n_rows, "columns": cols}
+
+    def _refresh_stats(self) -> dict:
+        stats = self._compute_stats()
+        self._write_stats(self._manifest_version(), stats)
+        return stats
+
+    def table_stats(self, refresh: bool = False) -> dict | None:
+        """Stats of the docs table at the current committed version:
+        ``{"version", "n_rows", "columns": {col: {"ndv", "freq"?,
+        "null_count"?}}}``.  Reads the commit-time sidecar (no Spark job);
+        computes and persists it when absent or ``refresh=True``."""
+        v = self._manifest_version()
+        if v is None:
+            return None
+        if not refresh:
+            if self._stats_mem is not None and self._stats_mem[0] == v:
+                return self._stats_mem[1]
+            p = self._stats_path(v)
+            if os.path.isfile(p):
+                with open(p) as f:
+                    stats = json.load(f)
+                self._stats_mem = (v, stats)
+                return stats
+        return self._refresh_stats()
+
+    @staticmethod
+    def _stats_key(value) -> str:
+        # frequency-map keys are the Spark string cast of the value;
+        # booleans cast to 'true'/'false', not Python's 'True'/'False'
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        return str(value)
+
+    def _estimate_selectivity(self, filter) -> float | None:
+        """Estimated fraction of docs a dict-filter keeps, from the
+        commit-time frequency maps (independence across conjuncts — the
+        textbook estimator).  None when the filter shape or stats cannot
+        answer (SQL-string predicates, untracked or high-NDV columns) —
+        the caller then falls back to measuring."""
+        if not isinstance(filter, dict) or not filter:
+            return None
+        st = self.table_stats()
+        if not st or not st.get("n_rows"):
+            return None
+        frac = 1.0
+        for c, vals in filter.items():
+            info = (st.get("columns") or {}).get(c)
+            if info is None or "freq" not in info:
+                return None
+            vs = (list(vals) if isinstance(vals, (list, tuple, set, frozenset))
+                  else [vals])
+            matched = sum(info["freq"].get(self._stats_key(x), 0) for x in vs)
+            frac *= matched / st["n_rows"]
+        return frac
 
     def restore(self, version: int) -> None:
         """Roll the DB back to an earlier committed snapshot (Delta
@@ -848,7 +1026,13 @@ class BinaryVectorDB:
         flat layout that this merge migrates) both tiers are fully
         rewritten."""
         # doc_kind arrived after round 1: tables written before it get the
-        # column back-filled as 'str' at merge time, so unionByName aligns
+        # column back-filled as 'str' at merge time, so unionByName aligns.
+        # User metadata columns (add_batch_df meta_cols) evolve the docs
+        # schema too — those union with allowMissingColumns (nulls for rows
+        # ingested before the column existed), and the union schema is
+        # recorded in _meta.json after the commit so readers apply ONE
+        # explicit schema across mixed-schema buckets (no mergeSchema
+        # footer storm at scale; parquet fills absent columns with null).
         def _align(df: DataFrame) -> DataFrame:
             return (df if "doc_kind" in df.columns
                     else df.withColumn("doc_kind", F.lit("str")))
@@ -869,9 +1053,13 @@ class BinaryVectorDB:
             if surv_docs is not None:
                 new_docs = (_align(surv_docs)
                             .join(kside, "doc_id", "left_anti")
-                            .unionByName(new_docs))
+                            .unionByName(new_docs, allowMissingColumns=True))
             # both tiers staged first, then ONE manifest commit: the upsert
-            # is atomic across index and documents (and all their buckets)
+            # is atomic across index and documents (and all their buckets).
+            # The (possibly evolved) docs schema is recorded first so the
+            # commit-time stats refresh reads with it; if the commit then
+            # aborts, a superset schema is harmless (readers see nulls).
+            self._record_docs_schema(new_docs.schema)
             self._commit({
                 "index": self._bucket_update(new_index, "index", touched),
                 "documents": self._bucket_update(new_docs, "documents",
@@ -884,7 +1072,8 @@ class BinaryVectorDB:
                              .unionByName(new_index))
                 new_docs = (_align(old_docs)
                             .join(kside, "doc_id", "left_anti")
-                            .unionByName(new_docs))
+                            .unionByName(new_docs, allowMissingColumns=True))
+            self._record_docs_schema(new_docs.schema)
             self._commit({
                 "index": self._full_update(new_index, "index"),
                 "documents": self._full_update(new_docs, "documents")},
@@ -986,7 +1175,8 @@ class BinaryVectorDB:
             embedded.unpersist()
 
     def add_batch_df(self, df: DataFrame, id_col: str = "doc_id",
-                     doc_col: str = "doc", emb_col: str = "embedding") -> None:
+                     doc_col: str = "doc", emb_col: str = "embedding",
+                     meta_cols: Sequence[str] = ()) -> None:
         """Distributed pre-embedded bulk upsert — the `_add_batch` path
         (reference BinaryVectorDB/BinaryVectorDB.py:117-143) for corpora that
         don't fit through the driver.  Embeddings are already a column, so
@@ -994,11 +1184,22 @@ class BinaryVectorDB:
         UDF, no shuffle) feeding the same bucketed delete-then-insert merge
         as every other ingest path.  Duplicate ids within the batch collapse
         to one row (a DataFrame has no order for 'later wins' to mean
-        anything); across batches, delete-then-insert applies."""
+        anything); across batches, delete-then-insert applies.
+
+        ``meta_cols`` names extra columns of ``df`` preserved into the doc
+        store as filterable metadata (e.g. lang, source): they evolve the
+        docs schema (rows ingested before a column existed read as null),
+        feed the commit-time table stats, and serve ``search(filter=...)``."""
         self._flush_pending()
+        meta_cols = [c for c in meta_cols
+                     if c not in ("doc_id", "doc", "doc_kind", "emb_int8")]
+        missing = [c for c in meta_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"meta_cols {missing} not in the input columns")
         base = (df.select(F.col(id_col).cast("long").alias("doc_id"),
                           F.col(doc_col).cast("string").alias("doc"),
-                          F.col(emb_col).cast("array<float>").alias("embedding"))
+                          F.col(emb_col).cast("array<float>").alias("embedding"),
+                          *meta_cols)
                 .dropDuplicates(["doc_id"])
                 .withColumn("emb_int8", int8_quantize("embedding")))
         # under ANSI (Spark 4 default) size(NULL) is NULL, so the size
@@ -1014,7 +1215,7 @@ class BinaryVectorDB:
                 "(null means a missing or uncastable embedding)"
             )  # same contract as _enqueue's shape check
         new_docs = base.select("doc_id", "doc", F.lit("str").alias("doc_kind"),
-                               "emb_int8")
+                               "emb_int8", *meta_cols)
         row = base.agg(
             F.count("*").alias("n"),
             F.collect_set(F.pmod(F.col("doc_id"), F.lit(self.buckets))
@@ -1212,7 +1413,18 @@ class BinaryVectorDB:
     def search(self, query: str | Sequence[float], k: int = DEFAULT_K,
                binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
                int8_oversample: int = DEFAULT_INT8_OVERSAMPLE,
-               nprobe: int | None = None) -> list[dict]:
+               nprobe: int | None = None,
+               filter: dict | str | None = None,
+               selectivity: float | None = None) -> list[dict]:
+        """Serve one query.  ``filter`` restricts hits to docs matching a
+        metadata predicate: a dict ``{col: value}`` / ``{col: [v1, v2]}``
+        (conjunction of equality/IN over doc-store columns — the
+        stats-estimable fast path) or a SQL predicate string over the same
+        columns.  The filtered cascade picks prefilter vs postfilter by
+        predicate selectivity (cascade_search_filtered_adaptive): dict
+        filters read it from the commit-time table stats — ZERO extra jobs
+        — while string predicates (or an explicit ``selectivity=``
+        override absent stats) fall back to two count jobs."""
         self._flush_pending()
         # memoized emptiness flag, not a take(1) job per query (:190-191)
         idx, docs, nonempty = self._serving_handles()
@@ -1228,11 +1440,37 @@ class BinaryVectorDB:
             # all numerics) and would silently return NaN-scored hits
             raise ValueError("query vectors must be finite (got NaN/Inf)")
         idx = self._maybe_prune_index(idx, [qvec], nprobe)
-        hits_df = cascade_search(idx, docs, self.dim,
-                                 query_vec=qvec.tolist(), k=k,
-                                 binary_oversample=binary_oversample,
-                                 int8_oversample=int8_oversample)
+        if filter is not None:
+            from binaryvectordb_spark.operators.cascade import (
+                cascade_search_filtered_adaptive,
+            )
+            eligible = docs.where(self._filter_predicate(filter)) \
+                           .select("doc_id")
+            if selectivity is None:
+                selectivity = self._estimate_selectivity(filter)
+            hits_df = cascade_search_filtered_adaptive(
+                idx, docs, self.dim, eligible, query_vec=qvec.tolist(),
+                k=k, selectivity=selectivity)
+        else:
+            hits_df = cascade_search(idx, docs, self.dim,
+                                     query_vec=qvec.tolist(), k=k,
+                                     binary_oversample=binary_oversample,
+                                     int8_oversample=int8_oversample)
         return [self._decode_hit(r.asDict()) for r in hits_df.collect()]
+
+    @staticmethod
+    def _filter_predicate(filter: dict | str):
+        """Compile a search filter to a Column over the doc store: dict ->
+        conjunction of equality / IN; str -> F.expr (any SQL predicate)."""
+        if isinstance(filter, str):
+            return F.expr(filter)
+        pred = F.lit(True)
+        for c, vals in filter.items():
+            if isinstance(vals, (list, tuple, set, frozenset)):
+                pred = pred & F.col(c).isin(*list(vals))
+            else:
+                pred = pred & (F.col(c) == F.lit(vals))
+        return pred
 
     def to_local_searcher(self, n_shards: int = 1):
         """Materialize the index + doc store into an in-process RAM-tier

@@ -207,16 +207,27 @@ def cascade_search_filtered_adaptive(
                   hamming("qbits", "vec", NUM_LANES(dim)).alias("score_hamming"))
           .orderBy(F.asc("score_hamming"), F.asc("doc_id"))
           .limit(binary_k))
-    # the over-fetched pool is <= binary_k rows, but BroadcastHashJoin
-    # LeftSemi only builds on the RIGHT side — broadcasting the left would
-    # be silently ignored and the broad (corpus-sized) eligible side would
-    # shuffle into a sort-merge join at scale.  Two build-right broadcasts
-    # keep everything map-side: eligible is semi-joined against the
-    # broadcast candidate ids (one scan of the filter table, no shuffle),
-    # and the <= binary_k surviving ids broadcast back onto the pool.
-    surviving = eligible.join(F.broadcast(p1.select("doc_id")),
-                              "doc_id", "left_semi")
-    p1f = p1.join(F.broadcast(surviving), "doc_id", "left_semi")
+    # Materialize the over-fetched pool's ids ONCE: Spark does not reuse
+    # common subplans, so referencing p1 both to build the eligibility
+    # probe and as the rescore input would execute the dominant corpus-wide
+    # Phase-I scan twice per query.  The pool is <= binary_k rows, so the
+    # id collect is a candidate-set collect (same class as the cascade's
+    # other <= k-row collects).  The eligible filter is then a map-side
+    # prune of the filter table (isin on the literal id list — no shuffle,
+    # no broadcast exchange), and the surviving <= binary_k ids rebuild the
+    # pool rows from a SECOND, id-pruned index read: the In-filter pushes
+    # to the parquet scan (row-group stats + dictionary), so at scale this
+    # re-read opens a handful of files, not the corpus.
+    pool_ids = [r[0] for r in p1.select("doc_id").collect()]
+    surv_ids = [r[0] for r in
+                eligible.where(F.col("doc_id").isin(pool_ids))
+                .select("doc_id").collect()] if pool_ids else []
+    p1f = (index_df.where(F.col("doc_id").isin(surv_ids)
+                          if surv_ids else F.lit(False))
+           .join(F.broadcast(q))
+           .select("doc_id", "vec", "qvec",
+                   hamming("qbits", "vec", NUM_LANES(dim))
+                   .alias("score_hamming")))
     p2 = (p1f.select("doc_id", "qvec", "score_hamming",
                      binary_dot("qvec", "vec", dim).alias("score_binary"))
           .orderBy(F.desc("score_binary"), F.asc("doc_id"))

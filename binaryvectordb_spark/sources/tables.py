@@ -65,28 +65,22 @@ def events_ts_encoding(path: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Resolve a fixture table to a DataFrame, memoized per session+path.
+    """Resolve a fixture table to a DataFrame, with the parquet SCHEMA (and
+    the events ts-encoding probe) memoized per session+path.
 
-    ``spark.read.parquet`` re-lists files and re-reads footers on every
-    call (~0.1-0.2 s of driver work) — a catalog would cache that table
-    metadata, so we do the same: the resolved DataFrame (logical scan +
-    file index) is cached on the session keyed by (abs path, table).
-    Downstream operators derive fresh plans from it, so no shuffle-output
-    reuse is introduced; only the listing/footer work is saved.  The file
-    index snapshots the listing at first load — correct for the immutable
-    fixtures (mutable stores under db.py manage their own reads)."""
-    cache = getattr(spark, "_bvdb_table_cache", None)
+    Schema inference re-reads footers on every ``spark.read.parquet`` call
+    (~0.1-0.2 s of driver work per plan build) — a catalog would cache that
+    table metadata, so we do the same.  Only the schema/encoding is shared:
+    each call returns a FRESH DataFrame, so a caller's cache()/unpersist()
+    never leaks onto other callers' plans (a shared DataFrame object would
+    turn one test's .cache() into everyone's InMemoryTableScan).  The
+    fixtures are immutable; mutable stores under db.py manage their own
+    reads."""
+    cache = getattr(spark, "_bvdb_schema_cache", None)
     if cache is None:
         cache = {}
-        spark._bvdb_table_cache = cache
+        spark._bvdb_schema_cache = cache
     key = (os.path.abspath(sf_dir), name)
-    if key not in cache:
-        cache[key] = _load_table_uncached(spark, sf_dir, name)
-    return cache[key]
-
-
-def _load_table_uncached(spark: SparkSession, sf_dir: str,
-                         name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Normalize ts to a plain TIMESTAMP so downstream windows/aggregates
@@ -100,16 +94,30 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str,
         #   MICROS -> read as TIMESTAMP_NTZ, cast; wall-clock preserved, so
         #             values match what DuckDB reads from the same file.
         from pyspark.sql import functions as F
-        if events_ts_encoding(path) == "nanos":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        hit = cache.get(key)
+        if hit is None:
+            enc = events_ts_encoding(path)
+            if enc == "nanos":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            cache[key] = (enc, df.schema)
+        else:
+            enc, sch = hit
+            if enc == "nanos":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.schema(sch).parquet(path)
         ts_type = dict(df.dtypes).get("ts", "")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    sch = cache.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        cache[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -18,7 +18,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return load_table(spark, SF, "embeddings").cache()
+    df = load_table(spark, SF, "embeddings").cache()
+    yield df
+    # unpersist: a cached fixture-table plan would otherwise substitute
+    # InMemoryTableScan into every later suite's identical scan (Spark's
+    # cache manager matches by logical plan), changing their plan shapes
+    df.unpersist()
 
 
 def _brute_force_topk(spark, emb, qvec, k=10):

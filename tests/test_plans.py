@@ -165,15 +165,21 @@ def test_bm25_aggs_partial_and_small_sides_broadcast(spark):
         assert "SortMergeJoin" not in plan, q.__name__
 
 
-def test_adaptive_postfilter_overfetches_then_semi_joins(spark):
-    """The broad-predicate adaptive branch must over-fetch Phase I on the
-    UNFILTERED index (TakeOrderedAndProject limit = k*oversample*overfetch
-    = 400) and semi-join eligibility on the candidate pool (broadcast), not
-    run a corpus-wide pre-filter."""
+def test_adaptive_postfilter_rescore_reads_candidates_only(spark):
+    """The broad-predicate adaptive branch runs the over-fetched Phase-I
+    top-400 ONCE (eagerly, collecting <= 400 candidate ids — Spark has no
+    common-subplan reuse, so a lazy pool referenced twice would scan the
+    corpus twice), then the returned rescore plan must rebuild the pool
+    from an id-PRUNED index read: the In(doc_id, ...) filter reaches the
+    parquet scan (row-group stats/dictionary pruning at scale), and no
+    corpus-wide shuffle or sort-merge join appears."""
     from binaryvectordb_spark.queries.vector import knn_filtered_adaptive_broad
     plan = formatted_plan(knn_filtered_adaptive_broad(spark, SF_SMOKE))
-    # the over-fetched Phase-I top-k (TakeOrderedAndProject's limit arg)
-    assert "Arguments: 400, [score_hamming" in plan
-    assert "LeftSemi" in plan
-    assert "BroadcastHashJoin" in plan
+    # the rescore input is the id-pruned scan: In(...) pushed to the parquet
+    # reader, or — when another suite left the fixture cached and Spark's
+    # cache manager substituted an InMemoryTableScan — the same predicate
+    # pruning cached batches via their stats (INSET on the scan)
+    assert "PushedFilters: [In(" in plan or (
+        "InMemoryTableScan" in plan and "INSET" in plan)
     assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
