@@ -910,6 +910,81 @@ class BinaryVectorDB:
             {"index": self._full_update(
                 idx.join(assign.hint("shuffle_hash"), "doc_id"), "index")},
             expect=expect)
+        # fresh centroids: reset the drift counter (every row is now
+        # assigned by the model that was trained on it)
+        self._meta_update(ivf_mutated_rows=0,
+                          ivf_built_version=self._manifest_version())
+
+    # -- IVF drift ----------------------------------------------------------
+    # Upserts assign clusters with the FROZEN centroids (_with_cluster), so
+    # a heavily mutated DB slowly degrades probe recall: rows drawn from a
+    # distribution the partitioner never saw land in whichever old centroid
+    # is nearest, and clusters bloat/starve.  faiss has no counterpart (the
+    # reference rebuilds the flat index wholesale); here the churn since the
+    # last build_ivf is tracked in _meta.json and surfaced as a metric with
+    # a rebuild recommendation — or an automatic rebuild under
+    # index_args={"auto_rebuild": True}.
+
+    def _meta_read(self) -> dict:
+        with open(os.path.join(self.folder, _META)) as f:
+            return json.load(f)
+
+    def _meta_update(self, **kv) -> None:
+        meta_path = os.path.join(self.folder, _META)
+        meta = self._meta_read()
+        meta.update(kv)
+        self._write_meta(meta_path, meta)
+
+    def _note_ivf_mutation(self, n_keys: int | None) -> None:
+        """Accumulate churn after a mutation on a built IVF DB, and rebuild
+        when past threshold under the auto_rebuild flag.  The fraction uses
+        the commit-time stats row count — no Spark job on the mutation
+        path."""
+        if n_keys is None:
+            return  # unknown batch size (no caller does this today)
+        mutated = int(self._meta_read().get("ivf_mutated_rows", 0)) + int(n_keys)
+        self._meta_update(ivf_mutated_rows=mutated)
+        if not self._ivf_args().get("auto_rebuild"):
+            return
+        st = self.table_stats()
+        n = int(st["n_rows"]) if st else 0
+        thr = float(self._ivf_args().get("drift_threshold", 0.3))
+        if n and mutated / n >= thr:
+            self.build_ivf()
+
+    def ivf_drift(self) -> dict:
+        """Drift diagnostics for an index_type='ivf' DB:
+
+        - ``mutated_rows`` / ``mutated_fraction``: rows upserted or deleted
+          since the last build_ivf, relative to the current corpus — the
+          rows whose cluster assignment the trained partitioner never saw.
+        - ``cluster_skew``: max/mean cluster size (one grouped count job) —
+          bloated clusters mean the probe scans more than nprobe/k of the
+          corpus even at zero churn.
+        - ``rebuild_recommended``: mutated_fraction >= index_args
+          drift_threshold (default 0.3).  build_ivf() resets the counter.
+        """
+        self._flush_pending()
+        if self.index_type != "ivf" or self._ivf_model() is None:
+            raise ValueError("ivf_drift() requires a built index_type='ivf' DB")
+        meta = self._meta_read()
+        mutated = int(meta.get("ivf_mutated_rows", 0))
+        sizes = [int(r["count"]) for r in
+                 self.index_df().groupBy("cluster").count().collect()]
+        n = sum(sizes)
+        frac = (mutated / n) if n else 0.0
+        thr = float(self._ivf_args().get("drift_threshold", 0.3))
+        return {
+            "mutated_rows": mutated,
+            "n_rows": n,
+            "mutated_fraction": round(frac, 6),
+            "n_clusters": len(sizes),
+            "cluster_skew": round(max(sizes) / (n / len(sizes)), 4)
+                            if sizes and n else 0.0,
+            "drift_threshold": thr,
+            "built_at_version": meta.get("ivf_built_version"),
+            "rebuild_recommended": frac >= thr,
+        }
 
     def _probe_clusters(self, qvec: np.ndarray, nprobe: int) -> list[int]:
         """nprobe nearest centroids to the query (L2 in the trained int8
@@ -1040,6 +1115,8 @@ class BinaryVectorDB:
         # OCC snapshot: the version every read below is planned against;
         # _commit aborts if another writer lands in between (lost update)
         expect = self._manifest_version()
+        had_ivf_model = (self.index_type == "ivf"
+                         and self._ivf_model() is not None)
         new_docs = _align(new_docs)
         if (touched is not None and self._is_bucketed("index")
                 and self._is_bucketed("documents")):
@@ -1079,9 +1156,12 @@ class BinaryVectorDB:
                 "documents": self._full_update(new_docs, "documents")},
                 expect=expect)
         # first ingest of an ivf DB: train the partitioner now; later
-        # ingests attach clusters incrementally via the trained model
+        # ingests attach clusters incrementally via the trained model —
+        # and accumulate drift against it (ivf_drift)
         if self.index_type == "ivf" and self._ivf_model() is None:
             self.build_ivf()
+        elif had_ivf_model:
+            self._note_ivf_mutation(n_keys)
 
     def _enqueue(self, doc_ids: list[int], docs: list[str], kinds: list[str],
                  emb: np.ndarray, save: bool) -> None:
@@ -1252,6 +1332,8 @@ class BinaryVectorDB:
                     self._read_buckets("documents", touched)
                     .join(F.broadcast(keys), "doc_id", "left_anti"),
                     "documents", touched)}, expect=expect)
+            if self.index_type == "ivf" and self._ivf_model() is not None:
+                self._note_ivf_mutation(len(doc_ids))
             return
         idx = self.index_df()
         missing = keys.join(idx, "doc_id", "left_anti").count()
@@ -1263,6 +1345,8 @@ class BinaryVectorDB:
             "documents": self._full_update(
                 self.docs_df().join(F.broadcast(keys), "doc_id", "left_anti"),
                 "documents")}, expect=expect)
+        if self.index_type == "ivf" and self._ivf_model() is not None:
+            self._note_ivf_mutation(len(doc_ids))
 
     def remove_doc(self, doc_id: int) -> None:
         self.remove_docs([doc_id])
