@@ -1528,6 +1528,13 @@ class BinaryVectorDB:
             from binaryvectordb_spark.operators.cascade import (
                 cascade_search_filtered_adaptive,
             )
+            if isinstance(filter, dict):
+                unknown = [c for c in filter if c not in docs.columns]
+                if unknown:
+                    raise ValueError(
+                        f"filter columns {unknown} not in the doc store "
+                        f"(have {sorted(docs.columns)}); ingest metadata "
+                        "with add_batch_df(meta_cols=...)")
             eligible = docs.where(self._filter_predicate(filter)) \
                            .select("doc_id")
             if selectivity is None:
@@ -1620,8 +1627,13 @@ class BinaryVectorDB:
             # export (made before newer commits) would otherwise surface as
             # a bare FileNotFoundError instead of the re-export contract
             import glob
-            stale = sorted(glob.glob(
-                os.path.join(self.folder, "_serving", "v*")))
+            # exclude exporter work dirs (v<N>.tmp<pid>/.old<pid>) — they
+            # are swap machinery, not loadable stale exports
+            stale = sorted(
+                d for d in glob.glob(
+                    os.path.join(self.folder, "_serving", "v*"))
+                if ".tmp" not in os.path.basename(d)
+                and ".old" not in os.path.basename(d))
             raise ValueError(
                 f"no serving export for current DB version {v} at {p}"
                 + (f"; found stale exports {stale} — re-export "
@@ -1636,11 +1648,19 @@ class BinaryVectorDB:
                      k: int = DEFAULT_K,
                      binary_oversample: int = DEFAULT_BINARY_OVERSAMPLE,
                      int8_oversample: int = DEFAULT_INT8_OVERSAMPLE,
-                     nprobe: int | None = None) -> list[list[dict]]:
+                     nprobe: int | None = None,
+                     filter: dict | str | None = None) -> list[list[dict]]:
         """Batched serving: N queries against the cascade in ONE job
         (operators/cascade.py cascade_search_batch — the index is scanned
         once for the whole batch; per-query latency amortizes ~10x vs
-        looping single searches).  Returns hits per query, in input order."""
+        looping single searches).  Returns hits per query, in input order.
+
+        ``filter`` (same shapes as ``search``) restricts every query's hits
+        to matching docs.  The batch path always PREFILTERS (one eligibility
+        semi-join on the shared index scan): its corpus-touching cost
+        amortizes across the whole batch, so the single-query postfilter
+        over-fetch trade has nothing to win here — and prefilter is the
+        exact-recall branch."""
         from binaryvectordb_spark.operators.cascade import cascade_search_batch
 
         self._flush_pending()
@@ -1649,6 +1669,17 @@ class BinaryVectorDB:
         idx, docs, nonempty = self._serving_handles()
         if not nonempty:
             raise Exception("Index is empty; add documents first")
+        if filter is not None:
+            if isinstance(filter, dict):
+                unknown = [c for c in filter if c not in docs.columns]
+                if unknown:
+                    raise ValueError(
+                        f"filter columns {unknown} not in the doc store "
+                        f"(have {sorted(docs.columns)}); ingest metadata "
+                        "with add_batch_df(meta_cols=...)")
+            eligible = docs.where(self._filter_predicate(filter)) \
+                           .select("doc_id")
+            idx = idx.join(eligible, "doc_id", "left_semi")
         texts = [q for q in queries if isinstance(q, str)]
         if texts:
             emb_out = list(self.embed_fn(texts))

@@ -345,6 +345,7 @@ class ShardedLocalCascadeSearcher:
 
     def save_shards(self, path: str,
                     db_manifest_version: int | None = None) -> None:
+        import glob as glob_mod
         import os
         import shutil
 
@@ -353,8 +354,13 @@ class ShardedLocalCascadeSearcher:
         # complete export (shards + router.json) — never a directory with
         # shards but no manifest, or half-written JSON from a crashed
         # exporter
-        tmp = f"{path.rstrip(os.sep)}.tmp{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+        base = path.rstrip(os.sep)
+        # sweep orphans of crashed earlier exports (their pid-suffixed
+        # tmp/old dirs would otherwise accumulate forever)
+        for stray in glob_mod.glob(f"{base}.tmp*") + glob_mod.glob(
+                f"{base}.old*"):
+            shutil.rmtree(stray, ignore_errors=True)
+        tmp = f"{base}.tmp{os.getpid()}"
         os.makedirs(tmp)
         for i, s in enumerate(self.shards):
             s.save(os.path.join(tmp, f"shard_{i}"))
@@ -362,9 +368,23 @@ class ShardedLocalCascadeSearcher:
             json.dump({"n_shards": len(self.shards), "dim": self.dim,
                        "n": self.n,
                        "db_manifest_version": db_manifest_version}, f)
+        # re-export over an existing path must never leave a window with NO
+        # export (a reader polling `path` mid-swap, or a crash after the
+        # delete): move the old export ASIDE, swap the new one in, then
+        # delete the old — the previous good export survives any crash
+        # before the final cleanup
+        old = None
         if os.path.isdir(path):
-            shutil.rmtree(path)  # re-export over the same path
-        os.rename(tmp, path)
+            old = f"{base}.old{os.getpid()}"
+            os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except Exception:
+            if old is not None:  # restore the previous good export
+                os.rename(old, path)
+            raise
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
 
     @classmethod
     def from_shard_dirs(cls, paths: list[str], embed_fn=None

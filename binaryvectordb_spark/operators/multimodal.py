@@ -106,24 +106,40 @@ def decode_png(data: bytes) -> np.ndarray:
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if f == 0:
             pass
-        elif f == 1:    # Sub: sequential left-to-right recurrence
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif f == 2:    # Up
+        elif f == 1:
+            # Sub: out[x] = (raw[x] + out[x-bpp]) mod 256 is a per-channel
+            # PREFIX SUM mod 256 — mod distributes over addition, so a
+            # vectorized int64 cumsum & 0xFF is exact (no per-byte loop)
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(cur[c::bpp], dtype=np.int64) & 0xFF
+        elif f == 2:    # Up: pure element-wise
             cur = (cur + prev) & 0xFF
-        elif f == 3:    # Average
+        elif f == 3:
+            # Average: out[x] = raw[x] + (out[x-bpp] + up[x])//2 — the floor
+            # divide makes it a true per-pixel recurrence (not prefix-
+            # summable).  Plain-int list arithmetic beats numpy here: the
+            # loop body is a handful of scalar ops, and a Python int add is
+            # ~20x cheaper than a numpy scalar/3-lane-slice op (measured;
+            # NOTES.md "per-row numpy dispatch costs ~µs")
+            cl, pl = cur.tolist(), prev.tolist()
             for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + (a + prev[x]) // 2) & 0xFF
-        elif f == 4:    # Paeth
+                a = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (cl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
+        elif f == 4:
+            # Paeth: same inherent recurrence, same plain-int loop
+            cl, pl = cur.tolist(), prev.tolist()
             for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                a = cl[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pr) & 0xFF
+                cl[x] = (cl[x] + pr) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = cur.astype(np.uint8)

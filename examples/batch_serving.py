@@ -32,6 +32,24 @@ def main() -> None:
         for h in hits:
             print(f"  {h['doc_id']}  cossim={h['score_cossim']:.4f}  {h['doc']}")
 
+    # metadata-filtered serving: extra ingest columns become filterable
+    # metadata, commit-time stats make dict filters zero-extra-job
+    import numpy as np
+    rng = np.random.RandomState(0)
+    rows = [(100 + i, f"tagged doc {i}", [float(x) for x in
+             rng.uniform(-1, 1, 32)], ["en", "de"][i % 2]) for i in range(10)]
+    meta_db = BinaryVectorDB(spark, tempfile.mkdtemp(prefix="bvdb_meta_"),
+                             dim=32)
+    meta_db.add_batch_df(
+        spark.createDataFrame(
+            rows,
+            "doc_id: long, doc: string, embedding: array<float>, lang: string"),
+        meta_cols=["lang"])
+    print("table stats:", meta_db.table_stats()["columns"]["lang"])
+    hits = meta_db.search(rows[0][2], k=3, filter={"lang": "en"})
+    print("filtered search (lang=en):",
+          [(h["doc_id"], h["strategy"]) for h in hits])
+
     # maintenance: fold the micro-batch files back into few partitions
     db.compact(target_partitions=2)
     print(f"after compact: {len(db)} docs (content unchanged)")

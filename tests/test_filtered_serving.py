@@ -84,12 +84,32 @@ def test_filtered_search_zero_count_jobs_and_exact(spark, tmp_path, monkeypatch)
     assert [h["doc_id"] for h in hits2] == [h["doc_id"] for h in plain]
 
 
+def test_search_batch_filter_prefilters_exactly(spark, tmp_path):
+    db, emb = _mk_db(spark, tmp_path / "db")
+    qs = [[float(x) for x in emb[i]] for i in range(3)]
+    res = db.search_batch(qs, k=5, filter={"lang": "de"})
+    assert len(res) == 3
+    for i, hits in enumerate(res):
+        assert len(hits) == 5
+        assert all(h["doc_id"] % 3 == 1 for h in hits)  # lang 'de' rows
+        # batch-filtered must equal single-query filtered (prefilter branch
+        # is the exact one; sel 1/3 routes the single path there too)
+        single = db.search(qs[i], k=5, filter={"lang": "de"})
+        assert [h["doc_id"] for h in hits] == [h["doc_id"] for h in single]
+
+
 def test_sql_string_filter_falls_back_to_measured(spark, tmp_path):
     db, emb = _mk_db(spark, tmp_path / "db")
     q = [float(x) for x in emb[0]]
     got = db.search(q, k=5, filter="lang = 'en'")
     want = db.search(q, k=5, filter={"lang": "en"})
     assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want]
+    # unknown dict-filter columns raise a clean error, not a plan failure
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="filter columns"):
+        db.search(q, k=5, filter={"nope": 1})
+    with _pytest.raises(ValueError, match="filter columns"):
+        db.search_batch([q], k=5, filter={"nope": 1})
 
 
 def test_meta_col_schema_evolution(spark, tmp_path):
