@@ -142,6 +142,42 @@ def test_meta_col_schema_evolution(spark, tmp_path):
     assert sorted(h["doc_id"] for h in hits) == [100, 101]
 
 
+def test_filter_composes_with_ivf_probe(spark, tmp_path):
+    """filter= and nprobe compose: the index is first cluster-pruned, then
+    the adaptive filtered cascade runs on the pruned scan.  Probing ALL
+    clusters must equal the flat filtered answer exactly (the IVF
+    recall/latency-knob contract extended to the filtered path)."""
+    n, dim = 120, 16
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=dim, buckets=4,
+                        index_type="ivf",
+                        index_args={"n_clusters": 4, "nprobe": 4})
+    rng = np.random.RandomState(9)
+    emb = rng.uniform(-1, 1, (n, dim)).astype("float32")
+    rows = [(i, f"doc {i}", [float(x) for x in emb[i]], LANGS[i % 3])
+            for i in range(n)]
+    db.add_batch_df(spark.createDataFrame(
+        rows, "doc_id: long, doc: string, embedding: array<float>, "
+              "lang: string"), meta_cols=["lang"])
+    q = [float(x) for x in emb[7]]
+    full = db.search(q, k=5, filter={"lang": "de"}, nprobe=4)  # all clusters
+    assert all(h["doc_id"] % 3 == 1 for h in full)
+    # flat reference: the same filtered cascade over the unpruned index
+    from binaryvectordb_spark.operators.cascade import (
+        cascade_search_filtered_adaptive,
+    )
+    idx, docs, _ = db._serving_handles()
+    eligible = docs.where(F.col("lang") == "de").select("doc_id")
+    want = [r["doc_id"] for r in cascade_search_filtered_adaptive(
+        idx, docs, dim, eligible, query_vec=q, k=5).collect()]
+    assert [h["doc_id"] for h in full] == want
+    # pruned probe returns k hits from the probed clusters only
+    part = db.search(q, k=5, filter={"lang": "de"}, nprobe=1)
+    assert len(part) <= 5 and all(h["doc_id"] % 3 == 1 for h in part)
+    # batch filter composes with the probe too
+    bres = db.search_batch([q], k=5, filter={"lang": "de"}, nprobe=4)
+    assert [h["doc_id"] for h in bres[0]] == [h["doc_id"] for h in full]
+
+
 def test_index_only_commit_carries_stats_forward(spark, tmp_path):
     db, _ = _mk_db(spark, tmp_path / "db", n=40)
     v0 = db._manifest_version()
