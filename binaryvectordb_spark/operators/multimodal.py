@@ -38,16 +38,21 @@ def with_fake_payload(docs_df: DataFrame) -> DataFrame:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Real decoder dispatch: P6 PPM (decode_ppm) and 8-bit truecolor PNG
-    (decode_png, stdlib zlib + numpy — a real inflate + unfilter decode).
-    JPEG/WebP require codec libraries not present in this container."""
+    """Real decoder dispatch: P6 PPM (decode_ppm), 8-bit truecolor PNG
+    (decode_png, stdlib zlib + numpy), and baseline JPEG
+    (operators/jpeg.py decode_jpeg — marker walk, DHT Huffman, dequant,
+    IDCT; grayscale + YCbCr 4:4:4).  WebP still requires a codec library
+    not present in this container."""
     if data.startswith(b"P6"):
         return decode_ppm(data)
     if data.startswith(PNG_SIG):
         return decode_png(data)
+    if data.startswith(b"\xff\xd8"):
+        from binaryvectordb_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "only P6 PPM and 8-bit truecolor PNG decode here; jpeg/webp need "
-        "codec libraries not present in this container")
+        "P6 PPM, PNG (8-bit truecolor), and baseline JPEG decode here; "
+        "webp needs a codec library not present in this container")
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -374,6 +379,71 @@ def decode_png_features(payload_df: DataFrame) -> DataFrame:
 
     return payload_df.select("doc_id", "image_bytes").mapInPandas(
         gen, schema=PPM_SCHEMA)
+
+
+def _jpeg_band_pixels(d: int) -> np.ndarray:
+    """Deterministic grayscale banded test image for doc_id d, shaped for
+    JPEG exactness: 8-pixel-row bands on 8-multiple dims, so every 8x8
+    block is CONSTANT and the flat-8 quantizer round-trips bit-exact
+    (operators/jpeg.py module docstring) — a lossy codec made
+    oracle-checkable."""
+    w, bands = 8 * (1 + d % 3), 2 + d % 4
+    ga, gb = d * 3 % 256, (d * 11 + 1) % 256
+    px = np.empty((bands * 8, w), np.uint8)
+    for i in range(bands):
+        px[i * 8:(i + 1) * 8] = ga if i % 2 == 0 else gb
+    return px
+
+
+def with_jpeg_payload(docs_df: DataFrame) -> DataFrame:
+    """Deterministic banded grayscale images JPEG-ENCODED per doc
+    (operators/jpeg.py encode_jpeg_gray: DCT, flat-8 quantizer, custom
+    canonical Huffman riding in DHT).  The decode side must parse markers,
+    rebuild the Huffman tables, entropy-decode, dequantize, and IDCT for
+    real to recover the closed-form band means the SQL oracle recomputes."""
+    from collections.abc import Iterator
+
+    from binaryvectordb_spark.operators.jpeg import encode_jpeg_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = [encode_jpeg_gray(_jpeg_band_pixels(int(d)))
+                        for d in b["doc_id"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"].values,
+                                "image_bytes": payloads})
+
+    return docs_df.select("doc_id").mapInPandas(
+        gen, "doc_id long, image_bytes binary")
+
+
+JPEG_SCHEMA = ("doc_id long, width int, height int, mean_gray double, "
+               "gray_first int, gray_last int")
+
+
+def decode_jpeg_features(payload_df: DataFrame) -> DataFrame:
+    """mapInPandas over binary payloads through the REAL JPEG decoder:
+    integer pixel sum divided once in float64 (bit-exact against the
+    integer-arithmetic oracle), plus the first/last pixel values which
+    pin band placement, not just the global mean."""
+    from collections.abc import Iterator
+
+    from binaryvectordb_spark.operators.jpeg import decode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, buf in zip(b["doc_id"], b["image_bytes"]):
+                px = decode_jpeg(bytes(buf))
+                h, w = px.shape
+                rows.append((doc_id, w, h,
+                             int(px.astype(np.int64).sum()) / (h * w),
+                             int(px[0, 0]), int(px[-1, -1])))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                              "mean_gray", "gray_first",
+                                              "gray_last"])
+
+    return payload_df.select("doc_id", "image_bytes").mapInPandas(
+        gen, schema=JPEG_SCHEMA)
 
 
 def fake_decode_features(batch: pd.DataFrame) -> pd.DataFrame:

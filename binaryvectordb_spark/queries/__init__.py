@@ -62,6 +62,7 @@ _PRIORITY = [
     # (a) brand-new in round 7 (never hashed)
     "search_bm25_topk_batch",
     "search_hybrid_rrf_batch",
+    "multimodal_jpeg_decode",
     # (b) last driver-checked in round 4 — stalest hashes first.  (The
     # round-7 decimal precision-tier rewrite touches agg_pricing_summary —
     # r6-fresh, output pinned bit-identical by test_oracle_parity — and

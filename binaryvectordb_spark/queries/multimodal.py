@@ -131,6 +131,43 @@ register("multimodal_png_decode", multimodal_png_decode,
          oracle=_STRIPE_ORACLE)
 
 
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL lossy-codec decode, oracle-checked: deterministic 8-row-band
+    grayscale images are baseline-JPEG-ENCODED (operators/jpeg.py — DCT,
+    flat-8 quantizer, canonical Huffman in DHT) and decoded back by the
+    pure numpy+stdlib decode_jpeg on mapInPandas.  Constant 8x8 blocks
+    with DC quant step 8 round-trip bit-exact (module docstring), so the
+    oracle recomputes the closed-form band means/edges with integer
+    arithmetic — a Huffman, dequant, or IDCT mistake breaks the hash.
+    With PPM (raw), PNG (lossless compressed), and JPEG (lossy DCT), only
+    webp still needs an external codec."""
+    from binaryvectordb_spark.operators.multimodal import (
+        decode_jpeg_features,
+        with_jpeg_payload,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_features(with_jpeg_payload(d))
+
+
+register("multimodal_jpeg_decode", multimodal_jpeg_decode, oracle="""
+WITH p AS (SELECT doc_id,
+                  8 * (1 + doc_id % 3) AS w,
+                  2 + doc_id % 4 AS bands,
+                  (doc_id * 3) % 256 AS ga,
+                  (doc_id * 11 + 1) % 256 AS gb
+           FROM documents)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(bands * 8 AS INTEGER) AS height,
+       CAST((bands + 1) // 2 * ga + bands // 2 * gb AS DOUBLE)
+           / bands AS mean_gray,
+       CAST(ga AS INTEGER) AS gray_first,
+       CAST(CASE WHEN bands % 2 = 1 THEN ga ELSE gb END AS INTEGER)
+           AS gray_last
+FROM p
+""")
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL decode + nearest-neighbor RESIZE + reduce, oracle-checked:
     each striped PPM payload is decoded and resized to 4x4 with the

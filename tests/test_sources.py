@@ -192,8 +192,58 @@ def test_png_codec_roundtrip():
     corrupt[33 + 10] ^= 0xFF  # flip a byte inside the IDAT payload
     with pytest.raises(ValueError):
         decode_png(bytes(corrupt))
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff jpeg-ish")
+    with pytest.raises(NotImplementedError):  # webp still needs a codec lib
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
+
+def test_jpeg_codec_exactness_and_error_paths():
+    """Baseline JPEG codec (operators/jpeg.py): constant-8x8-block images
+    with the flat-8 quantizer round-trip BIT-EXACT (the oracle contract);
+    smooth content round-trips within a lossy bound; unsupported or
+    truncated streams raise instead of decoding garbage."""
+    import numpy as np
+    import pytest
+
+    from binaryvectordb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_rgb,
+    )
+    from binaryvectordb_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        bands, w = rng.randint(1, 5), 8 * rng.randint(1, 4)
+        vals = rng.randint(0, 256, bands)
+        px = np.repeat(vals, 8).astype(np.uint8)[:, None].repeat(w, 1)
+        assert np.array_equal(decode_jpeg(encode_jpeg_gray(px)), px)
+    # non-multiple-of-8 dims pad with edge replication and crop back
+    px = np.full((10, 12), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_gray(px)), px)
+    # lossy bound on smooth grayscale content (flat-8 quantizer)
+    g = np.linspace(0, 255, 64)
+    img = ((np.add.outer(g, g) / 2)
+           + rng.normal(0, 4, (64, 64))).clip(0, 255).astype(np.uint8)
+    err = np.abs(decode_jpeg(encode_jpeg_gray(img)).astype(int)
+                 - img.astype(int)).max()
+    assert err <= 16, err
+    # 3-component YCbCr 4:4:4: constant blocks within color-transform
+    # rounding of the exact round trip
+    cpx = np.zeros((16, 16, 3), np.uint8)
+    cpx[:8] = [200, 30, 90]
+    cpx[8:] = [10, 220, 140]
+    got = decode_image(encode_jpeg_rgb(cpx))  # dispatch by SOI magic
+    assert got.shape == cpx.shape
+    assert np.abs(got.astype(int) - cpx.astype(int)).max() <= 2
+    # error paths
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+    data = encode_jpeg_gray(px)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:20])           # truncated mid-segment
+    with pytest.raises(ValueError, match="baseline"):
+        # progressive SOF2 must be rejected, not mis-decoded
+        decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
 
 def test_events_ts_encoding_mixed_dir_raises(tmp_path):
