@@ -32,6 +32,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     analytics2,
     dedup,
     hybrid,
+    lateinteraction,
     lateral,
     mllib_ops,
     multimodal,
@@ -63,6 +64,8 @@ _PRIORITY = [
     "search_bm25_topk_batch",
     "search_hybrid_rrf_batch",
     "multimodal_jpeg_decode",
+    "search_maxsim_topk",
+    "search_maxsim_topk_batch",
     # (b) last driver-checked in round 4 — stalest hashes first.  (The
     # round-7 decimal precision-tier rewrite touches agg_pricing_summary —
     # r6-fresh, output pinned bit-identical by test_oracle_parity — and

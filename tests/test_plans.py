@@ -183,3 +183,43 @@ def test_adaptive_postfilter_rescore_reads_candidates_only(spark):
         "InMemoryTableScan" in plan and "INSET" in plan)
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_maxsim_one_shuffle_pivoted_agg(spark):
+    """MaxSim scoring must cost exactly ONE map-side-combined corpus
+    shuffle: the per-term maxes are pivoted into conditional aggregates of a
+    single groupBy(doc_id) (queries/lateinteraction.py:_maxsim), and the
+    |Q|-row query side is broadcast onto the token stream.  The single-query
+    form then selects top-k as TakeOrderedAndProject (no extra shuffle);
+    the batch form's per-qid rank window must prune with a PARTIAL
+    WindowGroupLimit BEFORE its qid exchange, so only <=k rows per
+    (qid, partition) shuffle — never the corpus through |batch| partitions."""
+    from binaryvectordb_spark.queries.lateinteraction import (
+        search_maxsim_topk,
+        search_maxsim_topk_batch,
+    )
+
+    def hash_shuffles(plan):
+        return [ln for ln in plan.splitlines()
+                if "Arguments: hashpartitioning(" in ln]
+
+    plan = formatted_plan(search_maxsim_topk(spark, SF_SMOKE))
+    assert len(hash_shuffles(plan)) == 1, hash_shuffles(plan)
+    assert "partial_max" in plan
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    plan = formatted_plan(search_maxsim_topk_batch(spark, SF_SMOKE))
+    sh = hash_shuffles(plan)
+    assert len(sh) == 2 and any("doc_id" in ln for ln in sh), sh
+    assert "partial_max" in plan
+    # Spark's window-group-limit rewrite must be active in BOTH positions:
+    # a partial WindowGroupLimit upstream of the qid exchange (prunes each
+    # map partition to <=k rows per qid) and the final one after it — two
+    # nodes total; an un-rewritten plan has zero
+    import re
+    tree = plan.split("\n\n")[0]
+    wgl = re.findall(r"WindowGroupLimit \(\d+\)", tree)
+    assert len(wgl) == 2, tree
+    assert "SortMergeJoin" not in plan
