@@ -12,7 +12,7 @@ shuffle-bounded approach at cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binaryvectordb_spark.functions.text import (
@@ -478,4 +478,67 @@ SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
 FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
 GROUP BY lang
+""")
+
+
+# -- sub-document (span-level) dedup: the C4 policy --------------------------
+
+SPAN_LEN = 8
+
+
+def dedup_span_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup: each doc is cut into consecutive
+    non-overlapping 8-token spans; a span OCCURRENCE survives iff it is the
+    corpus-wide FIRST occurrence of its text (ordered by doc_id, then span
+    position — the keep-first policy at span granularity, the move that
+    removes boilerplate repeated across pages without dropping whole docs).
+    Output: per-doc span count and surviving-span count.
+
+    Scale (100 TB): spans come from ONE explode (~n_tokens/8 rows); the
+    global first-occurrence is a window MIN over the span hash — a single
+    shuffle on 32-byte keys carrying (hash, order-key, doc_id) slim rows.
+    No join, no all-pairs anything; the downstream per-doc rollup is a
+    map-side-combinable hash-agg on doc_id."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    n = SPAN_LEN
+    spans = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, CAST(ceil(size(toks) / {n}.0) AS INT)"
+            f" - 1), i -> concat_ws(' ', slice(toks, i * {n} + 1, {n})))"
+        )).alias("span_idx", "span"))
+    # total order of occurrences: doc_id first, then position in the doc
+    # (span_idx < 1e5 for any fixture/real doc under ~800k tokens)
+    h = spans.select(
+        "doc_id", F.md5("span").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("span_idx")).alias("okey"))
+    w = Window.partitionBy("h")
+    kept = h.withColumn("first_okey", F.min("okey").over(w))
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(F.when(F.col("okey") == F.col("first_okey"), 1)
+                       .otherwise(0)).alias("n_kept"))
+            .orderBy("doc_id"))
+
+
+register("dedup_span_keep_first", dedup_span_keep_first, oracle=f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sp AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(toks[i * {SPAN_LEN} + 1 : i * {SPAN_LEN} + {SPAN_LEN}],
+                         ' ') AS span
+  FROM tk, unnest(range(0, CAST(ceil(length(toks) / {SPAN_LEN}.0) AS INT)))
+       AS u(i)
+), h AS (
+  SELECT doc_id, md5(span) AS h,
+         doc_id * 100000 + span_idx AS okey
+  FROM sp
+), kept AS (
+  SELECT doc_id, okey, min(okey) OVER (PARTITION BY h) AS first_okey FROM h
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN okey = first_okey THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
 """)
