@@ -76,6 +76,8 @@ HEADLINE = [
     "multimodal_decode_features",
     "search_hybrid_rrf",            # BM25 + vector reciprocal-rank fusion
     "knn_filtered_adaptive_broad",  # postfilter over-fetch branch
+    "search_maxsim_topk",           # late-interaction MaxSim (round 7)
+    "ann_pq_adc_search",            # PQ ADC + exact rerank (round 7)
 ]
 
 
@@ -362,6 +364,54 @@ def bench_png_decode() -> dict[str, float]:
     return {"png_decode_mb_per_s": round(px_mb / best, 2)}
 
 
+def bench_zorder(spark, sf_dir: str) -> dict[str, float]:
+    """Z-order layout skipping, as DETERMINISTIC byte fractions (no
+    wall-clock: local page cache would bury the I/O effect — same rationale
+    as ivf_uncached_probe_bytes_fraction).  Writes events twice (z-ordered
+    on equi-depth (user_id, value-bucket) ranks vs insertion order, 16
+    files each) and reports the row-group bytes a stats-aware reader must
+    touch for the same ~12.5%-per-dimension 2-D range predicate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.operators.zorder import (
+        equidepth_scale,
+        interleave_expr,
+        rowgroup_scan_fraction,
+        write_zordered,
+    )
+    from binaryvectordb_spark.sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="bvdb_zorder_")
+    try:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vb"))
+        ux, uy = e.agg(F.min("user_id"), F.max("user_id")).first()
+        vlo, vhi = e.approxQuantile("vb", [0.75, 0.875], 0.001)
+        ex = (e.withColumn("_xr", equidepth_scale(e, "user_id", bits=8))
+              .withColumn("_yr", equidepth_scale(e, "vb", bits=8)))
+        zdf = (ex.withColumn(
+            "_z", F.expr(interleave_expr("_xr", "_yr", bits=8)))
+            .drop("_xr", "_yr"))
+        write_zordered(zdf, base + "/z", F.col("_z"), 16)
+        (e.repartitionByRange(16, "event_id")
+         .sortWithinPartitions("event_id")
+         .write.mode("overwrite").parquet(base + "/linear"))
+        pred = {"user_id": (ux, ux + (uy - ux) // 8),
+                "vb": (int(vlo), int(vhi))}
+        return {
+            "zorder_2d_rowgroup_fraction": round(
+                rowgroup_scan_fraction(base + "/z", pred), 4),
+            "linear_2d_rowgroup_fraction": round(
+                rowgroup_scan_fraction(base + "/linear", pred), 4),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def bench_streaming(spark, sf_dir: str,
                     variance: dict[str, float]) -> dict[str, float]:
     """Structured Streaming drain rate: the events table through a
@@ -497,7 +547,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {**times, **bench_streaming(spark, sf_dir, variance),
                     **bench_1m_scan(spark, sf_dir, variance),
-                    **bench_png_decode()},
+                    **bench_png_decode(), **bench_zorder(spark, sf_dir)},
         "variance": variance,
         "protocol": "median of 5 fresh plans per query; variance = (max-min)/median",
         "sf": float(sf),

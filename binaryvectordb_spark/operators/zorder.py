@@ -1,0 +1,117 @@
+"""Z-order (Morton-curve) multi-column layout: interleave the bits of two
+rank-normalized columns so that range predicates on EITHER OR BOTH columns
+map to a small number of contiguous z-value runs — which is what lets
+parquet row-group statistics prune most of the table for 2-D filters
+(the Delta/Iceberg OPTIMIZE ZORDER idea, built here from plain expressions
+and a range-partitioned write).
+
+Why it matters at 100 TB: a table sorted by one column skips well on that
+column and not at all on the second; a z-ordered table skips on both.  The
+reference engine has no analogue (single RAM index); this serves the
+metadata-filtered serving path (db.search(filter=...)) where predicates on
+two attributes must not scan the corpus.
+
+Everything here is deterministic integer arithmetic (shift/mask/interleave
+on rank-scaled bigints), expressible identically in Spark SQL and DuckDB —
+the registered query (queries/layout.py) value-hashes the z-math and its
+clustering quality cross-engine; the physical skipping effect is measured
+from real parquet footers (tests/test_zorder.py, bench zorder_* keys).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BITS = 16  # per-dimension resolution; z-values fit in 32 bits
+
+
+def scale_expr(col: str, vmin: str, vmax: str, bits: int = BITS) -> str:
+    """SQL fragment mapping bigint `col` in [vmin, vmax] onto
+    [0, 2^bits - 1] with pure integer arithmetic (identical in DuckDB with
+    // for DIV).  vmin/vmax are column references or literals."""
+    hi = (1 << bits) - 1
+    return (f"(CASE WHEN ({vmax}) > ({vmin}) THEN "
+            f"(({col}) - ({vmin})) * {hi} DIV (({vmax}) - ({vmin})) "
+            f"ELSE 0 END)")
+
+
+def equidepth_scale(df: DataFrame, col: str, bits: int = 8):
+    """Skew-proof scaling: map `col` onto [0, 2^bits - 1] by EQUI-DEPTH
+    quantile bins, not min-max (a min-max map wastes the high bits on a
+    skewed column — e.g. the events value column has median 35 but max 490,
+    so all mass lands in the low codes and z-runs stop separating that
+    dimension; measured: vb row-group skipping 1.0 -> ~0.3 after this).
+
+    Boundaries come from approxQuantile on the driver (the same sketch a
+    lakehouse OPTIMIZE uses at 100 TB); the per-row bin is a JVM aggregate
+    over the literal boundary array — no shuffle, no Python."""
+    n = (1 << bits) - 1
+    probs = [i / (n + 1) for i in range(1, n + 1)]
+    bounds = df.approxQuantile(col, probs, 0.001)
+    lit = "array(" + ", ".join(f"{float(b)!r}D" for b in bounds) + ")"
+    return F.expr(
+        f"aggregate({lit}, CAST(0 AS BIGINT), (acc, b) -> acc + "
+        f"(CASE WHEN CAST({col} AS DOUBLE) >= b THEN 1 ELSE 0 END))")
+
+
+def interleave_expr(x: str, y: str, bits: int = BITS,
+                    dialect: str = "spark") -> str:
+    """SQL fragment interleaving the low `bits` bits of x (odd positions)
+    and y (even positions) into one z-value.  Spark spells shifts as
+    shiftleft/shiftright; DuckDB as << / >>; & and + are shared."""
+    terms = []
+    for b in range(bits):
+        if dialect == "spark":
+            xb = f"shiftleft(shiftright({x}, {b}) & 1, {2 * b + 1})"
+            yb = f"shiftleft(shiftright({y}, {b}) & 1, {2 * b})"
+        else:
+            xb = f"((({x} >> {b}) & 1) << {2 * b + 1})"
+            yb = f"((({y} >> {b}) & 1) << {2 * b})"
+        terms.append(xb)
+        terms.append(yb)
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(df: DataFrame, path: str, zcol, n_files: int) -> None:
+    """Range-partition by the z-value and sort within partitions, so each
+    output file owns a contiguous z-range and its per-column parquet stats
+    are tight — the write-side half of z-order skipping.  One range shuffle
+    (sampled bounds), no global sort."""
+    (df.withColumn("_z", zcol)
+     .repartitionByRange(n_files, "_z")
+     .sortWithinPartitions("_z")
+     .drop("_z")
+     .write.mode("overwrite").parquet(path))
+
+
+def rowgroup_scan_fraction(path: str, ranges: dict[str, tuple]) -> float:
+    """Fraction of row-group BYTES a stats-aware reader must touch for the
+    conjunctive range predicate {col: (lo, hi)} — computed directly from
+    parquet footer min/max, i.e. exactly the information Spark's parquet
+    filter pushdown (and any lakehouse file pruner) uses.  Deterministic:
+    no timing, no cache state."""
+    touched = total = 0
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            size = g.total_byte_size
+            total += size
+            hit = True
+            for col, (lo, hi) in ranges.items():
+                st = g.column(cols[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats -> cannot prune, must read
+                if st.max < lo or st.min > hi:
+                    hit = False
+                    break
+            if hit:
+                touched += size
+    return touched / total if total else 1.0

@@ -34,6 +34,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     hybrid,
     lateinteraction,
     lateral,
+    layout,
     mllib_ops,
     multimodal,
     mutation,
@@ -56,9 +57,12 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # (c) the round-5 cohort.  Round-6-green queries fall to the back —
 # unchanged code, freshest hashes, least new signal.
 #
-# ROUND-8 ROTATION NOTE: after this round's driver run, the stalest hashes
-# will be section (c)'s round-5 cohort (45 queries, positions ~51+) — move
-# them to the front of the r8 window, then the round-6 cohort.
+# ROUND-8 ROTATION NOTE: section (a) has grown to 8 never-hashed round-7
+# queries, so (a)+(b) = 54 > the ~50-query driver window — the TAIL of (b)
+# (knn_cascade_batch, knn_cascade_filtered, knn_radius_search,
+# knn_label_vote) may slip past this round's window.  For round 8: front
+# any round-8 additions, then whatever (b) tail the r7 driver run missed,
+# then section (c)'s round-5 cohort (45 queries), then the round-6 cohort.
 _PRIORITY = [
     # (a) brand-new in round 7 (never hashed)
     "search_bm25_topk_batch",
@@ -68,6 +72,7 @@ _PRIORITY = [
     "search_maxsim_topk_batch",
     "dedup_span_keep_first",
     "ann_pq_adc_search",
+    "layout_zorder_clustering",
     # (b) last driver-checked in round 4 — stalest hashes first.  (The
     # round-7 decimal precision-tier rewrite touches agg_pricing_summary —
     # r6-fresh, output pinned bit-identical by test_oracle_parity — and

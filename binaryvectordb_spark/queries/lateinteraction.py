@@ -22,20 +22,34 @@ floating point anywhere, hence bit-identical across Spark and DuckDB
 regardless of fold order.  (Same md5-prefix-to-int trick as the MinHash
 base hash, functions/text.py:69-76.)
 
-Scale (100 TB): the doc-token table is ONE explode of distinct per-doc
-tokens (duplicates cannot change a max); the query side is |Q| rows and is
-broadcast, so the interaction join is a map-side replicate — no shuffle.
-The per-term maxes are pivoted into conditional aggregates of a single
-groupBy(doc_id) (terms are known at plan time), so the ENTIRE batch costs
-exactly ONE map-side-combined shuffle whose rows are (doc_id, one bigint
-per query term).  Top-k plans as TakeOrderedAndProject.  In a serving deployment the same pipeline
-runs over the ANN candidate set instead of the corpus (compose with
-cascade_search's top-k ids), which is the standard two-stage ColBERT
-architecture; the registered queries score the whole fixture corpus so the
-oracle exercises the full semantics.
+Execution shape (the fast form — two slower shapes were measured and
+rejected, NOTES.md round 7):
+- The QUERY-side embeddings are tiny and known at plan time, so they are
+  computed in Python (hashlib md5 — the same bytes the SQL md5 produces)
+  and inlined as INTEGER LITERAL COEFFICIENTS.  No query DataFrame, no
+  join, no higher-order functions: per term the dot against a doc token is
+  `c0*d0 + ... + c7*d7` — whole-stage-codegen integer arithmetic.
+  (The first implementation broadcast a query table and folded
+  aggregate(zip_with(...)) per interaction row: HOFs are CodegenFallback,
+  and it ran ~4x slower.)
+- The DOC-side dims d0..d7 are projected ONCE per distinct token from a
+  single md5 (8 references to the hex column keep CollapseProject from
+  inlining the hash 8x into the dim expressions).
+
+Scale (100 TB): one explode of distinct per-doc tokens, one projection,
+and ONE map-side-combined groupBy(doc_id) holding max-aggregates for every
+query term — the shuffle row is (doc_id, one bigint per term) for the
+whole batch.  Top-k plans as TakeOrderedAndProject; the batch rank prunes
+with a partial WindowGroupLimit before its qid exchange.  In a serving
+deployment the same pipeline runs over the ANN candidate set (compose with
+cascade_search's top-k ids) — the standard two-stage ColBERT architecture;
+the registered queries score the whole fixture corpus so the oracle
+exercises the full semantics.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -54,12 +68,23 @@ BATCH_QUERIES = (
 )
 K = 10
 
-# Spark-side token embedding: transform over dims, all-integer
-_SPARK_EMB = (
-    "transform(sequence(0, {hi}), j -> "
-    "CAST(conv(substring(md5({tok}), j * 4 + 1, 4), 16, 10) AS BIGINT) "
-    "% 13 - 6)"
-).format(hi=EMB_DIM - 1, tok="{tok}")
+
+def _emb_ints(token: str) -> list[int]:
+    """The md5-derived integer embedding, computed driver-side for QUERY
+    terms only — hashlib md5 of the same bytes gives the same hex digest
+    as Spark's and DuckDB's md5(), so the literal coefficients match what
+    the oracle derives in SQL."""
+    h = hashlib.md5(token.encode("utf-8")).hexdigest()
+    return [int(h[4 * j: 4 * j + 4], 16) % 13 - 6 for j in range(EMB_DIM)]
+
+
+# doc-side dim j from the per-token md5 hex column (one md5 per token; the
+# 8 separate references prevent CollapseProject from inlining the hash)
+def _dim_expr(j: int) -> F.Column:
+    return F.expr(
+        f"CAST(conv(substring(hex, {4 * j + 1}, 4), 16, 10) AS BIGINT)"
+        f" % 13 - 6")
+
 
 # DuckDB-side token embedding (1-indexed substr, same bytes, same ints)
 _DUCK_EMB = (
@@ -67,44 +92,42 @@ _DUCK_EMB = (
     "(CAST('0x' || substr(md5({tok}), j * 4 + 1, 4) AS BIGINT) % 13) - 6)"
 ).format(hi=EMB_DIM, tok="{tok}")
 
-_SPARK_DOT = ("aggregate(zip_with(qemb, temb, (x, y) -> x * y), "
-              "CAST(0 AS BIGINT), (a, x) -> a + x)")
 _DUCK_DOT = ("CAST(list_sum(list_transform(range(1, %d), "
              "j -> qemb[j] * temb[j])) AS BIGINT)" % (EMB_DIM + 1))
 
 
-def _doc_token_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, temb) for each DISTINCT token of each document — distinct
-    because max over duplicate tokens equals max over the distinct set."""
+def _doc_token_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, d0..d7) for each DISTINCT token of each document —
+    distinct because max over duplicate tokens equals max over the
+    distinct set."""
     d = load_table(spark, sf_dir, "documents")
     return (d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"))
-        .select("doc_id", F.expr(_SPARK_EMB.format(tok="tok")).alias("temb")))
+        .select("doc_id", F.md5("tok").alias("hex"))
+        .select("doc_id",
+                *[_dim_expr(j).alias(f"d{j}") for j in range(EMB_DIM)]))
 
 
-def _maxsim(tokens: DataFrame, queries: list[tuple[int, tuple[str, ...]]],
-            spark: SparkSession) -> DataFrame:
+def _maxsim(dims: DataFrame,
+            queries: list[tuple[int, tuple[str, ...]]]) -> DataFrame:
     """Exact-integer MaxSim for a batch of queries in ONE aggregation pass.
 
-    The query terms are known at plan time (true of any submitted batch), so
-    instead of groupBy(doc_id, qtok) -> max then groupBy(doc_id) -> sum (two
-    shuffles), the per-term maxes are PIVOTED into conditional aggregates of
-    a single groupBy(doc_id): max(dot) FILTER (qid, qtok) for each query
-    term, summed per qid in the same projection.  One slim map-side-combined
-    shuffle total, regardless of batch size — the shuffle row is
-    (doc_id, one bigint per query term).  Returns (doc_id, qid, maxsim)."""
-    rows = [(qid, t) for qid, terms in queries for t in terms]
-    qdf = (spark.createDataFrame(rows, "qid INT, qtok STRING")
-           .select("qid", "qtok",
-                   F.expr(_SPARK_EMB.format(tok="qtok")).alias("qemb")))
-    inter = (tokens.join(F.broadcast(qdf))
-             .select("doc_id", "qid", "qtok", F.expr(_SPARK_DOT).alias("dot")))
-    aggs = [
-        F.max(F.when((F.col("qid") == qid) & (F.col("qtok") == t),
-                     F.col("dot"))).alias(f"mx_{qid}_{j}")
-        for qid, terms in queries for j, t in enumerate(terms)]
-    g = inter.groupBy("doc_id").agg(*aggs)
+    Per query term the dot against a doc token is a literal-coefficient
+    linear form over the projected dims (pure codegen integer math — no
+    join, no HOFs), and the per-term maxes are pivoted into aggregates of
+    a single groupBy(doc_id), summed per qid in the same projection.  One
+    slim map-side-combined shuffle total, regardless of batch size — the
+    shuffle row is (doc_id, one bigint per query term).
+    Returns (doc_id, qid, maxsim)."""
+    aggs = []
+    for qid, terms in queries:
+        for j, t in enumerate(terms):
+            c = _emb_ints(t)
+            dot = " + ".join(f"({c[k]}) * d{k}" for k in range(EMB_DIM)
+                             if c[k] != 0) or "CAST(0 AS BIGINT)"
+            aggs.append(F.max(F.expr(dot)).alias(f"mx_{qid}_{j}"))
+    g = dims.groupBy("doc_id").agg(*aggs)
     stack_args = ", ".join(
         "{qid}, {expr}".format(
             qid=qid,
@@ -117,7 +140,7 @@ def _maxsim(tokens: DataFrame, queries: list[tuple[int, tuple[str, ...]]],
 
 def search_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide MaxSim top-10 for the flagship 4-term query."""
-    scores = _maxsim(_doc_token_embs(spark, sf_dir), [(0, QTERMS)], spark)
+    scores = _maxsim(_doc_token_dims(spark, sf_dir), [(0, QTERMS)])
     return (scores.select("doc_id", "maxsim")
             .orderBy(F.desc("maxsim"), F.asc("doc_id")).limit(K))
 
@@ -152,8 +175,7 @@ def search_maxsim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc-token explode is SHARED across all queries in the batch, so the
     corpus-scan cost amortizes exactly like knn_cascade_batch
     (queries/vector.py:295)."""
-    scores = _maxsim(_doc_token_embs(spark, sf_dir),
-                     list(BATCH_QUERIES), spark)
+    scores = _maxsim(_doc_token_dims(spark, sf_dir), list(BATCH_QUERIES))
     w = Window.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("doc_id"))
     return (scores.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= K)

@@ -187,13 +187,14 @@ def test_adaptive_postfilter_rescore_reads_candidates_only(spark):
 
 def test_maxsim_one_shuffle_pivoted_agg(spark):
     """MaxSim scoring must cost exactly ONE map-side-combined corpus
-    shuffle: the per-term maxes are pivoted into conditional aggregates of a
-    single groupBy(doc_id) (queries/lateinteraction.py:_maxsim), and the
-    |Q|-row query side is broadcast onto the token stream.  The single-query
-    form then selects top-k as TakeOrderedAndProject (no extra shuffle);
-    the batch form's per-qid rank window must prune with a PARTIAL
-    WindowGroupLimit BEFORE its qid exchange, so only <=k rows per
-    (qid, partition) shuffle — never the corpus through |batch| partitions."""
+    shuffle and ZERO joins: query-term embeddings are inlined as literal
+    integer coefficients (queries/lateinteraction.py:_maxsim), per-term
+    dots are codegen linear forms over the projected dims, and the maxes
+    pivot into a single groupBy(doc_id).  The single-query form then
+    selects top-k as TakeOrderedAndProject (no extra shuffle); the batch
+    form's per-qid rank window must prune with a PARTIAL WindowGroupLimit
+    BEFORE its qid exchange, so only <=k rows per (qid, partition) shuffle
+    — never the corpus through |batch| partitions."""
     from binaryvectordb_spark.queries.lateinteraction import (
         search_maxsim_topk,
         search_maxsim_topk_batch,
@@ -206,8 +207,7 @@ def test_maxsim_one_shuffle_pivoted_agg(spark):
     plan = formatted_plan(search_maxsim_topk(spark, SF_SMOKE))
     assert len(hash_shuffles(plan)) == 1, hash_shuffles(plan)
     assert "partial_max" in plan
-    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan  # no query-side join of any kind
     assert "TakeOrderedAndProject" in plan
 
     plan = formatted_plan(search_maxsim_topk_batch(spark, SF_SMOKE))
