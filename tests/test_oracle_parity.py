@@ -33,3 +33,19 @@ def test_every_query_runs(spark):
             continue
         df = fn(spark, SF_SMOKE)
         assert df.count() >= 0, name
+
+
+def test_priority_covers_registry_exactly_once():
+    """The driver hashes the first ~50 registry entries in _PRIORITY order.
+    A registered query absent from _PRIORITY falls to a fallback append and
+    silently never rotates into the driver window (this bit
+    agg_pricing_summary after its round-7 rewrite); a duplicate would
+    shadow a slot.  Pin the invariant: _PRIORITY is a permutation of the
+    registry."""
+    from binaryvectordb_spark.queries import _PRIORITY
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entries"
+    missing = set(QUERIES) - set(_PRIORITY)
+    extra = set(_PRIORITY) - set(QUERIES)
+    assert not missing, f"registered but never prioritized: {sorted(missing)}"
+    assert not extra, f"prioritized but not registered: {sorted(extra)}"
