@@ -542,3 +542,94 @@ SELECT doc_id, count(*) AS n_spans,
          AS n_kept
 FROM kept GROUP BY doc_id ORDER BY doc_id
 """)
+
+
+# -- SemDeDup: cluster-pruned semantic dedup (Abbas et al. 2023) -------------
+
+SEMDEDUP_TAU = 0.32
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the embedding space, then look for semantic
+    duplicates (cosine >= tau) only WITHIN each cluster — the published
+    recipe for embedding dedup at web scale, where the cluster step turns
+    the O(n^2) pairwise search into sum-of-squares over cluster sizes
+    (n_i^2 << n^2) and each cluster's pair search is an independent,
+    perfectly parallel task keyed by the cluster id.
+
+    Deterministic realization (so both engines hash-match): centroids are
+    the exact decimal per-dimension means of the fixture's label partitions
+    (the trained-k-means stand-in, same device as ann_ivf_search), every
+    vector is REASSIGNED to its nearest centroid by cosine (row_number
+    tie-break — the true k-means assign step, so cluster membership is a
+    function of geometry, not of the stored label), and within each
+    assigned cluster a row is a duplicate iff a lower-id row of the same
+    cluster sits within tau (keep-first, the same policy as
+    dedup_span_keep_first).  Output: per-cluster (cluster, n_docs,
+    n_removed, kept_id_sum) — counts and an id checksum, hash-strong.
+
+    Scale: centroids broadcast (n_clusters rows); assignment is one
+    map-side broadcast join + a per-vec_id window (shuffle on vec_id);
+    the pair search shuffles once on the cluster id.  At 100 TB the
+    within-cluster self-join is the intended cost model — SemDeDup's own
+    k trades cluster size against recall."""
+    from binaryvectordb_spark.queries.similarity import exact_label_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = exact_label_centroids(e)
+    scored = (e.select("vec_id", "embedding")
+              .join(F.broadcast(cent))
+              .select("vec_id", "embedding", F.col("label").alias("clab"),
+                      cosine("embedding", "cvec").alias("cs")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("clab"))
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("vec_id", "embedding", "clab"))
+
+    a = assigned.select(F.col("clab"), F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"))
+    b = assigned.select(F.col("clab"), F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"))
+    dup_ids = (a.join(b, ["clab"])
+               .where(F.col("id_a") < F.col("id_b"))
+               .where(cosine("va", "vb") >= SEMDEDUP_TAU)
+               .select(F.col("id_b").alias("vec_id")).distinct())
+
+    marked = (assigned.join(dup_ids.withColumn("is_dup", F.lit(1)),
+                            "vec_id", "left"))
+    return (marked.groupBy(F.col("clab").alias("cluster"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.count("is_dup").alias("n_removed"),
+                 F.sum(F.when(F.col("is_dup").isNull(),
+                              F.col("vec_id"))).alias("kept_id_sum"))
+            .orderBy("cluster"))
+
+
+_SEM_COS = lambda A, B: (  # noqa: E731 — local SQL fragment builder
+    f"list_sum(list_transform(range(1, 65), i -> CAST({A}[i] AS DOUBLE) * CAST({B}[i] AS DOUBLE)))"
+    f" / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST({A}[i] AS DOUBLE) * CAST({A}[i] AS DOUBLE))))"
+    f" * sqrt(list_sum(list_transform(range(1, 65), i -> CAST({B}[i] AS DOUBLE) * CAST({B}[i] AS DOUBLE)))))")
+
+register("dedup_semantic_clusters", dedup_semantic_clusters, oracle=f"""
+WITH ex AS (SELECT label, i AS pos, CAST(embedding[i + 1] AS DECIMAL(20,10)) AS v
+            FROM embeddings, range(0, 64) t(i)),
+cd AS (SELECT label, pos, CAST(SUM(v) AS DOUBLE) / count(*) AS c
+       FROM ex GROUP BY label, pos),
+cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cd GROUP BY label),
+scored AS (SELECT e.vec_id, e.embedding, c.label AS clab,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {_SEM_COS('e.embedding', 'c.cvec')} DESC,
+                               c.label ASC) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, embedding, clab FROM scored WHERE rn = 1),
+dup AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+        ON a.clab = b.clab AND a.vec_id < b.vec_id
+        WHERE {_SEM_COS('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU})
+SELECT s.clab AS cluster, count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN s.vec_id END) AS BIGINT)
+         AS kept_id_sum
+FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+GROUP BY s.clab ORDER BY cluster
+""")

@@ -33,22 +33,39 @@ list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS
 """
 
 
+def exact_label_centroids(e: DataFrame) -> DataFrame:
+    """(label, cvec): exact per-dimension centroid of each label partition —
+    posexplode -> DECIMAL sum -> double mean, so the result is
+    order-independent and bit-identical across partitionings and engines (a
+    float groupBy-sum could never hash-match an oracle).  Centroid count =
+    n_labels: kilobytes, always broadcastable."""
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent_dims = (exploded.groupBy("label", "pos")
+                 .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                       / F.count("*")).alias("c")))
+    return (cent_dims.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                 .alias("pc"))
+            .select("label", F.expr("transform(pc, x -> x.c)").alias("cvec")))
+
+
+# DuckDB twin of exact_label_centroids — CTEs `ex`/`cd`/`cent(label, cvec)`
+DUCK_CENTROIDS = """
+ex AS (SELECT label, i AS pos, CAST(embedding[i + 1] AS DECIMAL(20,10)) AS v
+       FROM embeddings, range(0, 64) t(i)),
+cd AS (SELECT label, pos, CAST(SUM(v) AS DOUBLE) / count(*) AS c
+       FROM ex GROUP BY label, pos),
+cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cd GROUP BY label)
+"""
+
+
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: centroid per label (exact decimal mean) -> rank centroids by
     cosine to the query -> brute-force cosine top-10 within the NPROBE best
     partitions.  The label column is the fixture's cluster id (FIXTURES.md)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == QID).select(F.col("embedding").alias("qvec"))
-
-    # exact per-dimension centroid: posexplode -> decimal sum -> double mean
-    exploded = e.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cent_dims = (exploded.groupBy("label", "pos")
-                 .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
-                       / F.count("*")).alias("c")))
-    centroids = (cent_dims.groupBy("label")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
-                      .alias("pc"))
-                 .select("label", F.expr("transform(pc, x -> x.c)").alias("cvec")))
+    centroids = exact_label_centroids(e)
 
     best = (centroids.join(F.broadcast(q))
             .select("label", cosine("qvec", "cvec").alias("cscore"))
@@ -282,4 +299,101 @@ SELECT CAST(count(*) AS BIGINT) AS k_exact,
        TRUE AS recall_ge_07,
        CAST(32 AS INT) AS compression_x
 FROM ex
+""")
+
+# -- IVF + PQ composition (the faiss-IVFPQ shape, re-expressed) --------------
+
+IVFPQ_SHORTLIST = 50
+
+
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the two scale levers composed the way faiss's IVFPQ does —
+    the IVF probe prunes WHICH rows are read (at 100 TB the code table is
+    partitioned by cluster, so the probe opens nprobe/n_clusters of the
+    files — the layout db.py:596 already uses), and PQ prunes HOW MUCH is
+    read per row (8-byte codes vs 256-byte floats, 32x).  Pipeline: exact
+    decimal centroids per label -> top-NPROBE clusters by query cosine ->
+    PQ-encode only the probed rows -> ADC shortlist on codes -> exact-cosine
+    rerank of the shortlist.  Output pins the deterministic facts: the
+    exact in-probe top-10 (count + id checksum, hash-strong), the probed
+    row count and corpus size (the I/O-pruning fraction as data, not a
+    claim), recall@10 of the full composition vs the in-probe exact
+    baseline >= 0.7 (measured 1.0 at every fixture: within a few hundred
+    probed rows a 50-deep shortlist at ksub=64 recovers the exact set),
+    and the 32x code compression.
+
+    Reference parity: BinaryVectorDB/BinaryVectorDB.py:200-252 is a flat
+    two-tier cascade; IVF-PQ is the standard scale-out of the same
+    prune-then-rescore idea (coarse quantizer = IVF probe, fine = PQ/ADC,
+    exact tier = rerank)."""
+    from binaryvectordb_spark.operators.pq import (
+        adc_score_expr,
+        pq_encode,
+        train_pq,
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = (e.where(F.col("vec_id") == QID)
+            .select("embedding").first()["embedding"])
+    qdf = (e.where(F.col("vec_id") == QID)
+           .select(F.col("embedding").alias("qvec")))
+
+    best = (exact_label_centroids(e).join(F.broadcast(qdf))
+            .select("label", cosine("qvec", "cvec").alias("cscore"))
+            .orderBy(F.desc("cscore"), F.asc("label"))
+            .limit(NPROBE))
+    probed = e.join(F.broadcast(best.select("label")), "label")
+
+    # fine quantizer: codebooks train on a corpus-wide deterministic sample
+    # (cluster-independent — faiss trains PQ on the full training set too);
+    # only the PROBED rows are encoded and ADC-scored
+    books = train_pq(e, DIM)
+    codes = pq_encode(probed, books)
+    shortlist = (codes
+                 .select("pq_id",
+                         adc_score_expr(qvec, books).alias("score_adc"))
+                 .orderBy(F.desc("score_adc"), F.asc("pq_id"))
+                 .limit(IVFPQ_SHORTLIST))
+    approx = (F.broadcast(shortlist)
+              .join(probed.select(F.col("vec_id").alias("pq_id"),
+                                  F.col("embedding").alias("dvec")), "pq_id")
+              .join(F.broadcast(qdf))
+              .select("pq_id", cosine("qvec", "dvec").alias("s"))
+              .orderBy(F.desc("s"), F.asc("pq_id")).limit(10))
+
+    exact = (probed.join(F.broadcast(qdf))
+             .select("vec_id", cosine("qvec", "embedding").alias("s"))
+             .orderBy(F.desc("s"), F.asc("vec_id")).limit(10))
+    ap = approx.select(F.col("pq_id").alias("a_id"))
+    g = (exact.join(F.broadcast(ap), exact.vec_id == ap.a_id, "left")
+         .agg(F.count("*").alias("k_exact"),
+              F.sum("vec_id").alias("exact_id_sum"),
+              F.count("a_id").alias("n_hit")))
+    return (g.join(probed.agg(F.count("*").alias("probed_rows")))
+            .join(e.agg(F.count("*").alias("total_rows")))
+            .select("k_exact", "exact_id_sum",
+                    (F.col("n_hit") >= 7).alias("recall_ge_07"),
+                    "probed_rows", "total_rows",
+                    F.lit(256 // 8).cast("int").alias("compression_x")))
+
+
+register("ann_ivfpq_search", ann_ivfpq_search, oracle=f"""
+WITH {DUCK_CENTROIDS.strip()},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QID}),
+best AS (SELECT label,
+         list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * cvec[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65), i -> cvec[i] * cvec[i])))) AS cscore
+         FROM cent, q
+         ORDER BY cscore DESC, label ASC LIMIT {NPROBE}),
+probed AS (SELECT e.vec_id, e.embedding AS dv FROM embeddings e
+           WHERE e.label IN (SELECT label FROM best)),
+ex10 AS (SELECT vec_id, {_COS} AS s FROM probed d, q
+         ORDER BY s DESC, vec_id ASC LIMIT 10)
+SELECT CAST(count(*) AS BIGINT) AS k_exact,
+       CAST(sum(vec_id) AS BIGINT) AS exact_id_sum,
+       TRUE AS recall_ge_07,
+       (SELECT count(*) FROM probed) AS probed_rows,
+       (SELECT count(*) FROM embeddings) AS total_rows,
+       CAST(32 AS INT) AS compression_x
+FROM ex10
 """)

@@ -223,3 +223,24 @@ def test_maxsim_one_shuffle_pivoted_agg(spark):
     wgl = re.findall(r"WindowGroupLimit \(\d+\)", tree)
     assert len(wgl) == 2, tree
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_probe_joins_hash_and_semdedup_no_cartesian(spark):
+    """ann_ivfpq_search: the probe (label IN best-clusters) must be a
+    broadcast HASH join — never a nested-loop rescan of the corpus — and
+    SortMergeJoin must not appear (every non-corpus side is k-row).
+    dedup_semantic_clusters: both the centroid-assign join and the
+    within-cluster pair join are equi-joins on clab — a CartesianProduct
+    would mean the cluster blocking silently degenerated to all-pairs."""
+    from binaryvectordb_spark.queries.dedup import dedup_semantic_clusters
+    from binaryvectordb_spark.queries.similarity import ann_ivfpq_search
+
+    plan = formatted_plan(ann_ivfpq_search(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = formatted_plan(dedup_semantic_clusters(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # pair search shuffles once on clab (equi-join), assign side broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
