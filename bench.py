@@ -78,6 +78,8 @@ HEADLINE = [
     "knn_filtered_adaptive_broad",  # postfilter over-fetch branch
     "search_maxsim_topk",           # late-interaction MaxSim (round 7)
     "ann_pq_adc_search",            # PQ ADC + exact rerank (round 7)
+    "ann_ivfpq_search",             # IVF probe x PQ codes composed (round 7)
+    "dedup_semantic_clusters",      # SemDeDup cluster-pruned dedup (round 7)
 ]
 
 
