@@ -573,9 +573,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair search shuffles once on the cluster id.  At 100 TB the
     within-cluster self-join is the intended cost model — SemDeDup's own
     k trades cluster size against recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, SEMDEDUP_TAU)
+
+
+def semantic_dedup(e: DataFrame, tau: float) -> DataFrame:
+    """The SemDeDup pipeline over any (vec_id, embedding, label) frame —
+    see dedup_semantic_clusters for semantics and scale notes.  Exposed
+    with tau as a parameter so tests can pin the policy extremes
+    (tau > 1: nothing removed; tau = -1: exactly one survivor per
+    cluster)."""
     from binaryvectordb_spark.queries.similarity import exact_label_centroids
 
-    e = load_table(spark, sf_dir, "embeddings")
     cent = exact_label_centroids(e)
     scored = (e.select("vec_id", "embedding")
               .join(F.broadcast(cent))
@@ -592,7 +601,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("embedding").alias("vb"))
     dup_ids = (a.join(b, ["clab"])
                .where(F.col("id_a") < F.col("id_b"))
-               .where(cosine("va", "vb") >= SEMDEDUP_TAU)
+               .where(cosine("va", "vb") >= tau)
                .select(F.col("id_b").alias("vec_id")).distinct())
 
     marked = (assigned.join(dup_ids.withColumn("is_dup", F.lit(1)),
