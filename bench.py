@@ -236,36 +236,13 @@ def bench_1m_scan(spark, sf_dir: str,
         # cluster=C/bucket=K layout means a probe OPENS nprobe/n_clusters
         # of the index files (PartitionFilters, asserted in test_plans).
         # The cached-tier comparison above is job-floor-bound at 1M rows
-        # (pruning spares row work, not the ~0.1-0.2 s scheduler floor);
-        # the uncached scan is what an object-storage read looks like at
-        # scale.  The aggregate forces the vec bytes through the reader —
-        # count() would answer from parquet footers without touching data.
-        # NOT cold in the OS sense: the warm-up force() below leaves the
-        # page cache and file listings hot, so these two wall-clock keys
-        # mostly price Spark planning/job overhead on an uncached
-        # DataFrame; the deterministic I/O-pruning number is
-        # ivf_uncached_probe_bytes_fraction.
-        def force(df):
-            # bit_count keeps the ANSI sum far from long overflow while
-            # still pulling the vec bytes through the reader
-            df.agg(F.sum(F.expr("bit_count(element_at(vec, 1))"))).collect()
-        probe_scan = db.index_df().where(F.col("cluster").isin(probe))
-        full_scan = db.index_df()
-        force(probe_scan), force(full_scan)  # warm listings + codegen
-        cold_p, cold_f = [], []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            force(db.index_df().where(F.col("cluster").isin(probe)))
-            cold_p.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            force(db.index_df())
-            cold_f.append(time.perf_counter() - t0)
-        out["ivf_uncached_probe_scan"] = round(statistics.median(cold_p), 4)
-        out["ivf_uncached_full_scan"] = round(statistics.median(cold_f), 4)
-        variance["ivf_uncached_probe_scan"] = round(
-            (max(cold_p) - min(cold_p)) / statistics.median(cold_p), 2)
-        variance["ivf_uncached_full_scan"] = round(
-            (max(cold_f) - min(cold_f)) / statistics.median(cold_f), 2)
+        # (pruning spares row work, not the ~0.1-0.2 s scheduler floor).
+        # The former ivf_uncached_{probe,full}_scan WALL-CLOCK pair is
+        # gone: with the OS page cache hot it mostly priced Spark
+        # planning/job overhead on an uncached DataFrame, and it was the
+        # only pair that would not hold the 0.5 variance trust bar (r7
+        # measured 0.57/0.73) — the deterministic replacement below prices
+        # the same claim without a clock.
         # BYTES fraction the probe reads — deterministic and the number
         # that prices an object-storage scan (local wall-clock buries the
         # I/O win under ~1.5 s of fixed listing/planning/job overhead):

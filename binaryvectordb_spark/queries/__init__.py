@@ -57,14 +57,15 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # (c) the round-5 cohort.  Round-6-green queries fall to the back —
 # unchanged code, freshest hashes, least new signal.
 #
-# ROUND-8 ROTATION NOTE: section (a) holds 11 queries that are new or
-# output-rewritten in round 7, so (a)+(b) = 57 > the 50-query driver
-# window — the TAIL of (b) (seven untouched-since-r4, pure-SQL queries:
+# ROUND-8 ROTATION NOTE: section (a) holds 12 queries that are new or
+# output-rewritten in round 7, so (a)+(b) = 58 > the 50-query driver
+# window — the TAIL of (b) (eight untouched-since-r4, pure-SQL queries:
 # window_moving_sum, window_running_total, set_ops_segments,
 # union_by_name_parties, unpivot_acctbal, agg_collect_set,
-# window_first_last) slips past this round's window by design: they are
-# the lowest-risk slips (static SQL over static fixtures, no round-7 code
-# touched them, and test_oracle_parity hashes them locally every run).
+# window_first_last, agg_percentiles) slips past this round's window by
+# design: they are the lowest-risk slips (static SQL over static
+# fixtures, no round-7 code touched them, and test_oracle_parity hashes
+# them locally every run).
 # For round 8: front any round-8 additions, then that slipped (b) tail,
 # then section (c)'s round-5 cohort (45 queries), then the round-6 cohort.
 _PRIORITY = [
@@ -83,6 +84,7 @@ _PRIORITY = [
     "layout_zorder_clustering",
     "ann_ivfpq_search",
     "dedup_semantic_clusters",
+    "curation_funnel",
     # (b) last driver-checked in round 4 — stalest hashes first.  Queries
     # whose code paths were ALSO touched in round 7 (the knn cascade
     # family: Arrow batch-size change + adaptive-filter rework in
@@ -97,7 +99,6 @@ _PRIORITY = [
     "agg_grouping_sets",
     "window_distribution_funcs",
     "join_right_outer_orders",
-    "agg_percentiles",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
     "agg_stats_moments",
@@ -136,6 +137,7 @@ _PRIORITY = [
     "unpivot_acctbal",
     "agg_collect_set",
     "window_first_last",
+    "agg_percentiles",
     # (c) last driver-checked in round 5 — next-stalest; the first few fit
     # in this round's ~50-query window after (a)+(b)
     "dedup_exact_stats",

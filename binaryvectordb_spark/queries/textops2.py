@@ -162,3 +162,121 @@ SELECT source, COUNT(*) AS n_docs,
 FROM flags
 GROUP BY source
 """)
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composition a pretraining pipeline
+    actually runs, with per-stage attrition as the output (the number a
+    data-quality dashboard shows): ingest -> Gopher-style quality filter
+    (the exact rule stack of text_gopher_filter) -> prefix dedup (keep-first
+    by the 5-token leading-prefix hash AMONG quality survivors — the
+    boilerplate/URL-dedup stand-in; the fixture's full texts are all
+    unique, so full-text hashing would leave the stage untested) ->
+    decontamination (drop the
+    deterministic eval split and any training doc sharing a 3-gram shingle
+    with it) -> 50% deterministic hash sample.  One row per stage:
+    (stage_idx, stage, n_docs, id_sum) — counts plus an id checksum, so
+    the whole pipeline is hash-pinned, not just the tallies.
+
+    Scale: one corpus scan computes every per-row flag; the dedup step is
+    one window shuffle on the 16-byte text hash; decontamination is a
+    broadcast semi-join against the MB-sized eval shingle set (the corpus
+    is never shuffled for it); the sample is a map-side comparison.  Each
+    stage's predicate composes as a boolean column, so the funnel costs
+    barely more than its most expensive single stage."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text",
+        F.split(F.col("text"), " ").alias("toks"))
+    stop_list = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    mean_len = "(CAST(n_chars AS DOUBLE) - (size(toks) - 1)) / size(toks)"
+    dup_frac = ("CAST(1 AS DOUBLE) - CAST(size(array_distinct(toks)) "
+                "AS DOUBLE) / size(toks)")
+    quality = F.expr(
+        f"({mean_len}) BETWEEN 3.0D AND 8.0D "
+        f"AND size(filter(toks, t -> array_contains({stop_list}, t))) >= 1 "
+        f"AND n_chars BETWEEN 50 AND 500 "
+        f"AND ({dup_frac}) < 0.8D")
+
+    # contaminated training docs: any distinct 3-shingle shared with the
+    # eval split (doc_id % _EVAL_MOD == 0) — broadcast semi, corpus unshuffled
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles("toks", 3))).alias("s"))
+    ev = (sh.where(F.col("doc_id") % _EVAL_MOD == 0)
+          .select("s").distinct())
+    contam = (sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+              .join(F.broadcast(ev), "s", "left_semi")
+              .select("doc_id").distinct().withColumn("is_contam", F.lit(1)))
+
+    flagged = (d.withColumn("f1", quality)
+               .join(contam, "doc_id", "left"))
+    # keep-first among f1 survivors: min f1-doc_id per 5-token-prefix hash
+    w = Window.partitionBy(
+        F.md5(F.array_join(F.slice(F.col("toks"), 1, 5), " ")))
+    flagged = flagged.withColumn(
+        "f2", F.col("f1") & (F.col("doc_id") == F.min(
+            F.when(F.col("f1"), F.col("doc_id"))).over(w)))
+    flagged = flagged.withColumn(
+        "f3", F.col("f2") & (F.col("doc_id") % _EVAL_MOD != 0)
+        & F.col("is_contam").isNull())
+    flagged = flagged.withColumn(
+        "f4", F.col("f3")
+        & (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80"))
+
+    stages = F.array(*[
+        F.struct(F.lit(i).alias("stage_idx"), F.lit(n).alias("stage"),
+                 flag.alias("ok"))
+        for i, (n, flag) in enumerate([
+            ("ingest", F.lit(True)), ("quality_filter", F.col("f1")),
+            ("prefix_dedup", F.col("f2")), ("decontaminate", F.col("f3")),
+            ("sample_50pct", F.col("f4"))])])
+    return (flagged.select("doc_id", F.explode(stages).alias("st"))
+            .where(F.col("st.ok"))
+            .groupBy(F.col("st.stage_idx").alias("stage_idx"),
+                     F.col("st.stage").alias("stage"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum"))
+            .orderBy("stage_idx"))
+
+
+register("curation_funnel", curation_funnel, oracle=f"""
+WITH tk AS (SELECT doc_id, source, n_chars, text,
+                   string_split(text, ' ') AS toks FROM documents),
+shl AS (SELECT doc_id, list_distinct(list_transform(
+            range(0, greatest(length(toks) - 2, 0)),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shs
+        FROM tk),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % {_EVAL_MOD} = 0),
+contam AS (SELECT DISTINCT e.doc_id FROM ex e JOIN ev ON e.s = ev.s
+           WHERE e.doc_id % {_EVAL_MOD} <> 0),
+f1 AS (SELECT doc_id, toks,
+              ({_DUCK_MEAN_LEN}) BETWEEN 3.0 AND 8.0
+              AND length(list_filter(toks,
+                  t -> list_contains({_DUCK_STOP}, t))) >= 1
+              AND n_chars BETWEEN 50 AND 500
+              AND ({_DUCK_DUP}) < 0.8 AS f1
+       FROM tk),
+f2 AS (SELECT doc_id, f1,
+              f1 AND doc_id = min(CASE WHEN f1 THEN doc_id END)
+                  OVER (PARTITION BY md5(array_to_string(toks[1:5], ' ')))
+                AS f2
+       FROM f1),
+f4 AS (SELECT doc_id, f1, f2,
+              f2 AND doc_id % {_EVAL_MOD} <> 0
+                 AND doc_id NOT IN (SELECT doc_id FROM contam) AS f3,
+              f2 AND doc_id % {_EVAL_MOD} <> 0
+                 AND doc_id NOT IN (SELECT doc_id FROM contam)
+                 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' AS f4
+       FROM f2),
+st AS (
+  SELECT 0 AS stage_idx, 'ingest' AS stage, doc_id FROM f4
+  UNION ALL SELECT 1, 'quality_filter', doc_id FROM f4 WHERE f1
+  UNION ALL SELECT 2, 'prefix_dedup', doc_id FROM f4 WHERE f2
+  UNION ALL SELECT 3, 'decontaminate', doc_id FROM f4 WHERE f3
+  UNION ALL SELECT 4, 'sample_50pct', doc_id FROM f4 WHERE f4)
+SELECT stage_idx, stage, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM st GROUP BY stage_idx, stage ORDER BY stage_idx
+""")
