@@ -582,35 +582,96 @@ def semantic_dedup(e: DataFrame, tau: float) -> DataFrame:
     see dedup_semantic_clusters for semantics and scale notes.  Exposed
     with tau as a parameter so tests can pin the policy extremes
     (tau > 1: nothing removed; tau = -1: exactly one survivor per
-    cluster)."""
+    cluster).
+
+    The within-cluster pair search runs as a per-cluster vectorized
+    applyInPandas kernel — the execution shape the SemDeDup paper itself
+    uses (each cluster is an independent dense block small enough for one
+    worker; the JVM alternative, a self-join with a per-pair cosine HOF,
+    measured 8.6 s at sf0.1 because higher-order functions are
+    CodegenFallback).  Numerics are BIT-IDENTICAL to the SQL cosine: the
+    kernel folds acc += a[:,d]*b[:,d] over ascending d (the same
+    left-to-right float64 fold as functions/vector.py dot — numpy's own
+    .sum() would pairwise-fold and drift ULPs around the tau threshold),
+    then divides by the na*nb product exactly as cosine() does."""
+    import numpy as np
+    import pandas as pd
+
     from binaryvectordb_spark.queries.similarity import exact_label_centroids
 
-    cent = exact_label_centroids(e)
-    scored = (e.select("vec_id", "embedding")
-              .join(F.broadcast(cent))
-              .select("vec_id", "embedding", F.col("label").alias("clab"),
-                      cosine("embedding", "cvec").alias("cs")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("clab"))
-    assigned = (scored.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("vec_id", "embedding", "clab"))
+    # Assignment via literal centroid coefficients (the measured MaxSim
+    # rule from NOTES.md: a tiny side known before the big scan should be
+    # INLINED, not joined — kills the broadcast join, the per-row cosine
+    # HOFs, and the per-id rank window in one move).  The ≤ n_clusters-row
+    # collect is a candidate-class collect; repr() round-trips the doubles
+    # so the inlined folds are bit-identical to the joined form.
+    cent_rows = sorted(exact_label_centroids(e).collect(),
+                       key=lambda r: r["label"])
 
-    a = assigned.select(F.col("clab"), F.col("vec_id").alias("id_a"),
-                        F.col("embedding").alias("va"))
-    b = assigned.select(F.col("clab"), F.col("vec_id").alias("id_b"),
-                        F.col("embedding").alias("vb"))
-    dup_ids = (a.join(b, ["clab"])
-               .where(F.col("id_a") < F.col("id_b"))
-               .where(cosine("va", "vb") >= tau)
-               .select(F.col("id_b").alias("vec_id")).distinct())
+    def lit_fold_terms(coeffs: list[float]) -> str:
+        # CAST(0)+t1+...+t64 parses left-associative — the exact fold of
+        # functions/vector.py dot and the DuckDB list_sum twin
+        return "CAST(0 AS DOUBLE)" + "".join(
+            f" + CAST(element_at(embedding, {i + 1}) AS DOUBLE) * {c!r}D"
+            for i, c in enumerate(coeffs))
 
-    marked = (assigned.join(dup_ids.withColumn("is_dup", F.lit(1)),
-                            "vec_id", "left"))
-    return (marked.groupBy(F.col("clab").alias("cluster"))
-            .agg(F.count("*").alias("n_docs"),
-                 F.count("is_dup").alias("n_removed"),
-                 F.sum(F.when(F.col("is_dup").isNull(),
-                              F.col("vec_id"))).alias("kept_id_sum"))
+    sq_self = "CAST(0 AS DOUBLE)" + "".join(
+        f" + CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        for i in range(len(cent_rows[0]["cvec"])))
+    # one 64-term column per centroid dot + one for the self-norm — each a
+    # compact codegen linear form; a single expression inlining all of them
+    # per struct overflowed janino and fell back to interpretation
+    dot_cols, ncs = [], []
+    for j, r in enumerate(cent_rows):
+        cv = [float(v) for v in r["cvec"]]
+        acc = 0.0  # strict ascending-d fold, same as the SQL twin
+        for v in cv:
+            acc += v * v
+        ncs.append(float(np.sqrt(acc)))
+        dot_cols.append(F.expr(lit_fold_terms(cv)).alias(f"_dot{j}"))
+    scored = e.select("vec_id", "embedding",
+                      F.expr(f"sqrt({sq_self})").alias("_na"), *dot_cols)
+    struct_terms = []
+    for j, r in enumerate(cent_rows):
+        cs = (f"IF(_na > 0 AND {ncs[j]!r}D > 0, "
+              f"_dot{j} / (_na * {ncs[j]!r}D), CAST(0 AS DOUBLE))")
+        # max of (cs, -label) structs == rank by cs DESC, label ASC
+        struct_terms.append(
+            f"struct({cs} AS cs, {-int(r['label'])}L AS neg_label)")
+    pick = f"greatest({', '.join(struct_terms)})"
+    assigned = scored.select(
+        "vec_id", "embedding",
+        (-F.expr(pick + ".neg_label")).alias("clab"))
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        n, dim = x.shape
+        sa = np.zeros(n)
+        dm = np.zeros((n, n))
+        for d in range(dim):  # strict ascending-d fold (see docstring)
+            col = x[:, d]
+            sa += col * col
+            dm += col[:, None] * col[None, :]
+        na = np.sqrt(sa)
+        denom = na[:, None] * na[None, :]
+        ok = denom > 0
+        cos = np.divide(dm, denom, out=np.zeros_like(dm), where=ok)
+        hit = cos >= tau
+        # duplicate iff any lower-vec_id row in the cluster is within tau
+        dup = np.triu(hit, 1).any(axis=0)
+        return pd.DataFrame({
+            "cluster": [pdf["clab"].iloc[0]],
+            "n_docs": [n],
+            "n_removed": [int(dup.sum())],
+            "kept_id_sum": [int(ids[~dup].sum())]})
+
+    out_schema = ("cluster LONG, n_docs LONG, n_removed LONG, "
+                  "kept_id_sum LONG")
+    return (assigned.groupBy("clab")
+            .applyInPandas(dedup_cluster, out_schema)
             .orderBy("cluster"))
 
 

@@ -242,5 +242,9 @@ def test_ivfpq_probe_joins_hash_and_semdedup_no_cartesian(spark):
 
     plan = formatted_plan(dedup_semantic_clusters(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    # pair search shuffles once on clab (equi-join), assign side broadcasts
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the main plan has NO join at all: centroids are inlined as literal
+    # codegen coefficients (NOTES.md MaxSim rule), and the pair search is
+    # one per-cluster grouped-map kernel — its clab exchange is the only
+    # corpus shuffle
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
