@@ -80,6 +80,7 @@ HEADLINE = [
     "ann_pq_adc_search",            # PQ ADC + exact rerank (round 7)
     "ann_ivfpq_search",             # IVF probe x PQ codes composed (round 7)
     "dedup_semantic_clusters",      # SemDeDup cluster-pruned dedup (round 7)
+    "curation_funnel",              # end-to-end curation pipeline (round 7)
 ]
 
 
@@ -149,6 +150,37 @@ def bench_1m_scan(spark, sf_dir: str,
     dt, sp = _time_runs(scan, n=13, discard_worst=2)
     out["hamming_scan_1m"] = round(dt, 4)
     variance["hamming_scan_1m"] = round(sp, 2)
+
+    # PQ tier at the same 1M scale: encode once (untimed ingest artifact,
+    # like the int8 store), then time the ADC shortlist scan — the
+    # measured counterpart of the 32x compression claim (8-byte codes vs
+    # 256-byte floats) next to hamming_scan_1m's 1-bit tier
+    from binaryvectordb_spark.operators.pq import (
+        adc_score_expr,
+        pq_encode,
+        train_pq,
+    )
+    books = train_pq(big, dim, id_col="vec_id", emb_col="embedding")
+    t0 = time.perf_counter()
+    codes = pq_encode(big, books, id_col="vec_id",
+                      emb_col="embedding").cache()
+    n_codes = codes.count()
+    out["pq_encode_mvecs_per_s"] = round(
+        n_codes / (time.perf_counter() - t0) / 1e6, 2)
+    qvec0 = [float(v) for v in
+             emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    def adc_scan():
+        import numpy as np
+        return (codes.select(
+            "pq_id", adc_score_expr(np.asarray(qvec0), books).alias("s"))
+            .orderBy(F.desc("s"), F.asc("pq_id")).limit(100))
+
+    adc_scan().collect()  # warm-up
+    dt, sp = _time_runs(adc_scan, n=9, discard_worst=1)
+    out["pq_adc_scan_1m"] = round(dt, 4)
+    variance["pq_adc_scan_1m"] = round(sp, 2)
+    codes.unpersist()
 
     # the int8 store is an INGEST-time artifact (the reference persists int8
     # embeddings, it never quantizes at query time) — materialize before timing
