@@ -85,7 +85,14 @@ def train_pq(emb_df: DataFrame, dim: int, m: int = DEFAULT_M,
 def pq_encode(emb_df: DataFrame, codebooks: np.ndarray,
               id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
     """Encode every vector to its m nearest-subcentroid codes.  One
-    vectorized mapInArrow pass; output (id, pq_code ARRAY<TINYINT>)."""
+    vectorized mapInArrow pass; output (id, pq_code ARRAY<TINYINT>).
+
+    Input embeddings are assumed float32-sourced (the fixture/storage
+    convention of this repo): the Arrow transfer casts to array<float>,
+    which is LOSSLESS for such inputs.  A caller shipping true
+    array<double> data (more than 24 significand bits used) gets a
+    float32-narrowed view, which can flip argmin codes for vectors near
+    Voronoi boundaries — cast/quantize upstream if that matters."""
     m, ksub, dsub = codebooks.shape
     cb = codebooks.copy()
     # per-subcentroid squared norms, folded over ascending d like the dot
@@ -98,7 +105,8 @@ def pq_encode(emb_df: DataFrame, codebooks: np.ndarray,
                          else (np.int16, pa.int16(), "SMALLINT"))
     # ship float32 over Arrow (half the bytes of array<double> — the
     # transfer, not the kernel, bounds 1M-row encode) and widen executor-
-    # side: float32 -> float64 is exact, so codes are unchanged
+    # side: float32 -> float64 is exact, so codes are unchanged for
+    # float32-sourced embeddings (see docstring for the double caveat)
     src = emb_df.select(F.col(id_col).alias("pq_id"),
                         F.col(emb_col).cast("array<float>").alias("v"))
 
@@ -107,7 +115,7 @@ def pq_encode(emb_df: DataFrame, codebooks: np.ndarray,
             ids = b.column("pq_id")
             col = b.column("v")
             # zero-copy Arrow list -> (n, dim) numpy: the values buffer is
-            # contiguous float64 (fixed-length rows, no nulls in this
+            # contiguous float32 (fixed-length rows, no nulls in this
             # pipeline); to_pylist() here measured 8x slower at 1M rows
             x = np.asarray(col.flatten(), dtype=np.float64).reshape(
                 len(col), -1)

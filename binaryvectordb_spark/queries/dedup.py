@@ -577,25 +577,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, SEMDEDUP_TAU)
 
 
-def semantic_dedup(e: DataFrame, tau: float) -> DataFrame:
-    """The SemDeDup pipeline over any (vec_id, embedding, label) frame —
-    see dedup_semantic_clusters for semantics and scale notes.  Exposed
-    with tau as a parameter so tests can pin the policy extremes
-    (tau > 1: nothing removed; tau = -1: exactly one survivor per
-    cluster).
-
-    The within-cluster pair search runs as a per-cluster vectorized
-    applyInPandas kernel — the execution shape the SemDeDup paper itself
-    uses (each cluster is an independent dense block small enough for one
-    worker; the JVM alternative, a self-join with a per-pair cosine HOF,
-    measured 8.6 s at sf0.1 because higher-order functions are
-    CodegenFallback).  Numerics are BIT-IDENTICAL to the SQL cosine: the
-    kernel folds acc += a[:,d]*b[:,d] over ascending d (the same
-    left-to-right float64 fold as functions/vector.py dot — numpy's own
-    .sum() would pairwise-fold and drift ULPs around the tau threshold),
-    then divides by the na*nb product exactly as cosine() does."""
+def semantic_assign(e: DataFrame) -> DataFrame:
+    """The SemDeDup assign step alone: every (vec_id, embedding) row gets
+    its nearest exact-label-centroid cluster id `clab` (cosine, label-asc
+    tie-break) — the `assigned` frame semantic_dedup builds internally,
+    exposed so tests can verify keep-first identities against the actual
+    membership."""
     import numpy as np
-    import pandas as pd
 
     from binaryvectordb_spark.queries.similarity import exact_label_centroids
 
@@ -639,32 +627,85 @@ def semantic_dedup(e: DataFrame, tau: float) -> DataFrame:
         # max of (cs, -label) structs == rank by cs DESC, label ASC
         struct_terms.append(
             f"struct({cs} AS cs, {-int(r['label'])}L AS neg_label)")
-    pick = f"greatest({', '.join(struct_terms)})"
-    assigned = scored.select(
+    # greatest() needs >= 2 args — with a single centroid every row is
+    # trivially assigned to it, so use the lone struct directly
+    pick = (struct_terms[0] if len(struct_terms) == 1
+            else f"greatest({', '.join(struct_terms)})")
+    return scored.select(
         "vec_id", "embedding",
-        (-F.expr(pick + ".neg_label")).alias("clab"))
+        (-F.expr(f"({pick}).neg_label")).alias("clab"))
+
+
+# the per-cluster dup kernel works in fixed j-row blocks: peak temp memory
+# is O(block * n_i) instead of O(n_i^2), so one skewed giant cluster can't
+# blow a worker (tests override this to pin the bound at a tiny block)
+SEMDEDUP_BLOCK_ROWS = 2048
+
+
+def _dup_mask_blocked(x, tau: float, block: int):
+    """dup[j] = any i < j with cosine(x[i], x[j]) >= tau, computed in
+    j-blocks of `block` rows.  Bit-identical to the full-matrix form: each
+    (i, j) dot is the same strict ascending-d float64 fold (see
+    semantic_dedup docstring), only the blocking of j changes."""
+    import numpy as np
+
+    n, dim = x.shape
+    sa = np.zeros(n)
+    for d in range(dim):  # strict ascending-d fold
+        sa += x[:, d] * x[:, d]
+    na = np.sqrt(sa)
+    dup = np.zeros(n, dtype=bool)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        xb = x[:e, :]           # all candidate i rows for this j-block
+        dm = np.zeros((e, e - s))
+        for d in range(dim):    # same fold order as the unblocked kernel
+            dm += xb[:, d][:, None] * x[s:e, d][None, :]
+        denom = na[:e, None] * na[s:e][None, :]
+        ok = denom > 0
+        cos = np.divide(dm, denom, out=np.zeros_like(dm), where=ok)
+        hit = cos >= tau
+        # strictly-lower i only: mask out i >= j within the block
+        i_idx = np.arange(e)[:, None]
+        j_idx = np.arange(s, e)[None, :]
+        dup[s:e] = (hit & (i_idx < j_idx)).any(axis=0)
+    return dup
+
+
+def semantic_dedup(e: DataFrame, tau: float) -> DataFrame:
+    """The SemDeDup pipeline over any (vec_id, embedding, label) frame —
+    see dedup_semantic_clusters for semantics and scale notes.  Exposed
+    with tau as a parameter so tests can pin the policy extremes
+    (tau > 1: nothing removed; tau = -1: exactly one survivor per
+    cluster).
+
+    The within-cluster pair search runs as a per-cluster vectorized
+    applyInPandas kernel — the execution shape the SemDeDup paper itself
+    uses (each cluster is an independent dense block small enough for one
+    worker; the JVM alternative, a self-join with a per-pair cosine HOF,
+    measured 8.6 s at sf0.1 because higher-order functions are
+    CodegenFallback).  The kernel is j-blocked (_dup_mask_blocked) so a
+    skewed cluster costs O(block * n_i) peak memory, not O(n_i^2).
+    Numerics are BIT-IDENTICAL to the SQL cosine: the kernel folds
+    acc += a[:,d]*b[:,d] over ascending d (the same left-to-right float64
+    fold as functions/vector.py dot — numpy's own .sum() would
+    pairwise-fold and drift ULPs around the tau threshold), then divides
+    by the na*nb product exactly as cosine() does."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = semantic_assign(e)
+    block = SEMDEDUP_BLOCK_ROWS
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        n, dim = x.shape
-        sa = np.zeros(n)
-        dm = np.zeros((n, n))
-        for d in range(dim):  # strict ascending-d fold (see docstring)
-            col = x[:, d]
-            sa += col * col
-            dm += col[:, None] * col[None, :]
-        na = np.sqrt(sa)
-        denom = na[:, None] * na[None, :]
-        ok = denom > 0
-        cos = np.divide(dm, denom, out=np.zeros_like(dm), where=ok)
-        hit = cos >= tau
         # duplicate iff any lower-vec_id row in the cluster is within tau
-        dup = np.triu(hit, 1).any(axis=0)
+        dup = _dup_mask_blocked(x, tau, block)
         return pd.DataFrame({
             "cluster": [pdf["clab"].iloc[0]],
-            "n_docs": [n],
+            "n_docs": [len(ids)],
             "n_removed": [int(dup.sum())],
             "kept_id_sum": [int(ids[~dup].sum())]})
 

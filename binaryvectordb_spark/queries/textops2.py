@@ -209,8 +209,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(ev), "s", "left_semi")
               .select("doc_id").distinct().withColumn("is_contam", F.lit(1)))
 
+    # forced broadcast: contam is the (small) contaminated-id set; without
+    # the hint the no-shuffle claim rests on the auto-broadcast threshold
+    # and could silently regress to a SortMergeJoin (plan-pinned in
+    # tests/test_plans.py::test_curation_funnel_contam_join_broadcast)
     flagged = (d.withColumn("f1", quality)
-               .join(contam, "doc_id", "left"))
+               .join(F.broadcast(contam), "doc_id", "left"))
     # keep-first among f1 survivors: min f1-doc_id per 5-token-prefix hash
     w = Window.partitionBy(
         F.md5(F.array_join(F.slice(F.col("toks"), 1, 5), " ")))

@@ -146,6 +146,20 @@ def test_contamination_join_broadcasts_eval_set(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_curation_funnel_contam_join_broadcast(spark):
+    """curation_funnel's decontamination stage left-joins the (small)
+    contaminated-id set onto the corpus — both it and the eval shingle
+    semi-join must broadcast so the corpus is never shuffled for
+    decontamination (the docstring's no-shuffle claim, now forced by an
+    explicit hint rather than the auto-broadcast threshold)."""
+    from binaryvectordb_spark.queries.textops2 import curation_funnel
+    plan = formatted_plan(curation_funnel(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # eval semi + contam left
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_aggs_partial_and_small_sides_broadcast(spark):
     """BM25's tf and dl token aggregations must each map-side combine (the
     SPECIFIC partial_count(1) partial aggregates — not 'partial' anywhere,
