@@ -50,86 +50,20 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority (rotated round 7): the driver value-hashes the first
-# ~50 registry entries per round.  Order: (a) queries that are brand-new or
-# output-changed this round (never hashed / need a fresh hash), then (b) the
-# 46 queries last driver-checked in round 4 (the stalest green rows), then
-# (c) the round-5 cohort.  Round-6-green queries fall to the back —
-# unchanged code, freshest hashes, least new signal.
-#
-# ROUND-8 ROTATION NOTE: section (a) holds 12 queries that are new or
-# output-rewritten in round 7, so (a)+(b) = 58 > the 50-query driver
-# window — the TAIL of (b) (eight untouched-since-r4, pure-SQL queries:
-# window_moving_sum, window_running_total, set_ops_segments,
-# union_by_name_parties, unpivot_acctbal, agg_collect_set,
-# window_first_last, agg_percentiles) slips past this round's window by
-# design: they are the lowest-risk slips (static SQL over static
-# fixtures, no round-7 code touched them, and test_oracle_parity hashes
-# them locally every run).
-# For round 8: front any round-8 additions, then that slipped (b) tail,
-# then section (c)'s round-5 cohort (45 queries), then the round-6 cohort.
+# Evaluation priority (rotated round 8): the driver value-hashes the first
+# ~50 registry entries per round.  Order: (a) round-8 additions (never
+# hashed), then (b) the eight r4-stale queries that slipped round 7's
+# window by design (VERDICT r7 item 3 — now first in line), then (c) the
+# round-5 cohort (the next-stalest, age 3).  1 + 8 + 45 = 54 > ~50, so
+# the TAIL of (c) is, again by design, the four static scalar-function
+# packs (string_funcs/string_funcs2/date_funcs/date_funcs2: fixed SQL
+# over fixed fixtures, untouched since round 5, locally re-hashed by
+# every pytest run) — the lowest-risk slips if the window cuts there.
+# Round-6 and round-7 cohorts (freshest hashes) fall to the back.
 _PRIORITY = [
-    # (a) brand-new in round 7 (never hashed) — plus agg_pricing_summary,
-    # whose round-7 decimal precision-tier rewrite (exact two-stage
-    # factoring) needs a fresh driver hash even though the output is
-    # pinned bit-identical by test_oracle_parity.
-    "agg_pricing_summary",
-    "search_bm25_topk_batch",
-    "search_hybrid_rrf_batch",
-    "multimodal_jpeg_decode",
-    "search_maxsim_topk",
-    "search_maxsim_topk_batch",
-    "dedup_span_keep_first",
-    "ann_pq_adc_search",
-    "layout_zorder_clustering",
-    "ann_ivfpq_search",
-    "dedup_semantic_clusters",
-    "curation_funnel",
-    # (b) last driver-checked in round 4 — stalest hashes first.  Queries
-    # whose code paths were ALSO touched in round 7 (the knn cascade
-    # family: Arrow batch-size change + adaptive-filter rework in
-    # operators/cascade.py; tpch_q6's decimal-tier cast) are ordered ahead
-    # of untouched static SQL so a window cut can only drop no-risk rows.
-    "agg_pivot_status",
-    "scalar_subquery_above_avg",
-    "window_topk_per_customer",
-    "window_rank_variants",
-    "window_lag_lead",
-    "join_full_outer_nation_profile",
-    "agg_grouping_sets",
-    "window_distribution_funcs",
-    "join_right_outer_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "agg_stats_moments",
-    "ann_ivf_search",
-    "ann_lsh_bucket_search",
-    "ann_lsh_multitable_search",
-    "ann_lsh_multitable_batch",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q12_priority_by_status",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "knn_cascade",
-    "knn_cascade_ivf",
-    "knn_phase1_hamming",
-    "knn_bruteforce_cosine",
-    "knn_dot_topk",
-    "index_popcount_stats",
-    "db_len",
-    "point_lookup",
-    "knn_cascade_batch",
-    "knn_cascade_filtered",
-    "knn_radius_search",
-    "knn_label_vote",
-    # (b) tail — the designed slip set (see ROUND-8 ROTATION NOTE): static
-    # SQL, untouched by any round-7 commit, locally hashed every pytest run.
+    # (a) new in round 8 — never driver-hashed
+    "search_maxsim_rerank",
+    # (b) the r4-stale tail that slipped round 7's window — stalest rows
     "window_moving_sum",
     "window_running_total",
     "set_ops_segments",
@@ -138,8 +72,7 @@ _PRIORITY = [
     "agg_collect_set",
     "window_first_last",
     "agg_percentiles",
-    # (c) last driver-checked in round 5 — next-stalest; the first few fit
-    # in this round's ~50-query window after (a)+(b)
+    # (c) round-5 cohort, static scalar packs moved to the tail
     "dedup_exact_stats",
     "dedup_minhash_signature",
     "dedup_minhash_pairs",
@@ -158,10 +91,6 @@ _PRIORITY = [
     "mutation_delete_documents",
     "multimodal_ppm_decode",
     "orderby_limit_offset",
-    "string_funcs",
-    "string_funcs2",
-    "date_funcs",
-    "date_funcs2",
     "date_arithmetic",
     "math_funcs",
     "array_funcs",
@@ -185,8 +114,12 @@ _PRIORITY = [
     "udf_arrow_scalar",
     "udf_grouped_map",
     "udf_grouped_agg",
-    # (d) round-6-green — freshest hashes, least new signal; explicit so the
-    # fallback append can't interleave them ahead of (c)
+    # (c-tail) designed slips if the ~50-query window cuts here
+    "string_funcs",
+    "string_funcs2",
+    "date_funcs",
+    "date_funcs2",
+    # (d) round-6 cohort
     "search_bm25_topk",
     "search_hybrid_rrf",
     "search_rerank_overlap",
@@ -236,6 +169,57 @@ _PRIORITY = [
     "dedup_corpus_kept",
     "agg_rollup_region_nation",
     "agg_cube_flag_status",
+    # (e) round-7 cohort (freshest hashes, least new signal)
+    "agg_pricing_summary",
+    "search_bm25_topk_batch",
+    "search_hybrid_rrf_batch",
+    "multimodal_jpeg_decode",
+    "search_maxsim_topk",
+    "search_maxsim_topk_batch",
+    "dedup_span_keep_first",
+    "ann_pq_adc_search",
+    "layout_zorder_clustering",
+    "ann_ivfpq_search",
+    "dedup_semantic_clusters",
+    "curation_funnel",
+    "agg_pivot_status",
+    "scalar_subquery_above_avg",
+    "window_topk_per_customer",
+    "window_rank_variants",
+    "window_lag_lead",
+    "join_full_outer_nation_profile",
+    "agg_grouping_sets",
+    "window_distribution_funcs",
+    "join_right_outer_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "agg_stats_moments",
+    "ann_ivf_search",
+    "ann_lsh_bucket_search",
+    "ann_lsh_multitable_search",
+    "ann_lsh_multitable_batch",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q12_priority_by_status",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "knn_cascade",
+    "knn_cascade_ivf",
+    "knn_phase1_hamming",
+    "knn_bruteforce_cosine",
+    "knn_dot_topk",
+    "index_popcount_stats",
+    "db_len",
+    "point_lookup",
+    "knn_cascade_batch",
+    "knn_cascade_filtered",
+    "knn_radius_search",
+    "knn_label_vote",
 ]
 
 

@@ -100,7 +100,12 @@ def _doc_token_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, d0..d7) for each DISTINCT token of each document —
     distinct because max over duplicate tokens equals max over the
     distinct set."""
-    d = load_table(spark, sf_dir, "documents")
+    return _dims_of(load_table(spark, sf_dir, "documents"))
+
+
+def _dims_of(d: DataFrame) -> DataFrame:
+    """Token-dim projection over an arbitrary documents frame (the full
+    corpus, or a candidate-pruned subset for the rerank composition)."""
     return (d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"))
@@ -210,4 +215,92 @@ q AS (
 )
 SELECT qid, doc_id, maxsim, rnk
 FROM rk WHERE rnk <= {K} ORDER BY qid, rnk
+""")
+
+
+# -- two-stage serving composition: cascade recall -> MaxSim rerank ---------
+
+RERANK_POOL = 50
+
+
+def search_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard two-stage ColBERT serving architecture this module's
+    header promises: Phase A recalls RERANK_POOL candidates with the cheap
+    pooled-vector cascade (operators/cascade.py — hamming scan + binary +
+    int8 rescore, the reference's whole search path,
+    BinaryVectorDB/BinaryVectorDB.py:193-252), Phase B re-scores ONLY those
+    candidates with exact-integer MaxSim and returns the top-K.
+
+    Execution shape: the cascade's <= RERANK_POOL ids are collected
+    (candidate-class collect — the NOTES.md pattern: Spark has no
+    common-subplan reuse, so downstream rebuilds from an isin() re-read
+    instead of referencing the cascade plan twice), then the MaxSim dims
+    pipeline runs over documents WHERE doc_id IN (...) — the In filter
+    reaches the parquet scan (plan-pinned in tests/test_plans.py), so the
+    rerank stage reads candidate rows only, never the corpus.  The
+    cascade's cossim rides along as a literal map (50 entries, pure
+    codegen) — no second join.  At 100 TB: stage A is the bounded cascade,
+    stage B touches 50 docs; rerank cost is independent of corpus size."""
+    from binaryvectordb_spark.operators.cascade import (
+        build_doc_store,
+        build_index,
+        cascade_search,
+    )
+    from binaryvectordb_spark.queries.vector import DIM, _qdf, _tables
+
+    emb, docs = _tables(spark, sf_dir)
+    cands = cascade_search(build_index(emb, DIM),
+                           build_doc_store(emb, docs), DIM,
+                           query_df=_qdf(emb), k=RERANK_POOL)
+    rows = cands.select("doc_id", "score_cossim").collect()
+    ids = [r["doc_id"] for r in rows]
+    cs_map = F.create_map(*[F.lit(x) for r in rows
+                            for x in (r["doc_id"], r["score_cossim"])])
+
+    d = (load_table(spark, sf_dir, "documents")
+         .where(F.col("doc_id").isin(ids)))
+    scores = _maxsim(_dims_of(d), [(0, QTERMS)])
+    return (scores
+            .select("doc_id", "maxsim",
+                    F.element_at(cs_map, F.col("doc_id"))
+                    .alias("score_cossim"))
+            .orderBy(F.desc("maxsim"), F.asc("doc_id")).limit(K))
+
+
+# oracle: the knn_cascade CTE chain widened to the RERANK_POOL (LIMITs
+# scale with k exactly as cascade_search's oversampling does: binary 10x,
+# int8 3x), then the MaxSim chain restricted to the candidate ids
+from binaryvectordb_spark.queries.vector import (  # noqa: E402
+    _BDOT as _C_BDOT,
+    _D_CTE as _C_D,
+    _H as _C_H,
+    _I8DOT as _C_I8DOT,
+    _I8NORM as _C_I8NORM,
+    _Q_CTE as _C_Q,
+)
+
+register("search_maxsim_rerank", search_maxsim_rerank, oracle=f"""
+WITH {_C_Q}, {_C_D},
+scored AS (SELECT doc_id, dv, CAST({_C_H} AS INTEGER) AS score_hamming
+           FROM d, q),
+p1 AS (SELECT * FROM scored ORDER BY score_hamming ASC, doc_id ASC
+       LIMIT {RERANK_POOL * 10}),
+p2s AS (SELECT doc_id, dv, {_C_BDOT} AS score_binary FROM p1, q),
+p2 AS (SELECT * FROM p2s ORDER BY score_binary DESC, doc_id ASC
+       LIMIT {RERANK_POOL * 3}),
+p3s AS (SELECT doc_id, {_C_I8DOT} / {_C_I8NORM} AS score_cossim FROM p2, q),
+cand AS (SELECT * FROM p3s ORDER BY score_cossim DESC, doc_id ASC
+         LIMIT {RERANK_POOL}),
+qt AS (SELECT unnest([{_QTERMS_SQL}]) AS qtok),
+qe AS (SELECT qtok, {_DUCK_EMB.format(tok="qtok")} AS qemb FROM qt),
+dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)),
+de AS (SELECT doc_id, {_DUCK_EMB.format(tok="tok")} AS temb FROM dt),
+inter AS (SELECT doc_id, qtok, {_DUCK_DOT} AS dot FROM de CROSS JOIN qe),
+mx AS (SELECT doc_id, qtok, max(dot) AS mx FROM inter GROUP BY 1, 2),
+sc AS (SELECT doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+       FROM mx GROUP BY doc_id)
+SELECT c.doc_id, sc.maxsim, c.score_cossim
+FROM cand c JOIN sc ON sc.doc_id = c.doc_id
+ORDER BY sc.maxsim DESC, c.doc_id ASC LIMIT {K}
 """)

@@ -239,6 +239,24 @@ def test_maxsim_one_shuffle_pivoted_agg(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_maxsim_rerank_reads_candidates_only(spark):
+    """The cascade->MaxSim composition's returned plan is the RERANK stage
+    alone (Phase A was a candidate-class collect): exactly one parquet scan
+    (documents), with the candidate-id In filter pushed to the scan — the
+    rerank never touches the corpus or the embeddings table."""
+    from binaryvectordb_spark.queries.lateinteraction import (
+        search_maxsim_rerank,
+    )
+    plan = formatted_plan(search_maxsim_rerank(spark, SF_SMOKE))
+    # one scan only: the formatted dump lists each scan once in the tree
+    # and once in the detail section
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "embeddings.parquet" not in plan
+    assert "PushedFilters: [In(doc_id" in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_ivfpq_probe_joins_hash_and_semdedup_no_cartesian(spark):
     """ann_ivfpq_search: the probe (label IN best-clusters) must be a
     broadcast HASH join — never a nested-loop rescan of the corpus — and
