@@ -752,8 +752,9 @@ class BinaryVectorDB:
         return (self.spark.read.option("basePath", p).parquet(*dirs)
                 .drop("bucket"))
 
-    def _stage(self, df: DataFrame, name: str, nparts: int
-               ) -> dict[str, list[str]]:
+    def _stage(self, df: DataFrame, name: str, nparts: int,
+               sort_cols: Sequence[str] = (),
+               writer_opts: dict | None = None) -> dict[str, list[str]]:
         """Write `df` in bucketed layout and move the part files into the
         live bucket dirs under their (globally unique) names.  Returns
         {bucket_key: [filenames]} for the manifest.  A df carrying a
@@ -761,7 +762,15 @@ class BinaryVectorDB:
         partitionBy(cluster, bucket) — two directory levels, keys "C/K" —
         so serving probes prune FILES, not rows.  Staged files are INVISIBLE
         until a manifest referencing them is committed — a crash here
-        leaves only strays for the next commit's GC."""
+        leaves only strays for the next commit's GC.
+
+        ``sort_cols`` (optimize_layout's z-value) sorts rows WITHIN each
+        bucket task before the write — the sort columns are dropped from
+        the written file, the row order survives the projection, and the
+        resulting parquet row-group stats are tight on whatever the sort
+        clustered.  ``writer_opts`` passes parquet writer options through
+        (optimize_layout uses parquet.block.size to control row-group
+        granularity)."""
         tmp = self._path(name + "__stage")
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
@@ -770,8 +779,14 @@ class BinaryVectorDB:
         # repartition by ALL partition columns: each (cluster, bucket) pair
         # then lands in exactly one task, so partitionBy emits exactly one
         # file per leaf dir instead of nparts files per dir
-        (self._with_bucket(df).repartition(max(1, nparts), *part_cols)
-         .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp))
+        staged = self._with_bucket(df).repartition(max(1, nparts), *part_cols)
+        if sort_cols:
+            staged = (staged.sortWithinPartitions(*part_cols, *sort_cols)
+                      .drop(*sort_cols))
+        w = staged.write.mode("overwrite")
+        for k, v in (writer_opts or {}).items():
+            w = w.option(k, v)
+        w.partitionBy(*part_cols).parquet(tmp)
         out: dict[str, list[str]] = {}
         p = self._path(name)
         for root, _dirs, names in os.walk(tmp):
@@ -1404,6 +1419,52 @@ class BinaryVectorDB:
             updates["documents"] = self._full_update(docs, "documents")
         if updates:
             self._commit(updates, expect=expect)
+
+    def optimize_layout(self, cols: Sequence[str], bits: int = 8,
+                        row_group_bytes: int | None = None) -> None:
+        """OPTIMIZE ZORDER BY for the doc store: rewrite every bucket with
+        its rows sorted by the z-value of 1-2 metadata columns
+        (operators/zorder.py — equi-depth codes for numeric columns,
+        sorted-distinct ranks for low-cardinality strings, bit-interleaved
+        for 2-D), so parquet row-group stats on those columns become tight
+        and the metadata-filtered serving path (``search(filter=...)``)
+        prunes most row groups instead of scanning the corpus (measured
+        14x byte skipping on 2-D predicates — bench zorder_* keys; the DB
+        surface is pinned by tests/test_db_layout.py).
+
+        The doc_id bucketing is PRESERVED (z-order is within-bucket): point
+        reads and bucket-pruned upserts keep their cost model, and at
+        100 TB each bucket is a few GB, so within-bucket clustering is
+        exactly file/row-group granularity.  A later upsert appends
+        unsorted rows to touched buckets — like any lakehouse OPTIMIZE,
+        re-run after heavy churn.  Atomic: staged files + one manifest
+        commit (OCC), same machinery as compact().
+
+        ``row_group_bytes`` overrides parquet.block.size for the rewrite
+        (smaller groups = finer pruning at higher footer cost; tests use
+        small groups so fixture-scale files hold many groups)."""
+        from binaryvectordb_spark.operators.zorder import with_zorder
+
+        self._flush_pending()
+        docs = self.docs_df()
+        if docs is None:
+            raise Exception("optimize_layout: no documents table")
+        cols = list(cols)
+        bad = [c for c in cols if c not in docs.columns]
+        if bad:
+            raise ValueError(f"optimize_layout columns {bad} not in the "
+                             f"doc store (have {docs.columns})")
+        if any(c in ("doc", "emb_int8") for c in cols):
+            raise ValueError("optimize_layout: payload/embedding columns "
+                             "are not layout keys")
+        expect = self._manifest_version()  # OCC snapshot
+        z = with_zorder(docs, cols, bits=bits, out_col="_zorder")
+        opts = ({"parquet.block.size": str(int(row_group_bytes))}
+                if row_group_bytes else None)
+        updates = {"documents": self._stage(z, "documents", self.buckets,
+                                            sort_cols=("_zorder",),
+                                            writer_opts=opts)}
+        self._commit(updates, expect=expect)
 
     def __len__(self) -> int:
         self._flush_pending()

@@ -88,17 +88,60 @@ def write_zordered(df: DataFrame, path: str, zcol, n_files: int) -> None:
      .write.mode("overwrite").parquet(path))
 
 
+def column_code(df: DataFrame, col: str, bits: int = 8):
+    """Map an arbitrary orderable column onto [0, 2^bits - 1] for z-value
+    construction.  Numeric columns use equi-depth quantile bins (skew-proof
+    — see equidepth_scale).  Low-cardinality strings (<= 2^bits distinct)
+    use the rank of the value in the sorted distinct list, inlined as a
+    literal array + array_position — order-preserving, so RANGE predicates
+    on the string still map to contiguous codes.  High-cardinality strings
+    fall back to a hash bucket: equality predicates still cluster (equal
+    values share a code), range predicates don't — documented trade-off,
+    same as Delta's Z-order on a string column."""
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("tinyint", "smallint", "int", "bigint", "float",
+                 "double") or dtype.startswith("decimal"):
+        return equidepth_scale(df, col, bits)
+    n = 1 << bits
+    distinct = [r[0] for r in (df.select(col).where(F.col(col).isNotNull())
+                               .distinct().orderBy(col).limit(n + 1)
+                               .collect())]
+    if len(distinct) <= n:
+        arr = F.array(*[F.lit(v) for v in distinct])
+        # array_position is 1-based; null/absent -> 0
+        return (F.array_position(arr, F.col(col)) - F.lit(1)).cast("bigint")
+    return F.pmod(F.abs(F.xxhash64(F.col(col))), F.lit(n)).cast("bigint")
+
+
+def with_zorder(df: DataFrame, cols: list[str], bits: int = 8,
+                out_col: str = "_z") -> DataFrame:
+    """df plus a z-value column `out_col` over 1-2 layout columns."""
+    if not 1 <= len(cols) <= 2:
+        raise ValueError("z-order supports 1 or 2 columns")
+    codes = [column_code(df, c, bits) for c in cols]
+    if len(codes) == 1:
+        return df.withColumn(out_col, codes[0])
+    tmp = (df.withColumn("_zx", codes[0]).withColumn("_zy", codes[1]))
+    return (tmp.withColumn(out_col, F.expr(interleave_expr("_zx", "_zy",
+                                                           bits)))
+            .drop("_zx", "_zy"))
+
+
 def rowgroup_scan_fraction(path: str, ranges: dict[str, tuple]) -> float:
     """Fraction of row-group BYTES a stats-aware reader must touch for the
     conjunctive range predicate {col: (lo, hi)} — computed directly from
     parquet footer min/max, i.e. exactly the information Spark's parquet
     filter pushdown (and any lakehouse file pruner) uses.  Deterministic:
-    no timing, no cache state."""
+    no timing, no cache state.  Recurses into partition subdirectories
+    (bucket=K/...), so it measures flat layouts and the DB's bucketed doc
+    store alike."""
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files += [os.path.join(root, f) for f in names
+                  if f.endswith(".parquet")]
     touched = total = 0
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
+    for fpath in sorted(files):
+        md = pq.ParquetFile(fpath).metadata
         cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
