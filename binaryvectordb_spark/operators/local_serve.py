@@ -255,6 +255,24 @@ class ShardedLocalCascadeSearcher:
         self.dim = shards[0].dim
         self.embed_fn = embed_fn
         self.n = sum(s.n for s in self.shards)
+        # Phase I fans out to the shards on a thread pool — the structure a
+        # multi-node deployment has (one request per shard node in flight).
+        # In ONE box it is measured ~neutral (round 8, interleaved: 10.6 ms
+        # threaded vs 10.4 ms sequential): the 1M x 64 scan is MEMORY-
+        # BANDWIDTH-bound, so four concurrent quarter-scans move the same
+        # bytes as one full scan.  The router's ~1.2x per-query overhead vs
+        # the single-shard searcher (5.9 vs 7.2 ms, same protocol) is the
+        # per-shard partial-select + global merge — the modeled analogue of
+        # the per-shard RPC a real fleet pays; the architecture wins when
+        # the corpus exceeds one node's RAM, not before.  Pool is lazy so
+        # loaded/unpickled routers build their own.
+        self._pool = None
+
+    def _phase1_pool(self):
+        if self._pool is None and len(self.shards) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=len(self.shards))
+        return self._pool
 
     @classmethod
     def from_searcher(cls, base: LocalCascadeSearcher, n_shards: int = 2
@@ -288,16 +306,21 @@ class ShardedLocalCascadeSearcher:
         rescore_k = k * int8_oversample
         q64 = qf.astype(np.float64)
 
-        # Phase I on every shard, then GLOBAL re-select by (h, doc_id)
-        sh, rows, hs, ids = [], [], [], []
-        for si, s in enumerate(self.shards):
+        # Phase I on every shard (threaded fan-out — the GEMM releases the
+        # GIL, so shards scan concurrently), then GLOBAL re-select by
+        # (h, doc_id)
+        def _p1(args):
+            si, s = args
             h = s._hamming_all(qf)
             cand = s._phase1_select(h, min(binary_k, s.n))
-            sh.append(np.full(len(cand), si, dtype=np.int32))
-            rows.append(cand)
-            hs.append(h[cand])
-            ids.append(s.doc_ids[cand])
-        sh, rows, hs, ids = map(np.concatenate, (sh, rows, hs, ids))
+            return (np.full(len(cand), si, dtype=np.int32),
+                    cand, h[cand], s.doc_ids[cand])
+
+        pool = self._phase1_pool()
+        parts = (list(pool.map(_p1, enumerate(self.shards))) if pool
+                 else [_p1(a) for a in enumerate(self.shards)])
+        sh, rows, hs, ids = (np.concatenate([p[j] for p in parts])
+                             for j in range(4))
         keep = np.lexsort((ids, hs))[:binary_k]
         sh, rows, hs, ids = sh[keep], rows[keep], hs[keep], ids[keep]
 
