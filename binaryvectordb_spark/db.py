@@ -768,9 +768,14 @@ class BinaryVectorDB:
         bucket task before the write — the sort columns are dropped from
         the written file, the row order survives the projection, and the
         resulting parquet row-group stats are tight on whatever the sort
-        clustered.  ``writer_opts`` passes parquet writer options through
-        (optimize_layout uses parquet.block.size to control row-group
-        granularity)."""
+        clustered.  When no explicit sort is given, rows sort by doc_id
+        (kept, it's a data column): a bucket file's row groups then carry
+        disjoint doc_id ranges, so the point-read path's pushed-down
+        In(doc_id, ...) prunes ROW GROUPS inside the bucket file — at
+        100 TB a get touches a few MB of one multi-GB bucket, not the
+        bucket (pinned by tests/test_db_layout.py).  ``writer_opts``
+        passes parquet writer options through (optimize_layout uses
+        parquet.block.size to control row-group granularity)."""
         tmp = self._path(name + "__stage")
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
@@ -783,6 +788,8 @@ class BinaryVectorDB:
         if sort_cols:
             staged = (staged.sortWithinPartitions(*part_cols, *sort_cols)
                       .drop(*sort_cols))
+        elif "doc_id" in df.columns:
+            staged = staged.sortWithinPartitions(*part_cols, "doc_id")
         w = staged.write.mode("overwrite")
         for k, v in (writer_opts or {}).items():
             w = w.option(k, v)
@@ -1383,12 +1390,22 @@ class BinaryVectorDB:
     def remove_doc(self, doc_id: int) -> None:
         self.remove_docs([doc_id])
 
+    # get_docs id-set size up to which the lookup is an isin() predicate
+    # (pushed to the parquet scan: row-group stats prune inside the bucket
+    # file, which _stage's within-bucket doc_id sort makes tight) rather
+    # than a broadcast semi-join (join keys never push down to a scan)
+    _GET_ISIN_MAX = 8192
+
     def get_docs(self, doc_ids: Sequence[int]) -> dict[int, object]:
         """KV point read (the RocksDB get, :238): opens ONLY the bucket
-        dirs owning the requested ids — at 100 TB a point read touches a
-        few GB of one bucket, never the corpus — then broadcast-semi-joins
-        the id set.  Missing ids are simply absent from the result (RocksDB
-        get semantics).  Typed payloads come back as original objects."""
+        dirs owning the requested ids, then filters the id set with a
+        pushed-down In(doc_id, ...) predicate — row-group stats (tight,
+        because buckets are written doc_id-sorted) prune inside the bucket
+        file, so at 100 TB a get touches a few MB of one bucket, never the
+        bucket, never the corpus.  Id sets past _GET_ISIN_MAX fall back to
+        a broadcast semi-join (a mile-long In list bloats the plan).
+        Missing ids are simply absent from the result (RocksDB get
+        semantics).  Typed payloads come back as original objects."""
         self._flush_pending()
         if not doc_ids or not self._exists("documents"):
             return {}
@@ -1396,12 +1413,16 @@ class BinaryVectorDB:
                 if self._is_bucketed("documents") else self.docs_df())
         if docs is None:
             return {}
-        keys = self.spark.createDataFrame([(int(i),) for i in doc_ids],
-                                          "doc_id: long")
         cols = ["doc_id", "doc"] + (["doc_kind"] if "doc_kind" in docs.columns
                                     else [])
-        rows = (docs.join(F.broadcast(keys), "doc_id", "left_semi")
-                .select(*cols).collect())
+        ids = sorted({int(i) for i in doc_ids})
+        if len(ids) <= self._GET_ISIN_MAX:
+            pruned = docs.where(F.col("doc_id").isin(ids))
+        else:
+            keys = self.spark.createDataFrame([(i,) for i in ids],
+                                              "doc_id: long")
+            pruned = docs.join(F.broadcast(keys), "doc_id", "left_semi")
+        rows = pruned.select(*cols).collect()
         return {r["doc_id"]: self.decode_payload(r["doc"],
                                                  r["doc_kind"] if "doc_kind" in cols
                                                  else "str")

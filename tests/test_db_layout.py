@@ -61,6 +61,29 @@ def test_optimize_layout_zorder_prunes_rowgroups(spark, tmp_path):
         "bucket=0", "bucket=1", "bucket=2", "bucket=3"]
 
 
+def test_point_read_prunes_rowgroups_via_doc_id_sort(spark, tmp_path):
+    """_stage writes buckets doc_id-sorted, so the point-read path's
+    pushed-down In(doc_id) prunes row groups INSIDE a bucket file: footer
+    min/max for a single id must exclude almost every group (at 100 TB a
+    get touches a few MB of one multi-GB bucket)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "8192")  # many groups per bucket file
+    try:
+        db = _mkdb(spark, str(tmp_path / "db"))
+    finally:
+        (hconf.set("parquet.block.size", old) if old
+         else hconf.unset("parquet.block.size"))
+    docs_path = os.path.join(str(tmp_path / "db"), "documents")
+    # a single-id predicate touches a small fraction of row-group bytes
+    frac = rowgroup_scan_fraction(docs_path, {"doc_id": (1234, 1234)})
+    assert frac < 0.2, frac
+    # and the read itself is correct through the isin() path
+    assert db.get_doc(1234) == "doc body 1234"
+    got = db.get_docs([3, 1234, N + 99])  # last id doesn't exist
+    assert set(got) == {3, 1234}
+
+
 def test_optimize_layout_validates_columns(spark, tmp_path):
     db = _mkdb(spark, str(tmp_path / "db"))
     import pytest
