@@ -253,6 +253,12 @@ def bench_1m_scan(spark, sf_dir: str,
         for key, runs in (("cascade_1m", flat_runs[2:]),
                           ("cascade_1m_ivf", ivf_runs[2:]),
                           ("cascade_1m_ivf_fullprobe", full_runs[2:])):
+            # drop the single slowest KEPT round too: a mid-session GC
+            # spike is not confined to the two discarded warm rounds (a
+            # round-8 solo run caught one 1.3 s outlier among healthy
+            # ~0.2 s rounds, reporting spread 5.4 around a sane median) —
+            # same single-outlier discard _time_runs applies
+            runs = sorted(runs)[:-1]
             med = statistics.median(runs)
             out[key] = round(med, 4)
             variance[key] = round((max(runs) - min(runs)) / med, 2)
@@ -360,6 +366,7 @@ def bench_1m_scan(spark, sf_dir: str,
         router_runs.append(time.perf_counter() - t0)
     for key, runs in (("cascade_1m_local_ms", local_runs[2:]),
                       ("cascade_1m_local_sharded4_ms", router_runs[2:])):
+        runs = sorted(runs)[:-1]  # same single-outlier discard as the trio
         med = statistics.median(runs)
         out[key] = round(med / len(qvecs) * 1000, 2)
         variance[key] = round((max(runs) - min(runs)) / med, 2)
@@ -398,6 +405,38 @@ def bench_png_decode() -> dict[str, float]:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return {"png_decode_mb_per_s": round(px_mb / best, 2)}
+
+
+def bench_textindex(spark, sf_dir: str,
+                    variance: dict[str, float]) -> dict[str, float]:
+    """BM25 served from the persisted inverted index vs the corpus scan —
+    the SAME top-10 answer (hash-pinned in tests/test_textindex.py), so
+    the delta is purely the I/O architecture: pruned postings row groups
+    vs tokenize-and-aggregate the documents table per query.  Index build
+    is untimed (the one corpus pass the index amortizes)."""
+    import shutil
+    import tempfile
+
+    from binaryvectordb_spark.operators.textindex import TextIndex
+    from binaryvectordb_spark.queries.hybrid import TERMS, search_bm25_topk
+
+    d = tempfile.mkdtemp(prefix="bvdb_ti_bench_")
+    out: dict[str, float] = {}
+    try:
+        from binaryvectordb_spark.sources.tables import load_table
+        idx = TextIndex(spark, d).build(load_table(spark, sf_dir,
+                                                   "documents"))
+        idx.search(TERMS, k=10).collect()          # warm-up
+        search_bm25_topk(spark, sf_dir).collect()  # warm-up
+        med, sp = _time_runs(lambda: idx.search(TERMS, k=10))
+        out["bm25_indexed"] = round(med, 4)
+        variance["bm25_indexed"] = round(sp, 2)
+        med, sp = _time_runs(lambda: search_bm25_topk(spark, sf_dir))
+        out["bm25_scan"] = round(med, 4)
+        variance["bm25_scan"] = round(sp, 2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def bench_zorder(spark, sf_dir: str) -> dict[str, float]:
@@ -583,7 +622,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {**times, **bench_streaming(spark, sf_dir, variance),
                     **bench_1m_scan(spark, sf_dir, variance),
-                    **bench_png_decode(), **bench_zorder(spark, sf_dir)},
+                    **bench_png_decode(), **bench_zorder(spark, sf_dir),
+                    **bench_textindex(spark, sf_dir, variance)},
         "variance": variance,
         "protocol": "median of 5 fresh plans per query; variance = (max-min)/median",
         "sf": float(sf),
@@ -608,7 +648,8 @@ def main() -> None:
                      or k in ("agg_pricing_summary", "hamming_scan_1m",
                               "pq_adc_scan_1m", "dedup_semantic_clusters",
                               "knn_cascade", "search_maxsim_topk",
-                              "curation_funnel")]
+                              "curation_funnel", "bm25_indexed",
+                              "bm25_scan")]
     vmax_key = max(variance, key=variance.get)
     compact = {
         "metric": out["metric"],

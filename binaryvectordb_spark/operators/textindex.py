@@ -1,0 +1,243 @@
+"""Persisted inverted text index: BM25 serving without scanning the corpus.
+
+The engine's BM25 queries (queries/hybrid.py) tokenize and aggregate the
+documents table per query batch — correct, and fine when the corpus scan is
+the workload; untenable as a SERVING path at 100 TB, where every keyword
+query would re-read and re-explode 100 TB of text.  This module is the
+standard answer, re-expressed in lakehouse form: an INVERTED INDEX built
+once (one corpus pass), maintained incrementally, and queried by reading a
+few pruned row groups.
+
+Architecture (Lucene's segment model on plain parquet):
+
+    <folder>/seg_<n>/postings/   (token, doc_id, tf)   token-RANGE-sorted
+    <folder>/seg_<n>/doclen/     (doc_id, dl)
+    <folder>/tomb_<n>/           (doc_id, upto_seg)    deletes/replacements
+    <folder>/meta.json           {segments, tombstones} — atomic swap
+
+- A batch of new/updated docs is ONE new segment plus tombstones marking
+  the incoming ids dead in every EARLIER segment (``upto_seg`` scopes the
+  tombstone, so an upsert kills the old postings without touching the new
+  ones).  No existing segment file is ever rewritten — mutation cost is
+  O(batch), not O(index).
+- ``compact()`` folds live postings into a single fresh segment and drops
+  the tombstones (Lucene's merge).
+- Postings are written ``repartitionByRange(token)`` + sorted by token, so
+  a query's ``token IN (...)`` predicate prunes FILES and ROW GROUPS from
+  the parquet footer stats alone — a 3-term query against a 100 TB corpus
+  reads the few MB of postings for those terms (pinned from real footers
+  in tests/test_textindex.py).
+- ``search`` reproduces queries/hybrid.py's BM25 EXPRESSION TREE exactly
+  (same rarity idf, same floored-bigint 1e-10 units, same fold), so the
+  indexed path is bit-identical to the corpus-scan path — pinned by hash
+  equality in tests.
+
+Scale notes: n_docs/avgdl come from one aggregation over the slim doclen
+tables (1 row per live doc — at 100 TB a few GB, not the corpus); the
+tombstone table is broadcast (deletes since last compact).  The reference
+engine has no lexical index (vector-only, BinaryVectorDB/README.md:1-40);
+this is part of the hybrid-retrieval surface a production corpus needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+_META = "meta.json"
+
+
+class TextIndex:
+    """Open-or-create a persisted inverted index at ``folder``."""
+
+    def __init__(self, spark: SparkSession, folder: str):
+        self.spark = spark
+        self.folder = folder
+        os.makedirs(folder, exist_ok=True)
+        self._meta_path = os.path.join(folder, _META)
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.meta = json.load(f)
+        else:
+            self.meta = {"segments": [], "tombstones": []}
+
+    # -- layout ------------------------------------------------------------
+
+    def _write_meta(self) -> None:
+        tmp = self._meta_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, self._meta_path)
+
+    @staticmethod
+    def _tokens(docs_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        # the SAME tokenizer as queries/hybrid.py _doc_tokens: split on ' '
+        return docs_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"))
+
+    def _write_segment(self, docs_df: DataFrame, id_col: str,
+                       text_col: str, name: str) -> None:
+        toks = self._tokens(docs_df, id_col, text_col)
+        postings = (toks.groupBy("token", "doc_id")
+                    .agg(F.count("*").cast("double").alias("tf")))
+        seg = os.path.join(self.folder, name)
+        # token-range files + within-file token sort: the query's
+        # In(token) predicate then prunes files AND row groups from
+        # footer min/max alone
+        (postings.repartitionByRange("token")
+         .sortWithinPartitions("token", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(seg, "postings")))
+        (toks.groupBy("doc_id")
+         .agg(F.count("*").cast("double").alias("dl"))
+         .write.mode("overwrite").parquet(os.path.join(seg, "doclen")))
+
+    def _next_name(self, prefix: str) -> str:
+        existing = self.meta["segments"] + self.meta["tombstones"]
+        n = 0
+        while f"{prefix}_{n}" in existing:
+            n += 1
+        return f"{prefix}_{n}"
+
+    # -- mutation ----------------------------------------------------------
+
+    def build(self, docs_df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> "TextIndex":
+        """(Re)build from scratch: one corpus pass, single segment."""
+        for name in self.meta["segments"] + self.meta["tombstones"]:
+            shutil.rmtree(os.path.join(self.folder, name),
+                          ignore_errors=True)
+        self.meta = {"segments": [], "tombstones": []}
+        self._write_segment(docs_df, id_col, text_col, "seg_0")
+        self.meta["segments"] = ["seg_0"]
+        self._write_meta()
+        return self
+
+    def add_documents(self, docs_df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> None:
+        """Upsert a batch: one NEW segment + tombstones scoped to every
+        earlier segment (the incoming ids' old postings die; their new
+        postings live in the new segment).  O(batch) writes."""
+        if not self.meta["segments"]:
+            self.build(docs_df, id_col, text_col)
+            return
+        upto = len(self.meta["segments"]) - 1
+        seg_name = self._next_name("seg")
+        tomb_name = self._next_name("tomb")
+        self._write_segment(docs_df, id_col, text_col, seg_name)
+        (docs_df.select(F.col(id_col).alias("doc_id"),
+                        F.lit(upto).alias("upto_seg"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.folder, tomb_name)))
+        self.meta["segments"].append(seg_name)
+        self.meta["tombstones"].append(tomb_name)
+        self._write_meta()
+
+    def remove(self, doc_ids: Sequence[int]) -> None:
+        """Delete ids: a tombstone covering every current segment."""
+        if not doc_ids or not self.meta["segments"]:
+            return
+        upto = len(self.meta["segments"]) - 1
+        tomb_name = self._next_name("tomb")
+        (self.spark.createDataFrame([(int(i), upto) for i in doc_ids],
+                                    "doc_id: long, upto_seg: int")
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.folder, tomb_name)))
+        self.meta["tombstones"].append(tomb_name)
+        self._write_meta()
+
+    def compact(self) -> None:
+        """Merge live postings into one fresh segment, drop tombstones
+        (Lucene's merge).  Query cost returns to single-segment."""
+        post = self.live_postings().select("token", "doc_id", "tf")
+        dl = self.live_doclen().select("doc_id", "dl")
+        name = self._next_name("seg")
+        seg = os.path.join(self.folder, name)
+        (post.repartitionByRange("token")
+         .sortWithinPartitions("token", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(seg, "postings")))
+        dl.write.mode("overwrite").parquet(os.path.join(seg, "doclen"))
+        old = self.meta["segments"] + self.meta["tombstones"]
+        self.meta = {"segments": [name], "tombstones": []}
+        self._write_meta()
+        for stale in old:
+            shutil.rmtree(os.path.join(self.folder, stale),
+                          ignore_errors=True)
+
+    # -- read paths --------------------------------------------------------
+
+    def _tomb(self) -> DataFrame | None:
+        if not self.meta["tombstones"]:
+            return None
+        paths = [os.path.join(self.folder, t)
+                 for t in self.meta["tombstones"]]
+        return self.spark.read.parquet(*paths)
+
+    def _live(self, sub: str) -> DataFrame:
+        """Union the segment tables with their segment ordinal, minus
+        tombstoned rows (non-equi anti-join: a tombstone kills rows of
+        every segment up to its ``upto_seg`` — broadcast, the tombstone
+        table is deletes-since-compact)."""
+        if not self.meta["segments"]:
+            raise Exception("empty TextIndex; build() first")
+        parts = []
+        for i, name in enumerate(self.meta["segments"]):
+            parts.append(self.spark.read
+                         .parquet(os.path.join(self.folder, name, sub))
+                         .withColumn("seg", F.lit(i)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        tomb = self._tomb()
+        if tomb is not None:
+            df = df.join(
+                F.broadcast(tomb),
+                (df["doc_id"] == tomb["doc_id"])
+                & (tomb["upto_seg"] >= df["seg"]),
+                "left_anti")
+        return df
+
+    def live_postings(self) -> DataFrame:
+        return self._live("postings")
+
+    def live_doclen(self) -> DataFrame:
+        return self._live("doclen")
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+        """BM25 top-k over the index — bit-identical to the corpus-scan
+        path (queries/hybrid.py search_bm25_topk): same rarity idf, same
+        floored-bigint 1e-10 score units, same expression tree.  Reads
+        ONLY the pruned postings row groups for ``terms`` plus the slim
+        doclen tables."""
+        tf = (self.live_postings()
+              .where(F.col("token").isin(*[str(t) for t in terms]))
+              .select("token", "doc_id", "tf"))
+        dl = self.live_doclen().select("doc_id", "dl")
+        stats = dl.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
+        df_ = tf.groupBy("token").agg(
+            F.count("*").cast("double").alias("df"))
+        # identical constants/tree to queries/hybrid.py (K1=1.2, B=0.75)
+        term_score = (
+            "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D)"
+            " / (tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
+            "* 1e10) AS BIGINT)")
+        scored = (tf.join(F.broadcast(df_), "token")
+                  .join(dl, "doc_id")
+                  .crossJoin(F.broadcast(stats))
+                  .withColumn("term_score_e10", F.expr(term_score))
+                  .groupBy("doc_id")
+                  .agg(F.sum("term_score_e10").alias("bm25_e10")))
+        w = Window.orderBy(F.desc("bm25_e10"), F.asc("doc_id"))
+        return (scored.withColumn("kw_rank", F.row_number().over(w))
+                .where(F.col("kw_rank") <= k)
+                .select("doc_id", "bm25_e10", "kw_rank"))

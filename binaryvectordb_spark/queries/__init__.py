@@ -54,15 +54,16 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # ~50 registry entries per round.  Order: (a) round-8 additions (never
 # hashed), then (b) the eight r4-stale queries that slipped round 7's
 # window by design (VERDICT r7 item 3 — now first in line), then (c) the
-# round-5 cohort (the next-stalest, age 3).  1 + 8 + 45 = 54 > ~50, so
-# the TAIL of (c) is, again by design, the four static scalar-function
-# packs (string_funcs/string_funcs2/date_funcs/date_funcs2: fixed SQL
-# over fixed fixtures, untouched since round 5, locally re-hashed by
-# every pytest run) — the lowest-risk slips if the window cuts there.
+# round-5 cohort (the next-stalest, age 3).  2 + 8 + 45 = 55 > ~50, so
+# the TAIL of (c) is, again by design, five static pure-SQL queries
+# (string/date scalar packs + orderby_limit_offset: fixed SQL over fixed
+# fixtures, untouched since round 5, locally re-hashed by every pytest
+# run) — the lowest-risk slips if the window cuts there.
 # Round-6 and round-7 cohorts (freshest hashes) fall to the back.
 _PRIORITY = [
     # (a) new in round 8 — never driver-hashed
     "search_maxsim_rerank",
+    "search_bm25_indexed",
     # (b) the r4-stale tail that slipped round 7's window — stalest rows
     "window_moving_sum",
     "window_running_total",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "mutation_upsert_index",
     "mutation_delete_documents",
     "multimodal_ppm_decode",
-    "orderby_limit_offset",
     "date_arithmetic",
     "math_funcs",
     "array_funcs",
@@ -115,6 +115,7 @@ _PRIORITY = [
     "udf_grouped_map",
     "udf_grouped_agg",
     # (c-tail) designed slips if the ~50-query window cuts here
+    "orderby_limit_offset",
     "string_funcs",
     "string_funcs2",
     "date_funcs",

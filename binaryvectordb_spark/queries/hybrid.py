@@ -138,6 +138,43 @@ WHERE kw_rank <= 10
 """)
 
 
+# one built index per fixture dir, reused across calls in this process —
+# build is the one corpus pass the index exists to amortize
+_TI_CACHE: dict[str, str] = {}
+
+
+def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-10 BM25 query served from the PERSISTED inverted index
+    (operators/textindex.py) instead of a corpus scan: postings are read
+    via a pushed-down token IN (...) over token-range-sorted parquet, so
+    at 100 TB the query touches the few MB of postings for its terms, not
+    the corpus.  Bit-identical to search_bm25_topk (same expression tree;
+    same oracle), which is exactly the point — the index changes the I/O,
+    never the answer."""
+    import os as _os
+    import tempfile
+
+    from binaryvectordb_spark.operators.textindex import TextIndex
+
+    key = _os.path.abspath(sf_dir)
+    path = _TI_CACHE.get(key)
+    if path is None or not _os.path.exists(_os.path.join(path, "meta.json")):
+        path = tempfile.mkdtemp(prefix="bvdb_textindex_")
+        TextIndex(spark, path).build(load_table(spark, sf_dir, "documents"))
+        _TI_CACHE[key] = path
+    return TextIndex(spark, path).search(TERMS, k=10)
+
+
+register("search_bm25_indexed", search_bm25_indexed, oracle=f"""
+WITH {_BM25_ORACLE_CTE}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 top-100 and the cosine top-100
     (query vector = embedding of vec_id 0): score = 1/(60+kw_rank) +
