@@ -731,6 +731,10 @@ class BinaryVectorDB:
         old = self._tables_at(version)  # validates existence + files
         self._commit({name: dict(old.get(name) or {})
                       for name in self._DATA_TABLES}, expect=expect)
+        # the lexical index is derived from the doc store's forward
+        # history; after a rollback it would be wrong in both directions —
+        # drop it (rebuild with build_text_index() if wanted)
+        self._ti_drop()
 
     def _read_buckets(self, name: str, touched: list[int]) -> DataFrame | None:
         """Scan ONLY the touched buckets — the partial-rewrite read path.
@@ -1157,6 +1161,7 @@ class BinaryVectorDB:
         had_ivf_model = (self.index_type == "ivf"
                          and self._ivf_model() is not None)
         new_docs = _align(new_docs)
+        incoming = new_docs  # the batch alone, pre-merge (text-index hook)
         if (touched is not None and self._is_bucketed("index")
                 and self._is_bucketed("documents")):
             surv_index = self._read_buckets("index", touched)
@@ -1201,6 +1206,7 @@ class BinaryVectorDB:
             self.build_ivf()
         elif had_ivf_model:
             self._note_ivf_mutation(n_keys)
+        self._ti_after_upsert(incoming)
 
     def _enqueue(self, doc_ids: list[int], docs: list[str], kinds: list[str],
                  emb: np.ndarray, save: bool) -> None:
@@ -1373,6 +1379,7 @@ class BinaryVectorDB:
                     "documents", touched)}, expect=expect)
             if self.index_type == "ivf" and self._ivf_model() is not None:
                 self._note_ivf_mutation(len(doc_ids))
+            self._ti_after_remove(doc_ids)
             return
         idx = self.index_df()
         missing = keys.join(idx, "doc_id", "left_anti").count()
@@ -1386,6 +1393,7 @@ class BinaryVectorDB:
                 "documents")}, expect=expect)
         if self.index_type == "ivf" and self._ivf_model() is not None:
             self._note_ivf_mutation(len(doc_ids))
+        self._ti_after_remove(doc_ids)
 
     def remove_doc(self, doc_id: int) -> None:
         self.remove_docs([doc_id])
@@ -1503,6 +1511,115 @@ class BinaryVectorDB:
                                             sort_cols=("_zorder",),
                                             writer_opts=opts)}
         self._commit(updates, expect=expect)
+
+    # -- optional lexical index (hybrid serving) ----------------------------
+    # A persisted inverted index (operators/textindex.py) over the str-kind
+    # doc payloads, living at <folder>/text_index with its own segment
+    # metadata.  DERIVED state: it is updated after each successful commit
+    # (a crash in between leaves it one batch stale — rebuild with
+    # build_text_index()), and restore() drops it rather than guess.
+
+    _TEXT_INDEX_DIR = "text_index"
+
+    def _text_index(self):
+        from binaryvectordb_spark.operators.textindex import TextIndex
+        p = os.path.join(self.folder, self._TEXT_INDEX_DIR)
+        if not os.path.exists(os.path.join(p, "meta.json")):
+            return None
+        return TextIndex(self.spark, p)
+
+    def build_text_index(self) -> None:
+        """(Re)build the lexical index from the current doc store.  Only
+        str-kind payloads are text; typed payloads (json/bytes) are not
+        indexed and never match a keyword query."""
+        from binaryvectordb_spark.operators.textindex import TextIndex
+
+        self._flush_pending()
+        docs = self.docs_df()
+        if docs is None:
+            raise Exception("Index is empty; add documents first")
+        d = docs
+        if "doc_kind" in d.columns:
+            d = d.where(F.col("doc_kind") == "str")
+        TextIndex(self.spark,
+                  os.path.join(self.folder, self._TEXT_INDEX_DIR)).build(
+            d.select("doc_id", F.col("doc").alias("text")), text_col="text")
+
+    def _ti_after_upsert(self, incoming: DataFrame) -> None:
+        """Incremental text-index maintenance after an upsert commit: the
+        batch's str-kind rows become one new segment; rows whose payload is
+        (now) non-str are tombstoned so an update away from text drops the
+        doc from keyword search.  Stays distributed — the batch frame goes
+        to the index writer as-is, never through the driver."""
+        ti = self._text_index()
+        if ti is None:
+            return
+        has_kind = "doc_kind" in incoming.columns
+        str_df = (incoming.where(F.col("doc_kind") == "str")
+                  if has_kind else incoming)
+        str_df = str_df.select("doc_id", F.col("doc").alias("text"))
+        if str_df.take(1):
+            ti.add_documents(str_df, text_col="text")
+        if has_kind:
+            other = (incoming.where(F.col("doc_kind") != "str")
+                     .select("doc_id"))
+            if other.take(1):
+                ti.remove_df(other)
+
+    def _ti_after_remove(self, doc_ids: Sequence[int]) -> None:
+        ti = self._text_index()
+        if ti is not None:
+            ti.remove([int(i) for i in doc_ids])
+
+    def _ti_drop(self) -> None:
+        p = os.path.join(self.folder, self._TEXT_INDEX_DIR)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+    def search_text(self, terms: Sequence[str], k: int = DEFAULT_K
+                    ) -> list[dict]:
+        """BM25 top-k over the lexical index (build_text_index first).
+        Returns hits [{doc_id, bm25_e10, kw_rank, doc}] — payloads
+        attached via the bucket-pruned point read."""
+        self._flush_pending()
+        ti = self._text_index()
+        if ti is None:
+            raise Exception("no text index; call build_text_index() first")
+        hits = [r.asDict() for r in ti.search(terms, k=k).collect()]
+        payloads = self.get_docs([h["doc_id"] for h in hits])
+        for h in hits:
+            h["doc"] = payloads.get(h["doc_id"])
+        return hits
+
+    RRF_K = 60
+
+    def search_hybrid(self, terms: Sequence[str], query,
+                      k: int = DEFAULT_K, depth: int = 100) -> list[dict]:
+        """Hybrid serving: reciprocal-rank fusion of the lexical top-`depth`
+        (inverted index) with the vector cascade top-`depth`.  The fusion
+        itself is driver-side over two <= depth-row lists (tiny by
+        construction); each side runs its own index-pruned plan — the
+        production retrieve-and-fuse stack at the DB surface, mirroring
+        the registered search_hybrid_rrf query over the fixtures."""
+        self._flush_pending()
+        kw = {h["doc_id"]: h["kw_rank"]
+              for h in self.search_text(terms, k=depth)}
+        vec = {h["doc_id"]: i + 1
+               for i, h in enumerate(self.search(query, k=depth))}
+        fused = []
+        for doc_id in set(kw) | set(vec):
+            score = 0.0
+            if doc_id in kw:
+                score += 1.0 / (self.RRF_K + kw[doc_id])
+            if doc_id in vec:
+                score += 1.0 / (self.RRF_K + vec[doc_id])
+            fused.append((doc_id, score))
+        fused.sort(key=lambda t: (-t[1], t[0]))
+        top = fused[:k]
+        payloads = self.get_docs([d for d, _ in top])
+        return [{"doc_id": d, "rrf": s,
+                 "kw_rank": kw.get(d), "vec_rank": vec.get(d),
+                 "doc": payloads.get(d)} for d, s in top]
 
     def __len__(self) -> int:
         self._flush_pending()

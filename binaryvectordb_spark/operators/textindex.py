@@ -143,10 +143,18 @@ class TextIndex:
         """Delete ids: a tombstone covering every current segment."""
         if not doc_ids or not self.meta["segments"]:
             return
+        self.remove_df(self.spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id: long"))
+
+    def remove_df(self, ids_df: DataFrame) -> None:
+        """remove() from a DataFrame of doc_ids — the distributed form
+        mutation hooks use (no driver round-trip for the id set)."""
+        if not self.meta["segments"]:
+            return
         upto = len(self.meta["segments"]) - 1
         tomb_name = self._next_name("tomb")
-        (self.spark.createDataFrame([(int(i), upto) for i in doc_ids],
-                                    "doc_id: long, upto_seg: int")
+        (ids_df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.lit(upto).alias("upto_seg"))
          .write.mode("overwrite")
          .parquet(os.path.join(self.folder, tomb_name)))
         self.meta["tombstones"].append(tomb_name)

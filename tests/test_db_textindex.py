@@ -1,0 +1,109 @@
+"""DB-surface lexical index + hybrid serving (db.build_text_index /
+search_text / search_hybrid): the inverted index is maintained through the
+DB's own mutation paths and always answers like a fresh rebuild."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.db import BinaryVectorDB
+from binaryvectordb_spark.operators.textindex import TextIndex
+
+DIM = 8
+TERMS = ("fast", "merge", "scan")
+VOCAB = ("fast", "merge", "scan", "join", "sort", "hash", "key", "window")
+
+
+def _emb(i: int) -> list[float]:
+    return [((i * (j + 3)) % 17) / 17.0 - 0.5 for j in range(DIM)]
+
+
+def _text(i: int) -> str:
+    return " ".join(VOCAB[(i + j) % len(VOCAB)] for j in range(3 + i % 5))
+
+
+def _mkdb(spark, folder: str, n: int = 120) -> BinaryVectorDB:
+    db = BinaryVectorDB(spark, folder, dim=DIM, buckets=4)
+    db.add_batch(list(range(n)), [_text(i) for i in range(n)],
+                 np.array([_emb(i) for i in range(n)], dtype=np.float32))
+    return db
+
+
+def _fresh_answer(spark, db, tmp_path, name: str, k: int = 10):
+    """Ground truth: a from-scratch TextIndex over the db's CURRENT live
+    str-kind docs."""
+    docs = db.docs_df().where(F.col("doc_kind") == "str") \
+        .select("doc_id", F.col("doc").alias("text"))
+    ti = TextIndex(spark, str(tmp_path / name)).build(docs, text_col="text")
+    return sorted(map(tuple, ti.search(TERMS, k=k).collect()))
+
+
+def test_search_text_and_incremental_maintenance(spark, tmp_path):
+    db = _mkdb(spark, str(tmp_path / "db"))
+    with pytest.raises(Exception, match="build_text_index"):
+        db.search_text(TERMS)
+    db.build_text_index()
+
+    hits = db.search_text(TERMS, k=10)
+    assert [(h["doc_id"], h["bm25_e10"], h["kw_rank"]) for h in hits] \
+        == sorted(_fresh_answer(spark, db, tmp_path, "f0"),
+                  key=lambda t: t[2])
+    assert all(h["doc"] == _text(h["doc_id"]) for h in hits)
+
+    # upsert through the DB: rewritten + new docs flow into the index
+    db.add_batch([0, 1, 200], ["merge merge fast scan"] * 2 + ["scan scan"],
+                 np.array([_emb(0), _emb(1), _emb(200)], dtype=np.float32))
+    # delete through the DB
+    db.remove_docs([2, 3])
+    got = sorted((h["doc_id"], h["bm25_e10"], h["kw_rank"])
+                 for h in db.search_text(TERMS, k=10))
+    assert got == _fresh_answer(spark, db, tmp_path, "f1")
+    gone = {h["doc_id"] for h in db.search_text(TERMS, k=200)}
+    assert not gone & {2, 3}
+
+    # a doc updated to a TYPED payload drops out of keyword search
+    db.add_documents([0], [{"k": 1}], docs2text=lambda d: "fast fast fast")
+    assert 0 not in {h["doc_id"] for h in db.search_text(TERMS, k=200)}
+    got = sorted((h["doc_id"], h["bm25_e10"], h["kw_rank"])
+                 for h in db.search_text(TERMS, k=10))
+    assert got == _fresh_answer(spark, db, tmp_path, "f2")
+
+
+def test_search_hybrid_fuses_both_lists(spark, tmp_path):
+    db = _mkdb(spark, str(tmp_path / "db"))
+    db.build_text_index()
+    qvec = _emb(7)
+    hits = db.search_hybrid(TERMS, qvec, k=10, depth=50)
+    assert len(hits) == 10
+    # manual RRF over the two component lists
+    kw = {h["doc_id"]: h["kw_rank"] for h in db.search_text(TERMS, k=50)}
+    vec = {h["doc_id"]: i + 1 for i, h in enumerate(db.search(qvec, k=50))}
+    want = sorted(
+        ((d, (1 / (60 + kw[d]) if d in kw else 0)
+          + (1 / (60 + vec[d]) if d in vec else 0))
+         for d in set(kw) | set(vec)),
+        key=lambda t: (-t[1], t[0]))[:10]
+    assert [(h["doc_id"], h["rrf"]) for h in hits] == want
+    # every hit carries its component ranks and payload
+    assert all(h["kw_rank"] or h["vec_rank"] for h in hits)
+    assert all(h["doc"] == _text(h["doc_id"]) for h in hits)
+
+
+def test_restore_drops_derived_text_index(spark, tmp_path):
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=DIM, buckets=2,
+                        retain_versions=3)
+    db.add_batch([0, 1], ["fast merge", "scan sort"],
+                 np.array([_emb(0), _emb(1)], dtype=np.float32))
+    v0 = db.history()[-1]["version"]
+    db.add_batch([2], ["merge scan"], np.array([_emb(2)], dtype=np.float32))
+    db.build_text_index()
+    assert db.search_text(TERMS, k=5)
+    db.restore(v0)
+    assert not os.path.isdir(os.path.join(str(tmp_path / "db"),
+                                          "text_index"))
+    with pytest.raises(Exception, match="build_text_index"):
+        db.search_text(TERMS)
