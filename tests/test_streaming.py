@@ -80,6 +80,33 @@ def test_foreach_batch_incremental_upsert(spark, tmp_path, events_dir):
     assert len(db) == n_events  # ids 1,2 already existed -> replaced
 
 
+def test_foreach_batch_maintains_text_index(spark, tmp_path, events_dir):
+    """The streaming sink composes with the DB's lexical index: every
+    micro-batch flows through the _merge_and_swap hook, so after the
+    stream drains, keyword search answers exactly like a from-scratch
+    index over the final doc store."""
+    from binaryvectordb_spark.db import BinaryVectorDB
+    from binaryvectordb_spark.operators.textindex import TextIndex
+    from pyspark.sql import functions as F
+
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    db.add_documents([10_000_000], ["seed click doc"])
+    db.build_text_index()  # enable BEFORE the stream: batches maintain it
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = foreach_batch_index_upsert(stream, db, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    # the per-micro-batch segments are visible in the index's own metadata
+    assert len(db._text_index().meta["segments"]) > 1
+    terms = ("click", "purchase")
+    got = sorted((h["doc_id"], h["bm25_e10"], h["kw_rank"])
+                 for h in db.search_text(terms, k=10))
+    fresh = TextIndex(spark, str(tmp_path / "ti_fresh")).build(
+        db.docs_df().where(F.col("doc_kind") == "str")
+        .select("doc_id", F.col("doc").alias("text")), text_col="text")
+    want = sorted(map(tuple, fresh.search(terms, k=10).collect()))
+    assert got == want and len(got) == 10
+
+
 def test_foreach_batch_into_ivf_db(spark, tmp_path, events_dir):
     """The streaming sink composes with the IVF index: the partitioner
     trains on the first micro-batch, later batches assign clusters via the
