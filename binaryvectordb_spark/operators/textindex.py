@@ -32,9 +32,11 @@ Architecture (Lucene's segment model on plain parquet):
   indexed path is bit-identical to the corpus-scan path — pinned by hash
   equality in tests.
 
-Scale notes: n_docs/avgdl come from one aggregation over the slim doclen
-tables (1 row per live doc — at 100 TB a few GB, not the corpus); the
-tombstone table is broadcast (deletes since last compact).  The reference
+Scale notes: in the compacted steady state n_docs/avgdl come from exact
+write-time per-segment stats in meta — ZERO jobs; with live tombstones
+they aggregate the slim doclen tables (1 row per live doc — at 100 TB a
+few GB, not the corpus).  The tombstone table is broadcast (deletes since
+last compact).  The reference
 engine has no lexical index (vector-only, BinaryVectorDB/README.md:1-40);
 this is part of the hybrid-retrieval surface a production corpus needs.
 """
@@ -65,7 +67,7 @@ class TextIndex:
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
         else:
-            self.meta = {"segments": [], "tombstones": []}
+            self.meta = {"segments": [], "tombstones": [], "seg_stats": {}}
 
     # -- layout ------------------------------------------------------------
 
@@ -83,7 +85,7 @@ class TextIndex:
             F.explode(F.split(F.col(text_col), " ")).alias("token"))
 
     def _write_segment(self, docs_df: DataFrame, id_col: str,
-                       text_col: str, name: str) -> None:
+                       text_col: str, name: str) -> dict:
         toks = self._tokens(docs_df, id_col, text_col)
         postings = (toks.groupBy("token", "doc_id")
                     .agg(F.count("*").cast("double").alias("tf")))
@@ -94,9 +96,20 @@ class TextIndex:
         (postings.repartitionByRange("token")
          .sortWithinPartitions("token", "doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "postings")))
-        (toks.groupBy("doc_id")
-         .agg(F.count("*").cast("double").alias("dl"))
-         .write.mode("overwrite").parquet(os.path.join(seg, "doclen")))
+        dl = toks.groupBy("doc_id").agg(
+            F.count("*").cast("double").alias("dl"))
+        dl.write.mode("overwrite").parquet(os.path.join(seg, "doclen"))
+        # exact per-segment corpus stats, captured at WRITE time: n_docs is
+        # an integer; sum_dl is a sum of integer-valued doubles (token
+        # counts), exact in float64 up to 2^53 and FOLD-ORDER-INDEPENDENT —
+        # so the tombstone-free stats fast path is bit-identical to an
+        # aggregation over the tables
+        row = (self.spark.read
+               .parquet(os.path.join(seg, "doclen"))
+               .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+               .first())
+        return {"n_docs": int(row["n"]),
+                "sum_dl": float(row["s"] or 0.0)}
 
     def _next_name(self, prefix: str) -> str:
         existing = self.meta["segments"] + self.meta["tombstones"]
@@ -113,9 +126,10 @@ class TextIndex:
         for name in self.meta["segments"] + self.meta["tombstones"]:
             shutil.rmtree(os.path.join(self.folder, name),
                           ignore_errors=True)
-        self.meta = {"segments": [], "tombstones": []}
-        self._write_segment(docs_df, id_col, text_col, "seg_0")
+        self.meta = {"segments": [], "tombstones": [], "seg_stats": {}}
+        st = self._write_segment(docs_df, id_col, text_col, "seg_0")
         self.meta["segments"] = ["seg_0"]
+        self.meta["seg_stats"] = {"seg_0": st}
         self._write_meta()
         return self
 
@@ -130,7 +144,8 @@ class TextIndex:
         upto = len(self.meta["segments"]) - 1
         seg_name = self._next_name("seg")
         tomb_name = self._next_name("tomb")
-        self._write_segment(docs_df, id_col, text_col, seg_name)
+        st = self._write_segment(docs_df, id_col, text_col, seg_name)
+        self.meta.setdefault("seg_stats", {})[seg_name] = st
         (docs_df.select(F.col(id_col).alias("doc_id"),
                         F.lit(upto).alias("upto_seg"))
          .write.mode("overwrite")
@@ -171,8 +186,13 @@ class TextIndex:
          .sortWithinPartitions("token", "doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "postings")))
         dl.write.mode("overwrite").parquet(os.path.join(seg, "doclen"))
+        row = (self.spark.read.parquet(os.path.join(seg, "doclen"))
+               .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+               .first())
         old = self.meta["segments"] + self.meta["tombstones"]
-        self.meta = {"segments": [name], "tombstones": []}
+        self.meta = {"segments": [name], "tombstones": [],
+                     "seg_stats": {name: {"n_docs": int(row["n"]),
+                                          "sum_dl": float(row["s"] or 0.0)}}}
         self._write_meta()
         for stale in old:
             shutil.rmtree(os.path.join(self.folder, stale),
@@ -229,9 +249,29 @@ class TextIndex:
               .where(F.col("token").isin(*[str(t) for t in terms]))
               .select("token", "doc_id", "tf"))
         dl = self.live_doclen().select("doc_id", "dl")
-        stats = dl.agg(
-            F.count("*").cast("double").alias("n_docs"),
-            (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
+        # corpus stats: with NO tombstones (the compacted steady state)
+        # they come from the per-segment write-time stats in meta — ZERO
+        # jobs and bit-identical (counts are ints; dl sums are sums of
+        # integer-valued doubles, exact and fold-order-free; the avgdl
+        # division is the same IEEE op either way).  Tombstones make the
+        # live set data-dependent, so that path aggregates the slim
+        # doclen tables.
+        seg_stats = self.meta.get("seg_stats") or {}
+        segs = self.meta["segments"]
+        if (not self.meta["tombstones"]
+                and all(s in seg_stats for s in segs)
+                and sum(seg_stats[s]["n_docs"] for s in segs) > 0):
+            n = sum(seg_stats[s]["n_docs"] for s in segs)
+            sd = 0.0
+            for s in segs:
+                sd += seg_stats[s]["sum_dl"]
+            stats = self.spark.range(1).select(
+                F.lit(float(n)).alias("n_docs"),
+                F.lit(sd / float(n)).alias("avgdl"))
+        else:
+            stats = dl.agg(
+                F.count("*").cast("double").alias("n_docs"),
+                (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
         df_ = tf.groupBy("token").agg(
             F.count("*").cast("double").alias("df"))
         # identical constants/tree to queries/hybrid.py (K1=1.2, B=0.75)

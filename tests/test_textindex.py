@@ -90,6 +90,9 @@ def test_postings_pruning_and_plan(spark, tmp_path):
     plan = formatted_plan(idx.search(TERMS, k=10))
     assert "PushedFilters: [In(token" in plan
     assert "SortMergeJoin" not in plan
+    # tombstone-free index: corpus stats come from meta (a literal 1-row
+    # Range), not an aggregation over doclen
+    assert "Range (0, 1" in plan
 
     post_dir = os.path.join(str(tmp_path / "ti"), "seg_0", "postings")
     frac = rowgroup_scan_fraction(post_dir, {"token": ("vector", "vector")})
