@@ -33,12 +33,20 @@ list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS
 """
 
 
-def exact_label_centroids(e: DataFrame) -> DataFrame:
+def exact_label_centroids(e: DataFrame, dim: int = 64) -> DataFrame:
     """(label, cvec): exact per-dimension centroid of each label partition —
-    posexplode -> DECIMAL sum -> double mean, so the result is
-    order-independent and bit-identical across partitionings and engines (a
-    float groupBy-sum could never hash-match an oracle).  Centroid count =
-    n_labels: kilobytes, always broadcastable."""
+    DECIMAL sums -> double mean, so the result is order-independent and
+    bit-identical across partitionings and engines (a float groupBy-sum
+    could never hash-match an oracle).  Centroid count = n_labels:
+    kilobytes, always broadcastable.
+
+    Shape: posexplode -> (label, pos) decimal sums -> collect per label.
+    The tempting no-explode alternative (ONE groupBy(label) carrying dim
+    decimal-sum aggregates over element_at) was A/B'd in round 8 and is
+    3x SLOWER (0.41 -> 1.19 s at sf0.1): 64 per-row element_at + decimal
+    casts in one aggregate don't vectorize, while Generate + two narrow
+    aggs do — the explode's extra shuffle rows are slim and cheap."""
+    del dim  # posexplode is dim-agnostic; param kept for API stability
     exploded = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent_dims = (exploded.groupBy("label", "pos")
                  .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")

@@ -109,15 +109,8 @@ def knn_cascade_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, docs = _tables(spark, sf_dir)
     q = _qdf(emb)
 
-    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cent_dims = (exploded.groupBy("label", "pos")
-                 .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
-                       / F.count("*")).alias("c")))
-    centroids = (cent_dims.groupBy("label")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
-                      .alias("pc"))
-                 .select("label",
-                         F.expr("transform(pc, x -> x.c)").alias("cvec")))
+    from binaryvectordb_spark.queries.similarity import exact_label_centroids
+    centroids = exact_label_centroids(emb, DIM)
     best = (centroids.join(F.broadcast(q))
             .select("label", cosine("qvec", "cvec").alias("cscore"))
             .orderBy(F.desc("cscore"), F.asc("label"))
