@@ -1594,13 +1594,21 @@ class BinaryVectorDB:
     RRF_K = 60
 
     def search_hybrid(self, terms: Sequence[str], query,
-                      k: int = DEFAULT_K, depth: int = 100) -> list[dict]:
+                      k: int = DEFAULT_K, depth: int = 100,
+                      maxsim_rerank: bool = False) -> list[dict]:
         """Hybrid serving: reciprocal-rank fusion of the lexical top-`depth`
         (inverted index) with the vector cascade top-`depth`.  The fusion
         itself is driver-side over two <= depth-row lists (tiny by
         construction); each side runs its own index-pruned plan — the
         production retrieve-and-fuse stack at the DB surface, mirroring
-        the registered search_hybrid_rrf query over the fixtures."""
+        the registered search_hybrid_rrf query over the fixtures.
+
+        ``maxsim_rerank=True`` re-orders the fused top-k by exact-integer
+        late-interaction MaxSim between the query terms and each hit's
+        str payload (the two-stage ColBERT architecture at the DB surface
+        — the distributed twin is search_maxsim_rerank).  k payload
+        strings against a handful of terms is driver-scale by
+        construction; ties break by RRF order."""
         self._flush_pending()
         kw = {h["doc_id"]: h["kw_rank"]
               for h in self.search_text(terms, k=depth)}
@@ -1617,9 +1625,29 @@ class BinaryVectorDB:
         fused.sort(key=lambda t: (-t[1], t[0]))
         top = fused[:k]
         payloads = self.get_docs([d for d, _ in top])
-        return [{"doc_id": d, "rrf": s,
+        hits = [{"doc_id": d, "rrf": s,
                  "kw_rank": kw.get(d), "vec_rank": vec.get(d),
                  "doc": payloads.get(d)} for d, s in top]
+        if maxsim_rerank:
+            from binaryvectordb_spark.queries.lateinteraction import (
+                _emb_ints,
+            )
+            qembs = [_emb_ints(str(t)) for t in terms]
+
+            def maxsim(doc) -> int:
+                if not isinstance(doc, str) or not doc:
+                    return 0  # typed payloads carry no text to interact with
+                tembs = [_emb_ints(t) for t in set(doc.split(" "))]
+                return sum(max(sum(a * b for a, b in zip(q, te))
+                               for te in tembs) for q in qembs)
+
+            for i, h in enumerate(hits):
+                h["maxsim"] = maxsim(h["doc"])
+                h["_rrf_pos"] = i
+            hits.sort(key=lambda h: (-h["maxsim"], h["_rrf_pos"]))
+            for h in hits:
+                del h["_rrf_pos"]
+        return hits
 
     def __len__(self) -> int:
         self._flush_pending()

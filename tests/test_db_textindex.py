@@ -93,6 +93,35 @@ def test_search_hybrid_fuses_both_lists(spark, tmp_path):
     assert all(h["doc"] == _text(h["doc_id"]) for h in hits)
 
 
+def test_search_hybrid_maxsim_rerank(spark, tmp_path):
+    """maxsim_rerank re-orders the fused top-k by exact-integer MaxSim
+    (same md5-derived token embeddings as the registered MaxSim queries),
+    with RRF position as the tie-break."""
+    from binaryvectordb_spark.queries.lateinteraction import _emb_ints
+
+    db = _mkdb(spark, str(tmp_path / "db"))
+    db.build_text_index()
+    qvec = _emb(7)
+    base = db.search_hybrid(TERMS, qvec, k=10, depth=50)
+    rr = db.search_hybrid(TERMS, qvec, k=10, depth=50, maxsim_rerank=True)
+    assert {h["doc_id"] for h in rr} == {h["doc_id"] for h in base}
+
+    qembs = [_emb_ints(t) for t in TERMS]
+
+    def ms(doc):
+        tembs = [_emb_ints(t) for t in set(doc.split(" "))]
+        return sum(max(sum(a * b for a, b in zip(q, te)) for te in tembs)
+                   for q in qembs)
+
+    want = sorted(range(len(base)),
+                  key=lambda i: (-ms(base[i]["doc"]), i))
+    assert [h["doc_id"] for h in rr] == [base[i]["doc_id"] for i in want]
+    assert all(h["maxsim"] == ms(h["doc"]) for h in rr)
+    # scores are monotonically non-increasing
+    scores = [h["maxsim"] for h in rr]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_restore_drops_derived_text_index(spark, tmp_path):
     db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=DIM, buckets=2,
                         retain_versions=3)
