@@ -1520,6 +1520,10 @@ class BinaryVectorDB:
     # build_text_index()), and restore() drops it rather than guess.
 
     _TEXT_INDEX_DIR = "text_index"
+    # auto-compact the lexical index when an upsert pushes it to this many
+    # segments (one micro-batch = one segment; unbounded growth makes the
+    # query-side union and the tombstone anti-join creep)
+    _TI_COMPACT_SEGMENTS = 16
 
     def _text_index(self):
         from binaryvectordb_spark.operators.textindex import TextIndex
@@ -1565,6 +1569,12 @@ class BinaryVectorDB:
                      .select("doc_id"))
             if other.take(1):
                 ti.remove_df(other)
+        # bounded segment growth under micro-batch ingest (a streaming
+        # sink creates one segment per batch): fold back to one segment
+        # past the threshold — Lucene's merge policy, crudest tier.
+        # Compaction also restores the zero-job stats fast path.
+        if len(ti.meta["segments"]) >= self._TI_COMPACT_SEGMENTS:
+            ti.compact()
 
     def _ti_after_remove(self, doc_ids: Sequence[int]) -> None:
         ti = self._text_index()

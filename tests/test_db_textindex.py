@@ -136,3 +136,20 @@ def test_restore_drops_derived_text_index(spark, tmp_path):
                                           "text_index"))
     with pytest.raises(Exception, match="build_text_index"):
         db.search_text(TERMS)
+
+
+def test_auto_compact_bounds_segments(spark, tmp_path):
+    """Micro-batch upserts may not grow the segment list without bound:
+    at the threshold the maintenance hook folds the index back to one
+    segment, and answers are unchanged."""
+    db = _mkdb(spark, str(tmp_path / "db"), n=40)
+    db.build_text_index()
+    thr = BinaryVectorDB._TI_COMPACT_SEGMENTS
+    for i in range(thr + 2):
+        db.add_batch([1000 + i], [f"fast merge batch{i}"],
+                     np.array([_emb(1000 + i)], dtype=np.float32))
+        assert len(db._text_index().meta["segments"]) <= thr
+    # the folded index still answers like a fresh rebuild
+    got = sorted((h["doc_id"], h["bm25_e10"], h["kw_rank"])
+                 for h in db.search_text(TERMS, k=10))
+    assert got == _fresh_answer(spark, db, tmp_path, "fc")

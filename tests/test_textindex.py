@@ -97,3 +97,77 @@ def test_postings_pruning_and_plan(spark, tmp_path):
     post_dir = os.path.join(str(tmp_path / "ti"), "seg_0", "postings")
     frac = rowgroup_scan_fraction(post_dir, {"token": ("vector", "vector")})
     assert frac < 0.3, frac
+
+
+# -- property-based: indexed BM25 == a bit-exact pure-python reference -------
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PVOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+def _py_bm25(corpus: dict[int, str], terms: list[str]) -> dict[int, int]:
+    """Pure-python BM25 in EXACTLY the engine's operation order (same IEEE
+    double ops left-to-right, floor to 1e-10-unit bigints) — an
+    independent oracle for arbitrary corpora."""
+    dls = {d: float(len(t.split(" "))) for d, t in corpus.items()}
+    n_docs = float(len(corpus))
+    avgdl = sum(dls.values()) / n_docs  # exact: integer-valued doubles
+    out: dict[int, int] = {}
+    for term in set(terms):
+        df = float(sum(1 for t in corpus.values()
+                       if term in t.split(" ")))
+        for d, t in corpus.items():
+            tf = float(t.split(" ").count(term))
+            if tf == 0:
+                continue
+            s = (((n_docs - df) + 0.5) / (df + 0.5)
+                 * ((tf * 2.2)
+                    / (tf + (1.2 * (0.25 + (0.75 * (dls[d] / avgdl)))))))
+            out[d] = out.get(d, 0) + int(math.floor(s * 1e10))
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_property_indexed_bm25_matches_python_reference(spark, tmp_path_factory, data):
+    docs = data.draw(st.dictionaries(
+        st.integers(0, 60),
+        st.lists(st.sampled_from(_PVOCAB), min_size=1, max_size=8)
+        .map(" ".join),
+        min_size=2, max_size=25))
+    terms = data.draw(st.lists(st.sampled_from(_PVOCAB),
+                               min_size=1, max_size=3, unique=True))
+    # a mutation script: an upsert batch and a delete set
+    upd = data.draw(st.dictionaries(
+        st.integers(0, 70),
+        st.lists(st.sampled_from(_PVOCAB), min_size=1, max_size=6)
+        .map(" ".join),
+        max_size=8))
+    dels = data.draw(st.sets(st.sampled_from(sorted(docs) + sorted(upd)),
+                             max_size=5))
+
+    base = tmp_path_factory.mktemp("prop")
+    ti = TextIndex(spark, str(base / "ti")).build(
+        spark.createDataFrame(sorted(docs.items()),
+                              "doc_id: long, text: string"),
+        text_col="text")
+    if upd:
+        ti.add_documents(spark.createDataFrame(
+            sorted(upd.items()), "doc_id: long, text: string"),
+            text_col="text")
+    ti.remove(sorted(dels))
+
+    final = {**docs, **upd}
+    for d in dels:
+        final.pop(d, None)
+    want = _py_bm25(final, terms) if final else {}
+    got = {r["doc_id"]: r["bm25_e10"]
+           for r in ti.search(terms, k=10_000).collect()}
+    want_top = dict(sorted(want.items(),
+                           key=lambda t: (-t[1], t[0]))[:10_000])
+    assert got == want_top
