@@ -72,6 +72,21 @@ class TextIndex:
     # -- layout ------------------------------------------------------------
 
     def _write_meta(self) -> None:
+        # optimistic-concurrency guard: meta carries a version counter; a
+        # handle whose view is stale (another writer committed since we
+        # read) fails loudly instead of last-write-wins dropping that
+        # writer's segments.  (DB-maintained indexes are already
+        # serialized by the DB's own commit flow; this protects direct
+        # multi-handle use.)
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                on_disk = json.load(f).get("v", 0)
+            if on_disk != self.meta.get("v", 0):
+                raise Exception(
+                    "concurrent TextIndex writer detected: meta version "
+                    f"moved {self.meta.get('v', 0)} -> {on_disk}; re-open "
+                    "the index and retry")
+        self.meta["v"] = self.meta.get("v", 0) + 1
         tmp = self._meta_path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(self.meta, f)
@@ -126,7 +141,8 @@ class TextIndex:
         for name in self.meta["segments"] + self.meta["tombstones"]:
             shutil.rmtree(os.path.join(self.folder, name),
                           ignore_errors=True)
-        self.meta = {"segments": [], "tombstones": [], "seg_stats": {}}
+        self.meta = {"segments": [], "tombstones": [], "seg_stats": {},
+                     "v": self.meta.get("v", 0)}
         st = self._write_segment(docs_df, id_col, text_col, "seg_0")
         self.meta["segments"] = ["seg_0"]
         self.meta["seg_stats"] = {"seg_0": st}
@@ -192,11 +208,19 @@ class TextIndex:
         old = self.meta["segments"] + self.meta["tombstones"]
         self.meta = {"segments": [name], "tombstones": [],
                      "seg_stats": {name: {"n_docs": int(row["n"]),
-                                          "sum_dl": float(row["s"] or 0.0)}}}
+                                          "sum_dl": float(row["s"] or 0.0)}},
+                     "v": self.meta.get("v", 0)}
         self._write_meta()
         for stale in old:
             shutil.rmtree(os.path.join(self.folder, stale),
                           ignore_errors=True)
+        # GC orphans: seg_*/tomb_* dirs a crashed writer staged but never
+        # committed into meta (same role as the DB commit's stray sweep)
+        for entry in os.listdir(self.folder):
+            if ((entry.startswith("seg_") or entry.startswith("tomb_"))
+                    and entry != name):
+                shutil.rmtree(os.path.join(self.folder, entry),
+                              ignore_errors=True)
 
     # -- read paths --------------------------------------------------------
 

@@ -171,3 +171,21 @@ def test_property_indexed_bm25_matches_python_reference(spark, tmp_path_factory,
     want_top = dict(sorted(want.items(),
                            key=lambda t: (-t[1], t[0]))[:10_000])
     assert got == want_top
+
+
+def test_stale_handle_write_fails_loudly(spark, tmp_path):
+    """Two handles on one index: the one whose view went stale must FAIL
+    its commit (version guard) instead of last-write-wins dropping the
+    other writer's segments."""
+    import pytest
+
+    d = _docs(spark).limit(20)
+    a = TextIndex(spark, str(tmp_path / "ti")).build(d)
+    b = TextIndex(spark, str(tmp_path / "ti"))  # same folder, same view
+    a.add_documents(d.limit(3))  # a commits; b's view is now stale
+    with pytest.raises(Exception, match="concurrent TextIndex writer"):
+        b.add_documents(d.limit(2))
+    # the surviving state is a's: re-open and verify both segments live
+    c = TextIndex(spark, str(tmp_path / "ti"))
+    assert c.meta["segments"] == a.meta["segments"]
+    assert len(c.meta["segments"]) == 2
