@@ -99,11 +99,29 @@ class TextIndex:
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.col(text_col), " ")).alias("token"))
 
+    @staticmethod
+    def _tokens_pos(docs_df: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+        """(doc_id, pos, token) with 1-based token positions."""
+        return docs_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), " "))
+            .alias("pos0", "token")).select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
     def _write_segment(self, docs_df: DataFrame, id_col: str,
                        text_col: str, name: str) -> dict:
         toks = self._tokens(docs_df, id_col, text_col)
-        postings = (toks.groupBy("token", "doc_id")
-                    .agg(F.count("*").cast("double").alias("tf")))
+        # postings carry POSITIONAL lists (sorted, 1-based) — tf is their
+        # size, and the positions power phrase queries (search_phrase);
+        # the extra ints cost ~the text itself once, at build time
+        postings = (self._tokens_pos(docs_df, id_col, text_col)
+                    .groupBy("token", "doc_id")
+                    .agg(F.array_sort(F.collect_list("pos"))
+                         .alias("positions"))
+                    .select("token", "doc_id",
+                            F.size("positions").cast("double").alias("tf"),
+                            "positions"))
         seg = os.path.join(self.folder, name)
         # token-range files + within-file token sort: the query's
         # In(token) predicate then prunes files AND row groups from
@@ -313,3 +331,35 @@ class TextIndex:
         return (scored.withColumn("kw_rank", F.row_number().over(w))
                 .where(F.col("kw_rank") <= k)
                 .select("doc_id", "bm25_e10", "kw_rank"))
+
+    def search_phrase(self, phrase: Sequence[str], k: int = 10) -> DataFrame:
+        """Exact phrase query over the positional postings: doc matches at
+        position p iff token i of the phrase sits at p + i for every i —
+        computed as the intersection of the per-term position lists shifted
+        by their phrase offset (the classic positional-index algorithm).
+        Each term's postings are a pushed-down token = '...' read; the
+        n-way doc_id join touches only docs containing EVERY term.
+        Returns (doc_id, n_occurrences) by occurrences desc, doc_id asc."""
+        terms = [str(t) for t in phrase]
+        if not terms:
+            raise ValueError("empty phrase")
+        base = self.live_postings()
+        if "positions" not in base.columns:
+            raise Exception("postings carry no positions (index built "
+                            "before round 8) — rebuild with build()")
+        out = None
+        for i, t in enumerate(terms):
+            p = (base.where(F.col("token") == t)
+                 .select("doc_id",
+                         F.expr(f"transform(positions, x -> x - {i})")
+                         .alias(f"_s{i}")))
+            out = p if out is None else out.join(p, "doc_id")
+        expr = "_s0"
+        for i in range(1, len(terms)):
+            expr = f"array_intersect({expr}, _s{i})"
+        return (out.select("doc_id",
+                           F.expr(f"CAST(size({expr}) AS BIGINT)")
+                           .alias("n_occurrences"))
+                .where(F.col("n_occurrences") > 0)
+                .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+                .limit(k))

@@ -64,6 +64,7 @@ _PRIORITY = [
     # (a) new in round 8 — never driver-hashed
     "search_maxsim_rerank",
     "search_bm25_indexed",
+    "search_phrase_indexed",
     # (b) the r4-stale tail that slipped round 7's window — stalest rows
     "window_moving_sum",
     "window_running_total",
@@ -92,7 +93,6 @@ _PRIORITY = [
     "mutation_delete_documents",
     "multimodal_ppm_decode",
     "date_arithmetic",
-    "math_funcs",
     "array_funcs",
     "array_higher_order",
     "map_funcs",
@@ -115,6 +115,7 @@ _PRIORITY = [
     "udf_grouped_map",
     "udf_grouped_agg",
     # (c-tail) designed slips if the ~50-query window cuts here
+    "math_funcs",
     "orderby_limit_offset",
     "string_funcs",
     "string_funcs2",

@@ -151,6 +151,25 @@ def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus.  Bit-identical to search_bm25_topk (same expression tree;
     same oracle), which is exactly the point — the index changes the I/O,
     never the answer."""
+    return _shared_text_index(spark, sf_dir).search(TERMS, k=10)
+
+
+register("search_bm25_indexed", search_bm25_indexed, oracle=f"""
+WITH {_BM25_ORACLE_CTE}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
+PHRASE = ("order", "fast")
+PHRASE_K = 20
+
+
+def _shared_text_index(spark: SparkSession, sf_dir: str):
+    """The per-corpus persisted TextIndex the indexed queries share."""
     import os as _os
     import tempfile
 
@@ -162,16 +181,34 @@ def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tempfile.mkdtemp(prefix="bvdb_textindex_")
         TextIndex(spark, path).build(load_table(spark, sf_dir, "documents"))
         _TI_CACHE[key] = path
-    return TextIndex(spark, path).search(TERMS, k=10)
+    return TextIndex(spark, path)
 
 
-register("search_bm25_indexed", search_bm25_indexed, oracle=f"""
-WITH {_BM25_ORACLE_CTE}
-SELECT doc_id, bm25_e10, kw_rank
-FROM (SELECT doc_id, bm25_e10,
-             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
-      FROM bm25)
-WHERE kw_rank <= 10
+def search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE query ('order fast', adjacency-exact) over the
+    positional inverted index — the query class BM25's bag-of-words
+    cannot answer.  Each phrase term is one pushed-down token='...'
+    postings read; matching = intersection of offset-shifted position
+    lists (the classic positional-index algorithm); only docs containing
+    EVERY term enter the join."""
+    return _shared_text_index(spark, sf_dir).search_phrase(PHRASE,
+                                                           k=PHRASE_K)
+
+
+register("search_phrase_indexed", search_phrase_indexed, oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p0 AS (SELECT doc_id,
+              list_filter(range(1, length(toks) + 1),
+                          p -> toks[p] = '{PHRASE[0]}') AS s0 FROM tok),
+p1 AS (SELECT doc_id,
+              list_transform(list_filter(range(1, length(toks) + 1),
+                                         p -> toks[p] = '{PHRASE[1]}'),
+                             x -> x - 1) AS s1 FROM tok)
+SELECT p0.doc_id,
+       CAST(length(list_intersect(s0, s1)) AS BIGINT) AS n_occurrences
+FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id
+WHERE length(list_intersect(s0, s1)) > 0
+ORDER BY n_occurrences DESC, p0.doc_id ASC LIMIT {PHRASE_K}
 """)
 
 

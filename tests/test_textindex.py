@@ -189,3 +189,34 @@ def test_stale_handle_write_fails_loudly(spark, tmp_path):
     c = TextIndex(spark, str(tmp_path / "ti"))
     assert c.meta["segments"] == a.meta["segments"]
     assert len(c.meta["segments"]) == 2
+
+
+def test_phrase_semantics_and_pruned_bm25_schema(spark, tmp_path):
+    """Phrase matching is adjacency-exact (positions shifted + intersected)
+    and counts occurrences; BM25's search must NOT read the positions
+    column (pruned to token/doc_id/tf at the scan)."""
+    from binaryvectordb_spark.plans import formatted_plan
+
+    rows = [(1, "a b a b a"),      # "a b" occurs twice (pos 1, 3)
+            (2, "b a x a b"),      # once (pos 4)
+            (3, "a x b"),          # both tokens, never adjacent
+            (4, "b a"),            # reverse order only
+            (5, "a a b")]          # once (pos 2)
+    ti = TextIndex(spark, str(tmp_path / "ti")).build(
+        spark.createDataFrame(rows, "doc_id: long, text: string"))
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in ti.search_phrase(["a", "b"]).collect()}
+    assert got == {1: 2, 2: 1, 5: 1}
+    # repeated-term phrase: "a a" matches doc 5 (pos 1) only
+    got2 = {r["doc_id"]: r["n_occurrences"]
+            for r in ti.search_phrase(["a", "a"]).collect()}
+    assert got2 == {5: 1}
+    # an upsert changes phrase answers exactly
+    ti.add_documents(spark.createDataFrame([(3, "a b a b")],
+                                           "doc_id: long, text: string"))
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in ti.search_phrase(["a", "b"]).collect()}
+    assert got3 == {1: 2, 3: 2, 2: 1, 5: 1}
+
+    plan = formatted_plan(ti.search(["a", "b"], k=3))
+    assert "positions" not in plan  # BM25 never reads the position lists
