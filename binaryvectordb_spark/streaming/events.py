@@ -224,3 +224,80 @@ def stream_static_enrich(events: DataFrame, dim_df: DataFrame,
     without restarting the query."""
     from pyspark.sql import functions as F
     return events.join(F.broadcast(dim_df), key, "left")
+
+
+def foreach_batch_rollup(events: DataFrame, out_dir: str,
+                         checkpoint_dir: str):
+    """Incrementally maintained daily (event_date, event_type) rollup —
+    counts and value sums — with EXACTLY-ONCE semantics under micro-batch
+    REPLAY.  Additive aggregation is the foreachBatch trap: the sink is
+    called at-least-once, so a replayed batch would double-count unless
+    the commit is idempotent.  The guard is the same manifest-pointer
+    pattern as the DB's txn log: each batch writes its merged table to a
+    fresh ``data_v<batch_id>`` dir, then atomically swaps ``meta.json``
+    = {data: dir, last_batch: id}; a replayed batch_id <= last_batch is
+    skipped, and a crash between data write and meta swap leaves only an
+    orphan dir the replay overwrites.  Readers (``read_rollup``) always
+    see exactly one committed version.
+
+    Scale: the per-batch delta is a map-side-combined groupBy of the
+    micro-batch; the merge touches the (days x types)-sized rollup, never
+    the event history — the standard incremental materialized aggregate."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    meta_path = _os.path.join(out_dir, "meta.json")
+    spark = events.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        meta = {}
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = _json.load(f)
+        if batch_id <= meta.get("last_batch", -1):
+            return  # replayed batch: already folded in, skip (exactly-once)
+        # value is aggregated in integer CENTS: partial sums of doubles
+        # merge in a different fold order than one global sum and drift
+        # ULPs, so an incremental rollup must carry an EXACT additive
+        # representation (same device as stateful_user_totals)
+        delta = (batch_df
+                 .groupBy(F.to_date("ts").alias("event_date"), "event_type")
+                 .agg(F.count("*").alias("n_events"),
+                      F.sum(F.round(F.col("value") * 100).cast("long"))
+                      .alias("value_cents")))
+        if meta.get("data"):
+            cur = spark.read.parquet(_os.path.join(out_dir, meta["data"]))
+            merged = (cur.unionByName(delta)
+                      .groupBy("event_date", "event_type")
+                      .agg(F.sum("n_events").alias("n_events"),
+                           F.sum("value_cents").alias("value_cents")))
+        else:
+            merged = delta
+        vdir = f"data_v{batch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, vdir))
+        tmp = meta_path + f".tmp{_os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump({"data": vdir, "last_batch": batch_id}, f)
+        _os.replace(tmp, meta_path)
+        # GC superseded versions (best-effort; the pointer moved already)
+        import shutil as _shutil
+        for d in _os.listdir(out_dir):
+            if d.startswith("data_v") and d != vdir:
+                _shutil.rmtree(_os.path.join(out_dir, d),
+                               ignore_errors=True)
+
+    return (events.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed rollup snapshot (meta-pointer read)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    return spark.read.parquet(_os.path.join(out_dir, meta["data"]))

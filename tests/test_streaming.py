@@ -226,3 +226,52 @@ def test_rocksdb_state_store_matches_default(spark, events_dir):
     finally:
         use_rocksdb_state(spark, enabled=False)
     assert got == want
+
+
+def test_foreach_batch_rollup_exactly_once(spark, tmp_path, events_dir):
+    """The incremental rollup equals the batch groupBy of the whole
+    fixture, and REPLAYING a micro-batch (foreachBatch's at-least-once
+    contract) changes nothing — the manifest-pointer commit makes the
+    additive merge idempotent."""
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_rollup,
+        read_rollup,
+    )
+
+    # split the fixture into 2 arriving files -> 2 real micro-batches
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    for i in range(2):
+        part = tmp_path / f"rp{i}"
+        (raw.where(F.col("event_id") % 2 == i).coalesce(1)
+         .write.mode("overwrite").parquet(str(part)))
+        src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+        shutil.copy(src, multi / f"b{i}.parquet")
+
+    out = str(tmp_path / "rollup")
+    stream = read_events_stream(spark, str(multi), max_files_per_trigger=1)
+    q = foreach_batch_rollup(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    cols = ["event_date", "event_type", "n_events", "value_cents"]
+    got = sorted(map(tuple, read_rollup(spark, out).select(*cols).collect()))
+    want = sorted(map(tuple, (
+        raw.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("value_cents"))
+        .collect())))
+    assert got == want and len(got) > 0
+
+    # simulate the at-least-once replay: re-run the whole stream against
+    # the SAME output dir with a FRESH checkpoint (every batch replays)
+    q2 = foreach_batch_rollup(
+        read_events_stream(spark, str(multi), max_files_per_trigger=1),
+        out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    again = sorted(map(tuple, read_rollup(spark, out)
+                   .select(*cols).collect()))
+    assert again == want  # no double counting
