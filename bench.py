@@ -434,6 +434,11 @@ def bench_textindex(spark, sf_dir: str,
         med, sp = _time_runs(lambda: search_bm25_topk(spark, sf_dir))
         out["bm25_scan"] = round(med, 4)
         variance["bm25_scan"] = round(sp, 2)
+        from binaryvectordb_spark.queries.hybrid import PHRASE
+        idx.search_phrase(PHRASE, k=20).collect()  # warm-up
+        med, sp = _time_runs(lambda: idx.search_phrase(PHRASE, k=20))
+        out["phrase_indexed"] = round(med, 4)
+        variance["phrase_indexed"] = round(sp, 2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

@@ -212,7 +212,10 @@ class TextIndex:
     def compact(self) -> None:
         """Merge live postings into one fresh segment, drop tombstones
         (Lucene's merge).  Query cost returns to single-segment."""
-        post = self.live_postings().select("token", "doc_id", "tf")
+        # carry EVERY postings column (tf AND positions) — dropping one
+        # would leave the compacted segment schema-incompatible with the
+        # next upsert's segment and break the query-side union
+        post = self.live_postings().drop("seg")
         dl = self.live_doclen().select("doc_id", "dl")
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)

@@ -1,0 +1,88 @@
+"""Round-8 hybrid text serving walkthrough: the persisted inverted index
+(build / incremental upsert / phrase query / compact), the DB-surface
+lexical + hybrid search with MaxSim rerank, and OPTIMIZE ZORDER on the doc
+store.
+
+Run: python examples/hybrid_text_serving.py  (uses the sf0.001 fixtures)
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from binaryvectordb_spark.session import get_spark
+from binaryvectordb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("example-hybrid-text")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. A standalone inverted index over the documents fixture
+    from binaryvectordb_spark.operators.textindex import TextIndex
+
+    tdir = tempfile.mkdtemp(prefix="ti_example_")
+    ti = TextIndex(spark, tdir).build(load_table(spark, SF, "documents"))
+    print("BM25 top-5:", [(r["doc_id"], r["bm25_e10"])
+                          for r in ti.search(("vector", "merge"), k=5)
+                          .collect()])
+    print("phrase 'order fast' top-5:",
+          [(r["doc_id"], r["n_occurrences"])
+           for r in ti.search_phrase(("order", "fast"), k=5).collect()])
+
+    # 2. Incremental maintenance: one new segment per batch, tombstones
+    #    kill the replaced postings; compact() folds back to one segment
+    upd = spark.createDataFrame([(0, "order fast order fast")],
+                                "doc_id: long, text: string")
+    ti.add_documents(upd)
+    print("after upsert:", [(r["doc_id"], r["n_occurrences"])
+                            for r in ti.search_phrase(("order", "fast"),
+                                                      k=3).collect()])
+    ti.compact()
+    print("segments after compact:", ti.meta["segments"])
+
+    # 3. The DB surface: lexical index as derived state + hybrid serving
+    from binaryvectordb_spark.db import BinaryVectorDB
+
+    dbdir = tempfile.mkdtemp(prefix="db_example_")
+    db = BinaryVectorDB(spark, dbdir, dim=16, buckets=4)
+    rng = np.random.default_rng(5)
+    texts = [f"doc {i} " + ("order fast " if i % 7 == 0 else "merge scan ")
+             * 3 for i in range(200)]
+    db.add_batch(list(range(200)), texts,
+                 rng.standard_normal((200, 16)).astype(np.float32))
+    db.build_text_index()
+    qvec = rng.standard_normal(16).astype(np.float32)
+    hits = db.search_hybrid(("order", "fast"), qvec, k=5,
+                            maxsim_rerank=True)
+    print("hybrid+maxsim:", [(h["doc_id"], h["kw_rank"], h["vec_rank"],
+                              h["maxsim"]) for h in hits])
+
+    # 4. OPTIMIZE ZORDER: filtered serving reads fewer row-group bytes
+    db2dir = tempfile.mkdtemp(prefix="db_layout_example_")
+    db2 = BinaryVectorDB(spark, db2dir, dim=16, buckets=4)
+    from pyspark.sql import functions as F
+    src = (spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc"),
+        F.expr("transform(sequence(1, 16), i -> "
+               "CAST((id * i % 97) / 97.0 AS DOUBLE))").alias("embedding"),
+        (F.col("id") * 37 % 100).alias("x"),
+        (F.col("id") * 91 % 100).alias("y")))
+    db2.add_batch_df(src, meta_cols=["x", "y"])
+    from binaryvectordb_spark.operators.zorder import rowgroup_scan_fraction
+    docs_path = os.path.join(db2dir, "documents")
+    before = rowgroup_scan_fraction(docs_path, {"x": (10, 19), "y": (30, 39)})
+    db2.optimize_layout(["x", "y"], row_group_bytes=8192)
+    after = rowgroup_scan_fraction(docs_path, {"x": (10, 19), "y": (30, 39)})
+    print(f"2-D filter row-group bytes: {before:.2f} -> {after:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -218,5 +218,16 @@ def test_phrase_semantics_and_pruned_bm25_schema(spark, tmp_path):
             for r in ti.search_phrase(["a", "b"]).collect()}
     assert got3 == {1: 2, 3: 2, 2: 1, 5: 1}
 
+    # compaction must carry the positions column: phrase answers survive,
+    # and a post-compact upsert unions cleanly (the round-8 regression)
+    ti.compact()
+    assert {r["doc_id"]: r["n_occurrences"]
+            for r in ti.search_phrase(["a", "b"]).collect()} == got3
+    ti.add_documents(spark.createDataFrame([(9, "a b")],
+                                           "doc_id: long, text: string"))
+    got4 = {r["doc_id"]: r["n_occurrences"]
+            for r in ti.search_phrase(["a", "b"]).collect()}
+    assert got4 == {**got3, 9: 1}
+
     plan = formatted_plan(ti.search(["a", "b"], k=3))
     assert "positions" not in plan  # BM25 never reads the position lists
