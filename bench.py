@@ -436,7 +436,10 @@ def bench_textindex(spark, sf_dir: str,
         variance["bm25_scan"] = round(sp, 2)
         from binaryvectordb_spark.queries.hybrid import PHRASE
         idx.search_phrase(PHRASE, k=20).collect()  # warm-up
-        med, sp = _time_runs(lambda: idx.search_phrase(PHRASE, k=20))
+        # ~0.1 s key: a single GC pause is a large relative spread, so use
+        # the widened-sample single-outlier protocol from the start
+        med, sp = _time_runs(lambda: idx.search_phrase(PHRASE, k=20),
+                             n=9, discard_worst=2)
         out["phrase_indexed"] = round(med, 4)
         variance["phrase_indexed"] = round(sp, 2)
     finally:
