@@ -3,7 +3,7 @@ rank-normalized columns so that range predicates on EITHER OR BOTH columns
 map to a small number of contiguous z-value runs — which is what lets
 parquet row-group statistics prune most of the table for 2-D filters
 (the Delta/Iceberg OPTIMIZE ZORDER idea, built here from plain expressions
-and a range-partitioned write).
+and a deterministic quantile-bucketed partitioned write).
 
 Why it matters at 100 TB: a table sorted by one column skips well on that
 column and not at all on the second; a z-ordered table skips on both.  The
