@@ -44,11 +44,12 @@ this is part of the hybrid-retrieval surface a production corpus needs.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -111,7 +112,6 @@ class TextIndex:
 
     def _write_segment(self, docs_df: DataFrame, id_col: str,
                        text_col: str, name: str) -> dict:
-        toks = self._tokens(docs_df, id_col, text_col)
         # postings carry POSITIONAL lists (sorted, 1-based) — tf is their
         # size, and the positions power phrase queries (search_phrase);
         # the extra ints cost ~the text itself once, at build time
@@ -129,20 +129,33 @@ class TextIndex:
         (postings.repartitionByRange("token")
          .sortWithinPartitions("token", "doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "postings")))
-        dl = toks.groupBy("doc_id").agg(
-            F.count("*").cast("double").alias("dl"))
-        dl.write.mode("overwrite").parquet(os.path.join(seg, "doclen"))
-        # exact per-segment corpus stats, captured at WRITE time: n_docs is
-        # an integer; sum_dl is a sum of integer-valued doubles (token
-        # counts), exact in float64 up to 2^53 and FOLD-ORDER-INDEPENDENT —
-        # so the tombstone-free stats fast path is bit-identical to an
-        # aggregation over the tables
-        row = (self.spark.read
-               .parquet(os.path.join(seg, "doclen"))
-               .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-               .first())
-        return {"n_docs": int(row["n"]),
-                "sum_dl": float(row["s"] or 0.0)}
+        # doclen from the WRITTEN postings (dl = sum of tf, identical to a
+        # token count: tf doubles are integer-valued, so the sum is exact
+        # and fold-order-free) — reads the compact segment back instead of
+        # re-tokenizing the raw text a second time.  The explicit schema
+        # matters: schema inference over a multi-file parquet dir runs a
+        # footer-reading Spark JOB, which would break the per-upsert job
+        # budget this path is pinned to (tests/test_textindex.py).
+        dl = (self.spark.read.schema("doc_id long, tf double")
+              .parquet(os.path.join(seg, "postings"))
+              .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+        return self._write_doclen(dl, seg)
+
+    def _write_doclen(self, dl: DataFrame, seg: str) -> dict:
+        """Write a segment's doclen table, folding the exact per-segment
+        corpus stats into the SAME write job via observed metrics — no
+        separate .first() stats job (round-8 paid 1 extra Spark job per
+        incremental segment here).  n_docs is an integer; sum_dl is a sum
+        of integer-valued doubles (token counts), exact in float64 up to
+        2^53 and FOLD-ORDER-INDEPENDENT — so the tombstone-free stats fast
+        path is bit-identical to an aggregation over the tables."""
+        obs = Observation()
+        (dl.observe(obs, F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("s"))
+         .write.mode("overwrite").parquet(os.path.join(seg, "doclen")))
+        got = obs.get
+        return {"n_docs": int(got["n"]),
+                "sum_dl": float(got["s"] or 0.0)}
 
     def _next_name(self, prefix: str) -> str:
         existing = self.meta["segments"] + self.meta["tombstones"]
@@ -172,20 +185,70 @@ class TextIndex:
         """Upsert a batch: one NEW segment + tombstones scoped to every
         earlier segment (the incoming ids' old postings die; their new
         postings live in the new segment).  O(batch) writes."""
+        self.upsert_batch(docs_df, None, id_col=id_col, text_col=text_col)
+
+    def upsert_batch(self, docs_df: DataFrame | None,
+                     dead_ids_df: DataFrame | None,
+                     id_col: str = "doc_id", text_col: str = "text") -> None:
+        """One mutation round-trip for a mixed batch: ``docs_df`` rows get
+        new postings (one fresh segment); ``dead_ids_df`` doc_ids (a
+        `doc_id` column) are additionally killed in every earlier segment
+        WITHOUT re-indexing — the DB's upsert hook passes ALL touched ids
+        here (str rows re-index, non-str rows just die) so one scoped
+        tombstone covers both, instead of a tombstone write plus a
+        remove_df write.
+
+        Spark-job budget (the streaming-sink cost): postings write + doclen
+        write (stats folded in via observed metrics) + one tombstone write
+        = 3 jobs; an index-only batch (no dead ids) skips the tombstone
+        when the index is empty, and an all-dead batch (docs_df None/empty)
+        pays only the tombstone.  Zero driver probe/stats jobs — pinned by
+        tests/test_textindex.py job counting."""
         if not self.meta["segments"]:
-            self.build(docs_df, id_col, text_col)
+            # nothing earlier to tombstone: a fresh index is just a build
+            # over the new postings (dead ids have nothing to kill)
+            if docs_df is not None:
+                self.build(docs_df, id_col, text_col)
             return
         upto = len(self.meta["segments"]) - 1
-        seg_name = self._next_name("seg")
-        tomb_name = self._next_name("tomb")
-        st = self._write_segment(docs_df, id_col, text_col, seg_name)
-        self.meta.setdefault("seg_stats", {})[seg_name] = st
-        (docs_df.select(F.col(id_col).alias("doc_id"),
-                        F.lit(upto).alias("upto_seg"))
-         .write.mode("overwrite")
-         .parquet(os.path.join(self.folder, tomb_name)))
-        self.meta["segments"].append(seg_name)
-        self.meta["tombstones"].append(tomb_name)
+        seg_name = None
+        if docs_df is not None:
+            seg_name = self._next_name("seg")
+            st = self._write_segment(docs_df, id_col, text_col, seg_name)
+            if st["n_docs"] == 0:
+                # empty batch: roll the staged segment back rather than
+                # registering a useless dir (streaming sinks deliver empty
+                # micro-batches routinely) — the write-time stats already
+                # told us, no extra count job
+                shutil.rmtree(os.path.join(self.folder, seg_name),
+                              ignore_errors=True)
+                seg_name = None
+            else:
+                self.meta.setdefault("seg_stats", {})[seg_name] = st
+        dead = None
+        if docs_df is not None and dead_ids_df is None:
+            dead = docs_df.select(F.col(id_col).cast("long").alias("doc_id"))
+        elif dead_ids_df is not None:
+            dead = dead_ids_df.select(
+                F.col("doc_id").cast("long").alias("doc_id"))
+        tomb_name = None
+        if dead is not None:
+            tomb_name = self._next_name("tomb")
+            obs = Observation()
+            (dead.withColumn("upto_seg", F.lit(upto))
+             .observe(obs, F.count(F.lit(1)).alias("n"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.folder, tomb_name)))
+            if int(obs.get["n"]) == 0:
+                shutil.rmtree(os.path.join(self.folder, tomb_name),
+                              ignore_errors=True)
+                tomb_name = None
+        if seg_name is None and tomb_name is None:
+            return  # fully empty batch: no state change, no meta bump
+        if seg_name is not None:
+            self.meta["segments"].append(seg_name)
+        if tomb_name is not None:
+            self.meta["tombstones"].append(tomb_name)
         self._write_meta()
 
     def remove(self, doc_ids: Sequence[int]) -> None:
@@ -198,16 +261,7 @@ class TextIndex:
     def remove_df(self, ids_df: DataFrame) -> None:
         """remove() from a DataFrame of doc_ids — the distributed form
         mutation hooks use (no driver round-trip for the id set)."""
-        if not self.meta["segments"]:
-            return
-        upto = len(self.meta["segments"]) - 1
-        tomb_name = self._next_name("tomb")
-        (ids_df.select(F.col("doc_id").cast("long").alias("doc_id"),
-                       F.lit(upto).alias("upto_seg"))
-         .write.mode("overwrite")
-         .parquet(os.path.join(self.folder, tomb_name)))
-        self.meta["tombstones"].append(tomb_name)
-        self._write_meta()
+        self.upsert_batch(None, ids_df)
 
     def compact(self) -> None:
         """Merge live postings into one fresh segment, drop tombstones
@@ -222,14 +276,10 @@ class TextIndex:
         (post.repartitionByRange("token")
          .sortWithinPartitions("token", "doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "postings")))
-        dl.write.mode("overwrite").parquet(os.path.join(seg, "doclen"))
-        row = (self.spark.read.parquet(os.path.join(seg, "doclen"))
-               .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-               .first())
+        st = self._write_doclen(dl, seg)  # stats folded into the write job
         old = self.meta["segments"] + self.meta["tombstones"]
         self.meta = {"segments": [name], "tombstones": [],
-                     "seg_stats": {name: {"n_docs": int(row["n"]),
-                                          "sum_dl": float(row["s"] or 0.0)}},
+                     "seg_stats": {name: st},
                      "v": self.meta.get("v", 0)}
         self._write_meta()
         for stale in old:
@@ -245,12 +295,23 @@ class TextIndex:
 
     # -- read paths --------------------------------------------------------
 
+    # fixed table schemas, supplied to every read: parquet schema
+    # inference over a multi-file dir runs a footer-reading Spark job,
+    # which would tax every query AND the maintenance job budget
+    _SCHEMAS = {
+        "postings": "token string, doc_id long, tf double, "
+                    "positions array<int>",
+        "doclen": "doc_id long, dl double",
+        "tomb": "doc_id long, upto_seg int",
+    }
+
     def _tomb(self) -> DataFrame | None:
         if not self.meta["tombstones"]:
             return None
         paths = [os.path.join(self.folder, t)
                  for t in self.meta["tombstones"]]
-        return self.spark.read.parquet(*paths)
+        return (self.spark.read.schema(self._SCHEMAS["tomb"])
+                .parquet(*paths))
 
     def _live(self, sub: str) -> DataFrame:
         """Union the segment tables with their segment ordinal, minus
@@ -261,7 +322,7 @@ class TextIndex:
             raise Exception("empty TextIndex; build() first")
         parts = []
         for i, name in enumerate(self.meta["segments"]):
-            parts.append(self.spark.read
+            parts.append(self.spark.read.schema(self._SCHEMAS[sub])
                          .parquet(os.path.join(self.folder, name, sub))
                          .withColumn("seg", F.lit(i)))
         df = parts[0]
@@ -290,8 +351,13 @@ class TextIndex:
         floored-bigint 1e-10 score units, same expression tree.  Reads
         ONLY the pruned postings row groups for ``terms`` plus the slim
         doclen tables."""
+        terms = [str(t) for t in terms]
+        if not terms:
+            # would otherwise surface as an opaque py4j error from
+            # isin(*[]) — and db.search_text forwards raw user input here
+            raise ValueError("empty terms: pass at least one query term")
         tf = (self.live_postings()
-              .where(F.col("token").isin(*[str(t) for t in terms]))
+              .where(F.col("token").isin(*terms))
               .select("token", "doc_id", "tf"))
         dl = self.live_doclen().select("doc_id", "dl")
         # corpus stats: with NO tombstones (the compacted steady state)
@@ -330,9 +396,17 @@ class TextIndex:
                   .withColumn("term_score_e10", F.expr(term_score))
                   .groupBy("doc_id")
                   .agg(F.sum("term_score_e10").alias("bm25_e10")))
+        # top-k FIRST (TakeOrderedAndProject — partial per-partition heaps,
+        # never a single-partition sort), THEN ranks over the <= k
+        # survivors.  The former global rank window got a WindowGroupLimit
+        # prune on Spark 4.x, but its input bound was still "docs matching
+        # any term" — for a stop-word term at 100 TB that bound is the
+        # corpus funneled into ONE window partition.  Here the window's
+        # input is <= k rows by construction (plan pinned in
+        # tests/test_textindex.py).
+        top = scored.orderBy(F.desc("bm25_e10"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("bm25_e10"), F.asc("doc_id"))
-        return (scored.withColumn("kw_rank", F.row_number().over(w))
-                .where(F.col("kw_rank") <= k)
+        return (top.withColumn("kw_rank", F.row_number().over(w))
                 .select("doc_id", "bm25_e10", "kw_rank"))
 
     def search_phrase(self, phrase: Sequence[str], k: int = 10) -> DataFrame:
@@ -366,3 +440,75 @@ class TextIndex:
                 .where(F.col("n_occurrences") > 0)
                 .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
                 .limit(k))
+
+    # -- RAM-tier serving ----------------------------------------------------
+
+    def to_local(self) -> "LocalBM25Searcher":
+        """Materialize the live postings + doclen into an in-process BM25
+        searcher — the lexical twin of operators/local_serve.py's
+        LocalCascadeSearcher: one Spark pass at attach time, then
+        single-query keyword serving with NO per-query Spark job (and
+        therefore none of the ~0.2 s job floor).  Bit-identical to
+        ``search`` (pinned in tests): same rarity idf, same left-assoc
+        IEEE-double expression tree, same floored-bigint 1e-10 units —
+        Python floats ARE float64, so replaying the exact operation order
+        reproduces the scores bit-for-bit.
+
+        Memory is O(total postings) — the RAM-tier trade, same as the
+        vector searcher's O(n x dim); beyond one node's RAM you shard
+        postings by token range behind a router, exactly like the vector
+        shards."""
+        rows = (self.live_postings()
+                .select("token", "doc_id", "tf").toLocalIterator())
+        postings: dict[str, list[tuple[int, float]]] = {}
+        for r in rows:
+            postings.setdefault(r["token"], []).append(
+                (int(r["doc_id"]), float(r["tf"])))
+        dl = {int(r["doc_id"]): float(r["dl"])
+              for r in self.live_doclen().select("doc_id", "dl").collect()}
+        return LocalBM25Searcher(postings, dl)
+
+
+class LocalBM25Searcher:
+    """In-process BM25 over collected postings (TextIndex.to_local).
+
+    ``search(terms, k)`` returns [{doc_id, bm25_e10, kw_rank}] identical to
+    TextIndex.search().collect() — the scoring replays queries/hybrid.py's
+    expression tree operation-for-operation in float64 (K1=1.2, B=0.75,
+    rarity idf, floor to bigint 1e-10 units before the per-doc integer
+    sum), so fusion layers built on either path agree exactly."""
+
+    def __init__(self, postings: dict[str, list[tuple[int, float]]],
+                 dl: dict[int, float]):
+        self.postings = postings
+        self.dl = dl
+        self.n_docs = float(len(dl))
+        # sum of integer-valued doubles: exact and fold-order-free, same
+        # value as the Spark aggregation / write-time seg_stats
+        self.avgdl = (sum(dl.values()) / self.n_docs) if dl else 0.0
+
+    def search(self, terms: Sequence[str], k: int = 10) -> list[dict]:
+        terms = [str(t) for t in terms]
+        if not terms:
+            raise ValueError("empty terms: pass at least one query term")
+        if not self.dl:
+            return []
+        scores: dict[int, int] = {}
+        n_docs, avgdl = self.n_docs, self.avgdl
+        for t in set(terms):  # a repeated term contributes once, as in the
+            plist = self.postings.get(t)     # DataFrame paths' isin() set
+            if not plist:
+                continue
+            df_ = float(len(plist))
+            for doc_id, tf in plist:
+                # EXACT replay of the SQL tree: ((n-df)+0.5)/(df+0.5) *
+                # (tf*2.2)/(tf + (1.2*(0.25 + (0.75*(dl/avgdl))))) * 1e10,
+                # left-assoc, each op one correctly-rounded float64 op
+                dl_v = self.dl[doc_id]
+                s = (((n_docs - df_) + 0.5) / (df_ + 0.5)
+                     * ((tf * 2.2) / (tf + (1.2 * (0.25 + (0.75 * (dl_v / avgdl))))))
+                     * 1e10)
+                scores[doc_id] = scores.get(doc_id, 0) + math.floor(s)
+        top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+        return [{"doc_id": d, "bm25_e10": s, "kw_rank": i + 1}
+                for i, (d, s) in enumerate(top)]
