@@ -21,6 +21,7 @@ from real parquet footers (tests/test_zorder.py, bench zorder_* keys).
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
@@ -106,6 +107,20 @@ def write_zordered(df: DataFrame, path: str, zcol, n_files: int) -> None:
      .sortWithinPartitions("_zb", "_z")
      .drop("_z")
      .write.mode("overwrite").partitionBy("_zb").parquet(path))
+    # flatten the _zb= dirs back into plain files: partitionBy was only the
+    # one-file-per-bucket write mechanism, and leaving it would LEAK the
+    # internal bucket id into the reader-visible schema (spark.read of a
+    # z-ordered output would gain an _zb column flat layouts never had —
+    # ADVICE r8).  partitionBy columns are not stored in the data files, so
+    # the moved files carry exactly the input schema; the zb prefix keeps
+    # listings in z-range order (cosmetic — readers prune on footer stats).
+    import glob as glob_mod
+    for d in sorted(glob_mod.glob(os.path.join(path, "_zb=*"))):
+        zb = int(d.rsplit("=", 1)[1])
+        for fpath in sorted(glob_mod.glob(os.path.join(d, "part-*"))):
+            os.replace(fpath, os.path.join(
+                path, f"zb{zb:05d}-{os.path.basename(fpath)}"))
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def column_code(df: DataFrame, col: str, bits: int = 8):
