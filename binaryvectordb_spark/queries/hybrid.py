@@ -164,6 +164,31 @@ WHERE kw_rank <= 10
 """)
 
 
+def search_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-10 BM25 query served by the RAM-tier lexical searcher
+    (TextIndex.to_local — collected postings, zero Spark jobs per query):
+    the third serving tier next to the corpus scan and the indexed Spark
+    plan, and the one db.search_hybrid uses once a local searcher is
+    attached.  The oracle is the SAME corpus-scan SQL — the whole point is
+    that the in-process float64 replay of the scoring tree is
+    bit-identical to both Spark paths, so this row is the driver-level
+    parity gate for the serving tier."""
+    hits = _shared_text_index(spark, sf_dir).to_local().search(TERMS, k=10)
+    return spark.createDataFrame(
+        [(h["doc_id"], h["bm25_e10"], h["kw_rank"]) for h in hits],
+        "doc_id: long, bm25_e10: bigint, kw_rank: int")
+
+
+register("search_bm25_local", search_bm25_local, oracle=f"""
+WITH {_BM25_ORACLE_CTE}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
 PHRASE = ("order", "fast")
 PHRASE_K = 20
 
