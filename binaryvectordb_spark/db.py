@@ -116,6 +116,11 @@ class BinaryVectorDB:
         # serving-handle memo: (manifest_version, index_df, docs_df,
         # index_nonempty) — see _serving_handles
         self._serve_cache: tuple | None = None
+        # RAM-tier serving memo (attach_local_serving): requested shard
+        # count (None = not attached) and (manifest_version, vec_searcher,
+        # bm25_searcher, payload_map) — see _local_searchers
+        self._local_serve_shards: int | None = None
+        self._local_serve: tuple | None = None
         # commit-time table stats (see table_stats): advisory, cheap to
         # recompute, so a handle can switch them off for bulk-load loops
         self.auto_stats = True
@@ -756,6 +761,12 @@ class BinaryVectorDB:
         return (self.spark.read.option("basePath", p).parquet(*dirs)
                 .drop("bucket"))
 
+    # within-bucket doc_id sort at write (round 8, commit a9d3985's
+    # change) — a REAL knob only so the A/B harness can isolate its
+    # ingest cost against the r7 unsorted shape in one session
+    # (examples/ab_r8_1m_family.py); production leaves it True
+    _SORT_BUCKETS_AT_WRITE = True
+
     def _stage(self, df: DataFrame, name: str, nparts: int,
                sort_cols: Sequence[str] = (),
                writer_opts: dict | None = None) -> dict[str, list[str]]:
@@ -792,7 +803,7 @@ class BinaryVectorDB:
         if sort_cols:
             staged = (staged.sortWithinPartitions(*part_cols, *sort_cols)
                       .drop(*sort_cols))
-        elif "doc_id" in df.columns:
+        elif self._SORT_BUCKETS_AT_WRITE and "doc_id" in df.columns:
             staged = staged.sortWithinPartitions(*part_cols, "doc_id")
         w = staged.write.mode("overwrite")
         for k, v in (writer_opts or {}).items():
@@ -924,11 +935,14 @@ class BinaryVectorDB:
             # shuffle's nondeterministic row placement — the same corpus
             # trained different centroids per session (observed as the
             # unexplained cascade_1m_ivf_scan_fraction moves, r5-r7
-            # benches).  Hash-select on doc_id instead: membership is a
-            # pure function of the data.
-            denom = max(1, round(1.0 / frac))
+            # benches).  Hash-THRESHOLD on doc_id instead: membership is a
+            # pure function of the data, and the achieved fraction tracks
+            # the requested one for ANY frac (the r8 denom=round(1/frac)
+            # form collapsed to 1/round(1/frac): 0.7 trained on 100%, 0.4
+            # on 50% — ADVICE r8).
             train = feats.where(
-                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(denom)) == 0)
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000))
+                < int(frac * 1_000_000))
         # pin the train set's partitioning AND intra-partition order so the
         # seeded k-means|| init sees an identical sequence every run —
         # without this, identical data can still yield different centroids
@@ -1161,7 +1175,29 @@ class BinaryVectorDB:
         had_ivf_model = (self.index_type == "ivf"
                          and self._ivf_model() is not None)
         new_docs = _align(new_docs)
-        incoming = new_docs  # the batch alone, pre-merge (text-index hook)
+        # the batch alone, pre-merge, for the text-index hook — MATERIALIZED
+        # before the commit below: _commit garbage-collects superseded data
+        # files, so re-executing a batch frame that was DERIVED from the
+        # DB's own tables (the re-embed-existing-docs flow) after the commit
+        # can hit deleted parquet (FileNotFound), or re-evaluate a
+        # non-deterministic source into rows that were never committed.
+        # localCheckpoint pins the exact committed rows in block storage
+        # (batch-sized), and the observed metrics fold the str/non-str
+        # counts into the SAME job — the hook then needs zero take(1)
+        # probes.  Only paid when a text index exists.
+        incoming = incoming_counts = None
+        if self._text_index() is not None:
+            from pyspark.sql import Observation
+            obs = Observation()
+            incoming = (new_docs
+                        .select("doc_id", "doc", "doc_kind")
+                        .observe(obs,
+                                 F.count(F.when(F.col("doc_kind") == "str",
+                                                1)).alias("n_str"),
+                                 F.count(F.when(F.col("doc_kind") != "str",
+                                                1)).alias("n_other"))
+                        .localCheckpoint(eager=True))
+            incoming_counts = obs.get
         if (touched is not None and self._is_bucketed("index")
                 and self._is_bucketed("documents")):
             surv_index = self._read_buckets("index", touched)
@@ -1206,7 +1242,8 @@ class BinaryVectorDB:
             self.build_ivf()
         elif had_ivf_model:
             self._note_ivf_mutation(n_keys)
-        self._ti_after_upsert(incoming)
+        if incoming is not None:
+            self._ti_after_upsert(incoming, incoming_counts)
 
     def _enqueue(self, doc_ids: list[int], docs: list[str], kinds: list[str],
                  emb: np.ndarray, save: bool) -> None:
@@ -1549,26 +1586,26 @@ class BinaryVectorDB:
                   os.path.join(self.folder, self._TEXT_INDEX_DIR)).build(
             d.select("doc_id", F.col("doc").alias("text")), text_col="text")
 
-    def _ti_after_upsert(self, incoming: DataFrame) -> None:
+    def _ti_after_upsert(self, incoming: DataFrame, counts) -> None:
         """Incremental text-index maintenance after an upsert commit: the
-        batch's str-kind rows become one new segment; rows whose payload is
-        (now) non-str are tombstoned so an update away from text drops the
-        doc from keyword search.  Stays distributed — the batch frame goes
-        to the index writer as-is, never through the driver."""
+        batch's str-kind rows become one new segment; EVERY incoming id is
+        killed in earlier segments by ONE scoped tombstone (str rows'
+        old postings die, their new postings live in the new segment;
+        non-str rows — payloads updated away from text — just die).
+        ``incoming`` is the checkpointed batch projection and ``counts``
+        its observed {n_str, n_other} from the same job (_merge_and_swap),
+        so this hook runs zero probe jobs: segment + doclen + tombstone
+        writes only (jobs pinned in tests/test_db_textindex.py)."""
         ti = self._text_index()
         if ti is None:
             return
-        has_kind = "doc_kind" in incoming.columns
+        n_str = int(counts["n_str"])
+        if int(counts["n_other"]) + n_str == 0:
+            return  # empty batch — legitimate streaming no-op
         str_df = (incoming.where(F.col("doc_kind") == "str")
-                  if has_kind else incoming)
-        str_df = str_df.select("doc_id", F.col("doc").alias("text"))
-        if str_df.take(1):
-            ti.add_documents(str_df, text_col="text")
-        if has_kind:
-            other = (incoming.where(F.col("doc_kind") != "str")
-                     .select("doc_id"))
-            if other.take(1):
-                ti.remove_df(other)
+                  .select("doc_id", F.col("doc").alias("text"))
+                  if n_str else None)
+        ti.upsert_batch(str_df, incoming.select("doc_id"), text_col="text")
         # bounded segment growth under micro-batch ingest (a streaming
         # sink creates one segment per batch): fold back to one segment
         # past the threshold — Lucene's merge policy, crudest tier.
@@ -1578,8 +1615,15 @@ class BinaryVectorDB:
 
     def _ti_after_remove(self, doc_ids: Sequence[int]) -> None:
         ti = self._text_index()
-        if ti is not None:
-            ti.remove([int(i) for i in doc_ids])
+        if ti is None:
+            return
+        ti.remove([int(i) for i in doc_ids])
+        # a remove-heavy workload never trips the upsert-side segment
+        # threshold, so tombstone tables (and the query-side broadcast
+        # anti-join input) would otherwise grow without bound — compact on
+        # a tombstone-count threshold too (ADVICE r8)
+        if len(ti.meta["tombstones"]) >= self._TI_COMPACT_SEGMENTS:
+            ti.compact()
 
     def _ti_drop(self) -> None:
         p = os.path.join(self.folder, self._TEXT_INDEX_DIR)
@@ -1590,8 +1634,20 @@ class BinaryVectorDB:
                     ) -> list[dict]:
         """BM25 top-k over the lexical index (build_text_index first).
         Returns hits [{doc_id, bm25_e10, kw_rank, doc}] — payloads
-        attached via the bucket-pruned point read."""
+        attached via the bucket-pruned point read, or from the in-RAM doc
+        map when local serving is attached (then the whole call runs zero
+        Spark jobs, bit-identical by the to_local contract)."""
         self._flush_pending()
+        loc = self._local_searchers()
+        if loc is not None:
+            _vec, bm25, payloads = loc
+            if bm25 is None:
+                raise Exception(
+                    "no text index; call build_text_index() first")
+            hits = [dict(h) for h in bm25.search(terms, k=k)]
+            for h in hits:
+                h["doc"] = payloads.get(h["doc_id"])
+            return hits
         ti = self._text_index()
         if ti is None:
             raise Exception("no text index; call build_text_index() first")
@@ -1618,12 +1674,22 @@ class BinaryVectorDB:
         str payload (the two-stage ColBERT architecture at the DB surface
         — the distributed twin is search_maxsim_rerank).  k payload
         strings against a handful of terms is driver-scale by
-        construction; ties break by RRF order."""
+        construction; ties break by RRF order.
+
+        With local serving attached (attach_local_serving) BOTH retrieval
+        sides and the payload reads run in-process — zero Spark jobs per
+        hybrid query instead of three (lexical plan + cascade + point
+        read), each side bit-identical to its distributed twin."""
         self._flush_pending()
+        loc = self._local_searchers()
         kw = {h["doc_id"]: h["kw_rank"]
               for h in self.search_text(terms, k=depth)}
-        vec = {h["doc_id"]: i + 1
-               for i, h in enumerate(self.search(query, k=depth))}
+        if loc is not None:
+            vec = {h["doc_id"]: i + 1
+                   for i, h in enumerate(loc[0].search(query, k=depth))}
+        else:
+            vec = {h["doc_id"]: i + 1
+                   for i, h in enumerate(self.search(query, k=depth))}
         fused = []
         for doc_id in set(kw) | set(vec):
             score = 0.0
@@ -1634,7 +1700,8 @@ class BinaryVectorDB:
             fused.append((doc_id, score))
         fused.sort(key=lambda t: (-t[1], t[0]))
         top = fused[:k]
-        payloads = self.get_docs([d for d, _ in top])
+        payloads = (loc[2] if loc is not None
+                    else self.get_docs([d for d, _ in top]))
         hits = [{"doc_id": d, "rrf": s,
                  "kw_rank": kw.get(d), "vec_rank": vec.get(d),
                  "doc": payloads.get(d)} for d, s in top]
@@ -1816,6 +1883,63 @@ class BinaryVectorDB:
             else:
                 pred = pred & (F.col(c) == F.lit(vals))
         return pred
+
+    def attach_local_serving(self, n_shards: int = 1) -> None:
+        """Materialize and MEMOIZE RAM-tier searchers for single-query
+        serving: the vector cascade (to_local_searcher) and — when a text
+        index exists — the lexical BM25 searcher (TextIndex.to_local).
+        Once attached, ``search_text`` and ``search_hybrid`` answer from
+        in-process arrays, bit-identical to the distributed plans (pinned
+        in tests/test_db_textindex.py) but with ZERO Spark jobs per query
+        — the hybrid path otherwise pays the ~0.2 s job floor TWICE per
+        query (once per retrieval side).  This is the reference's serving
+        shape: everything hot in RAM, point reads from the in-memory doc
+        map (BinaryVectorDB/BinaryVectorDB.py:234-250).
+
+        The memo is keyed on the manifest version, so any mutation (which
+        always commits a new version — the OCC contract) transparently
+        re-materializes on the next serving call; under a write-heavy
+        workload that re-collect is the wrong trade — detach_local_serving
+        returns those calls to the distributed plans.  The distributed
+        cascade remains the batch/throughput path either way."""
+        self._local_serve_shards = max(1, int(n_shards))
+        self._local_serve = None
+        self._local_searchers()  # materialize now: one Spark pass per tier
+
+    def detach_local_serving(self) -> None:
+        self._local_serve_shards = None
+        self._local_serve = None
+
+    def _local_searchers(self) -> tuple | None:
+        """(vec_searcher, bm25_searcher_or_None, {doc_id: payload}) for the
+        CURRENT manifest version, or None when local serving is not
+        attached.  Stale memos (any committed mutation) rebuild here."""
+        if self._local_serve_shards is None:
+            return None
+        v = self._manifest_version()
+        if self._local_serve is not None and self._local_serve[0] == v:
+            return self._local_serve[1:]
+        from binaryvectordb_spark.operators.local_serve import (
+            LocalCascadeSearcher,
+            ShardedLocalCascadeSearcher,
+        )
+        idx = self.index_df()
+        if idx is None or not idx.take(1):
+            raise Exception("Index is empty; add documents first")
+        base = LocalCascadeSearcher.from_dataframes(
+            idx, self.docs_df(), self.dim, embed_fn=self.embed_fn)
+        # the in-RAM doc map (the reference keeps payloads in RocksDB and
+        # reads them per hit; here they're already collected for Phase III,
+        # so point lookups are a dict get) — decoded identically to
+        # decode_payload (json parsed, str/bytes raw)
+        payloads = {int(i): p for i, p in zip(base.doc_ids, base.payloads)}
+        vec = (base if self._local_serve_shards <= 1 else
+               ShardedLocalCascadeSearcher.from_searcher(
+                   base, self._local_serve_shards))
+        ti = self._text_index()
+        bm25 = ti.to_local() if ti is not None else None
+        self._local_serve = (v, vec, bm25, payloads)
+        return vec, bm25, payloads
 
     def to_local_searcher(self, n_shards: int = 1):
         """Materialize the index + doc store into an in-process RAM-tier

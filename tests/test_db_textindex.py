@@ -153,3 +153,46 @@ def test_auto_compact_bounds_segments(spark, tmp_path):
     got = sorted((h["doc_id"], h["bm25_e10"], h["kw_rank"])
                  for h in db.search_text(TERMS, k=10))
     assert got == _fresh_answer(spark, db, tmp_path, "fc")
+
+
+def test_local_serving_hybrid_bit_identical_and_zero_jobs(spark, tmp_path):
+    """attach_local_serving routes search_text / search_hybrid through the
+    RAM tier (VERDICT r8 item 3): results are bit-identical to the
+    distributed plans, ZERO Spark jobs run per query once attached, and a
+    mutation transparently re-materializes (memo keyed on the manifest
+    version — the OCC contract makes staleness impossible)."""
+    db = _mkdb(spark, str(tmp_path / "db"))
+    db.build_text_index()
+    qvec = _emb(7)
+
+    def snap(d):
+        text = [(h["doc_id"], h["bm25_e10"], h["kw_rank"], h["doc"])
+                for h in d.search_text(TERMS, k=10)]
+        hyb = [(h["doc_id"], h["rrf"], h["kw_rank"], h["vec_rank"], h["doc"])
+               for h in d.search_hybrid(TERMS, qvec, k=10, depth=50)]
+        rer = [(h["doc_id"], h["maxsim"])
+               for h in d.search_hybrid(TERMS, qvec, k=10, depth=50,
+                                        maxsim_rerank=True)]
+        return text, hyb, rer
+
+    distributed = snap(db)
+    db.attach_local_serving()
+    assert snap(db) == distributed
+
+    # zero Spark jobs per query once the memo is warm
+    sc = spark.sparkContext
+    sc.setJobGroup("local-serve-probe", "must stay empty")
+    try:
+        snap(db)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("local-serve-probe") == []
+
+    # a mutation invalidates the memo; the next call re-materializes and
+    # matches a freshly-computed distributed answer
+    db.add_batch([500], ["fast merge scan scan"],
+                 np.array([_emb(500)], dtype=np.float32))
+    local_after = snap(db)
+    db.detach_local_serving()
+    assert snap(db) == local_after
+    assert any(h[0] == 500 for h in local_after[0])
