@@ -10,8 +10,10 @@ few pruned row groups.
 
 Architecture (Lucene's segment model on plain parquet):
 
-    <folder>/seg_<n>/postings/   (token, doc_id, tf)   token-RANGE-sorted
-    <folder>/seg_<n>/doclen/     (doc_id, dl)
+    <folder>/seg_<n>/postings/   (token, doc_id, tf, positions, dl)
+                                 token-RANGE-sorted; dl denormalized so
+                                 BM25 is a postings-only read (fmt 2)
+    <folder>/seg_<n>/doclen/     (doc_id, dl)  — stats + local serving
     <folder>/tomb_<n>/           (doc_id, upto_seg)    deletes/replacements
     <folder>/meta.json           {segments, tombstones} — atomic swap
 
@@ -54,6 +56,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 _META = "meta.json"
+# on-disk layout format: 2 = postings rows carry the denormalized doc
+# length (dl) so BM25 reads ONLY pruned postings — no O(corpus) doclen
+# join per query (the 1M-corpus bench measured that join dominating:
+# indexed 1.8 s vs scan 3.8 s; postings-only drops the indexed side to
+# O(matching postings) at any corpus size)
+_FMT = 2
 
 
 class TextIndex:
@@ -68,7 +76,8 @@ class TextIndex:
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
         else:
-            self.meta = {"segments": [], "tombstones": [], "seg_stats": {}}
+            self.meta = {"segments": [], "tombstones": [], "seg_stats": {},
+                         "fmt": _FMT}
 
     # -- layout ------------------------------------------------------------
 
@@ -122,13 +131,36 @@ class TextIndex:
                     .select("token", "doc_id",
                             F.size("positions").cast("double").alias("tf"),
                             "positions"))
+        # DENORMALIZE the doc length into every posting row (fmt 2): dl is
+        # a window sum of tf over the doc's postings — integer-valued
+        # doubles, so the sum is exact and fold-order-free, bit-identical
+        # to the doclen table.  BM25 then reads ONLY the pruned postings
+        # row groups: no per-query join against an O(corpus) doclen table,
+        # which the 1M-corpus bench measured as the indexed path's actual
+        # bottleneck.  Write cost: one extra doc_id shuffle per segment,
+        # amortized over every future query.
+        # (no explicit repartition before the window: widths past the
+        # session's shuffle.partitions make the downstream range
+        # partitioner re-sample — a 5th Spark job on the pinned mutation
+        # budget.  The window's own hash shuffle at shuffle.partitions is
+        # the right width; the 1M-doc build's heap needs are handled by
+        # the bench's 4g child process, not by over-partitioning.)
+        postings = postings.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         seg = os.path.join(self.folder, name)
         # token-range files + within-file token sort: the query's
         # In(token) predicate then prunes files AND row groups from
         # footer min/max alone
         (postings.repartitionByRange("token")
          .sortWithinPartitions("token", "doc_id")
-         .write.mode("overwrite").parquet(os.path.join(seg, "postings")))
+         .write.mode("overwrite")
+         # 16 MB row groups (unless the env pins its own block size):
+         # pruning granularity for the In(token) read (smaller groups =
+         # tighter footer ranges), AND a hard cap on writer memory —
+         # every concurrent task buffers up to one row group, and 32
+         # tasks x the 128 MB default was most of a 2g heap at 1M docs
+         .options(**self._postings_block_opt())
+         .parquet(os.path.join(seg, "postings")))
         # doclen from the WRITTEN postings (dl = sum of tf, identical to a
         # token count: tf doubles are integer-valued, so the sum is exact
         # and fold-order-free) — reads the compact segment back instead of
@@ -157,6 +189,15 @@ class TextIndex:
         return {"n_docs": int(got["n"]),
                 "sum_dl": float(got["s"] or 0.0)}
 
+    def _postings_block_opt(self) -> dict:
+        """{parquet.block.size: 16 MB} unless the session's hadoop conf
+        pins one explicitly (tests shrink it to force many row groups —
+        an explicit env setting must win over our default cap)."""
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if hconf.get("parquet.block.size"):
+            return {}
+        return {"parquet.block.size": str(16 << 20)}
+
     def _next_name(self, prefix: str) -> str:
         existing = self.meta["segments"] + self.meta["tombstones"]
         n = 0
@@ -173,7 +214,7 @@ class TextIndex:
             shutil.rmtree(os.path.join(self.folder, name),
                           ignore_errors=True)
         self.meta = {"segments": [], "tombstones": [], "seg_stats": {},
-                     "v": self.meta.get("v", 0)}
+                     "v": self.meta.get("v", 0), "fmt": _FMT}
         st = self._write_segment(docs_df, id_col, text_col, "seg_0")
         self.meta["segments"] = ["seg_0"]
         self.meta["seg_stats"] = {"seg_0": st}
@@ -275,12 +316,16 @@ class TextIndex:
         seg = os.path.join(self.folder, name)
         (post.repartitionByRange("token")
          .sortWithinPartitions("token", "doc_id")
-         .write.mode("overwrite").parquet(os.path.join(seg, "postings")))
+         .write.mode("overwrite")
+         .options(**self._postings_block_opt())  # same cap as _write_segment
+         .parquet(os.path.join(seg, "postings")))
         st = self._write_doclen(dl, seg)  # stats folded into the write job
         old = self.meta["segments"] + self.meta["tombstones"]
+        # compaction rewrites every posting row (with dl), so the folded
+        # index is fmt-current even when the input segments predated it
         self.meta = {"segments": [name], "tombstones": [],
                      "seg_stats": {name: st},
-                     "v": self.meta.get("v", 0)}
+                     "v": self.meta.get("v", 0), "fmt": _FMT}
         self._write_meta()
         for stale in old:
             shutil.rmtree(os.path.join(self.folder, stale),
@@ -300,7 +345,7 @@ class TextIndex:
     # which would tax every query AND the maintenance job budget
     _SCHEMAS = {
         "postings": "token string, doc_id long, tf double, "
-                    "positions array<int>",
+                    "positions array<int>, dl double",
         "doclen": "doc_id long, dl double",
         "tomb": "doc_id long, upto_seg int",
     }
@@ -349,17 +394,22 @@ class TextIndex:
         """BM25 top-k over the index — bit-identical to the corpus-scan
         path (queries/hybrid.py search_bm25_topk): same rarity idf, same
         floored-bigint 1e-10 score units, same expression tree.  Reads
-        ONLY the pruned postings row groups for ``terms`` plus the slim
-        doclen tables."""
+        ONLY the pruned postings row groups for ``terms`` — dl rides in
+        the posting rows (fmt 2), so query cost is O(matching postings)
+        at ANY corpus size; the doclen tables are touched only for the
+        tombstone-path corpus stats."""
         terms = [str(t) for t in terms]
         if not terms:
             # would otherwise surface as an opaque py4j error from
             # isin(*[]) — and db.search_text forwards raw user input here
             raise ValueError("empty terms: pass at least one query term")
+        if self.meta["segments"] and self.meta.get("fmt", 1) < _FMT:
+            raise Exception(
+                "TextIndex was written by an older layout (postings rows "
+                "carry no dl column); rebuild() or compact() the index")
         tf = (self.live_postings()
               .where(F.col("token").isin(*terms))
-              .select("token", "doc_id", "tf"))
-        dl = self.live_doclen().select("doc_id", "dl")
+              .select("token", "doc_id", "tf", "dl"))
         # corpus stats: with NO tombstones (the compacted steady state)
         # they come from the per-segment write-time stats in meta — ZERO
         # jobs and bit-identical (counts are ints; dl sums are sums of
@@ -380,7 +430,7 @@ class TextIndex:
                 F.lit(float(n)).alias("n_docs"),
                 F.lit(sd / float(n)).alias("avgdl"))
         else:
-            stats = dl.agg(
+            stats = self.live_doclen().agg(
                 F.count("*").cast("double").alias("n_docs"),
                 (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
         df_ = tf.groupBy("token").agg(
@@ -391,7 +441,6 @@ class TextIndex:
             " / (tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
             "* 1e10) AS BIGINT)")
         scored = (tf.join(F.broadcast(df_), "token")
-                  .join(dl, "doc_id")
                   .crossJoin(F.broadcast(stats))
                   .withColumn("term_score_e10", F.expr(term_score))
                   .groupBy("doc_id")
