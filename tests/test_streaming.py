@@ -275,3 +275,83 @@ def test_foreach_batch_rollup_exactly_once(spark, tmp_path, events_dir):
     again = sorted(map(tuple, read_rollup(spark, out)
                    .select(*cols).collect()))
     assert again == want  # no double counting
+
+
+def test_rollup_crash_window_recovery(spark, tmp_path):
+    """Failure injection for the exactly-once rollup's crash window
+    (VERDICT r8 item 7): a crash BETWEEN the data_v write and the
+    meta.json swap leaves a torn orphan dir.  Readers must never see it
+    (the pointer still names the last committed version), and the
+    resumed stream must overwrite the orphan and converge to the batch
+    ground truth with no double counting."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_rollup,
+        read_rollup,
+    )
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    halves = []
+    for i in range(2):
+        part = tmp_path / f"rp{i}"
+        (raw.where(F.col("event_id") % 2 == i).coalesce(1)
+         .write.mode("overwrite").parquet(str(part)))
+        halves.append(next(p for p in part.iterdir()
+                           if p.suffix == ".parquet"))
+
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    shutil.copy(halves[0], multi / "b0.parquet")
+
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["event_date", "event_type", "n_events", "value_cents"]
+
+    def rollup_of(df):
+        return sorted(map(tuple, (
+            df.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents"))
+            .select(*cols).collect())))
+
+    # batch 0 commits normally
+    q = foreach_batch_rollup(read_events_stream(spark, str(multi)), out, ckpt)
+    q.awaitTermination()
+    half0 = rollup_of(raw.where(F.col("event_id") % 2 == 0))
+    assert sorted(map(tuple, read_rollup(spark, out)
+                      .select(*cols).collect())) == half0
+
+    # inject the crash artifact: batch 1's data dir TORN mid-write (half a
+    # parquet file), meta.json never swapped
+    orphan = os.path.join(out, "data_v1")
+    os.makedirs(orphan, exist_ok=True)
+    committed = os.path.join(
+        out, json.load(open(os.path.join(out, "meta.json")))["data"])
+    src = next(f for f in os.listdir(committed) if f.endswith(".parquet"))
+    blob = open(os.path.join(committed, src), "rb").read()
+    with open(os.path.join(orphan, "part-torn.parquet"), "wb") as f:
+        f.write(blob[: len(blob) // 2])  # no footer: unreadable by design
+
+    # the reader NEVER sees the torn version — the pointer is the truth
+    assert sorted(map(tuple, read_rollup(spark, out)
+                      .select(*cols).collect())) == half0
+
+    # deliver batch 1 and RESUME the same checkpoint: the replay must
+    # overwrite the orphan and commit atomically
+    shutil.copy(halves[1], multi / "b1.parquet")
+    q2 = foreach_batch_rollup(read_events_stream(spark, str(multi)),
+                              out, ckpt)
+    q2.awaitTermination()
+    assert sorted(map(tuple, read_rollup(spark, out)
+                      .select(*cols).collect())) == rollup_of(raw)
+    # exactly one committed version remains; the torn file is gone
+    vdirs = [d for d in os.listdir(out) if d.startswith("data_v")]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert vdirs == [meta["data"]]
+    assert not any("torn" in f for f in os.listdir(os.path.join(
+        out, meta["data"])))
