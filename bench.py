@@ -447,6 +447,64 @@ def bench_textindex(spark, sf_dir: str,
     return out
 
 
+def bench_hybrid_serving(spark, sf_dir: str,
+                         variance: dict[str, float]) -> dict[str, float]:
+    """db.search_hybrid through the two serving tiers (VERDICT r8 item 3):
+    the distributed path pays the Spark job floor once per retrieval side
+    plus a point read; with attach_local_serving() both sides and the
+    payload lookup run in-process (zero Spark jobs per query),
+    bit-identical (pinned in tests/test_db_textindex.py).  Interleaved so
+    session drift hits both tiers equally; per-query ms reported."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.db import BinaryVectorDB
+    from binaryvectordb_spark.queries.hybrid import TERMS
+    from binaryvectordb_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="bvdb_hybrid_bench_")
+    out: dict[str, float] = {}
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id",
+                                                             "text")
+        emb = load_table(spark, sf_dir, "embeddings")
+        joined = (docs.join(emb, docs["doc_id"] == emb["vec_id"])
+                  .select("doc_id", F.col("text").alias("doc"), "embedding"))
+        db = BinaryVectorDB(spark, d, dim=64)
+        db.add_batch_df(joined)
+        db.build_text_index()
+        qvecs = [[float(v) for v in r["embedding"]]
+                 for r in emb.where(F.col("vec_id") < 5)
+                 .orderBy("vec_id").collect()]
+
+        # a SECOND handle on the same folder serves the RAM tier, so the
+        # two paths interleave without re-attaching per round
+        db_local = BinaryVectorDB(spark, d, dim=64)
+        db_local.attach_local_serving()
+        db.search_hybrid(TERMS, qvecs[0])        # warm-up (plans, caches)
+        db_local.search_hybrid(TERMS, qvecs[0])  # warm-up (memo)
+        dist_runs, local_runs = [], []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            db.search_hybrid(TERMS, qvecs[0])
+            dist_runs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            for v in qvecs:
+                db_local.search_hybrid(TERMS, v)
+            local_runs.append((time.perf_counter() - t0) / len(qvecs))
+        for key, runs in (("hybrid_serve_distributed_ms", dist_runs[2:]),
+                          ("hybrid_serve_ms", local_runs[2:])):
+            runs = sorted(runs)[:-1]  # the 1M trio's single-outlier discard
+            med = statistics.median(runs)
+            out[key] = round(med * 1000, 2)
+            variance[key] = round((max(runs) - min(runs)) / med, 2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def bench_textindex_1m(spark, sf_dir: str,
                        variance: dict[str, float]) -> dict[str, float]:
     """Indexed vs corpus-scan BM25 at a ~1M-doc corpus (VERDICT r8 item 4)
@@ -755,6 +813,7 @@ def main() -> None:
                     **bench_1m_scan(spark, sf_dir, variance),
                     **bench_png_decode(), **bench_zorder(spark, sf_dir),
                     **bench_textindex(spark, sf_dir, variance),
+                    **bench_hybrid_serving(spark, sf_dir, variance),
                     **_textindex_1m_subprocess(sf_dir, variance)},
         "variance": variance,
         "protocol": "median of 5 fresh plans per query; variance = (max-min)/median",
@@ -782,7 +841,9 @@ def main() -> None:
                               "knn_cascade", "search_maxsim_topk",
                               "curation_funnel", "bm25_indexed",
                               "bm25_scan", "bm25_indexed_1m",
-                              "bm25_scan_1m", "bm25_indexed_1m_dense")]
+                              "bm25_scan_1m", "bm25_indexed_1m_dense",
+                              "hybrid_serve_ms",
+                              "hybrid_serve_distributed_ms")]
     vmax_key = max(variance, key=variance.get)
     compact = {
         "metric": out["metric"],
