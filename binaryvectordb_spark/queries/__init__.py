@@ -62,6 +62,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 _PRIORITY = [
     # (a) new in round 9 — never driver-hashed
     "search_bm25_local",
+    "dedup_incremental_batch",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

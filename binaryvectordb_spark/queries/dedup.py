@@ -765,3 +765,94 @@ SELECT s.clab AS cluster, count(*) AS n_docs,
 FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
 GROUP BY s.clab ORDER BY cluster
 """)
+
+
+# -- incremental dedup: new batch vs corpus (the ingest-time gate) -----------
+
+BATCH_MOD, BATCH_REM = 20, 7  # docs with doc_id % 20 == 7 play the batch
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time near-dup GATE: is each incoming doc a near-dup of
+    anything already in the corpus?  The fixture's 5% doc_id-slice plays
+    the incoming batch; everything else is the corpus.
+
+    100 TB shape: the batch's LSH band table (O(batch) rows) BROADCASTS
+    against the corpus band table — the corpus never shuffles, never
+    self-joins; exact Jaccard verification then touches only the pruned
+    candidate pairs' shingle sets.  Per incoming doc the gate reports
+    (n_candidates, n_dups, best_jaccard), with zero-candidate docs kept
+    via the left join — exactly the admit/reject record a curation
+    pipeline writes at ingest.  Unlike dedup_lsh_jaccard (corpus
+    self-join, the BOOTSTRAP dedup), this is the MAINTENANCE form — the
+    reference's add_documents flow has no dedup gate at all
+    (BinaryVectorDB/BinaryVectorDB.py:93-101); production corpora need
+    one."""
+    m = _minhash_df(spark, sf_dir)
+    bands = m.select("doc_id", F.array(*[
+        F.concat_ws("|", *[f"sig_{b * ROWS_PER_BAND + r}"
+                           for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)]).alias("bands"))
+    ex = bands.select("doc_id", F.posexplode("bands").alias("band_idx", "bh"))
+    is_batch = (F.col("doc_id") % BATCH_MOD) == BATCH_REM
+    batch = (ex.where(is_batch)
+             .select(F.col("doc_id").alias("bid"), "band_idx", "bh"))
+    corpus = ex.where(~is_batch)
+    cands = (corpus.join(F.broadcast(batch), ["band_idx", "bh"])
+             .select("bid", F.col("doc_id").alias("cid"))
+             .distinct())
+    shl = (_docs(spark, sf_dir)
+           .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+           .select("doc_id", F.array_distinct(shingles("toks", 3))
+                   .alias("shs")))
+    sa = shl.select(F.col("doc_id").alias("bid"), F.col("shs").alias("sa"))
+    sb = shl.select(F.col("doc_id").alias("cid"), F.col("shs").alias("sb"))
+    ver = (cands.join(sa, "bid").join(sb, "cid")
+           .withColumn("common", F.size(F.array_intersect("sa", "sb"))
+                       .cast("double"))
+           .withColumn("j", F.col("common")
+                       / (F.size("sa") + F.size("sb") - F.col("common"))))
+    per_doc = (ver.groupBy("bid")
+               .agg(F.count("*").alias("n_candidates"),
+                    F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0))
+                    .alias("n_dups"),
+                    F.max(F.when(F.col("j") >= 0.5, F.col("j")))
+                    .alias("best_jaccard")))
+    incoming = (_docs(spark, sf_dir).where(is_batch).select("doc_id"))
+    return (incoming.join(per_doc,
+                          incoming["doc_id"] == per_doc["bid"], "left")
+            .select("doc_id",
+                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                    F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+                    "best_jaccard"))
+
+
+register("dedup_incremental_batch", dedup_incremental_batch, oracle=f"""
+{_DUCK_SHINGLES},
+bands AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
+bex AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM bands"
+                      for b in range(N_BANDS))}
+),
+cands AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+          FROM bex b JOIN bex c ON b.band_idx = c.band_idx AND b.bh = c.bh
+          WHERE b.doc_id % {BATCH_MOD} = {BATCH_REM}
+            AND c.doc_id % {BATCH_MOD} <> {BATCH_REM}),
+ver AS (SELECT bid, cid,
+               CAST(length(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS common,
+               length(sa.shs) AS na, length(sb.shs) AS nb
+        FROM cands JOIN shl sa ON sa.doc_id = bid
+                   JOIN shl sb ON sb.doc_id = cid),
+scored AS (SELECT bid, cid, common / (na + nb - common) AS j FROM ver),
+agg AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dups,
+               max(CASE WHEN j >= 0.5 THEN j END) AS best_jaccard
+        FROM scored GROUP BY bid)
+SELECT d.doc_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.n_dups, 0) AS n_dups,
+       a.best_jaccard
+FROM documents d LEFT JOIN agg a ON a.bid = d.doc_id
+WHERE d.doc_id % {BATCH_MOD} = {BATCH_REM}
+""")

@@ -283,3 +283,14 @@ def test_ivfpq_probe_joins_hash_and_semdedup_no_cartesian(spark):
     # corpus shuffle
     assert "Join" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_incremental_dedup_batch_broadcasts_batch_side(spark):
+    """The ingest-time dedup gate must broadcast the BATCH band table
+    against the corpus (the corpus never shuffles for the candidate join)
+    — at 100 TB the incoming batch is the only small side."""
+    from binaryvectordb_spark.queries.dedup import dedup_incremental_batch
+
+    plan = formatted_plan(dedup_incremental_batch(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
