@@ -1987,7 +1987,13 @@ class BinaryVectorDB:
             self.to_local_searcher(), max(1, n_shards))
         v = self._manifest_version()
         out = path or os.path.join(self.folder, "_serving", f"v{v}")
-        router.save_shards(out, db_manifest_version=v)
+        # a DB with a text index exports the lexical tier too (bm25/ dir)
+        # — staged inside the same atomic swap, so a hybrid serving node
+        # (LocalHybridServer.load) sees both tiers or neither
+        ti = self._text_index()
+        extras = ((lambda tmp: ti.to_local().save(
+            os.path.join(tmp, "bm25"))) if ti is not None else None)
+        router.save_shards(out, db_manifest_version=v, stage_extras=extras)
         return out
 
     def load_serving_router(self, path: str | None = None,
@@ -2019,6 +2025,26 @@ class BinaryVectorDB:
                    "explicitly with allow_stale=True" if stale
                    else " — run export_serving_shards() first"))
         return ShardedLocalCascadeSearcher.load(
+            p, embed_fn=self.embed_fn,
+            expect_version=None if allow_stale else v)
+
+    def load_hybrid_server(self, path: str | None = None,
+                           allow_stale: bool = False):
+        """Load a hybrid serving node (vector router + lexical BM25) from
+        an export_serving_shards() export made while a text index existed.
+        Same version contract as load_serving_router; the returned
+        LocalHybridServer answers search/search_text/search_hybrid with no
+        Spark involvement — and any process can load the same directory
+        via LocalHybridServer.load directly."""
+        from binaryvectordb_spark.operators.local_serve import (
+            LocalHybridServer,
+        )
+        v = self._manifest_version()
+        p = path or os.path.join(self.folder, "_serving", f"v{v}")
+        if path is None and not os.path.isdir(p):
+            # reuse load_serving_router's stale-export diagnostics
+            self.load_serving_router(path, allow_stale)
+        return LocalHybridServer.load(
             p, embed_fn=self.embed_fn,
             expect_version=None if allow_stale else v)
 

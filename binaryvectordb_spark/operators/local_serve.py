@@ -367,7 +367,8 @@ class ShardedLocalCascadeSearcher:
     # shards records it; load_serving_router enforces it).
 
     def save_shards(self, path: str,
-                    db_manifest_version: int | None = None) -> None:
+                    db_manifest_version: int | None = None,
+                    stage_extras=None) -> None:
         import glob as glob_mod
         import os
         import shutil
@@ -387,6 +388,11 @@ class ShardedLocalCascadeSearcher:
         os.makedirs(tmp)
         for i, s in enumerate(self.shards):
             s.save(os.path.join(tmp, f"shard_{i}"))
+        if stage_extras is not None:
+            # extra artifacts (e.g. the lexical BM25 tier of a hybrid
+            # export) stage into the SAME tmp dir, so the atomic swap
+            # below publishes the whole export or nothing
+            stage_extras(tmp)
         with open(os.path.join(tmp, "router.json"), "w") as f:
             json.dump({"n_shards": len(self.shards), "dim": self.dim,
                        "n": self.n,
@@ -433,3 +439,76 @@ class ShardedLocalCascadeSearcher:
         return cls.from_shard_dirs(
             [os.path.join(path, f"shard_{i}")
              for i in range(int(meta["n_shards"]))], embed_fn=embed_fn)
+
+
+class LocalHybridServer:
+    """Cross-process HYBRID serving node: the sharded vector cascade plus
+    the lexical BM25 searcher, fused by the same RRF as db.search_hybrid —
+    numpy + json only, NO Spark on the serving host.  Load a directory
+    written by ``db.export_serving_shards()`` on a DB with a text index
+    (the bm25/ tier stages into the same atomic export swap).
+
+    Result contract: ``search_hybrid`` returns exactly what
+    ``db.search_hybrid`` returns with local serving attached — the kw side
+    replays the indexed BM25 float64 tree bit-for-bit, the vector side is
+    the bit-identical RAM-tier cascade, and the RRF score is the same
+    fixed two-add expression (kw term first), so the fused order matches
+    across process boundaries (pinned by subprocess-reload test)."""
+
+    RRF_K = 60
+
+    def __init__(self, vec, bm25, embed_fn=None):
+        self.vec = vec
+        self.bm25 = bm25
+        self.embed_fn = embed_fn
+        shards = vec.shards if hasattr(vec, "shards") else [vec]
+        self.payloads: dict[int, object] = {}
+        for s in shards:
+            for d, p in zip(s.doc_ids.tolist(), s.payloads):
+                self.payloads[int(d)] = p
+
+    def search(self, query, k: int = 10) -> list[dict]:
+        return self.vec.search(query, k=k)
+
+    def search_text(self, terms, k: int = 10) -> list[dict]:
+        hits = [dict(h) for h in self.bm25.search(terms, k=k)]
+        for h in hits:
+            h["doc"] = self.payloads.get(h["doc_id"])
+        return hits
+
+    def search_hybrid(self, terms, query, k: int = 10,
+                      depth: int = 100) -> list[dict]:
+        kw = {h["doc_id"]: h["kw_rank"]
+              for h in self.bm25.search(terms, k=depth)}
+        vec = {h["doc_id"]: i + 1
+               for i, h in enumerate(self.vec.search(query, k=depth))}
+        fused = []
+        for doc_id in set(kw) | set(vec):
+            score = 0.0
+            if doc_id in kw:  # kw add first — db.search_hybrid's exact
+                score += 1.0 / (self.RRF_K + kw[doc_id])   # two-add order
+            if doc_id in vec:
+                score += 1.0 / (self.RRF_K + vec[doc_id])
+            fused.append((doc_id, score))
+        fused.sort(key=lambda t: (-t[1], t[0]))
+        return [{"doc_id": d, "rrf": s,
+                 "kw_rank": kw.get(d), "vec_rank": vec.get(d),
+                 "doc": self.payloads.get(d)} for d, s in fused[:k]]
+
+    @classmethod
+    def load(cls, path: str, embed_fn=None,
+             expect_version: int | None = None) -> "LocalHybridServer":
+        import os
+
+        from binaryvectordb_spark.operators.textindex import (
+            LocalBM25Searcher,
+        )
+        bm25_dir = os.path.join(path, "bm25")
+        if not os.path.isdir(bm25_dir):
+            raise ValueError(
+                f"{path} has no bm25/ tier — export from a DB with a text "
+                "index (build_text_index, then export_serving_shards)")
+        router = ShardedLocalCascadeSearcher.load(
+            path, embed_fn=embed_fn, expect_version=expect_version)
+        return cls(router, LocalBM25Searcher.load(bm25_dir),
+                   embed_fn=embed_fn)

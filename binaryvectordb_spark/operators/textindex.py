@@ -561,3 +561,52 @@ class LocalBM25Searcher:
         top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
         return [{"doc_id": d, "bm25_e10": s, "kw_rank": i + 1}
                 for i, (d, s) in enumerate(top)]
+
+    # -- persistence (cross-process lexical serving) -------------------------
+    # Mirrors LocalCascadeSearcher.save/load: a plain directory any process
+    # (numpy + json, no Spark) loads back bit-identical — the lexical half
+    # of a hybrid serving node.
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        os.makedirs(path, exist_ok=True)
+        tokens = sorted(self.postings)
+        tok_idx, doc_ids, tfs = [], [], []
+        for i, t in enumerate(tokens):
+            for d, tf in self.postings[t]:
+                tok_idx.append(i)
+                doc_ids.append(d)
+                tfs.append(tf)
+        dl_ids = np.fromiter(self.dl.keys(), dtype=np.int64,
+                             count=len(self.dl))
+        dl_vals = np.fromiter(self.dl.values(), dtype=np.float64,
+                              count=len(self.dl))
+        # tmp+replace per file: a racing reader never sees a torn file
+        tmp = os.path.join(path, f".arrays.npz.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f, tok_idx=np.asarray(tok_idx, dtype=np.int32),
+                doc_ids=np.asarray(doc_ids, dtype=np.int64),
+                tfs=np.asarray(tfs, dtype=np.float64),
+                dl_ids=dl_ids, dl_vals=dl_vals)
+        os.replace(tmp, os.path.join(path, "arrays.npz"))
+        tmp = os.path.join(path, f".tokens.json.tmp{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(tokens, f)
+        os.replace(tmp, os.path.join(path, "tokens.json"))
+
+    @classmethod
+    def load(cls, path: str) -> "LocalBM25Searcher":
+        import numpy as np
+
+        with open(os.path.join(path, "tokens.json")) as f:
+            tokens = json.load(f)
+        arrs = np.load(os.path.join(path, "arrays.npz"))
+        postings: dict[str, list[tuple[int, float]]] = {}
+        for i, d, tf in zip(arrs["tok_idx"].tolist(),
+                            arrs["doc_ids"].tolist(),
+                            arrs["tfs"].tolist()):
+            postings.setdefault(tokens[i], []).append((d, tf))
+        dl = dict(zip(arrs["dl_ids"].tolist(), arrs["dl_vals"].tolist()))
+        return cls(postings, dl)

@@ -196,3 +196,51 @@ def test_local_serving_hybrid_bit_identical_and_zero_jobs(spark, tmp_path):
     db.detach_local_serving()
     assert snap(db) == local_after
     assert any(h[0] == 500 for h in local_after[0])
+
+
+def test_hybrid_export_serves_cross_process(spark, tmp_path):
+    """export_serving_shards on a DB with a text index stages the lexical
+    tier (bm25/) into the same atomic export; LocalHybridServer.load — in
+    THIS process and in a fresh Spark-free subprocess — answers
+    search/search_text/search_hybrid exactly like the attached RAM tier."""
+    import json as _json
+    import subprocess
+    import sys
+
+    db = _mkdb(spark, str(tmp_path / "db"))
+    db.build_text_index()
+    out = db.export_serving_shards(n_shards=3)
+    qvec = _emb(7)
+
+    db.attach_local_serving()
+    want_hyb = db.search_hybrid(TERMS, qvec, k=10, depth=50)
+    want_txt = db.search_text(TERMS, k=10)
+
+    srv = db.load_hybrid_server()
+    assert srv.search_hybrid(TERMS, qvec, k=10, depth=50) == want_hyb
+    assert srv.search_text(TERMS, k=10) == want_txt
+
+    script = (
+        "import sys, json\n"
+        "from binaryvectordb_spark.operators.local_serve import "
+        "LocalHybridServer\n"
+        "path, terms, q = sys.argv[1], json.loads(sys.argv[2]), "
+        "json.loads(sys.argv[3])\n"
+        "s = LocalHybridServer.load(path)\n"
+        "print(json.dumps({'h': s.search_hybrid(terms, q, k=10, depth=50),"
+        " 't': s.search_text(terms, k=10)}))\n")
+    proc = subprocess.run(
+        [sys.executable, "-c", script, out, _json.dumps(list(TERMS)),
+         _json.dumps(qvec)],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert got["h"] == _json.loads(_json.dumps(want_hyb))
+    assert got["t"] == _json.loads(_json.dumps(want_txt))
+
+    # an export made with NO text index has no bm25/ tier: loud contract
+    db2 = _mkdb(spark, str(tmp_path / "db2"), n=30)
+    out2 = db2.export_serving_shards(n_shards=2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bm25"):
+        db2.load_hybrid_server(out2)
