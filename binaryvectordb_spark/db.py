@@ -1726,6 +1726,93 @@ class BinaryVectorDB:
                 del h["_rrf_pos"]
         return hits
 
+    def search_text_batch(self, terms_batch: Sequence[Sequence[str]],
+                          k: int = DEFAULT_K) -> list[list[dict]]:
+        """N keyword queries in ONE postings read (TextIndex.search_batch
+        — the pruned row groups for the union of all batch terms are read
+        once, so the Spark job floor amortizes across the batch) plus one
+        bucket-pruned point read for the payloads.  With local serving
+        attached, the in-process searcher answers each query in ~ms with
+        zero Spark jobs."""
+        self._flush_pending()
+        terms_batch = [list(ts) for ts in terms_batch]
+        loc = self._local_searchers()
+        if loc is not None:
+            _vec, bm25, payloads = loc
+            if bm25 is None:
+                raise Exception(
+                    "no text index; call build_text_index() first")
+            out = []
+            for ts in terms_batch:
+                hits = [dict(h) for h in bm25.search(ts, k=k)]
+                for h in hits:
+                    h["doc"] = payloads.get(h["doc_id"])
+                out.append(hits)
+            return out
+        ti = self._text_index()
+        if ti is None:
+            raise Exception("no text index; call build_text_index() first")
+        rows = ti.search_batch(dict(enumerate(terms_batch)), k=k).collect()
+        payloads = self.get_docs(sorted({r["doc_id"] for r in rows}))
+        by_q: dict[int, list[dict]] = {}
+        for r in rows:
+            d = r.asDict()
+            qid = d.pop("qid")
+            d["doc"] = payloads.get(d["doc_id"])
+            by_q.setdefault(qid, []).append(d)
+        return [sorted(by_q.get(i, []), key=lambda h: h["kw_rank"])
+                for i in range(len(terms_batch))]
+
+    def search_hybrid_batch(self, terms_batch: Sequence[Sequence[str]],
+                            queries: Sequence, k: int = DEFAULT_K,
+                            depth: int = 100) -> list[list[dict]]:
+        """N hybrid queries as THREE bounded Spark jobs total (batched
+        lexical read + batched vector cascade + one union point read) —
+        per-query results identical to a search_hybrid loop (pinned in
+        tests), but the ~0.2 s job floor is paid once per batch instead
+        of three times per query.  With local serving attached the whole
+        batch runs in-process."""
+        terms_batch = [list(ts) for ts in terms_batch]
+        if len(terms_batch) != len(queries):
+            raise ValueError("terms_batch and queries must have the same "
+                             f"length (got {len(terms_batch)} vs "
+                             f"{len(queries)})")
+        self._flush_pending()
+        if self._local_searchers() is not None:
+            return [self.search_hybrid(ts, q, k=k, depth=depth)
+                    for ts, q in zip(terms_batch, queries)]
+        ti = self._text_index()
+        if ti is None:
+            raise Exception("no text index; call build_text_index() first")
+        kw_rows = ti.search_batch(dict(enumerate(terms_batch)),
+                                  k=depth).collect()
+        kw_by_q: dict[int, dict[int, int]] = {}
+        for r in kw_rows:
+            kw_by_q.setdefault(r["qid"], {})[r["doc_id"]] = r["kw_rank"]
+        vec_lists = self.search_batch(queries, k=depth)
+        fused_all, want_ids = [], set()
+        for i in range(len(terms_batch)):
+            kw = kw_by_q.get(i, {})
+            vec = {h["doc_id"]: j + 1
+                   for j, h in enumerate(vec_lists[i])}
+            fused = []
+            for doc_id in set(kw) | set(vec):
+                score = 0.0
+                if doc_id in kw:  # kw add first — search_hybrid's order
+                    score += 1.0 / (self.RRF_K + kw[doc_id])
+                if doc_id in vec:
+                    score += 1.0 / (self.RRF_K + vec[doc_id])
+                fused.append((doc_id, score))
+            fused.sort(key=lambda t: (-t[1], t[0]))
+            top = fused[:k]
+            fused_all.append((top, kw, vec))
+            want_ids.update(d for d, _ in top)
+        payloads = self.get_docs(sorted(want_ids))
+        return [[{"doc_id": d, "rrf": s,
+                  "kw_rank": kw.get(d), "vec_rank": vec.get(d),
+                  "doc": payloads.get(d)} for d, s in top]
+                for top, kw, vec in fused_all]
+
     def __len__(self) -> int:
         self._flush_pending()
         idx = self.index_df()

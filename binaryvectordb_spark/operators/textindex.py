@@ -390,6 +390,36 @@ class TextIndex:
 
     # -- search ------------------------------------------------------------
 
+    # identical constants/tree to queries/hybrid.py (K1=1.2, B=0.75)
+    _TERM_SCORE = (
+        "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D)"
+        " / (tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
+        "* 1e10) AS BIGINT)")
+
+    def _corpus_stats(self) -> DataFrame:
+        """1-row (n_docs, avgdl).  With NO tombstones (the compacted
+        steady state) it comes from the per-segment write-time stats in
+        meta — ZERO jobs and bit-identical (counts are ints; dl sums are
+        sums of integer-valued doubles, exact and fold-order-free; the
+        avgdl division is the same IEEE op either way).  Tombstones make
+        the live set data-dependent, so that path aggregates the slim
+        doclen tables."""
+        seg_stats = self.meta.get("seg_stats") or {}
+        segs = self.meta["segments"]
+        if (not self.meta["tombstones"]
+                and all(s in seg_stats for s in segs)
+                and sum(seg_stats[s]["n_docs"] for s in segs) > 0):
+            n = sum(seg_stats[s]["n_docs"] for s in segs)
+            sd = 0.0
+            for s in segs:
+                sd += seg_stats[s]["sum_dl"]
+            return self.spark.range(1).select(
+                F.lit(float(n)).alias("n_docs"),
+                F.lit(sd / float(n)).alias("avgdl"))
+        return self.live_doclen().agg(
+            F.count("*").cast("double").alias("n_docs"),
+            (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
+
     def search(self, terms: Sequence[str], k: int = 10) -> DataFrame:
         """BM25 top-k over the index — bit-identical to the corpus-scan
         path (queries/hybrid.py search_bm25_topk): same rarity idf, same
@@ -410,39 +440,12 @@ class TextIndex:
         tf = (self.live_postings()
               .where(F.col("token").isin(*terms))
               .select("token", "doc_id", "tf", "dl"))
-        # corpus stats: with NO tombstones (the compacted steady state)
-        # they come from the per-segment write-time stats in meta — ZERO
-        # jobs and bit-identical (counts are ints; dl sums are sums of
-        # integer-valued doubles, exact and fold-order-free; the avgdl
-        # division is the same IEEE op either way).  Tombstones make the
-        # live set data-dependent, so that path aggregates the slim
-        # doclen tables.
-        seg_stats = self.meta.get("seg_stats") or {}
-        segs = self.meta["segments"]
-        if (not self.meta["tombstones"]
-                and all(s in seg_stats for s in segs)
-                and sum(seg_stats[s]["n_docs"] for s in segs) > 0):
-            n = sum(seg_stats[s]["n_docs"] for s in segs)
-            sd = 0.0
-            for s in segs:
-                sd += seg_stats[s]["sum_dl"]
-            stats = self.spark.range(1).select(
-                F.lit(float(n)).alias("n_docs"),
-                F.lit(sd / float(n)).alias("avgdl"))
-        else:
-            stats = self.live_doclen().agg(
-                F.count("*").cast("double").alias("n_docs"),
-                (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
+        stats = self._corpus_stats()
         df_ = tf.groupBy("token").agg(
             F.count("*").cast("double").alias("df"))
-        # identical constants/tree to queries/hybrid.py (K1=1.2, B=0.75)
-        term_score = (
-            "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D)"
-            " / (tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
-            "* 1e10) AS BIGINT)")
         scored = (tf.join(F.broadcast(df_), "token")
                   .crossJoin(F.broadcast(stats))
-                  .withColumn("term_score_e10", F.expr(term_score))
+                  .withColumn("term_score_e10", F.expr(self._TERM_SCORE))
                   .groupBy("doc_id")
                   .agg(F.sum("term_score_e10").alias("bm25_e10")))
         # top-k FIRST (TakeOrderedAndProject — partial per-partition heaps,
@@ -457,6 +460,49 @@ class TextIndex:
         w = Window.orderBy(F.desc("bm25_e10"), F.asc("doc_id"))
         return (top.withColumn("kw_rank", F.row_number().over(w))
                 .select("doc_id", "bm25_e10", "kw_rank"))
+
+    def search_batch(self, queries: dict[int, Sequence[str]],
+                     k: int = 10) -> DataFrame:
+        """Multi-query BM25 in ONE postings read — the throughput twin of
+        ``search`` (mirrors queries/hybrid.py's corpus-scan batch, and is
+        bit-identical to it): the pruned row groups for the UNION of all
+        batch terms are read once, the tiny (qid, token) query table
+        broadcasts in, scores group by (qid, doc_id), and a
+        qid-partitioned rank window (Spark 4 WindowGroupLimit — per-
+        partition top-k pruned before the shuffle) keeps each query's
+        top-k.  Returns (qid, doc_id, bm25_e10, kw_rank)."""
+        # a repeated term within one query contributes once (the single-
+        # query path's isin() set semantics)
+        qmap = {int(q): list(dict.fromkeys(str(t) for t in ts))
+                for q, ts in queries.items()}
+        if not qmap:
+            raise ValueError("empty batch: pass at least one query")
+        if any(not ts for ts in qmap.values()):
+            raise ValueError("empty terms: every query needs >= 1 term")
+        if self.meta["segments"] and self.meta.get("fmt", 1) < _FMT:
+            raise Exception(
+                "TextIndex was written by an older layout (postings rows "
+                "carry no dl column); rebuild() or compact() the index")
+        all_terms = sorted({t for ts in qmap.values() for t in ts})
+        tf = (self.live_postings()
+              .where(F.col("token").isin(*all_terms))
+              .select("token", "doc_id", "tf", "dl"))
+        df_ = tf.groupBy("token").agg(
+            F.count("*").cast("double").alias("df"))
+        qterms = self.spark.createDataFrame(
+            [(q, t) for q, ts in sorted(qmap.items()) for t in ts],
+            "qid: long, token: string")
+        scored = (tf.join(F.broadcast(qterms), "token")
+                  .join(F.broadcast(df_), "token")
+                  .crossJoin(F.broadcast(self._corpus_stats()))
+                  .withColumn("term_score_e10", F.expr(self._TERM_SCORE))
+                  .groupBy("qid", "doc_id")
+                  .agg(F.sum("term_score_e10").alias("bm25_e10")))
+        w = Window.partitionBy("qid").orderBy(F.desc("bm25_e10"),
+                                              F.asc("doc_id"))
+        return (scored.withColumn("kw_rank", F.row_number().over(w))
+                .where(F.col("kw_rank") <= k)
+                .select("qid", "doc_id", "bm25_e10", "kw_rank"))
 
     def search_phrase(self, phrase: Sequence[str], k: int = 10) -> DataFrame:
         """Exact phrase query over the positional postings: doc matches at

@@ -63,6 +63,7 @@ _PRIORITY = [
     # (a) new in round 9 — never driver-hashed
     "search_bm25_local",
     "dedup_incremental_batch",
+    "search_bm25_indexed_batch",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

@@ -578,3 +578,23 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid
       FROM fused)
 WHERE fused_rank <= 10
 """)
+
+
+def search_bm25_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-query BM25 batch served from the persisted inverted index —
+    ONE pruned postings read for the union of all batch terms, vs
+    search_bm25_topk_batch's one corpus scan.  Bit-identical to the
+    corpus-scan batch by the TextIndex score contract, so it shares that
+    query's oracle verbatim: the throughput twin of search_bm25_indexed."""
+    return _shared_text_index(spark, sf_dir).search_batch(BATCH_TERMS, k=10)
+
+
+register("search_bm25_indexed_batch", search_bm25_indexed_batch, oracle=f"""
+WITH {_BM25_BATCH_ORACLE_CTE}
+SELECT qid, doc_id, bm25_e10, kw_rank
+FROM (SELECT qid, doc_id, bm25_e10,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")

@@ -244,3 +244,36 @@ def test_hybrid_export_serves_cross_process(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bm25"):
         db2.load_hybrid_server(out2)
+
+
+def test_batch_hybrid_matches_single_query_loop(spark, tmp_path):
+    """search_text_batch / search_hybrid_batch must return per-query
+    results identical to the single-query loop — the batch forms exist to
+    amortize the job floor, never to change answers — on both the
+    distributed and the attached-local tiers."""
+    db = _mkdb(spark, str(tmp_path / "db"))
+    db.build_text_index()
+    terms_batch = [list(TERMS), ["fast"], ["join", "sort", "window"]]
+    qvecs = [_emb(3), _emb(7), _emb(11)]
+
+    def norm(hits):
+        return [(h["doc_id"], h.get("bm25_e10"), h.get("kw_rank"),
+                 h.get("rrf"), h.get("vec_rank"), h["doc"]) for h in hits]
+
+    for attached in (False, True):
+        if attached:
+            db.attach_local_serving()
+        want_t = [norm(db.search_text(ts, k=7)) for ts in terms_batch]
+        got_t = [norm(h) for h in db.search_text_batch(terms_batch, k=7)]
+        assert got_t == want_t, f"text batch != loop (attached={attached})"
+        want_h = [norm(db.search_hybrid(ts, q, k=7, depth=40))
+                  for ts, q in zip(terms_batch, qvecs)]
+        got_h = [norm(h) for h in
+                 db.search_hybrid_batch(terms_batch, qvecs, k=7, depth=40)]
+        assert got_h == want_h, f"hybrid batch != loop (attached={attached})"
+    # and the two tiers agree with each other (transitively pinned above,
+    # asserted directly for the error message)
+    db.detach_local_serving()
+    assert [norm(h) for h in
+            db.search_hybrid_batch(terms_batch, qvecs, k=7, depth=40)] \
+        == want_h
