@@ -1,7 +1,7 @@
-"""Round-8 hybrid text serving walkthrough: the persisted inverted index
+"""Hybrid text serving walkthrough: the persisted inverted index
 (build / incremental upsert / phrase query / compact), the DB-surface
-lexical + hybrid search with MaxSim rerank, and OPTIMIZE ZORDER on the doc
-store.
+lexical + hybrid search with MaxSim rerank, RAM-tier + batch + cross-
+process hybrid serving (round 9), and OPTIMIZE ZORDER on the doc store.
 
 Run: python examples/hybrid_text_serving.py  (uses the sf0.001 fixtures)
 """
@@ -63,6 +63,31 @@ def main() -> None:
                             maxsim_rerank=True)
     print("hybrid+maxsim:", [(h["doc_id"], h["kw_rank"], h["vec_rank"],
                               h["maxsim"]) for h in hits])
+
+    # 3b. RAM-tier hybrid serving (round 9): attach once, then every
+    #     search_text/search_hybrid call runs ZERO Spark jobs — identical
+    #     answers, ~ms latency instead of the multi-job floor
+    import time
+    db.attach_local_serving()
+    t0 = time.perf_counter()
+    local_hits = db.search_hybrid(("order", "fast"), qvec, k=5)
+    ms = (time.perf_counter() - t0) * 1000
+    print(f"RAM-tier hybrid: {ms:.1f} ms,",
+          [(h["doc_id"], h["rrf"]) for h in local_hits[:3]])
+
+    # 3c. batch serving: the job floor amortizes across N queries
+    batch = db.search_hybrid_batch(
+        [("order", "fast"), ("merge", "scan")],
+        [qvec, rng.standard_normal(16).astype(np.float32)], k=3)
+    print("hybrid batch:", [[h["doc_id"] for h in hits] for hits in batch])
+
+    # 3d. cross-process export: vector shards + bm25 tier in one atomic
+    #     dir; any Spark-free process loads it (LocalHybridServer.load)
+    out = db.export_serving_shards(n_shards=2)
+    srv = db.load_hybrid_server()
+    assert srv.search_hybrid(("order", "fast"), qvec, k=5) == \
+        db.search_hybrid(("order", "fast"), qvec, k=5)
+    print("hybrid export at", out, "serves bit-identically")
 
     # 4. OPTIMIZE ZORDER: filtered serving reads fewer row-group bytes
     db2dir = tempfile.mkdtemp(prefix="db_layout_example_")
