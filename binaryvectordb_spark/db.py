@@ -1657,6 +1657,28 @@ class BinaryVectorDB:
             h["doc"] = payloads.get(h["doc_id"])
         return hits
 
+    def search_phrase(self, phrase: Sequence[str],
+                      k: int = DEFAULT_K) -> list[dict]:
+        """Exact phrase query over the positional inverted index
+        (TextIndex.search_phrase): adjacency-exact matching via
+        offset-shifted position-list intersection — the query class
+        bag-of-words BM25 cannot answer.  Returns [{doc_id,
+        n_occurrences, doc}].  Always served by the distributed plan (the
+        RAM tier collects tf, not positions — phrase queries read a few
+        pushed-down token='...' row groups, which is already cheap)."""
+        self._flush_pending()
+        ti = self._text_index()
+        if ti is None:
+            raise Exception("no text index; call build_text_index() first")
+        hits = [r.asDict()
+                for r in ti.search_phrase(phrase, k=k).collect()]
+        loc = self._local_searchers()
+        payloads = (loc[2] if loc is not None
+                    else self.get_docs([h["doc_id"] for h in hits]))
+        for h in hits:
+            h["doc"] = payloads.get(h["doc_id"])
+        return hits
+
     RRF_K = 60
 
     def search_hybrid(self, terms: Sequence[str], query,

@@ -277,3 +277,19 @@ def test_batch_hybrid_matches_single_query_loop(spark, tmp_path):
     assert [norm(h) for h in
             db.search_hybrid_batch(terms_batch, qvecs, k=7, depth=40)] \
         == want_h
+
+
+def test_db_search_phrase(spark, tmp_path):
+    """db.search_phrase: adjacency-exact matching with payloads attached,
+    maintained through mutations like every other index read."""
+    db = _mkdb(spark, str(tmp_path / "db"))
+    db.build_text_index()
+    # _text builds consecutive VOCAB words, so adjacent pairs occur often
+    hits = db.search_phrase(("fast", "merge"), k=5)
+    assert hits and all(h["n_occurrences"] >= 1 for h in hits)
+    assert all("fast merge" in h["doc"] for h in hits)
+    # an upsert is visible immediately
+    db.add_batch([900], ["fast merge fast merge fast merge"],
+                 np.array([_emb(900)], dtype=np.float32))
+    top = db.search_phrase(("fast", "merge"), k=1)[0]
+    assert top["doc_id"] == 900 and top["n_occurrences"] == 3

@@ -349,3 +349,32 @@ def test_upsert_batch_job_budget(spark, tmp_path):
     # checked in test_incremental_upsert_delete_equals_rebuild; here we
     # only assert the cheap path still answers)
     assert ti.search(TERMS, k=5).count() == 5 or fresh is not None
+
+
+def test_search_batch_plan_and_identity(spark, tmp_path):
+    """search_batch: one pruned postings read for the union of batch
+    terms (In(token) pushed to the scan, query table broadcast, no
+    sort-merge join), per-query results identical to a search() loop."""
+    from binaryvectordb_spark.plans import formatted_plan
+
+    ti = TextIndex(spark, str(tmp_path / "ti")).build(_docs(spark))
+    batch = {0: list(TERMS), 1: ["vector"], 2: ["window", "merge"]}
+    df = ti.search_batch(batch, k=5)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [In(token" in plan
+    assert "SortMergeJoin" not in plan
+
+    rows = df.collect()
+    for qid, terms in batch.items():
+        got = [(r["doc_id"], r["bm25_e10"], r["kw_rank"])
+               for r in rows if r["qid"] == qid]
+        got.sort(key=lambda t: t[2])
+        want = [(r["doc_id"], r["bm25_e10"], r["kw_rank"])
+                for r in ti.search(terms, k=5).collect()]
+        assert got == want, f"qid {qid}"
+    # contract errors
+    import pytest
+    with pytest.raises(ValueError, match="empty batch"):
+        ti.search_batch({})
+    with pytest.raises(ValueError, match="empty terms"):
+        ti.search_batch({0: []})
