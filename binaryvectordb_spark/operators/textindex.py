@@ -582,13 +582,15 @@ class LocalBM25Searcher:
         # value as the Spark aggregation / write-time seg_stats
         self.avgdl = (sum(dl.values()) / self.n_docs) if dl else 0.0
 
-    def search(self, terms: Sequence[str], k: int = 10) -> list[dict]:
-        terms = [str(t) for t in terms]
-        if not terms:
-            raise ValueError("empty terms: pass at least one query term")
-        if not self.dl:
-            return []
+    def _partial_scores(self, terms: Sequence[str]) -> dict[int, int]:
+        """Per-doc integer (1e-10 units) score sums for ``terms`` over
+        THIS searcher's postings — the shard-mergeable unit: each term's
+        floored-bigint score is computed where its posting list lives, so
+        summing partials across token shards is exact (bigint addition
+        is associative)."""
         scores: dict[int, int] = {}
+        if not self.dl:
+            return scores
         n_docs, avgdl = self.n_docs, self.avgdl
         for t in set(terms):  # a repeated term contributes once, as in the
             plist = self.postings.get(t)     # DataFrame paths' isin() set
@@ -604,6 +606,13 @@ class LocalBM25Searcher:
                      * ((tf * 2.2) / (tf + (1.2 * (0.25 + (0.75 * (dl_v / avgdl))))))
                      * 1e10)
                 scores[doc_id] = scores.get(doc_id, 0) + math.floor(s)
+        return scores
+
+    def search(self, terms: Sequence[str], k: int = 10) -> list[dict]:
+        terms = [str(t) for t in terms]
+        if not terms:
+            raise ValueError("empty terms: pass at least one query term")
+        scores = self._partial_scores(terms)
         top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
         return [{"doc_id": d, "bm25_e10": s, "kw_rank": i + 1}
                 for i, (d, s) in enumerate(top)]
@@ -656,3 +665,49 @@ class LocalBM25Searcher:
             postings.setdefault(tokens[i], []).append((d, tf))
         dl = dict(zip(arrs["dl_ids"].tolist(), arrs["dl_vals"].tolist()))
         return cls(postings, dl)
+
+
+class ShardedLocalBM25Searcher:
+    """Token-sharded lexical router — the beyond-one-node architecture for
+    the RAM BM25 tier, mirroring ShardedLocalCascadeSearcher for vectors.
+
+    Sharding is BY TOKEN (hash), so one shard holds the COMPLETE posting
+    list of every token it owns: per-term scores (floored to bigint 1e-10
+    units inside the shard, exactly as the single searcher does) are
+    computed entirely in one shard, and the router merge is an exact
+    integer sum of per-doc partials — associativity of bigint addition
+    makes N shards bit-identical to one (pinned in tests).  Corpus stats
+    (n_docs, avgdl) are global and replicated to every shard.  Router
+    traffic is O(matching docs per term) score pairs — the postings never
+    leave their shard."""
+
+    def __init__(self, shards: list[LocalBM25Searcher]):
+        self.shards = shards
+
+    @classmethod
+    def from_searcher(cls, base: LocalBM25Searcher, n_shards: int = 2
+                      ) -> "ShardedLocalBM25Searcher":
+        n_shards = max(1, int(n_shards))
+        split: list[dict] = [{} for _ in range(n_shards)]
+        for t, plist in base.postings.items():
+            # stable python-independent hash: md5 of the token
+            import hashlib
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            split[h % n_shards][t] = plist
+        # every shard sees the GLOBAL dl map: scoring needs dl for any doc
+        # its tokens touch, and the stats must be corpus-wide
+        return cls([LocalBM25Searcher(p, base.dl) for p in split])
+
+    def search(self, terms: Sequence[str], k: int = 10) -> list[dict]:
+        terms = [str(t) for t in terms]
+        if not terms:
+            raise ValueError("empty terms: pass at least one query term")
+        scores: dict[int, int] = {}
+        for s in self.shards:
+            # per-shard partials over the full term list: a shard simply
+            # finds no postings for terms it does not own
+            for doc_id, e10 in s._partial_scores(terms).items():
+                scores[doc_id] = scores.get(doc_id, 0) + e10
+        top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+        return [{"doc_id": d, "bm25_e10": sc, "kw_rank": i + 1}
+                for i, (d, sc) in enumerate(top)]

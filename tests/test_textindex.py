@@ -378,3 +378,24 @@ def test_search_batch_plan_and_identity(spark, tmp_path):
         ti.search_batch({})
     with pytest.raises(ValueError, match="empty terms"):
         ti.search_batch({0: []})
+
+
+def test_sharded_bm25_router_bit_identical(spark, tmp_path):
+    """Token-sharded lexical router == the single searcher, exactly, for
+    any shard count: one shard owns a token's FULL posting list (global
+    df), and the merge sums exact bigint partials."""
+    from binaryvectordb_spark.operators.textindex import (
+        ShardedLocalBM25Searcher,
+    )
+
+    ti = TextIndex(spark, str(tmp_path / "ti")).build(_docs(spark))
+    base = ti.to_local()
+    queries = [list(TERMS), ["vector"], ["window", "merge", "vector"],
+               ["zzz_unknown"], ["vector", "zzz_unknown"]]
+    for n in (1, 2, 3, 5):
+        router = ShardedLocalBM25Searcher.from_searcher(base, n_shards=n)
+        for q in queries:
+            assert router.search(q, k=15) == base.search(q, k=15), (n, q)
+    import pytest
+    with pytest.raises(ValueError, match="empty terms"):
+        ShardedLocalBM25Searcher.from_searcher(base, 2).search([])
