@@ -1607,11 +1607,16 @@ class BinaryVectorDB:
                   if n_str else None)
         ti.upsert_batch(str_df, incoming.select("doc_id"), text_col="text")
         # bounded segment growth under micro-batch ingest (a streaming
-        # sink creates one segment per batch): fold back to one segment
-        # past the threshold — Lucene's merge policy, crudest tier.
-        # Compaction also restores the zero-job stats fast path.
+        # sink creates one segment per batch): past the threshold, fold
+        # the trailing run of small segments (tiered merge — amortized
+        # O(batch·log), the bootstrap segment is never rewritten just
+        # because small batches arrived).  If the tier policy finds no
+        # mergeable run the full compact() backstop keeps the hard bound
+        # (and restores the zero-job stats fast path).
         if len(ti.meta["segments"]) >= self._TI_COMPACT_SEGMENTS:
-            ti.compact()
+            ti.compact_tail()
+            if len(ti.meta["segments"]) >= self._TI_COMPACT_SEGMENTS:
+                ti.compact()
 
     def _ti_after_remove(self, doc_ids: Sequence[int]) -> None:
         ti = self._text_index()

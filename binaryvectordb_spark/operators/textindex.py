@@ -290,6 +290,9 @@ class TextIndex:
             self.meta["segments"].append(seg_name)
         if tomb_name is not None:
             self.meta["tombstones"].append(tomb_name)
+            # effective scope recorded in meta from birth, so compact_tail
+            # can re-scope without rewriting the tombstone parquet
+            self.meta.setdefault("tomb_upto", {})[tomb_name] = upto
         self._write_meta()
 
     def remove(self, doc_ids: Sequence[int]) -> None:
@@ -338,6 +341,78 @@ class TextIndex:
                 shutil.rmtree(os.path.join(self.folder, entry),
                               ignore_errors=True)
 
+    # geometric tier ratio: extend the trailing merge run while the next
+    # (older) segment is no more than this multiple of the run's size
+    _TIER_RATIO = 8
+
+    def compact_tail(self) -> None:
+        """Tiered (log-structured) merge — Lucene's real merge policy tier:
+        fold the maximal TRAILING run of comparably-small segments into
+        one, leaving large old segments untouched.  Under micro-batch
+        ingest this makes maintenance amortized O(batch·log) instead of
+        compact()'s O(index) full rewrite: at 100 TB the bootstrap segment
+        is never rewritten just because 16 small batches arrived.
+
+        Correctness with scoped tombstones: the merged segment is built
+        from the LIVE rows of its sources (`live_postings` restricted to
+        the run), so every tombstone's within-run effect is materialized;
+        a tombstone whose scope reached into the run is then re-scoped to
+        the last untouched segment via meta's tomb_upto override — its
+        parquet is untouched, and its remaining job (killing the doc in
+        segments OLDER than the run) is preserved exactly.  When the run
+        reaches segment 0 this degenerates to compact(), which also drops
+        the tombstones."""
+        segs = self.meta["segments"]
+        if len(segs) < 2:
+            return
+        stats = self.meta.get("seg_stats") or {}
+        sizes = [int(stats.get(s, {}).get("n_docs", 0)) for s in segs]
+        i = len(segs) - 1
+        acc = sizes[i]
+        while i - 1 >= 0 and sizes[i - 1] <= self._TIER_RATIO * max(acc, 1):
+            i -= 1
+            acc += sizes[i]
+        if i == len(segs) - 1:
+            return  # no mergeable run (the tail segment dwarfs its elder)
+        if i == 0:
+            self.compact()
+            return
+        merged = self.live_postings().where(F.col("seg") >= i).drop("seg")
+        name = self._next_name("seg")
+        seg = os.path.join(self.folder, name)
+        (merged.repartitionByRange("token")
+         .sortWithinPartitions("token", "doc_id")
+         .write.mode("overwrite")
+         .options(**self._postings_block_opt())
+         .parquet(os.path.join(seg, "postings")))
+        dl = (self.spark.read.schema("doc_id long, tf double")
+              .parquet(os.path.join(seg, "postings"))
+              .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+        st = self._write_doclen(dl, seg)
+        over = dict(self.meta.get("tomb_upto") or {})
+        for t in self.meta["tombstones"]:
+            u = over.get(t)
+            if u is None:
+                # tombstone born before scopes were recorded in meta:
+                # read its written scope (one tiny job) — guessing a
+                # default could WIDEN a narrow tombstone after re-scoping
+                u = int(self.spark.read.schema(self._SCHEMAS["tomb"])
+                        .parquet(os.path.join(self.folder, t))
+                        .agg(F.max("upto_seg")).first()[0])
+            if u >= i:
+                u = i - 1  # in-run effect materialized in the merge
+            over[t] = u
+        old_sources = segs[i:]
+        self.meta["segments"] = segs[:i] + [name]
+        self.meta["seg_stats"] = {
+            s: stats[s] for s in segs[:i] if s in stats}
+        self.meta["seg_stats"][name] = st
+        self.meta["tomb_upto"] = over
+        self._write_meta()
+        for stale in old_sources:
+            shutil.rmtree(os.path.join(self.folder, stale),
+                          ignore_errors=True)
+
     # -- read paths --------------------------------------------------------
 
     # fixed table schemas, supplied to every read: parquet schema
@@ -353,10 +428,21 @@ class TextIndex:
     def _tomb(self) -> DataFrame | None:
         if not self.meta["tombstones"]:
             return None
-        paths = [os.path.join(self.folder, t)
-                 for t in self.meta["tombstones"]]
-        return (self.spark.read.schema(self._SCHEMAS["tomb"])
-                .parquet(*paths))
+        # a tiered merge (compact_tail) re-scopes tombstones whose range
+        # reached into the merged run WITHOUT rewriting their parquet:
+        # meta's tomb_upto override wins over the written column
+        over = self.meta.get("tomb_upto") or {}
+        parts = []
+        for t in self.meta["tombstones"]:
+            df = (self.spark.read.schema(self._SCHEMAS["tomb"])
+                  .parquet(os.path.join(self.folder, t)))
+            if t in over:
+                df = df.withColumn("upto_seg", F.lit(int(over[t])))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _live(self, sub: str) -> DataFrame:
         """Union the segment tables with their segment ordinal, minus

@@ -161,6 +161,8 @@ def test_property_indexed_bm25_matches_python_reference(spark, tmp_path_factory,
             sorted(upd.items()), "doc_id: long, text: string"),
             text_col="text")
     ti.remove(sorted(dels))
+    if data.draw(st.booleans()):
+        ti.compact_tail()  # the tiered merge must never change answers
 
     final = {**docs, **upd}
     for d in dels:
@@ -399,3 +401,59 @@ def test_sharded_bm25_router_bit_identical(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="empty terms"):
         ShardedLocalBM25Searcher.from_searcher(base, 2).search([])
+
+
+def test_compact_tail_tiered_merge(spark, tmp_path):
+    """compact_tail folds ONLY the trailing run of small segments: the
+    bootstrap segment's files stay untouched on disk (the 100 TB
+    property), tombstones whose scope reached into the run re-scope via
+    the meta override without a file rewrite, and every answer — BM25,
+    phrase, live doclen — equals a fresh rebuild."""
+    d = _docs(spark)                      # 60-doc bootstrap
+    ti = TextIndex(spark, str(tmp_path / "ti")).build(d)
+    seg0_file = sorted(os.listdir(
+        os.path.join(str(tmp_path / "ti"), "seg_0", "postings")))
+
+    # micro-batches: re-index 0-2 (tombstones reach seg_0), add 100-105,
+    # delete 40-41
+    upd = (d.where(F.col("doc_id") < 3)
+           .withColumn("text", F.concat(F.lit("vector window "),
+                                        F.col("text"))))
+    ti.add_documents(upd)
+    for i in range(3):
+        ti.add_documents(spark.createDataFrame(
+            [(100 + 2 * i, "vector merge extra"),
+             (101 + 2 * i, "window scan extra")],
+            "doc_id: long, text: string"))
+    ti.remove([40, 41])
+    n_segs, n_tombs = len(ti.meta["segments"]), len(ti.meta["tombstones"])
+    assert n_segs == 5 and n_tombs == 5
+
+    ti.compact_tail()
+    # the run = the 4 small trailing segments; seg_0 (60 docs, > 8x run)
+    # stays, byte-for-byte
+    assert ti.meta["segments"][0] == "seg_0"
+    assert len(ti.meta["segments"]) == 2
+    assert sorted(os.listdir(os.path.join(
+        str(tmp_path / "ti"), "seg_0", "postings"))) == seg0_file
+    # tombstones survive re-scoped to the last untouched segment
+    assert len(ti.meta["tombstones"]) == n_tombs
+    assert all(u == 0 for u in ti.meta["tomb_upto"].values())
+
+    # answers equal a fresh rebuild of the live corpus
+    live = {**{r["doc_id"]: r["text"] for r in d.collect()},
+            **{r["doc_id"]: r["text"] for r in upd.collect()},
+            **{100 + 2 * i: "vector merge extra" for i in range(3)},
+            **{101 + 2 * i: "window scan extra" for i in range(3)}}
+    for dd in (40, 41):
+        live.pop(dd)
+    fresh = TextIndex(spark, str(tmp_path / "fresh")).build(
+        spark.createDataFrame(sorted(live.items()),
+                              "doc_id: long, text: string"))
+    assert _rows(ti.search(TERMS, k=30)) == _rows(fresh.search(TERMS, k=30))
+    assert _rows(ti.search_phrase(("vector", "window"), k=30)) == \
+        _rows(fresh.search_phrase(("vector", "window"), k=30))
+    assert ti.live_doclen().count() == len(live)
+    # deleted and replaced postings are really gone
+    alive = {r["doc_id"] for r in ti.search(TERMS, k=10_000).collect()}
+    assert not alive & {40, 41}
