@@ -773,11 +773,12 @@ class ShardedLocalBM25Searcher:
     @classmethod
     def from_searcher(cls, base: LocalBM25Searcher, n_shards: int = 2
                       ) -> "ShardedLocalBM25Searcher":
+        import hashlib
+
         n_shards = max(1, int(n_shards))
         split: list[dict] = [{} for _ in range(n_shards)]
         for t, plist in base.postings.items():
-            # stable python-independent hash: md5 of the token
-            import hashlib
+            # stable process-independent hash: md5 of the token
             h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
             split[h % n_shards][t] = plist
         # every shard sees the GLOBAL dl map: scoring needs dl for any doc
