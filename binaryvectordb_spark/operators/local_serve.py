@@ -457,6 +457,17 @@ class LocalHybridServer:
 
     RRF_K = 60
 
+    @staticmethod
+    def _emb_ints(token: str) -> list[int]:
+        """Inlined copy of queries/lateinteraction._emb_ints (md5-derived
+        8-dim integer token embedding) — copied rather than imported so a
+        serving host needs no pyspark install; a test pins the two
+        implementations equal token-for-token."""
+        import hashlib
+
+        h = hashlib.md5(token.encode("utf-8")).hexdigest()
+        return [int(h[4 * j: 4 * j + 4], 16) % 13 - 6 for j in range(8)]
+
     def __init__(self, vec, bm25, embed_fn=None):
         self.vec = vec
         self.bm25 = bm25
@@ -477,7 +488,8 @@ class LocalHybridServer:
         return hits
 
     def search_hybrid(self, terms, query, k: int = 10,
-                      depth: int = 100) -> list[dict]:
+                      depth: int = 100,
+                      maxsim_rerank: bool = False) -> list[dict]:
         kw = {h["doc_id"]: h["kw_rank"]
               for h in self.bm25.search(terms, k=depth)}
         vec = {h["doc_id"]: i + 1
@@ -491,9 +503,30 @@ class LocalHybridServer:
                 score += 1.0 / (self.RRF_K + vec[doc_id])
             fused.append((doc_id, score))
         fused.sort(key=lambda t: (-t[1], t[0]))
-        return [{"doc_id": d, "rrf": s,
+        hits = [{"doc_id": d, "rrf": s,
                  "kw_rank": kw.get(d), "vec_rank": vec.get(d),
                  "doc": self.payloads.get(d)} for d, s in fused[:k]]
+        if maxsim_rerank:
+            # exact-integer MaxSim over the k payload strings — the same
+            # md5-derived token embeddings and tie-break (RRF position)
+            # as db.search_hybrid(maxsim_rerank=True), so the exported
+            # server re-orders identically (pinned in tests)
+            qembs = [self._emb_ints(str(t)) for t in terms]
+
+            def maxsim(doc) -> int:
+                if not isinstance(doc, str) or not doc:
+                    return 0
+                tembs = [self._emb_ints(t) for t in set(doc.split(" "))]
+                return sum(max(sum(a * b for a, b in zip(q, te))
+                               for te in tembs) for q in qembs)
+
+            for i, h in enumerate(hits):
+                h["maxsim"] = maxsim(h["doc"])
+                h["_rrf_pos"] = i
+            hits.sort(key=lambda h: (-h["maxsim"], h["_rrf_pos"]))
+            for h in hits:
+                del h["_rrf_pos"]
+        return hits
 
     @classmethod
     def load(cls, path: str, embed_fn=None,

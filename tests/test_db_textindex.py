@@ -293,3 +293,24 @@ def test_db_search_phrase(spark, tmp_path):
                  np.array([_emb(900)], dtype=np.float32))
     top = db.search_phrase(("fast", "merge"), k=1)[0]
     assert top["doc_id"] == 900 and top["n_occurrences"] == 3
+
+
+def test_hybrid_server_maxsim_rerank_matches_db(spark, tmp_path):
+    """LocalHybridServer(maxsim_rerank=True) re-orders exactly like
+    db.search_hybrid(maxsim_rerank=True) — and its inlined _emb_ints copy
+    (kept pyspark-import-free for serving hosts) matches the canonical
+    definition token-for-token."""
+    from binaryvectordb_spark.operators.local_serve import LocalHybridServer
+    from binaryvectordb_spark.queries.lateinteraction import _emb_ints
+
+    for tok in ("fast", "merge", "scan", "batch7", ""):
+        assert LocalHybridServer._emb_ints(tok) == _emb_ints(tok)
+
+    db = _mkdb(spark, str(tmp_path / "db"))
+    db.build_text_index()
+    db.export_serving_shards(n_shards=2)
+    srv = db.load_hybrid_server()
+    qvec = _emb(7)
+    want = db.search_hybrid(TERMS, qvec, k=10, depth=50, maxsim_rerank=True)
+    got = srv.search_hybrid(TERMS, qvec, k=10, depth=50, maxsim_rerank=True)
+    assert got == want
