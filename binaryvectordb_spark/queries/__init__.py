@@ -30,6 +30,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # bounded budget, so the flagship cascade/ANN families must come first).
 from binaryvectordb_spark.queries import (  # noqa: E402,F401
     analytics2,
+    analytics3,
     dedup,
     hybrid,
     lateinteraction,
@@ -64,6 +65,13 @@ _PRIORITY = [
     "search_bm25_local",
     "dedup_incremental_batch",
     "search_bm25_indexed_batch",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_streaks_gaps_islands",
+    "scd2_event_state_history",
+    "events_error_then_purchase",
+    "agg_salted_skew_twostage",
+    "join_bloom_semi_reduction",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

@@ -1,0 +1,359 @@
+"""Event-sequence analytics + skew/runtime-filter join patterns (SURVEY §2.12
+extension, round 9 late cohort).
+
+These are the remaining table-stakes operators of a large-scale event/training
+pipeline that the registry did not yet cover as first-class, oracle-backed
+queries:
+
+- funnel conversion (ordered multi-stage reach),
+- cohort retention (first-touch cohort x week-offset activity matrix),
+- gaps-and-islands (consecutive-day streaks),
+- SCD2 run-collapse history (valid_from/valid_to versioning of a changing
+  per-entity attribute),
+- sequence pattern match (A immediately followed by B within a time bound —
+  the MATCH_RECOGNIZE shape expressible with lead()),
+- two-stage salted aggregation (the skew-safe groupBy: partial agg on
+  (key, salt) spreads a hot key over the cluster, final agg folds the
+  bounded partials — exact because the re-associated sums are DECIMAL),
+- bloom-filter semi-join reduction (the runtime-filter pattern: a compact
+  bitset built from the small side prunes the big side BEFORE the shuffle;
+  the exact semi-join afterwards removes false positives, so the result is
+  identical to the plain semi-join the oracle runs).
+
+Determinism contract (repo-wide): every re-associable sum is DECIMAL or
+bigint so batches/partitions/AQE cannot change the value; int columns are
+cast to BIGINT on both engines; ties are broken by (ts, event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.queries import register
+from binaryvectordb_spark.sources.tables import load_table
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion: signup -> click (after signup) -> purchase (after click)
+# ---------------------------------------------------------------------------
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: users whose first signup is followed by a
+    click, then a purchase, each STRICTLY later than the prior stage's
+    first-reach time.  Three cascaded (filter -> groupBy user -> min ts)
+    stages; each join key is user_id, so at scale all three aggs and joins
+    share one hash-partitioning on user_id (no broadcast needed — both
+    sides shrink to <= 1 row/user after the first agg)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    s1 = (ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+            .join(s1, "user_id")
+            .filter(F.col("ts") > F.col("s_ts"))
+            .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+            .join(s2, "user_id")
+            .filter(F.col("ts") > F.col("c_ts"))
+            .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (s1.agg(F.lit("1_signup").alias("stage"),
+                   F.count("*").alias("n_users"))
+            .unionByName(s2.agg(F.lit("2_click").alias("stage"),
+                                F.count("*").alias("n_users")))
+            .unionByName(s3.agg(F.lit("3_purchase").alias("stage"),
+                                F.count("*").alias("n_users"))))
+
+
+register("events_funnel_conversion", events_funnel_conversion, oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+     s2 AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+            JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.s_ts
+            GROUP BY e.user_id),
+     s3 AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+            JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.c_ts
+            GROUP BY e.user_id)
+SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+UNION ALL SELECT '2_click', count(*) FROM s2
+UNION ALL SELECT '3_purchase', count(*) FROM s3
+""")
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: first-event-day cohort x integer week offset
+# ---------------------------------------------------------------------------
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: cohort = the DATE of a user's first event;
+    a user is active in week_offset w if they have any event in
+    [cohort_day + 7w, cohort_day + 7(w+1)).  Day arithmetic only (integer
+    datediff div 7) — no engine-specific week-truncation semantics.  The
+    cohort frame is 1 row/user, so the join co-partitions on user_id with
+    the event scan's aggregation."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (ev.join(first, "user_id")
+            .select("user_id", "cohort_day",
+                    F.expr("CAST(datediff(d, cohort_day) div 7 AS BIGINT)")
+                    .alias("week_offset"))
+            .groupBy("cohort_day", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+register("events_cohort_retention", events_cohort_retention, oracle="""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+     first AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, d) // 7 AS BIGINT) AS week_offset,
+       count(DISTINCT user_id) AS n_active
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2
+""")
+
+
+# ---------------------------------------------------------------------------
+# gaps and islands: consecutive-active-day streaks per user
+# ---------------------------------------------------------------------------
+
+def events_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands via the row_number anchor trick: for each user's
+    DISTINCT active days ordered by date, date - row_number is constant
+    within a run of consecutive days.  Two window-free aggs + one window
+    over (user, date) — the window partitions by user_id, so no global
+    sort; per-user day counts are tiny relative to events."""
+    days = (_events(spark, sf_dir)
+            .select("user_id", F.to_date("ts").alias("d")).distinct())
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    anchored = days.withColumn("anchor", F.date_sub("d", rn))
+    streaks = (anchored.groupBy("user_id", "anchor")
+               .agg(F.count("*").alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.count("*").alias("n_streaks"),
+                 F.max("len").alias("longest_streak"),
+                 F.sum("len").cast("bigint").alias("active_days")))
+
+
+register("events_streaks_gaps_islands", events_streaks_gaps_islands, oracle="""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+     anchored AS (SELECT user_id, d,
+                         d - CAST(row_number() OVER
+                             (PARTITION BY user_id ORDER BY d) AS INT)
+                           AS anchor
+                  FROM days),
+     streaks AS (SELECT user_id, anchor, count(*) AS len
+                 FROM anchored GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# SCD2: collapse consecutive runs of a changing attribute into versioned rows
+# ---------------------------------------------------------------------------
+
+def scd2_event_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history of each user's event_type
+    "state": consecutive equal values collapse into one row with
+    valid_from = first ts of the run, valid_to = next run's valid_from
+    (NULL while current), version = run ordinal.  The run id is the
+    classic lag-change-flag cumulative sum; ties broken by (ts, event_id)
+    so the run structure is total-order deterministic.  All three windows
+    partition by user_id — one shuffle, reused."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                       "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")),
+               F.lit(1)).otherwise(F.lit(0)))
+    runs = flagged.withColumn(
+        "version", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+    hist = (runs.groupBy("user_id", "version", "event_type")
+            .agg(F.min("ts").alias("valid_from"),
+                 F.count("*").alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return hist.withColumn("valid_to", F.lead("valid_from").over(w2))
+
+
+register("scd2_event_state_history", scd2_event_state_history, oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                  <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS version
+  FROM flagged),
+hist AS (
+  SELECT user_id, version, event_type, min(ts) AS valid_from,
+         count(*) AS n_events
+  FROM runs GROUP BY 1, 2, 3)
+SELECT user_id, version, event_type, valid_from, n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to
+FROM hist
+""")
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern: error immediately followed by purchase within 5 minutes
+# ---------------------------------------------------------------------------
+
+def events_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped adjacency pattern: per user (ordered by
+    ts, event_id), emit each error whose IMMEDIATELY next event is a
+    purchase at most 5 minutes later.  One window shuffle on user_id;
+    lead() is the whole pattern engine for fixed-length adjacent
+    patterns."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                       "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (ev.withColumn("next_type", F.lead("event_type").over(w))
+             .withColumn("next_ts", F.lead("ts").over(w)))
+    return (nxt.filter((F.col("event_type") == "error")
+                       & (F.col("next_type") == "purchase")
+                       & (F.col("next_ts")
+                          <= F.expr("ts + INTERVAL 5 MINUTES")))
+            .select("user_id", F.col("ts").alias("error_ts"),
+                    F.col("next_ts").alias("purchase_ts")))
+
+
+register("events_error_then_purchase", events_error_then_purchase, oracle="""
+WITH nxt AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_ts
+  FROM events)
+SELECT user_id, ts AS error_ts, next_ts AS purchase_ts
+FROM nxt
+WHERE event_type = 'error' AND next_type = 'purchase'
+  AND next_ts <= ts + INTERVAL 5 MINUTE
+""")
+
+
+# ---------------------------------------------------------------------------
+# two-stage salted aggregation: skew-safe groupBy on a 5-value hot key
+# ---------------------------------------------------------------------------
+
+_N_SALTS = 8
+
+
+def agg_salted_skew_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe aggregation shape: event_type has 5 distinct values,
+    so a plain groupBy at 100 TB lands each key's entire mass on one
+    reducer.  Stage 1 groups by (event_type, salt) — salt derived from the
+    row id spreads each hot key over _N_SALTS reducers; stage 2 folds the
+    <= 5*_N_SALTS partials.  Exactness: the re-associated sum is
+    DECIMAL(15,2), so stage order cannot change the value (the repo's
+    integer-units fold contract); the oracle is the plain one-stage
+    GROUP BY."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)).alias("salt"),
+        F.col("value").cast("decimal(15,2)").alias("v"))
+    partial = (ev.groupBy("event_type", "salt")
+               .agg(F.count("*").alias("pn"), F.sum("v").alias("pv")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("pn").cast("bigint").alias("n"),
+                 F.sum("pv").cast("double").alias("sum_value")))
+
+
+register("agg_salted_skew_twostage", agg_salted_skew_twostage, oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""")
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join reduction (the runtime-filter pattern, explicit)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 8192
+_BLOOM_K = 3
+
+
+def _build_bloom_words(cust) -> list:
+    """Aggregate the small side's keys into an m-bit bloom filter packed as
+    m/64 bigint words — k=3 xxhash64 probes per key, bits OR-folded
+    JVM-side (shiftleft + bit_or), and only the <=m/64 non-zero words ever
+    reach the driver.  At 100 TB the small side never leaves the cluster
+    as raw keys; the collected bitset is O(m) regardless of key count."""
+    probes = None
+    for i in range(_BLOOM_K):
+        p = cust.select(
+            F.pmod(F.xxhash64("c_custkey", F.lit(i)),
+                   F.lit(_BLOOM_BITS)).alias("h"))
+        probes = p if probes is None else probes.unionByName(p)
+    words = (probes
+             .select(F.expr("CAST(h div 64 AS INT)").alias("w"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(h % 64 AS INT))").alias("bit"))
+             .groupBy("w").agg(F.expr("bit_or(bit)").alias("bits"))
+             .collect())
+    arr = [0] * (_BLOOM_BITS // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join, made explicit: orders of BUILDING-segment
+    customers, aggregated per priority.  A compact bloom bitset built from
+    the dim side pre-filters the fact side with pure JVM bit expressions
+    BEFORE any join/shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling ~the selectivity of the
+    predicate.  False positives (bounded by the m/n/k choice) are then
+    removed by the exact broadcast semi-join, so the result is identical
+    to the oracle's plain IN-subquery.  Cites the same reduction Spark's
+    InjectRuntimeFilter applies, but as a user-land operator that also
+    works across engines/stages a planner can't see through."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    arr = _build_bloom_words(cust)
+    bloom = F.array(*[F.lit(w) for w in arr])
+    orders = load_table(spark, sf_dir, "orders").withColumn("bloom", bloom)
+    cond = None
+    for i in range(_BLOOM_K):
+        t = F.expr(
+            f"(shiftright(element_at(bloom, CAST(pmod(xxhash64(o_custkey, "
+            f"{i}), {_BLOOM_BITS}) div 64 AS INT) + 1), "
+            f"CAST(pmod(xxhash64(o_custkey, {i}), {_BLOOM_BITS}) % 64 "
+            f"AS INT)) & 1) = 1")
+        cond = t if cond is None else (cond & t)
+    pruned = orders.filter(cond).drop("bloom")
+    exact = pruned.join(F.broadcast(cust),
+                        pruned.o_custkey == cust.c_custkey, "leftsemi")
+    return (exact.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+register("join_bloom_semi_reduction", join_bloom_semi_reduction, oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+""")

@@ -294,3 +294,32 @@ def test_incremental_dedup_batch_broadcasts_batch_side(spark):
     plan = formatted_plan(dedup_incremental_batch(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_two_stage_shape(spark):
+    """The skew-safe agg must show BOTH aggregation layers: a partial+final
+    HashAggregate pair keyed by (event_type, salt), then a second pair
+    keyed by event_type alone — the hot key's mass is spread over
+    _N_SALTS reducers before the tiny final fold."""
+    from binaryvectordb_spark.queries.analytics3 import agg_salted_skew_twostage
+    plan = formatted_plan(agg_salted_skew_twostage(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 4
+    shuffles = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert any("event_type" in l and "salt" in l for l in shuffles), shuffles
+    assert any("event_type" in l and "salt" not in l for l in shuffles), shuffles
+
+
+def test_bloom_reduction_filters_before_join(spark):
+    """The bloom bit-test must prune the fact scan BEFORE the exact
+    semi-join (runtime-filter shape), and the exact join must broadcast
+    the dim side — never a shuffle join on the fact table."""
+    from binaryvectordb_spark.queries.analytics3 import join_bloom_semi_reduction
+    plan = formatted_plan(join_bloom_semi_reduction(spark, SF_SMOKE))
+    assert "shiftright" in plan and "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # the bit-test Filter sits below the join: it appears AFTER the join
+    # node in the formatted tree (children print below parents)
+    join_pos = plan.index("BroadcastHashJoin")
+    filt_pos = plan.index("shiftright")
+    assert filt_pos > join_pos
