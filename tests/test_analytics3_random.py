@@ -1,0 +1,72 @@
+"""Randomized cross-engine robustness for the event-sequence analytics
+(queries/analytics3.py): funnel, cohort retention, gaps-and-islands, SCD2
+run collapse, adjacent-pattern match, and the salted two-stage agg must
+hash-match DuckDB on event streams the fixtures never saw — heavy
+timestamp COLLISIONS (the tie-break contract: every window orders by
+(ts, event_id)), single-event users, sparse/dense day patterns, three
+seeds.  This is the determinism claim under adversarial inputs, not just
+the shipped fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import duckdb
+
+from binaryvectordb_spark.queries import ORACLES, QUERIES
+from tests.oracle_harness import compare
+
+_TYPES = ["signup", "click", "purchase", "error", "view"]
+
+_QUERIES = [
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_streaks_gaps_islands",
+    "scd2_event_state_history",
+    "events_error_then_purchase",
+    "agg_salted_skew_twostage",
+]
+
+
+def _make_events_dir(tmp_path, seed: int, n: int = 400) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    d = tmp_path / f"rand_ev_{seed}"
+    d.mkdir()
+    # ~25 users, skewed activity; COARSE second grid so ties are common
+    # (same-user same-second events force the (ts, event_id) tie-break)
+    user = rng.zipf(1.5, n) % 25
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    secs = rng.randint(0, 86400 * 14, n)
+    secs = (secs // 600) * 600  # 10-min grid → frequent exact collisions
+    ts = base + secs.astype("timedelta64[s]").astype("timedelta64[us]")
+    events = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(user.astype(np.int64), pa.int64()),
+        "event_type": pa.array([_TYPES[i] for i in rng.randint(0, 5, n)]),
+        "value": pa.array(np.round(rng.uniform(0, 500, n), 2)),
+        "props": pa.array(['{"k": %d}' % k for k in rng.randint(0, 100, n)]),
+    })
+    pq.write_table(events, d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [11, 42, 77])
+def test_sequence_analytics_cross_engine_on_random_events(spark, tmp_path,
+                                                          seed):
+    sf_dir = _make_events_dir(tmp_path, seed)
+    con = duckdb.connect()
+    p = os.path.join(sf_dir, "events.parquet")
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    try:
+        for name in _QUERIES:
+            compare(QUERIES[name](spark, sf_dir), ORACLES[name], con,
+                    f"{name}[seed={seed}]")
+    finally:
+        con.close()
