@@ -1,0 +1,141 @@
+"""Ingest-time near-duplicate gate — the MAINTENANCE form of MinHash/LSH
+dedup, as a reusable operator over arbitrary (doc_id, text) frames.
+
+The bootstrap dedup (queries/dedup.py `dedup_lsh_jaccard`) self-joins the
+corpus band table once; a production pipeline then needs the incremental
+question at every ingest: *is this incoming doc a near-dup of anything
+already admitted?*  The reference's add_documents flow
+(BinaryVectorDB/BinaryVectorDB.py:93-101) has no such gate; at 100 TB a
+corpus without one silently re-accumulates the duplicates the bootstrap
+removed.
+
+100 TB shape: the BATCH side's band table (O(batch) rows) broadcasts
+against the corpus band table — the corpus never shuffles and never
+self-joins; exact shingle-Jaccard verification touches only the pruned
+candidate pairs.  Cost per ingest is O(corpus scan + batch), with the
+corpus scan being the token/band projection only (narrow columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binaryvectordb_spark.functions.text import (
+    minhash_min_exprs,
+    shingles,
+    token_hash31,
+)
+
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+SHINGLE_K = 3
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs): the distinct k-token shingle set per doc.  Docs with
+    fewer than SHINGLE_K tokens have an empty set — they produce no MinHash
+    signature, collide with nothing, and are always admitted (documented
+    semantics, shared with the bootstrap dedup)."""
+    return (docs
+            .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+            .select("doc_id",
+                    F.array_distinct(shingles("toks", SHINGLE_K))
+                    .alias("shs")))
+
+
+def _band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, bh): one LSH band hash per (doc, band) — the
+    inverted-index key.  12 affine MinHash mins in ONE hash-agg, banded
+    3-row-per-band (same family/constants as the bootstrap dedup so gate
+    decisions are consistent with it)."""
+    ex = (_shingle_sets(docs)
+          .select("doc_id", F.explode("shs").alias("s"))
+          .select("doc_id", F.expr(token_hash31("s")).alias("h")))
+    m = ex.groupBy("doc_id").agg(*minhash_min_exprs("h", N_HASHES))
+    bands = m.select("doc_id", F.array(*[
+        F.concat_ws("|", *[f"sig_{b * ROWS_PER_BAND + r}"
+                           for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)]).alias("bands"))
+    return bands.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "bh"))
+
+
+def near_dup_gate(batch: DataFrame, corpus: DataFrame, *,
+                  j_threshold: float = 0.5) -> DataFrame:
+    """Per-batch-doc admit/reject record vs an existing corpus.
+
+    Both inputs are (doc_id, text) frames (extra columns ignored).  Returns
+    (doc_id, n_candidates, n_dups, best_jaccard, admit) — one row per
+    DISTINCT batch doc_id, where n_candidates counts LSH band collisions
+    against the corpus, n_dups counts candidates whose EXACT shingle
+    Jaccard >= j_threshold, best_jaccard is the max such score (NULL when
+    none), and admit = (n_dups == 0).
+
+    The batch band table broadcasts; the corpus is scanned once and never
+    shuffled (plan-pinned via the registry query that delegates here)."""
+    batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+    corpus = corpus.select("doc_id", "text")
+    b_bands = (_band_table(batch)
+               .select(F.col("doc_id").alias("bid"), "band_idx", "bh"))
+    c_bands = _band_table(corpus)
+    cands = (c_bands.join(F.broadcast(b_bands), ["band_idx", "bh"])
+             .select("bid", F.col("doc_id").alias("cid"))
+             .distinct())
+    sa = (_shingle_sets(batch)
+          .select(F.col("doc_id").alias("bid"), F.col("shs").alias("sa")))
+    sb = (_shingle_sets(corpus)
+          .select(F.col("doc_id").alias("cid"), F.col("shs").alias("sb")))
+    ver = (cands.join(sa, "bid").join(sb, "cid")
+           .withColumn("common", F.size(F.array_intersect("sa", "sb"))
+                       .cast("double"))
+           .withColumn("j", F.col("common")
+                       / (F.size("sa") + F.size("sb") - F.col("common"))))
+    per_doc = (ver.groupBy("bid")
+               .agg(F.count("*").alias("n_candidates"),
+                    F.sum(F.when(F.col("j") >= j_threshold, 1).otherwise(0))
+                    .alias("n_dups"),
+                    F.max(F.when(F.col("j") >= j_threshold, F.col("j")))
+                    .alias("best_jaccard")))
+    return (batch.select("doc_id")
+            .join(per_doc, batch["doc_id"] == per_doc["bid"], "left")
+            .select("doc_id",
+                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                    F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+                    "best_jaccard")
+            .withColumn("admit", F.col("n_dups") == 0))
+
+
+def gated_add_documents_df(db, docs_df: DataFrame, *,
+                           j_threshold: float = 0.5,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Near-dup-gated distributed upsert: run the gate against the DB's
+    CURRENT str-payload documents, admit only docs with zero near-dups,
+    upsert the admitted slice via add_documents_df, and return the gate
+    record (one row per distinct incoming doc_id).
+
+    The record is localCheckpoint-materialized BEFORE the upsert commits —
+    both it and the admitted slice derive from the pre-commit docs table,
+    and the commit garbage-collects superseded files (the db.py
+    _ti_after_upsert re-execution hazard, ADVICE r8)."""
+    batch = docs_df.select(F.col(id_col).cast("long").alias("doc_id"),
+                           F.col(text_col).alias("text"))
+    corpus_df = db.docs_df()
+    if corpus_df is None:
+        rec = (batch.dropDuplicates(["doc_id"]).select("doc_id")
+               .withColumn("n_candidates", F.lit(0).cast("long"))
+               .withColumn("n_dups", F.lit(0).cast("long"))
+               .withColumn("best_jaccard", F.lit(None).cast("double"))
+               .withColumn("admit", F.lit(True)))
+    else:
+        corpus = (corpus_df.where(F.col("doc_kind") == "str")
+                  .select("doc_id", F.col("doc").alias("text")))
+        rec = near_dup_gate(batch, corpus, j_threshold=j_threshold)
+    rec = rec.localCheckpoint(eager=True)
+    admitted = (batch.join(rec.where("admit").select("doc_id"), "doc_id")
+                .localCheckpoint(eager=True))
+    if admitted.take(1):
+        db.add_documents_df(admitted)
+    return rec

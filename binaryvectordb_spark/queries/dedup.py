@@ -787,44 +787,15 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, the BOOTSTRAP dedup), this is the MAINTENANCE form — the
     reference's add_documents flow has no dedup gate at all
     (BinaryVectorDB/BinaryVectorDB.py:93-101); production corpora need
-    one."""
-    m = _minhash_df(spark, sf_dir)
-    bands = m.select("doc_id", F.array(*[
-        F.concat_ws("|", *[f"sig_{b * ROWS_PER_BAND + r}"
-                           for r in range(ROWS_PER_BAND)])
-        for b in range(N_BANDS)]).alias("bands"))
-    ex = bands.select("doc_id", F.posexplode("bands").alias("band_idx", "bh"))
+    one.  Delegates to operators/ingest_gate.py::near_dup_gate — the same
+    operator the DB's gated streaming ingest runs — so this oracle row IS
+    the gate's correctness gate."""
+    from binaryvectordb_spark.operators.ingest_gate import near_dup_gate
+    d = _docs(spark, sf_dir)
     is_batch = (F.col("doc_id") % BATCH_MOD) == BATCH_REM
-    batch = (ex.where(is_batch)
-             .select(F.col("doc_id").alias("bid"), "band_idx", "bh"))
-    corpus = ex.where(~is_batch)
-    cands = (corpus.join(F.broadcast(batch), ["band_idx", "bh"])
-             .select("bid", F.col("doc_id").alias("cid"))
-             .distinct())
-    shl = (_docs(spark, sf_dir)
-           .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-           .select("doc_id", F.array_distinct(shingles("toks", 3))
-                   .alias("shs")))
-    sa = shl.select(F.col("doc_id").alias("bid"), F.col("shs").alias("sa"))
-    sb = shl.select(F.col("doc_id").alias("cid"), F.col("shs").alias("sb"))
-    ver = (cands.join(sa, "bid").join(sb, "cid")
-           .withColumn("common", F.size(F.array_intersect("sa", "sb"))
-                       .cast("double"))
-           .withColumn("j", F.col("common")
-                       / (F.size("sa") + F.size("sb") - F.col("common"))))
-    per_doc = (ver.groupBy("bid")
-               .agg(F.count("*").alias("n_candidates"),
-                    F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0))
-                    .alias("n_dups"),
-                    F.max(F.when(F.col("j") >= 0.5, F.col("j")))
-                    .alias("best_jaccard")))
-    incoming = (_docs(spark, sf_dir).where(is_batch).select("doc_id"))
-    return (incoming.join(per_doc,
-                          incoming["doc_id"] == per_doc["bid"], "left")
-            .select("doc_id",
-                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-                    F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
-                    "best_jaccard"))
+    return (near_dup_gate(d.where(is_batch), d.where(~is_batch),
+                          j_threshold=0.5)
+            .drop("admit"))
 
 
 register("dedup_incremental_batch", dedup_incremental_batch, oracle=f"""

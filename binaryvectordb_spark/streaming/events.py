@@ -301,3 +301,33 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     with open(_os.path.join(out_dir, "meta.json")) as f:
         meta = _json.load(f)
     return spark.read.parquet(_os.path.join(out_dir, meta["data"]))
+
+
+def foreach_batch_gated_upsert(docs: DataFrame, db, checkpoint_dir: str,
+                               gate_log_dir: str, *,
+                               j_threshold: float = 0.5):
+    """Near-dup-GATED streaming ingest: every micro-batch of (doc_id, text)
+    rows is screened against the DB's current corpus by the MinHash/LSH
+    gate (operators/ingest_gate.py), only zero-near-dup docs are upserted
+    (delete-then-insert semantics, text index maintained by the commit
+    hooks), and the per-doc admit/reject record is APPENDED to
+    ``gate_log_dir`` as parquet — the audit trail a curation pipeline
+    keeps at ingest.
+
+    Scale: the batch band table broadcasts, the corpus never shuffles,
+    and the gate record write is O(batch); nothing here collects more
+    than the take(1) emptiness probe."""
+    from binaryvectordb_spark.operators.ingest_gate import (
+        gated_add_documents_df,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        rec = gated_add_documents_df(db, batch_df, j_threshold=j_threshold)
+        (rec.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append").parquet(gate_log_dir))
+
+    return (docs.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

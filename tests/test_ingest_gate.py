@@ -1,0 +1,106 @@
+"""The ingest-time near-dup gate (operators/ingest_gate.py): batch
+semantics, DB-surface gated upsert, and the end-to-end streaming gated
+ingest (stream → gate → upsert → gate-log audit trail)."""
+
+from __future__ import annotations
+
+from binaryvectordb_spark.operators.ingest_gate import (
+    gated_add_documents_df,
+    near_dup_gate,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog today"
+DOC_B = "spark shuffles hash partitions across executor memory pools"
+DOC_C = "vector search ranks binary embeddings by hamming distance fast"
+# near-dup of A: one trailing token changed -> shingle Jaccard ~ 0.6
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog tonight"
+DOC_FRESH = "completely unrelated sentence about parquet footer statistics"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_gate_semantics(spark):
+    corpus = _df(spark, [(1, DOC_A), (2, DOC_B), (3, DOC_C)])
+    batch = _df(spark, [
+        (101, DOC_A),        # exact dup of corpus doc 1 -> rejected
+        (102, DOC_A_NEAR),   # near-dup of corpus doc 1 -> rejected
+        (103, DOC_FRESH),    # disjoint shingles -> admitted
+        (104, "too short"),  # < 3 tokens: no shingles -> always admitted
+    ])
+    got = {r["doc_id"]: r for r in near_dup_gate(batch, corpus).collect()}
+    assert len(got) == 4
+    assert not got[101]["admit"] and got[101]["best_jaccard"] == 1.0
+    assert not got[102]["admit"] and 0.5 <= got[102]["best_jaccard"] < 1.0
+    assert got[103]["admit"] and got[103]["n_dups"] == 0
+    assert got[104]["admit"] and got[104]["n_candidates"] == 0
+    # threshold is a parameter: at j > 1.0 nothing can be a dup
+    all_admit = near_dup_gate(batch, corpus, j_threshold=1.01).collect()
+    assert all(r["admit"] for r in all_admit)
+
+
+def test_near_dup_gate_dedups_batch_ids(spark):
+    corpus = _df(spark, [(1, DOC_A)])
+    batch = _df(spark, [(7, DOC_FRESH), (7, DOC_FRESH)])
+    rows = near_dup_gate(batch, corpus).collect()
+    assert len(rows) == 1 and rows[0]["admit"]
+
+
+def test_gated_add_documents_df(spark, tmp_path):
+    from binaryvectordb_spark.db import BinaryVectorDB
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    db.add_documents([1, 2], [DOC_A, DOC_B])
+    rec = gated_add_documents_df(
+        db, _df(spark, [(101, DOC_A_NEAR), (103, DOC_FRESH)]))
+    admit = {r["doc_id"]: r["admit"] for r in rec.collect()}
+    assert admit == {101: False, 103: True}
+    assert len(db) == 3  # only 103 admitted
+    assert sorted(db.get_docs([103]).keys()) == [103]
+    # replaying the admitted doc: now an EXACT dup of the corpus -> rejected
+    rec2 = gated_add_documents_df(db, _df(spark, [(201, DOC_FRESH)]))
+    assert [r["admit"] for r in rec2.collect()] == [False]
+    assert len(db) == 3
+
+
+def test_gated_add_into_empty_db(spark, tmp_path):
+    from binaryvectordb_spark.db import BinaryVectorDB
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    rec = gated_add_documents_df(db, _df(spark, [(1, DOC_A), (2, DOC_B)]))
+    assert all(r["admit"] for r in rec.collect())
+    assert len(db) == 2
+
+
+def test_streaming_gated_ingest(spark, tmp_path):
+    """End-to-end: file-source stream of doc batches -> gate -> upsert ->
+    parquet gate log.  Batch 2 replays one batch-1 doc (rejected) beside a
+    fresh doc (admitted); the final corpus holds exactly the admitted set
+    and the log records every decision with its micro-batch id."""
+    from binaryvectordb_spark.db import BinaryVectorDB
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_gated_upsert,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    _df(spark, [(1, DOC_A), (2, DOC_B)]).coalesce(1).write.parquet(
+        str(in_dir / "f0"))
+    _df(spark, [(11, DOC_A), (12, DOC_FRESH)]).coalesce(1).write.parquet(
+        str(in_dir / "f1"))
+
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(in_dir) + "/*"))
+    log_dir = str(tmp_path / "gate_log")
+    q = foreach_batch_gated_upsert(stream, db, str(tmp_path / "ckpt"),
+                                   log_dir)
+    q.awaitTermination()
+
+    log = {(r["doc_id"]): r for r in spark.read.parquet(log_dir).collect()}
+    assert set(log) == {1, 2, 11, 12}
+    assert log[11]["admit"] is False       # replay of DOC_A
+    assert log[12]["admit"] is True
+    assert len(db) == len([r for r in log.values() if r["admit"]])
+    assert sorted(db.get_docs([1, 2, 12]).keys()) == [1, 2, 12]
+    assert db.get_docs([11]) == {}  # the rejected doc never landed
