@@ -72,6 +72,8 @@ _PRIORITY = [
     "events_error_then_purchase",
     "agg_salted_skew_twostage",
     "join_bloom_semi_reduction",
+    "graph_pagerank_bipartite",
+    "sketch_cms_heavy_hitters",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

@@ -349,6 +349,157 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+# ---------------------------------------------------------------------------
+# iterative graph algorithm: integer-scaled PageRank, fixed 3 iterations
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10 ** 9
+_PR_ITERS = 3
+_PR_TOPK = 25
+
+
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations) over the supplier<->part
+    bipartite graph from lineitem — the iterative-DataFrame-loop operator
+    family (GraphFrames' aggregateMessages shape): each iteration is one
+    join-on-src + one groupBy(dst) shuffle, and the driver loop only
+    GROWS THE PLAN (no collect, no materialization between iterations).
+
+    Exact cross-engine by construction: ranks are BIGINT in units of
+    1/_PR_SCALE (per-edge share = rank div outdeg, damping = (85*s) div
+    100 — truncating integer division both engines), so the re-associable
+    incoming sums are fold-order-safe.  Precision: truncation loses < 1
+    unit per edge per iteration — invisible at 1e9 scale; headroom: total
+    mass * 85 must stay under 2^63, true up to ~1e8 nodes at this scale
+    (lower _PR_SCALE for bigger graphs).  Node ids namespace the two
+    partitions by parity (2*part, 2*supp+1).  Output: top 25 by
+    (rank desc, node asc) — TakeOrderedAndProject, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (li.select((2 * F.col("l_suppkey") + 1).alias("src"),
+                     (2 * F.col("l_partkey")).alias("dst")).distinct())
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    base = (15 * _PR_SCALE) // 100
+    for _ in range(_PR_ITERS):
+        contrib = (edges
+                   .join(rank.withColumnRenamed("node", "src"), "src")
+                   .join(outdeg, "src")
+                   .select("dst", F.expr("rank div d").alias("share")))
+        inc = contrib.groupBy("dst").agg(F.sum("share").alias("s"))
+        rank = (nodes.join(inc, nodes["node"] == inc["dst"], "left")
+                .select("node",
+                        (F.lit(base)
+                         + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) "
+                                  "div 100")).cast("long").alias("rank")))
+    return rank.orderBy(F.desc("rank"), F.asc("node")).limit(_PR_TOPK)
+
+
+def _pr_oracle() -> str:
+    base = (15 * _PR_SCALE) // 100
+    prev = "r0"
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+it{i} AS (SELECT e.dst AS node, SUM(r.rank // od.d) AS s
+          FROM e JOIN {prev} r ON r.node = e.src
+                 JOIN od ON od.src = e.src
+          GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+                CAST({base} + (85 * COALESCE(it{i}.s, 0)) // 100 AS BIGINT)
+                  AS rank
+         FROM nodes n LEFT JOIN it{i} ON it{i}.node = n.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH fwd AS (SELECT DISTINCT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst
+             FROM lineitem),
+e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes),
+{",".join(its)}
+SELECT node, rank FROM {prev}
+ORDER BY rank DESC, node ASC LIMIT {_PR_TOPK}
+"""
+
+
+register("graph_pagerank_bipartite", graph_pagerank_bipartite,
+         oracle=_pr_oracle())
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters (deterministic sketch, exactly checkable)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 64
+_CMS_TOPK = 10
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over event user_ids, checked against exact counts:
+    the D x W cell table is ONE union-of-projections + hash-agg (at 100 TB
+    the sketch is the O(D*W) summary that ships to the driver instead of
+    the full key histogram); per true-top-K key, the CMS estimate is the
+    min over its D cells.  The sketch is a deterministic aggregation, so
+    both engines compute IDENTICAL cells — estimate and the soundness
+    invariant (est >= true count, always, by construction) are exact
+    oracle data, not approximate booleans."""
+    from binaryvectordb_spark.functions.text import token_hash60
+
+    def h(d: int):
+        key = "concat(CAST(user_id AS STRING), '|" + str(d) + "')"
+        return F.expr(f"pmod({token_hash60(key)}, {_CMS_WIDTH})")
+
+    ev = _events(spark, sf_dir).select("user_id")
+    cells = None
+    for d in range(_CMS_DEPTH):
+        p = ev.select(F.lit(d).alias("d"), h(d).alias("w"))
+        cells = p if cells is None else cells.unionByName(p)
+    cms = cells.groupBy("d", "w").agg(F.count("*").alias("cell_n"))
+    top = (ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+           .orderBy(F.desc("true_n"), F.asc("user_id")).limit(_CMS_TOPK))
+    probes = None
+    for d in range(_CMS_DEPTH):
+        p = top.select("user_id", "true_n", F.lit(d).alias("d"),
+                       h(d).alias("w"))
+        probes = p if probes is None else probes.unionByName(p)
+    est = (probes.join(F.broadcast(cms), ["d", "w"])
+           .groupBy("user_id", "true_n")
+           .agg(F.min("cell_n").alias("cms_est")))
+    return est.select("user_id", "true_n", "cms_est",
+                      (F.col("cms_est") >= F.col("true_n")).alias("sound"))
+
+
+def _cms_oracle() -> str:
+    def duck_h(d):
+        return (f"CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || "
+                f"'|{d}'), 1, 15) AS BIGINT) % {_CMS_WIDTH}")
+    cell_sel = " UNION ALL ".join(
+        f"SELECT {d} AS d, {duck_h(d)} AS w FROM events"
+        for d in range(_CMS_DEPTH))
+    probe_sel = " UNION ALL ".join(
+        f"SELECT user_id, true_n, {d} AS d, {duck_h(d)} AS w FROM top"
+        for d in range(_CMS_DEPTH))
+    return f"""
+WITH cellrows AS ({cell_sel}),
+cms AS (SELECT d, w, count(*) AS cell_n FROM cellrows GROUP BY d, w),
+top AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+        ORDER BY true_n DESC, user_id ASC LIMIT {_CMS_TOPK}),
+probes AS ({probe_sel})
+SELECT p.user_id, p.true_n, min(c.cell_n) AS cms_est,
+       min(c.cell_n) >= p.true_n AS sound
+FROM probes p JOIN cms c ON c.d = p.d AND c.w = p.w
+GROUP BY p.user_id, p.true_n
+"""
+
+
+register("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters,
+         oracle=_cms_oracle())
+
+
 register("join_bloom_semi_reduction", join_bloom_semi_reduction, oracle="""
 SELECT o_orderpriority, count(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
