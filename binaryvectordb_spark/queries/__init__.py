@@ -74,6 +74,7 @@ _PRIORITY = [
     "join_bloom_semi_reduction",
     "graph_pagerank_bipartite",
     "sketch_cms_heavy_hitters",
+    "udtf_chunk_lateral",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

@@ -113,3 +113,50 @@ SELECT bucket, count(*) AS n FROM (
   FROM orders
 ) GROUP BY bucket
 """)
+
+
+def udtf_chunk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 @udtf) applied per-row
+    via LATERAL — the row-generator extension point (§2.11's third leg
+    beside scalar UDFs and grouped map/agg).  The UDTF splits each doc
+    into non-overlapping 16-token chunks; token slicing is pure integer
+    arithmetic so the DuckDB oracle replicates it exactly.  Scale: a UDTF
+    runs inside the scan stage (no shuffle) and streams its yielded rows —
+    output is linear in corpus tokens, same as the explode-based
+    text_chunk_documents, but with arbitrary Python row logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_chunk_tokens int")
+    class ChunkSplit:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 16):
+                part = toks[i:i + 16]
+                yield i // 16, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_split_udtf", ChunkSplit)
+    load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200) \
+        .createOrReplaceTempView("udtf_docs_v")
+    return spark.sql("""
+        SELECT d.doc_id, t.chunk_idx, t.chunk_text, t.n_chunk_tokens
+        FROM udtf_docs_v d, LATERAL chunk_split_udtf(d.text) t
+    """)
+
+
+register("udtf_chunk_lateral", udtf_chunk_lateral, oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents WHERE doc_id < 200
+), ex AS (
+  SELECT doc_id, tokens, n_tokens,
+         unnest(range(0, CAST(ceil(n_tokens / 16.0) AS INTEGER))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(tokens, chunk_idx * 16 + 1,
+                                  chunk_idx * 16 + 16), ' ') AS chunk_text,
+       CAST(len(list_slice(tokens, chunk_idx * 16 + 1, chunk_idx * 16 + 16))
+            AS INTEGER) AS n_chunk_tokens
+FROM ex
+""")
