@@ -75,6 +75,8 @@ _PRIORITY = [
     "graph_pagerank_bipartite",
     "sketch_cms_heavy_hitters",
     "udtf_chunk_lateral",
+    "join_point_in_time_scd2",
+    "events_transition_matrix",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

@@ -508,3 +508,103 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer
                     WHERE c_mktsegment = 'BUILDING')
 GROUP BY o_orderpriority
 """)
+
+
+# ---------------------------------------------------------------------------
+# point-in-time join against the SCD2 history (temporal validity join)
+# ---------------------------------------------------------------------------
+
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal validity join: each purchase event probes the SCD2 state
+    history for the version valid AT its timestamp (valid_from <= ts <
+    valid_to, open-ended current row).  The join key is user_id with the
+    range predicate evaluated post-join — at scale both sides hash-
+    partition on user_id, and the per-user history is bounded by that
+    user's change count, so the non-equi filter never sees a cross
+    product beyond one user's rows.  Purchases at exactly a version's
+    valid_from (the event that OPENED the state) resolve to that version
+    — inclusive lower bound, exclusive upper."""
+    hist = scd2_event_state_history(spark, sf_dir).select(
+        "user_id", "version", F.col("event_type").alias("state"),
+        "valid_from", "valid_to")
+    ev = _events(spark, sf_dir)
+    probes = (ev.filter(F.col("event_type") == "purchase")
+              .select("user_id", "event_id", "ts"))
+    return (probes.join(hist, "user_id")
+            .filter((F.col("ts") >= F.col("valid_from"))
+                    & (F.col("valid_to").isNull()
+                       | (F.col("ts") < F.col("valid_to"))))
+            .select("event_id", "user_id", F.col("ts").alias("purchase_ts"),
+                    "version", "state"))
+
+
+register("join_point_in_time_scd2", join_point_in_time_scd2, oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                  <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS version
+  FROM flagged),
+hist0 AS (
+  SELECT user_id, version, event_type AS state, min(ts) AS valid_from
+  FROM runs GROUP BY 1, 2, 3),
+hist AS (
+  SELECT user_id, version, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM hist0)
+SELECT e.event_id, e.user_id, e.ts AS purchase_ts, h.version, h.state
+FROM events e JOIN hist h ON h.user_id = e.user_id
+WHERE e.event_type = 'purchase'
+  AND e.ts >= h.valid_from
+  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+""")
+
+
+# ---------------------------------------------------------------------------
+# markov transition matrix over the event stream
+# ---------------------------------------------------------------------------
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts + row-normalized probabilities over
+    each user's event sequence (lead over (ts, event_id)).  The
+    probability is one double division of two exact bigints — a single
+    deterministic float op, identical cross-engine.  One user_id window
+    shuffle + one tiny (<=25-row) groupBy."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                       "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("to_type", F.lead("event_type").over(w))
+             .filter(F.col("to_type").isNotNull())
+             .select(F.col("event_type").alias("from_type"), "to_type"))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(wf).cast("double")).alias("p"))
+
+
+register("events_transition_matrix", events_transition_matrix, oracle="""
+WITH nxt AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+                                AS DOUBLE) AS p
+FROM counts
+""")

@@ -28,6 +28,8 @@ _QUERIES = [
     "scd2_event_state_history",
     "events_error_then_purchase",
     "agg_salted_skew_twostage",
+    "join_point_in_time_scd2",
+    "events_transition_matrix",
 ]
 
 
