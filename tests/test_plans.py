@@ -323,3 +323,19 @@ def test_bloom_reduction_filters_before_join(spark):
     join_pos = plan.index("BroadcastHashJoin")
     filt_pos = plan.index("shiftright")
     assert filt_pos > join_pos
+
+
+def test_analytics3_family_no_cartesian(spark):
+    """Every round-9 analytics query must plan equi-joins (hash/broadcast
+    with post-filtered range predicates where needed) — a
+    CartesianProduct or BroadcastNestedLoopJoin here would re-scan the
+    event stream per probe row at 100 TB."""
+    from binaryvectordb_spark.queries import QUERIES
+    for name in ("events_funnel_conversion", "events_cohort_retention",
+                 "events_streaks_gaps_islands", "scd2_event_state_history",
+                 "events_error_then_purchase", "join_point_in_time_scd2",
+                 "events_transition_matrix", "graph_pagerank_bipartite",
+                 "sketch_cms_heavy_hitters", "udtf_chunk_lateral"):
+        plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
