@@ -1,0 +1,119 @@
+"""Property test: the distributed near-dup gate vs a bit-exact pure-python
+reimplementation of the whole MinHash/LSH/Jaccard stack (md5-prefix base
+hash, the affine min family, 4x3 banding, exact shingle Jaccard) — over
+random corpora with injected near-dups.  Same strategy as the TextIndex
+BM25 property test: if any stage of the distributed pipeline (explode,
+hash-agg mins, band join, verify) disagreed with the definition, the
+per-doc (n_candidates, n_dups, best_jaccard, admit) records would differ.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from binaryvectordb_spark.functions.text import (
+    MINHASH_P,
+    minhash_a,
+    minhash_b,
+)
+from binaryvectordb_spark.operators.ingest_gate import (
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+    near_dup_gate,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa"]
+
+
+def _py_shingles(text: str) -> set:
+    toks = text.split(" ")
+    if len(toks) < SHINGLE_K:
+        return set()
+    return {" ".join(toks[i:i + SHINGLE_K])
+            for i in range(len(toks) - SHINGLE_K + 1)}
+
+
+def _py_base_hash(s: str) -> int:
+    # token_hash31: 60-bit md5 hex prefix mod 2^31-1
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+
+
+def _py_bands(text: str):
+    shs = _py_shingles(text)
+    if not shs:
+        return []
+    hs = [_py_base_hash(s) for s in shs]
+    sigs = [min((minhash_a(j) * h + minhash_b(j)) % MINHASH_P for h in hs)
+            for j in range(N_HASHES)]
+    return [(b, "|".join(str(sigs[b * ROWS_PER_BAND + r])
+                         for r in range(ROWS_PER_BAND)))
+            for b in range(N_BANDS)]
+
+
+def _py_gate(batch: dict, corpus: dict, j_threshold: float = 0.5) -> dict:
+    c_bands = {}
+    for cid, text in corpus.items():
+        for key in _py_bands(text):
+            c_bands.setdefault(key, set()).add(cid)
+    out = {}
+    for bid, text in batch.items():
+        cands = set()
+        for key in _py_bands(text):
+            cands |= c_bands.get(key, set())
+        sa = _py_shingles(text)
+        dups, best = 0, None
+        for cid in cands:
+            sb = _py_shingles(corpus[cid])
+            common = len(sa & sb)
+            j = common / (len(sa) + len(sb) - common)
+            if j >= j_threshold:
+                dups += 1
+                best = j if best is None else max(best, j)
+        out[bid] = (len(cands), dups, best, dups == 0)
+    return out
+
+
+def _rand_text(rng, n_lo=1, n_hi=30) -> str:
+    return " ".join(rng.choice(VOCAB, size=rng.randint(n_lo, n_hi)))
+
+
+@pytest.mark.parametrize("seed", [3, 19, 55])
+def test_gate_matches_pure_python_oracle(spark, seed):
+    rng = np.random.RandomState(seed)
+    corpus = {i: _rand_text(rng) for i in range(40)}
+    batch = {}
+    for i in range(100, 112):
+        r = rng.rand()
+        if r < 0.3 and corpus:
+            # near-dup injection: perturb one corpus doc by a token
+            src = corpus[int(rng.randint(0, 40))].split(" ")
+            pos = int(rng.randint(0, len(src)))
+            src[pos] = str(rng.choice(VOCAB))
+            batch[i] = " ".join(src)
+        elif r < 0.4 and corpus:
+            batch[i] = corpus[int(rng.randint(0, 40))]  # exact dup
+        else:
+            batch[i] = _rand_text(rng)
+    want = _py_gate(batch, corpus)
+    got = {r["doc_id"]: (r["n_candidates"], r["n_dups"], r["best_jaccard"],
+                         r["admit"])
+           for r in near_dup_gate(
+               spark.createDataFrame(list(batch.items()),
+                                     "doc_id long, text string"),
+               spark.createDataFrame(list(corpus.items()),
+                                     "doc_id long, text string")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        wn, wd, wb, wa = want[k]
+        gn, gd, gb, ga = got[k]
+        assert (gn, gd, ga) == (wn, wd, wa), (k, got[k], want[k])
+        if wb is None:
+            assert gb is None, (k, gb)
+        else:
+            assert gb == pytest.approx(wb, abs=0.0), (k, gb, wb)
