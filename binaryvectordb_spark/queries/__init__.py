@@ -77,6 +77,9 @@ _PRIORITY = [
     "udtf_chunk_lateral",
     "join_point_in_time_scd2",
     "events_transition_matrix",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_order_distribution",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

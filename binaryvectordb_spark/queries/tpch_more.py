@@ -351,3 +351,137 @@ JOIN part ON l_partkey = p_partkey
 JOIN avg_q USING (l_partkey)
 WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
 """)
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue from orders where the supplier and the customer
+    share a nation, per nation within one region/year window.  All four
+    dimension joins broadcast; the only big shuffle is lineitem->orders.
+    The supplier-nation == customer-nation equality is the defining Q5
+    twist (local supply chains)."""
+    r = F.broadcast(_t(spark, sf_dir, "region")
+                    .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation")
+                    .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+                    .select("n_nationkey", "n_name"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier")
+                    .select("s_suppkey", "s_nationkey"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01"))
+         .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .where(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(F.expr(_DEC)).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+register("tpch_q5_local_supplier_volume", tpch_q5_local_supplier_volume,
+         oracle=f"""
+SELECT n_name, CAST(sum({_DEC}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+""")
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: a target nation's share of PROMO-part revenue inside one
+    region, by order year.  The share is conditional-sum / total-sum —
+    both sums DECIMAL, the single division the only float op.  part is
+    filtered then broadcast; so are supplier/nation/region."""
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .where(F.col("p_type") == "PROMO")
+                    .select("p_partkey"))
+    r = F.broadcast(_t(spark, sf_dir, "region")
+                    .where(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    cn = F.broadcast(_t(spark, sf_dir, "nation")
+                     .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+                     .select(F.col("n_nationkey").alias("cn_key")))
+    sn = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation")))
+    s = F.broadcast(_t(spark, sf_dir, "supplier")
+                    .select("s_suppkey", "s_nationkey"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (li.join(p, li.l_partkey == p.p_partkey)
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+           .join(s, li.l_suppkey == s.s_suppkey)
+           .join(sn, F.col("s_nationkey") == F.col("sn_key")))
+    dec = F.expr(_DEC)
+    return (vol.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(F.when(F.col("supp_nation") == "GERMANY", dec)
+                       .otherwise(F.lit(0).cast("decimal(15,2)")))
+                 .alias("nat_rev_dec"),
+                 F.sum(dec).alias("tot_rev_dec"))
+            .select("o_year",
+                    (F.col("nat_rev_dec").cast("double")
+                     / F.col("tot_rev_dec").cast("double"))
+                    .alias("mkt_share"),
+                    F.col("tot_rev_dec").cast("double").alias("total_rev")))
+
+
+register("tpch_q8_market_share", tpch_q8_market_share, oracle=f"""
+SELECT year(o_orderdate) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'GERMANY' THEN {_DEC}
+                     ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE)
+         / CAST(sum({_DEC}) AS DOUBLE) AS mkt_share,
+       CAST(sum({_DEC}) AS DOUBLE) AS total_rev
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+GROUP BY o_year
+""")
+
+
+def tpch_q13_customer_order_distribution(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """Q13 shape: the distribution of per-customer order counts, INCLUDING
+    zero-order customers (the left join is the point of the query).  The
+    filtered orders side aggregates to <=1 row/customer before the join;
+    at scale both sides hash-partition on c_custkey."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") != "1-URGENT")
+         .groupBy("o_custkey").agg(F.count("*").alias("c_count")))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .select(F.coalesce("c_count", F.lit(0)).alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+register("tpch_q13_customer_order_distribution",
+         tpch_q13_customer_order_distribution, oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+""")

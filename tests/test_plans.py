@@ -339,3 +339,17 @@ def test_analytics3_family_no_cartesian(spark):
         plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q5_q8_dims_broadcast(spark):
+    """Q5/Q8: every dimension join broadcasts (region/nation/supplier/
+    filtered part); only lineitem->orders/customer may shuffle."""
+    from binaryvectordb_spark.queries.tpch_more import (
+        tpch_q5_local_supplier_volume,
+        tpch_q8_market_share,
+    )
+    for q, min_bc in ((tpch_q5_local_supplier_volume, 3),
+                      (tpch_q8_market_share, 4)):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= min_bc, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
