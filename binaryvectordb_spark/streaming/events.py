@@ -331,3 +331,50 @@ def foreach_batch_gated_upsert(docs: DataFrame, db, checkpoint_dir: str,
     return (docs.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def stateful_funnel(events: DataFrame,
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Incremental funnel progression (applyInPandasWithState): per user,
+    carry (first signup ts, first click-after-signup ts, first
+    purchase-after-click ts) across micro-batches as epoch-nano longs.
+    Each batch's rows are processed in (ts, event_id) order, so for an
+    event-time-ordered source the greedy update computes EXACTLY the batch
+    funnel (first signup; first click strictly after it; first purchase
+    strictly after that) — pinned against the batch definition in
+    tests/test_streaming.py.  State is 3 longs/user: bounded by key
+    cardinality, not stream length — the funnel over an unbounded stream
+    without re-scanning history."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        s, c, p = state.get if state.exists else (None, None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        for ts, etype in zip(batch["ts"].astype("int64"),
+                             batch["event_type"]):
+            if etype == "signup" and s is None:
+                s = int(ts)
+            elif etype == "click" and s is not None and c is None \
+                    and ts > s:
+                c = int(ts)
+            elif etype == "purchase" and c is not None and p is None \
+                    and ts > c:
+                p = int(ts)
+        state.update((s, c, p))
+        stage = 3 if p is not None else 2 if c is not None \
+            else 1 if s is not None else 0
+        yield pd.DataFrame({"user_id": [user_id], "stage": [stage],
+                            "s_ns": [s], "c_ns": [c], "p_ns": [p]})
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=("user_id long, stage int, s_ns long, "
+                                  "c_ns long, p_ns long"),
+                stateStructType="s_ns long, c_ns long, p_ns long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

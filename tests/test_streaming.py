@@ -355,3 +355,62 @@ def test_rollup_crash_window_recovery(spark, tmp_path):
     assert vdirs == [meta["data"]]
     assert not any("torn" in f for f in os.listdir(os.path.join(
         out, meta["data"])))
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """The incremental funnel (applyInPandasWithState, state = 3 longs per
+    user) must agree with the batch funnel definition after the stream
+    drains — per-user reached stage AND the stage timestamps — with the
+    event stream split across multiple time-ordered micro-batches."""
+    from pyspark.sql import functions as F
+    from binaryvectordb_spark.streaming.events import (
+        read_events_stream,
+        run_update_to_memory,
+        stateful_funnel,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    d = tmp_path / "funnel_in"
+    d.mkdir()
+    # two time-ordered files (fixture event_ids are ts-monotone) so state
+    # genuinely carries across triggers
+    ev.where(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        str(d / "f0"))
+    ev.where(F.col("event_id") > mid).coalesce(1).write.parquet(
+        str(d / "f1"))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*"))
+    out = run_update_to_memory(stateful_funnel(stream), "t_funnel")
+    # last update per user wins
+    final = {}
+    for r in out.collect():   # update-mode sink: later rows overwrite
+        final[r["user_id"]] = r
+    # batch definition
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id").filter(F.col("ts") > F.col("s_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id").filter(F.col("ts") > F.col("c_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    want_s = {r["user_id"]: r["s_ts"] for r in s1.collect()}
+    want_c = {r["user_id"]: r["c_ts"] for r in s2.collect()}
+    want_p = {r["user_id"]: r["p_ts"] for r in s3.collect()}
+    all_users = {r["user_id"] for r in ev.select("user_id").distinct().collect()}
+    assert set(final) == all_users
+    import pandas as pd
+    for u in all_users:
+        r = final[u]
+        want_stage = 3 if u in want_p else 2 if u in want_c \
+            else 1 if u in want_s else 0
+        assert r["stage"] == want_stage, (u, r, want_stage)
+        if u in want_s:
+            assert pd.Timestamp(r["s_ns"]) == pd.Timestamp(want_s[u]), u
+        if u in want_c:
+            assert pd.Timestamp(r["c_ns"]) == pd.Timestamp(want_c[u]), u
+        if u in want_p:
+            assert pd.Timestamp(r["p_ns"]) == pd.Timestamp(want_p[u]), u
