@@ -30,6 +30,7 @@ _QUERIES = [
     "agg_salted_skew_twostage",
     "join_point_in_time_scd2",
     "events_transition_matrix",
+    "sketch_cms_heavy_hitters",
 ]
 
 
