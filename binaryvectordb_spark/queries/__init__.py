@@ -80,6 +80,9 @@ _PRIORITY = [
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",
     "tpch_q13_customer_order_distribution",
+    "events_multitouch_attribution",
+    "quality_referential_integrity",
+    "cdc_snapshot_diff",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

@@ -616,3 +616,195 @@ SELECT from_type, to_type, n,
                                 AS DOUBLE) AS p
 FROM counts
 """)
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution: split purchase value across preceding clicks
+# ---------------------------------------------------------------------------
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with EXACT integer cents: each
+    purchase's value is split equally across the user's clicks in the
+    preceding 30 minutes; the indivisible remainder goes to the EARLIEST
+    click (largest-remainder rule with a (ts, event_id) total order), so
+    the split is exact — per-click attributed cents sum back to the
+    purchase exactly, and no float division ever happens.  The
+    click-purchase pairing is an equi user_id join with a bounded range
+    predicate (same shape as the as-of join); ranking clicks within one
+    purchase partitions by the purchase id, whose cardinality is that
+    purchase's click count."""
+    ev = _events(spark, sf_dir)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("event_id").alias("p_id"),
+                   F.col("ts").alias("p_ts"), cents.alias("p_cents")))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", F.col("event_id").alias("c_id"),
+                   F.col("ts").alias("c_ts")))
+    pairs = (pur.join(clk, "user_id")
+             .filter((F.col("c_ts") < F.col("p_ts"))
+                     & (F.col("c_ts")
+                        >= F.expr("p_ts - INTERVAL 30 MINUTES"))))
+    w = Window.partitionBy("p_id")
+    wo = w.orderBy("c_ts", "c_id")
+    shares = (pairs
+              .withColumn("n_touch", F.count("*").over(w))
+              .withColumn("rk", F.row_number().over(wo))
+              .select("c_id",
+                      (F.expr("p_cents div n_touch")
+                       + F.when(F.col("rk") == 1,
+                                F.expr("p_cents % n_touch"))
+                       .otherwise(F.lit(0))).alias("cents")))
+    return (shares.groupBy("c_id")
+            .agg(F.sum("cents").cast("bigint").alias("attributed_cents"),
+                 F.count("*").alias("n_purchases"))
+            .withColumnRenamed("c_id", "click_event_id"))
+
+
+register("events_multitouch_attribution", events_multitouch_attribution,
+         oracle="""
+WITH pur AS (SELECT user_id, event_id AS p_id, ts AS p_ts,
+                    CAST(round(value * 100) AS BIGINT) AS p_cents
+             FROM events WHERE event_type = 'purchase'),
+clk AS (SELECT user_id, event_id AS c_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+pairs AS (SELECT p.p_id, p.p_cents, c.c_id, c.c_ts
+          FROM pur p JOIN clk c USING (user_id)
+          WHERE c.c_ts < p.p_ts
+            AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE),
+shares AS (SELECT c_id,
+                  p_cents // count(*) OVER (PARTITION BY p_id)
+                  + CASE WHEN row_number() OVER
+                              (PARTITION BY p_id ORDER BY c_ts, c_id) = 1
+                         THEN p_cents % count(*) OVER (PARTITION BY p_id)
+                         ELSE 0 END AS cents
+           FROM pairs)
+SELECT c_id AS click_event_id, CAST(sum(cents) AS BIGINT) AS attributed_cents,
+       count(*) AS n_purchases
+FROM shares GROUP BY c_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations: referential integrity audit across all FKs
+# ---------------------------------------------------------------------------
+
+_FK_CHECKS = [
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def quality_referential_integrity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The dbt-style expectations pass a pipeline runs before publishing a
+    snapshot: one orphan count per declared foreign key (left-anti join
+    child -> parent).  Each check is one anti join shuffled/broadcast on
+    its key — seven independent small jobs unioned, no cross-check
+    dependencies, embarrassingly parallel at 100 TB.  The fixtures are
+    integrity-clean, so the pinned oracle value is zeros — exactly what a
+    CI gate asserts."""
+    out = None
+    for fk, child, ck, parent, pk in _FK_CHECKS:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        row = (c.join(p, "k", "left_anti")
+               .agg(F.lit(fk).alias("fk"),
+                    F.count("*").alias("n_orphans")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+register("quality_referential_integrity", quality_referential_integrity,
+         oracle="""
+SELECT 'orders.o_custkey->customer' AS fk, count(*) AS n_orphans
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders', count(*)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem.l_partkey->part', count(*)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', count(*)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'customer.c_nationkey->nation', count(*)
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', count(*)
+FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'nation.n_regionkey->region', count(*)
+FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+""")
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: added / removed / changed / unchanged by key
+# ---------------------------------------------------------------------------
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-capture diff shape: full-outer join of two
+    snapshots on the key, rows classified by presence and content hash.
+    Snapshot v2 is derived deterministically from the documents fixture
+    (every 17th doc removed, every 10th doc's text amended, a synthetic
+    added slice) so the classification has a pinned oracle; in production
+    the two sides are table versions (this DB's time travel serves
+    exactly that).  At 100 TB the join hash-partitions both snapshots on
+    the key once; the md5 comparison is per-row, no second shuffle."""
+    v1 = (load_table(spark, sf_dir, "documents")
+          .select("doc_id", F.md5("text").alias("h1")))
+    base = load_table(spark, sf_dir, "documents")
+    kept = (base.filter(F.col("doc_id") % 17 != 3)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 10 == 0,
+                           F.concat(F.col("text"), F.lit(" v2")))
+                    .otherwise(F.col("text")).alias("text")))
+    added = (base.filter(F.col("doc_id") % 13 == 5)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     F.col("text")))
+    v2 = (kept.unionByName(added)
+          .select("doc_id", F.md5("text").alias("h2")))
+    joined = v1.join(v2, "doc_id", "full_outer")
+    typed = joined.select(
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")).alias("change_type"),
+        "doc_id")
+    return (typed.groupBy("change_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum")))
+
+
+register("cdc_snapshot_diff", cdc_snapshot_diff, oracle="""
+WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                       ELSE text END) AS h2
+       FROM documents WHERE doc_id % 17 <> 3
+       UNION ALL
+       SELECT doc_id + 1000000, md5(text) FROM documents
+       WHERE doc_id % 13 = 5),
+j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM j GROUP BY 1
+""")

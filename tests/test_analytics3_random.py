@@ -31,6 +31,7 @@ _QUERIES = [
     "join_point_in_time_scd2",
     "events_transition_matrix",
     "sketch_cms_heavy_hitters",
+    "events_multitouch_attribution",
 ]
 
 
