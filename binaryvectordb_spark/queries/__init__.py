@@ -52,14 +52,18 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 )
 
 # Evaluation priority (rotated round 9): the driver value-hashes the first
-# ~50 registry entries per round.  Order: (a) round-9 additions (never
-# hashed), then (b) the six r5-stale static packs that have slipped every
-# window since round 5 — the LAST remaining age-3+ hashes, now first in
-# line (VERDICT r8 item 2), then (c) the round-6 cohort (the next-stalest,
-# 49 queries hashed r6).  With a ~50 window, the TAIL of (c) slips to
-# round 10 — ordered so the slips are again the static, fixture-stable
-# queries (tpch constants + knn family re-verified by every pytest run).
-# Round-7 and round-8 cohorts (freshest hashes) fall to the back.
+# 50 registry entries per round.  Order: (a) the 21 round-9 additions —
+# never driver-hashed, so they take the front unconditionally (a
+# never-checked row is worse than a stale one), then (b) the six r5-stale
+# static packs (VERDICT r8 item 2 — their last-chance rotation), then
+# (c) the round-6 cohort (49 queries hashed r6), ordered most-drift-risky
+# first: with 21+6 slots spent, only 23 of (c) fit the window this
+# round, so the TAIL of (c) — the static fixture-stable packs (tpch
+# constants, knn family) — ages to 4 rounds at the driver.  That tail is
+# the deliberate slip: every one of those queries is re-verified at BOTH
+# scale tiers by every local pytest run (and was re-run this round), so
+# driver-hash staleness there carries no correctness risk.  Round-7/8
+# cohorts (freshest hashes) stay at the back.
 _PRIORITY = [
     # (a) new in round 9 — never driver-hashed
     "search_bm25_local",
