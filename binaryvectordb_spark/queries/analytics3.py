@@ -808,3 +808,61 @@ SELECT CASE WHEN h1 IS NULL THEN 'added'
        count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM j GROUP BY 1
 """)
+
+
+# ---------------------------------------------------------------------------
+# declarative expectations over orders (the generic check-runner operator)
+# ---------------------------------------------------------------------------
+
+def quality_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic expectations runner (operators/expectations.py) on the
+    orders table: five declared checks — three row-level expectations
+    folded into ONE aggregation over a single scan, one duplicate-key
+    check, one FK orphan check.  A check that can fail on this data is
+    included deliberately: in_range(o_totalprice <= 450k) has real
+    violations, so the audit frame carries non-zero evidence that the
+    checks actually run (all-zeros would also pass a broken runner)."""
+    from binaryvectordb_spark.operators.expectations import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        not_null,
+        run_expectations,
+        unique,
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return run_expectations(o, [
+        not_null("o_custkey"),
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+        in_range("o_totalprice", 0.0, 450_000.0),
+        unique("o_orderkey"),
+        foreign_key("o_custkey", c, "c_custkey"),
+    ])
+
+
+register("quality_orders_expectations", quality_orders_expectations, oracle="""
+SELECT 'not_null(o_custkey)' AS check,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       0 AS ord
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)',
+       CAST(sum(CASE WHEN o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('O','F','P')
+                THEN 1 ELSE 0 END) AS BIGINT), 1
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice)',
+       CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 450000
+                THEN 1 ELSE 0 END) AS BIGINT), 2
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(COALESCE(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT), 3
+FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'foreign_key(o_custkey->c_custkey)', count(*), 4
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+""")
