@@ -1840,6 +1840,73 @@ class BinaryVectorDB:
                   "doc": payloads.get(d)} for d, s in top]
                 for top, kw, vec in fused_all]
 
+    def verify_integrity(self) -> dict[str, int]:
+        """Audit the structural invariants of the two storage tiers and
+        return {check: n_violations} — the pre-publish integrity gate a
+        pipeline runs after bulk mutations (zero everywhere on a healthy
+        DB, pinned in tests/test_db_integrity.py).
+
+        Checks, via the declarative expectations runner
+        (operators/expectations.py — per tier the row-level checks fold
+        into one single-scan aggregation):
+        - unique(doc_id) in each tier (bucketed upsert must never
+          duplicate a key),
+        - packed-vector width == ceil(dim/64) bigint words,
+        - int8 embedding length == dim,
+        - doc_kind in {str, json},
+        - doc payload never NULL,
+        - tier id parity: every indexed id has a doc payload and vice
+          versa (two anti-join counts),
+        - physical bucket placement: every row actually lives in the
+          ``bucket=pmod(doc_id, buckets)`` directory it is routed to at
+          read time (input_file_name vs the recomputed residue — a
+          misplaced file would silently drop rows from pruned point
+          reads)."""
+        from binaryvectordb_spark.operators.expectations import (
+            accepted_values,
+            expr_check,
+            foreign_key,
+            not_null,
+            run_expectations,
+            unique,
+        )
+        self._flush_pending()
+        idx, docs = self.index_df(), self.docs_df()
+        if idx is None or docs is None:
+            return {}
+        words = (self.dim + 63) // 64
+        # input_file_name() is nondeterministic, so it may not appear inside
+        # an aggregate — PROJECT the placement flag first, aggregate the
+        # projected column
+        bucket_residue = F.regexp_extract(F.input_file_name(),
+                                          r"bucket=(\d+)", 1).cast("long")
+        misplaced = (bucket_residue.isNotNull()
+                     & (bucket_residue
+                        != F.pmod(F.col("doc_id"), F.lit(self.buckets))))
+        idx_checks = run_expectations(
+            idx.withColumn("_misplaced", misplaced), [
+                unique("doc_id"),
+                expr_check(f"vec_words=={words}",
+                           F.size("vec") != F.lit(words)),
+                expr_check("index_bucket_placement", F.col("_misplaced")),
+                foreign_key("doc_id", docs, "doc_id"),
+            ])
+        doc_checks = run_expectations(
+            docs.withColumn("_misplaced", misplaced), [
+                unique("doc_id"),
+                not_null("doc"),
+                accepted_values("doc_kind", ["str", "json"]),
+                expr_check("emb_int8_len==dim",
+                           F.size("emb_int8") != F.lit(self.dim)),
+                expr_check("docs_bucket_placement", F.col("_misplaced")),
+                foreign_key("doc_id", idx, "doc_id"),
+            ])
+        out = {}
+        for prefix, frame in (("index", idx_checks), ("docs", doc_checks)):
+            for r in frame.collect():
+                out[f"{prefix}.{r['check']}"] = int(r["n_violations"])
+        return out
+
     def __len__(self) -> int:
         self._flush_pending()
         idx = self.index_df()

@@ -83,6 +83,8 @@ def foreign_key(col: str, parent: DataFrame, parent_col: str) -> ForeignKey:
 
 
 def _violation_expr(c: Check) -> Column:
+    if isinstance(c, ExprCheck):
+        return c.expr
     if isinstance(c, NotNull):
         return F.col(c.col).isNull()
     if isinstance(c, AcceptedValues):
@@ -103,7 +105,8 @@ def run_expectations(df: DataFrame, checks) -> DataFrame:
     foreign_key() is one left-anti join per declared FK.  All counts are
     BIGINT."""
     row_checks = [c for c in checks
-                  if isinstance(c, (NotNull, AcceptedValues, InRange))]
+                  if isinstance(c, (NotNull, AcceptedValues, InRange,
+                                    ExprCheck))]
     parts = []
     if row_checks:
         aggs = [F.sum(F.when(_violation_expr(c), 1).otherwise(0))
@@ -142,3 +145,15 @@ def run_expectations(df: DataFrame, checks) -> DataFrame:
     m = F.create_map(*[x for k, v in order.items()
                        for x in (F.lit(k), F.lit(v))])
     return out.withColumn("ord", m[F.col("check")].cast("int"))
+
+
+@dataclass(frozen=True)
+class ExprCheck(Check):
+    expr: Column = field(default=None, compare=False, hash=False)
+
+
+def expr_check(name: str, violation: Column) -> ExprCheck:
+    """Arbitrary row-level expectation: `violation` is a boolean Column
+    that is true for violating rows.  Folds into the same single-scan
+    aggregation as the built-in row checks."""
+    return ExprCheck(name=name, expr=violation)
