@@ -316,7 +316,10 @@ def foreach_batch_gated_upsert(docs: DataFrame, db, checkpoint_dir: str,
 
     Scale: the batch band table broadcasts, the corpus never shuffles,
     and the gate record write is O(batch); nothing here collects more
-    than the take(1) emptiness probe."""
+    than the take(1) emptiness probe.  The log is partitioned by
+    batch_id with dynamic-partition overwrite, so a replayed micro-batch
+    rewrites its own partition — exactly-once log contents under
+    foreachBatch's at-least-once execution."""
     from binaryvectordb_spark.operators.ingest_gate import (
         gated_add_documents_df,
     )
@@ -325,8 +328,14 @@ def foreach_batch_gated_upsert(docs: DataFrame, db, checkpoint_dir: str,
         if not batch_df.take(1):
             return
         rec = gated_add_documents_df(db, batch_df, j_threshold=j_threshold)
+        # exactly-once log under foreachBatch's at-least-once contract: a
+        # replayed batch OVERWRITES its own batch_id partition instead of
+        # appending duplicates (the DB upsert side is already idempotent
+        # by delete-then-insert); dynamic mode touches only this partition
         (rec.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("append").parquet(gate_log_dir))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(gate_log_dir))
 
     return (docs.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir)

@@ -104,3 +104,36 @@ def test_streaming_gated_ingest(spark, tmp_path):
     assert len(db) == len([r for r in log.values() if r["admit"]])
     assert sorted(db.get_docs([1, 2, 12]).keys()) == [1, 2, 12]
     assert db.get_docs([11]) == {}  # the rejected doc never landed
+
+
+def test_gate_log_replay_idempotent(spark, tmp_path):
+    """foreachBatch may replay a batch after a crash: the gate log must
+    not duplicate records — each batch overwrites its own batch_id
+    partition (same discipline as the exactly-once rollup)."""
+    from binaryvectordb_spark.db import BinaryVectorDB
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_gated_upsert,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    _df(spark, [(1, DOC_A), (2, DOC_B)]).coalesce(1).write.parquet(
+        str(in_dir / "f0"))
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    log_dir = str(tmp_path / "gate_log")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(str(in_dir) + "/*"))
+        q = foreach_batch_gated_upsert(stream, db, str(tmp_path / ckpt),
+                                       log_dir)
+        q.awaitTermination()
+
+    run("ckpt1")
+    # fresh checkpoint replays batch 0 over the same log dir (the
+    # crash-and-reprocess shape); the DB upsert is idempotent and the log
+    # partition is overwritten, not appended
+    run("ckpt2")
+    log = spark.read.parquet(log_dir).collect()
+    assert sorted(r["doc_id"] for r in log) == [1, 2]
+    assert len(db) == 2
