@@ -649,6 +649,71 @@ class TextIndex:
               for r in self.live_doclen().select("doc_id", "dl").collect()}
         return LocalBM25Searcher(postings, dl)
 
+    def verify_integrity(self, docs_df: DataFrame | None = None
+                         ) -> dict[str, int]:
+        """Structural audit of the live index state (the lexical twin of
+        db.verify_integrity): {check: n_violations}, zero everywhere on a
+        healthy index.
+
+        - unique (token, doc_id) in the LIVE postings (tombstone scoping
+          must kill every superseded row),
+        - tf == len(positions) and tf >= 1 per posting,
+        - positions sorted ascending, non-negative,
+        - denormalized dl consistent: every posting row of a doc carries
+          the same dl, equal to the doc's sum(tf) (the fmt-2 invariant
+          that makes BM25 postings-only),
+        - doclen-table parity: same doc set, same dl values,
+        - the META fast-path corpus stats equal a forced recomputation
+          from the live doclen tables (the zero-job stats claim, audited),
+        - with docs_df: indexed doc set == the corpus doc set.
+
+        Cost: one pass over live postings + one over the slim doclen
+        tables — the audit a pipeline runs after a compaction."""
+        from binaryvectordb_spark.operators.expectations import (
+            expr_check,
+            run_expectations,
+            unique,
+        )
+        lp = self.live_postings()
+        base = run_expectations(lp, [
+            unique("token", "doc_id"),
+            expr_check("tf==len(positions)",
+                       F.size("positions").cast("double") != F.col("tf")),
+            expr_check("tf>=1", F.col("tf") < 1),
+            expr_check("positions_sorted_nonneg",
+                       (F.col("positions") != F.array_sort("positions"))
+                       | (F.element_at(F.array_sort("positions"), 1) < 0)),
+        ])
+        out = {f"postings.{r['check']}": int(r["n_violations"])
+               for r in base.collect()}
+        per_doc = lp.groupBy("doc_id").agg(
+            F.sum("tf").alias("s"), F.min("dl").alias("dmin"),
+            F.max("dl").alias("dmax"))
+        out["postings.dl_consistent"] = per_doc.filter(
+            (F.col("dmin") != F.col("dmax"))
+            | (F.col("dmin") != F.col("s"))).count()
+        dlt = self.live_doclen().select("doc_id", "dl")
+        out["doclen.parity"] = (per_doc.join(dlt, "doc_id", "full_outer")
+                                .filter(F.col("s").isNull()
+                                        | F.col("dl").isNull()
+                                        | (F.col("dl") != F.col("s")))
+                                .count())
+        meta_row = self._corpus_stats().first()
+        rec = dlt.agg(F.count("*").cast("double").alias("n"),
+                      (F.sum("dl") / F.count("*").cast("double"))
+                      .alias("a")).first()
+        out["meta.corpus_stats"] = int(
+            not (float(meta_row["n_docs"]) == float(rec["n"])
+                 and float(meta_row["avgdl"]) == float(rec["a"])))
+        if docs_df is not None:
+            ids = docs_df.select("doc_id").distinct()
+            pid = dlt.select("doc_id")
+            out["corpus.extra_indexed"] = pid.join(ids, "doc_id",
+                                                   "left_anti").count()
+            out["corpus.missing_from_index"] = ids.join(
+                pid, "doc_id", "left_anti").count()
+        return out
+
 
 class LocalBM25Searcher:
     """In-process BM25 over collected postings (TextIndex.to_local).

@@ -64,3 +64,45 @@ def test_integrity_detects_misplaced_bucket_file(spark, tmp_path):
     assert rep["docs.docs_bucket_placement"] > 0, rep
     assert rep["docs.unique(doc_id)"] > 0, rep    # duplicated keys
     assert rep["index.foreign_key(doc_id->doc_id)"] == 0, rep
+
+
+def test_textindex_integrity_through_mutations(spark, tmp_path):
+    """TextIndex.verify_integrity(): zero violations through build ->
+    upsert -> remove -> tiered merge -> full compact, and corpus parity
+    against the doc frame; a smuggled duplicate postings file (segment
+    reads ARE directory-based, unlike the manifest-pinned doc store) is
+    detected by uniqueness + dl-consistency + doclen parity."""
+    import glob
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+    from binaryvectordb_spark.operators.textindex import TextIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} common text row {i}") for i in range(20)],
+        "doc_id long, text string")
+    ti = TextIndex(spark, str(tmp_path / "ti")).build(docs, text_col="text")
+    assert all(v == 0 for v in ti.verify_integrity(docs).values())
+
+    up = spark.createDataFrame([(3, "replaced text three"),
+                                (40, "brand new forty")],
+                               "doc_id long, text string")
+    ti.add_documents(up, text_col="text")
+    ti.remove([7])
+    live = (docs.filter(~F.col("doc_id").isin(3, 7))
+            .unionByName(up.filter(F.col("doc_id") != 3))
+            .unionByName(up.filter(F.col("doc_id") == 3)))
+    rep = ti.verify_integrity(live)
+    assert all(v == 0 for v in rep.values()), rep
+    ti.compact()
+    rep2 = ti.verify_integrity(live)
+    assert all(v == 0 for v in rep2.values()), rep2
+
+    # corrupt: duplicate one postings file inside a segment dir
+    seg = ti.meta["segments"][0]
+    f = sorted(glob.glob(str(tmp_path / "ti" / seg / "postings"
+                             / "*.parquet")))[0]
+    sh.copy(f, f.replace(".parquet", "_dup.parquet"))
+    bad = ti.verify_integrity()
+    assert bad["postings.unique(token,doc_id)"] > 0, bad
+    assert bad["doclen.parity"] > 0 or bad["postings.dl_consistent"] > 0, bad
