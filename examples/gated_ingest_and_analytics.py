@@ -53,6 +53,10 @@ def main() -> None:
               f"candidates={r['n_candidates']} best_j={r['best_jaccard']}")
     print(f"corpus size after gated ingest: {len(db)} (started at 3)")
 
+    rep = db.verify_integrity()
+    print(f"structural integrity audit: {len(rep)} checks, "
+          f"{sum(v for v in rep.values())} violations")
+
     print("\nfunnel conversion:")
     for r in events_funnel_conversion(spark, SF_DIR).orderBy("stage").collect():
         print(f"  {r['stage']}: {r['n_users']} users")

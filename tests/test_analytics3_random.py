@@ -74,3 +74,32 @@ def test_sequence_analytics_cross_engine_on_random_events(spark, tmp_path,
                     f"{name}[seed={seed}]")
     finally:
         con.close()
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_pagerank_cross_engine_on_random_graphs(spark, tmp_path, seed):
+    """The iterative integer-exact PageRank must match DuckDB on random
+    bipartite graphs with power-law degree skew — the exactness claim
+    (bigint ranks, truncating division) under adversarial topology, not
+    just the fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    n = 600
+    d = tmp_path / f"rand_g_{seed}"
+    d.mkdir()
+    li = pa.table({
+        "l_suppkey": pa.array((rng.zipf(1.4, n) % 15).astype(np.int64)),
+        "l_partkey": pa.array((rng.zipf(1.6, n) % 120).astype(np.int64)),
+    })
+    pq.write_table(li, d / "lineitem.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{d}/lineitem.parquet')")
+    try:
+        compare(QUERIES["graph_pagerank_bipartite"](spark, str(d)),
+                ORACLES["graph_pagerank_bipartite"], con,
+                f"pagerank[seed={seed}]")
+    finally:
+        con.close()
