@@ -1840,6 +1840,38 @@ class BinaryVectorDB:
                   "doc": payloads.get(d)} for d, s in top]
                 for top, kw, vec in fused_all]
 
+    def diff_versions(self, v_old: int,
+                      v_new: int | None = None) -> DataFrame:
+        """Change-data-capture between two committed snapshots: one row
+        per doc_id present in either version, classified added / removed
+        / changed / unchanged by content hash of (payload, kind) — the
+        production form of the cdc_snapshot_diff query shape, with the
+        txn log's time travel supplying both sides.
+
+        Scale: the full-outer join hash-partitions the two versioned doc
+        scans on doc_id once; the hash comparison is per-row.  Both sides
+        are version-pinned reads, so a concurrent writer's commit-time GC
+        can't pull files out from under the lazy plan (the _read_version_df
+        pin contract — collect promptly or size retain_versions)."""
+        old = self.docs_df(version=v_old)
+        new = self.docs_df(version=v_new) if v_new is not None \
+            else self.docs_df()
+        if old is None or new is None:
+            raise ValueError("version has no documents table")
+
+        def h(df, name):
+            return df.select(
+                "doc_id",
+                F.md5(F.concat_ws("\x1f", "doc", "doc_kind")).alias(name))
+
+        j = h(old, "h1").join(h(new, "h2"), "doc_id", "full_outer")
+        return j.select(
+            "doc_id",
+            F.when(F.col("h1").isNull(), F.lit("added"))
+            .when(F.col("h2").isNull(), F.lit("removed"))
+            .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")).alias("change_type"))
+
     def verify_integrity(self) -> dict[str, int]:
         """Audit the structural invariants of the two storage tiers and
         return {check: n_violations} — the pre-publish integrity gate a

@@ -268,3 +268,27 @@ def test_ivf_build_commits_through_log(spark, tmp_path):
     db.remove_docs([4])
     assert len(db) == 9
     assert _data_files(folder, "index") == _referenced(db, "index")
+
+
+def test_diff_versions_cdc(spark, tmp_path):
+    """db.diff_versions: CDC classification between committed snapshots —
+    upserted docs read as changed, new ids as added, removed ids as
+    removed, untouched ids as unchanged; diffing a version against
+    itself is all-unchanged; v_new defaults to the live head."""
+    folder = str(tmp_path / "db")
+    db = BinaryVectorDB(spark, folder, dim=32, buckets=4, retain_versions=4)
+    db.add_documents([1, 2, 3], ["one", "two", "three"])   # v1
+    db.add_documents([2, 4], ["TWO", "four"])              # v2
+    db.remove_docs([3])                                    # v3
+
+    d12 = {r.doc_id: r.change_type
+           for r in db.diff_versions(1, 2).collect()}
+    assert d12 == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "added"}
+    d13 = {r.doc_id: r.change_type for r in db.diff_versions(1).collect()}
+    assert d13 == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
+    same = {r.change_type for r in db.diff_versions(2, 2).collect()}
+    assert same == {"unchanged"}
+    with pytest.raises(ValueError, match="no committed version"):
+        db.diff_versions(99)
