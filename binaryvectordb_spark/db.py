@@ -1840,6 +1840,55 @@ class BinaryVectorDB:
                   "doc": payloads.get(d)} for d, s in top]
                 for top, kw, vec in fused_all]
 
+    def export_snapshot(self, dest: str,
+                        version: int | None = None) -> None:
+        """Clone ONE committed version into a standalone folder that opens
+        as an independent DB (backup / environment promotion): the
+        version's manifest-listed data files plus `_meta.json`, re-rooted
+        under a fresh v1 manifest.  Staged into `<dest>.tmp` and renamed,
+        so a crashed export never leaves a half-clone at `dest`.
+
+        Mutating the clone cannot touch the source (file copies, separate
+        txn log).  Derived state (text index, stats sidecars, serving
+        exports) is NOT copied — each rebuilds from the data tier on
+        demand, and copying it would just widen the consistency surface.
+        History is not copied either: a clone starts at version 1 (use
+        `version=` to pick WHICH snapshot becomes the clone's v1).
+
+        Scale note: this is a driver-side file copy, appropriate for the
+        single-node layout; on an object store the same structure is a
+        server-side copy per manifest-listed key — still O(data), no
+        Spark job, no read-repair."""
+        import shutil
+
+        self._flush_pending()
+        tables = (self._tables_at(version) if version is not None
+                  else self._current_tables())
+        if not tables:
+            raise ValueError("nothing to export: DB has no committed data")
+        if os.path.exists(dest):
+            raise ValueError(f"export target exists: {dest}")
+        tmp = dest + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        shutil.copy(os.path.join(self.folder, _META),
+                    os.path.join(tmp, _META))
+        for name, bmap in tables.items():
+            for key, files in bmap.items():
+                rel = self._key_reldir(key)
+                src_dir = os.path.join(self._path(name), rel)
+                dst_dir = os.path.join(tmp, name, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fn in files:
+                    shutil.copy(os.path.join(src_dir, fn),
+                                os.path.join(dst_dir, fn))
+        log_dir = os.path.join(tmp, self._LOG)
+        os.makedirs(log_dir)
+        with open(os.path.join(log_dir, f"v{1:010d}.json"), "w") as f:
+            json.dump({"version": 1, "tables": tables}, f)
+        os.rename(tmp, dest)
+
     def diff_versions(self, v_old: int,
                       v_new: int | None = None) -> DataFrame:
         """Change-data-capture between two committed snapshots: one row
