@@ -68,3 +68,44 @@ def test_clean_table_all_zero(spark):
     t = spark.createDataFrame([(1,), (2,)], "k int")
     got = _result(run_expectations(t, [not_null("k"), unique("k")]))
     assert all(v == 0 for v, _ in got.values())
+
+
+def test_expectations_match_pandas_oracle_random(spark):
+    """Property test: violation counts for random tables + random check
+    parameters must equal a pure-pandas recomputation (nulls, duplicate
+    keys, out-of-domain and out-of-range values all drawn adversarially).
+    Mirrors the repo's textindex/gate property-oracle strategy with
+    seeded corpora (one Spark job per case keeps the suite fast)."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (2, 13, 71):
+        rng = np.random.RandomState(seed)
+        n = 60
+        k = rng.randint(0, 6, n).astype(float)
+        k[rng.rand(n) < 0.15] = np.nan
+        s = rng.choice(["a", "b", "c", None], n, p=[0.4, 0.3, 0.2, 0.1])
+        v = rng.uniform(-50, 150, n)
+        v[rng.rand(n) < 0.1] = np.nan
+        pdf = pd.DataFrame({"k": k, "s": list(s), "v": v})
+        t = spark.createDataFrame(pdf.astype({"k": "object"}),
+                                  "k double, s string, v double")
+        lo, hi = sorted(rng.uniform(-20, 120, 2))
+        vals = ["a", "b"]
+        got = {r["check"]: r["n_violations"] for r in run_expectations(t, [
+            not_null("k"),
+            accepted_values("s", vals),
+            in_range("v", lo, hi),
+            unique("k"),
+        ]).collect()}
+        want_nn = int(pdf["k"].isna().sum())
+        want_av = int((~pdf["s"].isin(vals)).sum())  # includes None
+        want_ir = int(((pdf["v"] < lo) | (pdf["v"] > hi)).sum())  # NaN False
+        vc = pdf["k"].dropna().value_counts()
+        # NaN keys group together in Spark groupBy — rows beyond the first
+        nan_n = int(pdf["k"].isna().sum())
+        want_uq = int((vc[vc > 1] - 1).sum()) + max(0, nan_n - 1)
+        assert got["not_null(k)"] == want_nn, seed
+        assert got["accepted_values(s)"] == want_av, seed
+        assert got["in_range(v)"] == want_ir, seed
+        assert got["unique(k)"] == want_uq, seed
