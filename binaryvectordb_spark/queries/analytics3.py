@@ -866,3 +866,118 @@ UNION ALL
 SELECT 'foreign_key(o_custkey->c_custkey)', count(*), 4
 FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 """)
+
+
+# ---------------------------------------------------------------------------
+# classic exact aggregates: weighted median, per-group mode, equi-depth hist
+# ---------------------------------------------------------------------------
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median per group, exactly: the smallest
+    l_extendedprice whose cumulative l_quantity reaches half the group's
+    total.  All comparisons in integers (2*cum >= total on bigint
+    quantities) and the row order is TOTAL ((price, orderkey, linenumber))
+    so both engines pick the identical row.  One partition-by-group
+    window + one tiny agg — no global sort."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice", "l_orderkey",
+                  "l_linenumber",
+                  F.col("l_quantity").cast("bigint").alias("qty")))
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    cum = (li.withColumn("cum", F.sum("qty").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("total", F.sum("qty").over(
+               Window.partitionBy("l_returnflag")))
+           .withColumn("rn", F.row_number().over(w)))
+    qual = cum.filter(2 * F.col("cum") >= F.col("total"))
+    return (qual.groupBy("l_returnflag")
+            .agg(F.min_by("l_extendedprice", "rn")
+                 .alias("weighted_median_price"),
+                 F.max("total").cast("bigint").alias("total_qty")))
+
+
+register("agg_weighted_median", agg_weighted_median, oracle="""
+WITH o AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS qty,
+         sum(CAST(l_quantity AS BIGINT)) OVER
+             (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber
+              ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(CAST(l_quantity AS BIGINT)) OVER
+             (PARTITION BY l_returnflag) AS total,
+         row_number() OVER
+             (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem)
+SELECT l_returnflag, arg_min(l_extendedprice, rn) AS weighted_median_price,
+       CAST(max(total) AS BIGINT) AS total_qty
+FROM o WHERE 2 * cum >= total
+GROUP BY l_returnflag
+""")
+
+
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group with a deterministic tie-break (highest count,
+    then lexicographically smallest value): two hash aggs + a rank window
+    whose partitions are the (tiny) group keys."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderpriority", "o_orderstatus")
+              .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.desc("n"), F.asc("o_orderstatus")))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("o_orderpriority",
+                    F.col("o_orderstatus").alias("modal_status"),
+                    F.col("n").alias("modal_n")))
+
+
+register("agg_mode_per_group", agg_mode_per_group, oracle="""
+WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY n DESC, o_orderstatus ASC) AS rk
+      FROM c)
+SELECT o_orderpriority, o_orderstatus AS modal_status, n AS modal_n
+FROM r WHERE rk = 1
+""")
+
+
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram of order values: ntile(4) over a
+    TOTAL order ((price, orderkey) — both engines distribute the
+    remainder to the leading buckets identically), then per-bucket
+    count / min / max / DECIMAL sum.  Complements the fixture's
+    equi-WIDTH histogram: equi-depth is what a planner's quantile
+    statistics actually store.
+
+    Scale caveat (deliberate): an un-partitioned window funnels every
+    row through ONE task — exact rank-based ntile is inherently a
+    global-order operator.  At 100 TB you trade exactness for the
+    two-pass form: boundaries from exact/approx percentiles
+    (approxQuantile = Greenwald-Khanna, fully distributed), then a
+    map-side comparison assigns buckets — same shape as
+    operators/zorder.py's equi-depth codes.  This query keeps the exact
+    ntile form because its POINT is the oracle-exact rank semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (o.withColumn("bucket", F.ntile(4).over(w))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"),
+                 F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+register("agg_equidepth_histogram", agg_equidepth_histogram, oracle="""
+WITH b AS (SELECT o_totalprice,
+                  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+SELECT bucket, count(*) AS n, min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+FROM b GROUP BY bucket
+""")
