@@ -1840,6 +1840,49 @@ class BinaryVectorDB:
                   "doc": payloads.get(d)} for d, s in top]
                 for top, kw, vec in fused_all]
 
+    def expect(self, checks, record: bool = True) -> dict[str, int]:
+        """User-declared pre-publish expectations on the documents table
+        (operators/expectations.py checks over the payload/metadata
+        columns — the dbt-test gate a pipeline runs before promoting a
+        snapshot).  Returns {check: n_violations}; with ``record=True``
+        the audit is persisted as ``_audit/v<version>.json`` keyed to the
+        CURRENT manifest version — an audit describes a snapshot, so the
+        version key gives exact attribution, re-auditing a version
+        overwrites its file (atomic tmp+replace), and ``audit_history()``
+        returns the trail.  Structural invariants are
+        ``verify_integrity()``'s job; this is for DATA rules the engine
+        can't know (domains, ranges, payload shape)."""
+        from binaryvectordb_spark.operators.expectations import (
+            run_expectations,
+        )
+        self._flush_pending()
+        docs = self.docs_df()
+        if docs is None:
+            raise ValueError("no documents table to audit")
+        rows = run_expectations(docs, checks).collect()
+        out = {r["check"]: int(r["n_violations"]) for r in rows}
+        if record:
+            v = self._manifest_version() or 0
+            d = os.path.join(self.folder, "_audit")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".v{v}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"version": v, "checks": out}, f)
+            os.replace(tmp, os.path.join(d, f"v{v}.json"))
+        return out
+
+    def audit_history(self) -> list[dict]:
+        """All persisted expectation audits, version-ascending."""
+        d = os.path.join(self.folder, "_audit")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
     def export_snapshot(self, dest: str,
                         version: int | None = None) -> None:
         """Clone ONE committed version into a standalone folder that opens

@@ -52,12 +52,12 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 )
 
 # Evaluation priority (rotated round 9): the driver value-hashes the first
-# 50 registry entries per round.  Order: (a) the 25 round-9 additions —
+# 50 registry entries per round.  Order: (a) the 27 round-9 additions —
 # never driver-hashed, so they take the front unconditionally (a
 # never-checked row is worse than a stale one), then (b) the six r5-stale
 # static packs (VERDICT r8 item 2 — their last-chance rotation), then
 # (c) the round-6 cohort (49 queries hashed r6), ordered most-drift-risky
-# first: with 25+6 slots spent, only 19 of (c) fit the window this
+# first: with 27+6 slots spent, only 17 of (c) fit the window this
 # round, so the TAIL of (c) — the static fixture-stable packs (tpch
 # constants, knn family) — ages to 4 rounds at the driver.  That tail is
 # the deliberate slip: every one of those queries is re-verified at BOTH
@@ -91,6 +91,8 @@ _PRIORITY = [
     "agg_weighted_median",
     "agg_mode_per_group",
     "agg_equidepth_histogram",
+    "events_funnel_latency",
+    "events_path_trigrams",
     # (b) the six r5-stale static packs — stalest rows in the registry
     "string_funcs",
     "string_funcs2",

@@ -981,3 +981,97 @@ SELECT bucket, count(*) AS n, min(o_totalprice) AS lo,
        CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
 FROM b GROUP BY bucket
 """)
+
+
+# ---------------------------------------------------------------------------
+# funnel time-to-convert + event-path mining
+# ---------------------------------------------------------------------------
+
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert statistics over the funnel's converted users:
+    latency = first-purchase-reach minus first-signup in EXACT integer
+    microseconds (unix_micros both engines), average as
+    CAST(SUM AS DOUBLE)/COUNT, and the exact lower median via the
+    total-order 2*rn > n pick (same trick as agg_weighted_median, weight
+    1/user) — no engine-divergent percentile function anywhere."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    s2 = (ev.filter(F.col("event_type") == "click").join(s1, "user_id")
+          .filter(F.col("ts") > F.col("s_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("c_ts"),
+                                  F.min("s_ts").alias("s_ts")))
+    s3 = (ev.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+          .filter(F.col("ts") > F.col("c_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("p_ts"),
+                                  F.min("s_ts").alias("s_ts")))
+    lat = s3.select("user_id",
+                    (F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+                    .alias("lat_us"))
+    w = Window.orderBy("lat_us", "user_id")
+    ranked = (lat.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy(F.lit(1)))))
+    med = (ranked.filter(2 * F.col("rn") > F.col("n"))
+           .agg(F.min("lat_us").alias("median_lat_us")))
+    stats = lat.agg(
+        F.count("*").alias("n_converted"),
+        (F.sum("lat_us").cast("double") / F.count("*")).alias("avg_lat_us"),
+        F.max("lat_us").alias("max_lat_us"))
+    return stats.crossJoin(med)
+
+
+register("events_funnel_latency", events_funnel_latency, oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS c_ts, min(s1.s_ts) AS s_ts
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.s_ts GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS p_ts, min(s2.s_ts) AS s_ts
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.c_ts
+       GROUP BY e.user_id),
+lat AS (SELECT user_id, epoch_us(p_ts) - epoch_us(s_ts) AS lat_us FROM s3),
+ranked AS (SELECT lat_us,
+                  row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+                  count(*) OVER () AS n
+           FROM lat),
+med AS (SELECT min(lat_us) AS median_lat_us FROM ranked WHERE 2 * rn > n)
+SELECT count(*) AS n_converted,
+       CAST(sum(lat_us) AS DOUBLE) / count(*) AS avg_lat_us,
+       max(lat_us) AS max_lat_us,
+       (SELECT median_lat_us FROM med) AS median_lat_us
+FROM lat
+""")
+
+
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining lite: the 20 most common 3-step event-type paths
+    across user timelines (two leads over the (ts, event_id) order, one
+    tiny groupBy; ties broken by path string) — the n-gram view of user
+    behavior a funnel designer starts from."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                       "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (ev.withColumn("t2", F.lead("event_type", 1).over(w))
+           .withColumn("t3", F.lead("event_type", 2).over(w))
+           .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+           .select(F.concat_ws(">", "event_type", "t2", "t3")
+                   .alias("path")))
+    return (tri.groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("path")).limit(20))
+
+
+register("events_path_trigrams", events_path_trigrams, oracle="""
+WITH tri AS (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) || '>' ||
+         lead(event_type, 2) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS path,
+         lead(event_type, 2) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events)
+SELECT path, count(*) AS n FROM tri WHERE t3 IS NOT NULL
+GROUP BY path ORDER BY n DESC, path ASC LIMIT 20
+""")

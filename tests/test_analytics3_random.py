@@ -32,6 +32,8 @@ _QUERIES = [
     "events_transition_matrix",
     "sketch_cms_heavy_hitters",
     "events_multitouch_attribution",
+    "events_funnel_latency",
+    "events_path_trigrams",
 ]
 
 

@@ -106,3 +106,39 @@ def test_textindex_integrity_through_mutations(spark, tmp_path):
     bad = ti.verify_integrity()
     assert bad["postings.unique(token,doc_id)"] > 0, bad
     assert bad["doclen.parity"] > 0 or bad["postings.dl_consistent"] > 0, bad
+
+
+def test_db_expect_records_versioned_audit(spark, tmp_path):
+    """db.expect(): user data-rules over the docs payload with a
+    version-keyed persisted audit — failing checks report real counts,
+    each snapshot's audit lands under its manifest version, and
+    audit_history() returns the trail in version order."""
+    from binaryvectordb_spark.operators.expectations import (
+        accepted_values,
+        expr_check,
+        not_null,
+    )
+    from pyspark.sql import functions as F
+
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    db.add_documents([1, 2, 3], ["short", "a much longer document text",
+                                 "mid size"])
+    checks = [
+        not_null("doc"),
+        accepted_values("doc_kind", ["str", "json"]),
+        expr_check("min_len(6)", F.length("doc") < 6),
+    ]
+    rep1 = db.expect(checks)
+    assert rep1["not_null(doc)"] == 0
+    assert rep1["min_len(6)"] == 1  # "short"
+    hist = db.audit_history()
+    assert len(hist) == 1 and hist[0]["checks"] == rep1
+    v1 = hist[0]["version"]
+
+    db.add_documents([4], ["tiny"])  # new version, one more violation
+    rep2 = db.expect(checks)
+    assert rep2["min_len(6)"] == 2
+    hist = db.audit_history()
+    assert [h["version"] for h in hist] == sorted(h["version"] for h in hist)
+    assert len(hist) == 2 and hist[-1]["version"] > v1
+    assert hist[-1]["checks"] == rep2
