@@ -137,3 +137,58 @@ def test_gate_log_replay_idempotent(spark, tmp_path):
     log = spark.read.parquet(log_dir).collect()
     assert sorted(r["doc_id"] for r in log) == [1, 2]
     assert len(db) == 2
+
+
+def test_full_composition_gated_stream_into_ivf_db_with_textindex(
+        spark, tmp_path):
+    """Capstone composition: a gated doc stream feeds an IVF-indexed DB
+    with a live text index — after the drain, BOTH structural audits are
+    clean, the near-dup was rejected, lexical search serves the admitted
+    doc, and vector search still answers.  Every subsystem (gate, IVF
+    partitioner, text-index maintenance hooks, txn log, audits) crosses
+    the same commits."""
+    from pyspark.sql import functions as F
+    from binaryvectordb_spark.db import BinaryVectorDB
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_gated_upsert,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    _df(spark, [(1, DOC_A), (2, DOC_B), (3, DOC_C)]).coalesce(1) \
+        .write.parquet(str(in_dir / "f0"))
+    _df(spark, [(11, DOC_A_NEAR), (12, DOC_FRESH)]).coalesce(1) \
+        .write.parquet(str(in_dir / "f1"))
+
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16, buckets=4,
+                        index_type="ivf",
+                        index_args={"n_clusters": 2, "nprobe": 2})
+    db.add_documents([100, 101, 102],
+                     ["seed corpus document for the index",
+                      "second seed document with other words",
+                      "third seed mentioning windows and merges"])
+    db.build_text_index()
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(in_dir) + "/*"))
+    q = foreach_batch_gated_upsert(stream, db, str(tmp_path / "ckpt"),
+                                   str(tmp_path / "gate_log"))
+    q.awaitTermination()
+
+    # gate: 11 (near-dup of streamed doc 1) rejected, everything else in
+    assert len(db) == 7
+    assert db.get_docs([11]) == {}
+    # audits: both tiers AND the derived text index are structurally clean
+    rep = db.verify_integrity()
+    assert rep and all(v == 0 for v in rep.values()), rep
+    ti_rep = db._text_index().verify_integrity(
+        db.docs_df().where(F.col("doc_kind") == "str")
+        .select("doc_id", F.col("doc").alias("text")))
+    assert ti_rep and all(v == 0 for v in ti_rep.values()), ti_rep
+    # lexical serving reaches the streamed-in fresh doc through the
+    # incrementally maintained index
+    hits = db.search_text(("parquet", "footer"), k=3)
+    assert hits and hits[0]["doc_id"] == 12
+    # vector serving still answers over the IVF layout
+    res = db.search("completely unrelated parquet footer statistics", k=3)
+    assert len(res) == 3
