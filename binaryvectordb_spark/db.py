@@ -1876,11 +1876,14 @@ class BinaryVectorDB:
         d = os.path.join(self.folder, "_audit")
         if not os.path.isdir(d):
             return []
+        # numeric sort: audit filenames are unpadded (v2.json, v10.json),
+        # so a lexicographic sort breaks ascending order at v10 (ADVICE r9)
+        names = [fn for fn in os.listdir(d)
+                 if fn.startswith("v") and fn.endswith(".json")]
         out = []
-        for fn in sorted(os.listdir(d)):
-            if fn.startswith("v") and fn.endswith(".json"):
-                with open(os.path.join(d, fn)) as f:
-                    out.append(json.load(f))
+        for fn in sorted(names, key=lambda n: int(n[1:-5])):
+            with open(os.path.join(d, fn)) as f:
+                out.append(json.load(f))
         return out
 
     def export_snapshot(self, dest: str,

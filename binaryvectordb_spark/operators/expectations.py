@@ -104,12 +104,27 @@ def run_expectations(df: DataFrame, checks) -> DataFrame:
     its key counting rows beyond the first per duplicate key.
     foreign_key() is one left-anti join per declared FK.  All counts are
     BIGINT."""
+    checks = list(checks)
+    recognized = [c for c in checks
+                  if isinstance(c, (NotNull, AcceptedValues, InRange,
+                                    ExprCheck, Unique, ForeignKey))]
+    if not recognized:
+        raise ValueError(
+            "run_expectations needs at least one recognized Check "
+            f"(got {[type(c).__name__ for c in checks] or 'an empty list'})")
+    if len(recognized) != len(checks):
+        bad = [type(c).__name__ for c in checks if c not in recognized]
+        raise ValueError(f"unsupported check types: {bad}")
     row_checks = [c for c in checks
                   if isinstance(c, (NotNull, AcceptedValues, InRange,
                                     ExprCheck))]
     parts = []
     if row_checks:
-        aggs = [F.sum(F.when(_violation_expr(c), 1).otherwise(0))
+        # coalesce: F.sum over ZERO rows is NULL, not 0 — an empty table
+        # has no violations (callers int() these counts; ADVICE r9)
+        aggs = [F.coalesce(
+                    F.sum(F.when(_violation_expr(c), 1).otherwise(0)),
+                    F.lit(0))
                 .cast("bigint").alias(f"v{i}")
                 for i, c in enumerate(row_checks)]
         row = df.agg(*aggs)

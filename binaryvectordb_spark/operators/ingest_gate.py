@@ -73,6 +73,13 @@ def near_dup_gate(batch: DataFrame, corpus: DataFrame, *,
     Jaccard >= j_threshold, best_jaccard is the max such score (NULL when
     none), and admit = (n_dups == 0).
 
+    SELF-pairs (a corpus row carrying the same doc_id as a batch row) are
+    EXCLUDED from candidates: a doc is never a near-dup of its own prior
+    version, so a replayed batch re-admits identically (exactly-once gate
+    log under foreachBatch's at-least-once replay) and an UPDATE of an
+    existing doc_id is gated only against the rest of the corpus, not
+    silently rejected as a dup of itself (ADVICE r9).
+
     The batch band table broadcasts; the corpus is scanned once and never
     shuffled (plan-pinned via the registry query that delegates here)."""
     batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
@@ -81,6 +88,7 @@ def near_dup_gate(batch: DataFrame, corpus: DataFrame, *,
                .select(F.col("doc_id").alias("bid"), "band_idx", "bh"))
     c_bands = _band_table(corpus)
     cands = (c_bands.join(F.broadcast(b_bands), ["band_idx", "bh"])
+             .where(F.col("doc_id") != F.col("bid"))
              .select("bid", F.col("doc_id").alias("cid"))
              .distinct())
     sa = (_shingle_sets(batch)
@@ -107,14 +115,62 @@ def near_dup_gate(batch: DataFrame, corpus: DataFrame, *,
             .withColumn("admit", F.col("n_dups") == 0))
 
 
+def intra_batch_dups(batch: DataFrame, *,
+                     j_threshold: float = 0.5) -> DataFrame:
+    """(doc_id) rows for batch docs that are near-dups of a LOWER-doc_id
+    doc in the SAME batch — the intra-batch half of the ingest gate
+    (ADVICE r9: two near-identical docs arriving in one micro-batch must
+    not both be admitted).
+
+    Semantics are PAIRWISE, lowest-id-wins, and deliberately
+    non-transitive: if 2 dups 1 and 3 dups 2 (but 3 does not dup 1), BOTH
+    2 and 3 are rejected — 3 collides with 2 regardless of 2's own fate.
+    Safe-side and deterministic; the transitive-closure alternative would
+    need a connected-components pass per micro-batch.
+
+    Same LSH family/constants as near_dup_gate; the band self-join keys
+    on (band_idx, bh) with a < on doc_id so each unordered pair is
+    verified once.  O(batch²) only within colliding LSH buckets."""
+    batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+    bands = _band_table(batch)
+    pairs = (bands.alias("a")
+             .join(bands.alias("b"),
+                   (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("cid"),
+                     F.col("b.doc_id").alias("bid"))
+             .distinct())
+    sh = _shingle_sets(batch)
+    sa = sh.select(F.col("doc_id").alias("bid"), F.col("shs").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("cid"), F.col("shs").alias("sb"))
+    ver = (pairs.join(sa, "bid").join(sb, "cid")
+           .withColumn("common", F.size(F.array_intersect("sa", "sb"))
+                       .cast("double"))
+           .withColumn("j", F.col("common")
+                       / (F.size("sa") + F.size("sb") - F.col("common"))))
+    return (ver.where(F.col("j") >= j_threshold)
+            .select(F.col("bid").alias("doc_id")).distinct())
+
+
 def gated_add_documents_df(db, docs_df: DataFrame, *,
                            j_threshold: float = 0.5,
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           intra_batch: bool = True) -> DataFrame:
     """Near-dup-gated distributed upsert: run the gate against the DB's
-    CURRENT str-payload documents, admit only docs with zero near-dups,
-    upsert the admitted slice via add_documents_df, and return the gate
-    record (one row per distinct incoming doc_id).
+    CURRENT str-payload documents AND (by default) within the batch
+    itself, admit only docs with zero near-dups, upsert the admitted
+    slice via add_documents_df, and return the gate record (one row per
+    distinct incoming doc_id): (doc_id, n_candidates, n_dups,
+    best_jaccard, intra_dup, admit) where admit = corpus-clean AND NOT
+    intra_dup.
+
+    Corpus rows with the SAME doc_id as a batch row are excluded by
+    near_dup_gate, so updates to an existing doc are gated against the
+    rest of the corpus (not self-rejected) and a foreachBatch replay
+    re-admits identically.  intra_batch=False restores corpus-only
+    gating (intra_dup all false).
 
     The record is localCheckpoint-materialized BEFORE the upsert commits —
     both it and the admitted slice derive from the pre-commit docs table,
@@ -127,12 +183,22 @@ def gated_add_documents_df(db, docs_df: DataFrame, *,
         rec = (batch.dropDuplicates(["doc_id"]).select("doc_id")
                .withColumn("n_candidates", F.lit(0).cast("long"))
                .withColumn("n_dups", F.lit(0).cast("long"))
-               .withColumn("best_jaccard", F.lit(None).cast("double"))
-               .withColumn("admit", F.lit(True)))
+               .withColumn("best_jaccard", F.lit(None).cast("double")))
     else:
         corpus = (corpus_df.where(F.col("doc_kind") == "str")
                   .select("doc_id", F.col("doc").alias("text")))
-        rec = near_dup_gate(batch, corpus, j_threshold=j_threshold)
+        rec = near_dup_gate(batch, corpus, j_threshold=j_threshold) \
+            .drop("admit")
+    if intra_batch:
+        intra = intra_batch_dups(batch, j_threshold=j_threshold) \
+            .withColumn("intra_dup", F.lit(True))
+        rec = (rec.join(intra, "doc_id", "left")
+               .withColumn("intra_dup",
+                           F.coalesce("intra_dup", F.lit(False))))
+    else:
+        rec = rec.withColumn("intra_dup", F.lit(False))
+    rec = rec.withColumn(
+        "admit", (F.col("n_dups") == 0) & ~F.col("intra_dup"))
     rec = rec.localCheckpoint(eager=True)
     admitted = (batch.join(rec.where("admit").select("doc_id"), "doc_id")
                 .localCheckpoint(eager=True))

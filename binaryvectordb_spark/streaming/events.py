@@ -307,8 +307,10 @@ def foreach_batch_gated_upsert(docs: DataFrame, db, checkpoint_dir: str,
                                gate_log_dir: str, *,
                                j_threshold: float = 0.5):
     """Near-dup-GATED streaming ingest: every micro-batch of (doc_id, text)
-    rows is screened against the DB's current corpus by the MinHash/LSH
-    gate (operators/ingest_gate.py), only zero-near-dup docs are upserted
+    rows is screened against the DB's current corpus AND within the batch
+    itself by the MinHash/LSH gate (operators/ingest_gate.py; self-pairs
+    excluded, so replays/updates are not rejected against their own prior
+    version), only zero-near-dup docs are upserted
     (delete-then-insert semantics, text index maintained by the commit
     hooks), and the per-doc admit/reject record is APPENDED to
     ``gate_log_dir`` as parquet — the audit trail a curation pipeline

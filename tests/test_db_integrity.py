@@ -142,3 +142,21 @@ def test_db_expect_records_versioned_audit(spark, tmp_path):
     assert [h["version"] for h in hist] == sorted(h["version"] for h in hist)
     assert len(hist) == 2 and hist[-1]["version"] > v1
     assert hist[-1]["checks"] == rep2
+
+
+def test_audit_history_numeric_order_past_v10(spark, tmp_path):
+    """ADVICE r9: audit filenames are unpadded (v2.json, v10.json) — the
+    history must sort numerically, not lexicographically (which would
+    put v10 before v2)."""
+    import json
+    import os
+
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    db.add_documents([1], ["one seed document"])
+    d = os.path.join(db.folder, "_audit")
+    os.makedirs(d, exist_ok=True)
+    for v in (1, 2, 3, 9, 10, 11, 12, 100):
+        with open(os.path.join(d, f"v{v}.json"), "w") as f:
+            json.dump({"version": v, "checks": {}}, f)
+    assert [h["version"] for h in db.audit_history()] == \
+        [1, 2, 3, 9, 10, 11, 12, 100]

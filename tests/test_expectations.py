@@ -109,3 +109,33 @@ def test_expectations_match_pandas_oracle_random(spark):
         assert got["accepted_values(s)"] == want_av, seed
         assert got["in_range(v)"] == want_ir, seed
         assert got["unique(k)"] == want_uq, seed
+
+
+def test_empty_or_unsupported_checks_raise(spark):
+    """ADVICE r9: an empty check list (or one with only unrecognized
+    Check subclasses) must raise a clear ValueError, not AttributeError
+    on a None plan."""
+    import pytest
+    from binaryvectordb_spark.operators.expectations import Check
+
+    t = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="at least one"):
+        run_expectations(t, [])
+    with pytest.raises(ValueError, match="unsupported"):
+        run_expectations(t, [not_null("k"), Check(name="mystery")])
+
+
+def test_empty_table_reports_zero_violations(spark):
+    """ADVICE r9: F.sum over zero rows is NULL — an empty table must
+    report 0 violations for every check type (callers int() the counts)."""
+    t = spark.createDataFrame([], "k int, s string")
+    parent = spark.createDataFrame([(1,)], "pk int")
+    got = _result(run_expectations(t, [
+        not_null("k"),
+        accepted_values("s", ["a"]),
+        in_range("k", 0, 10),
+        unique("k"),
+        foreign_key("k", parent, "pk"),
+    ]))
+    assert all(v == 0 for v, _ in got.values()), got
+    assert all(isinstance(v, int) for v, _ in got.values())

@@ -130,13 +130,58 @@ def test_gate_log_replay_idempotent(spark, tmp_path):
         q.awaitTermination()
 
     run("ckpt1")
+    first = {r["doc_id"]: r["admit"]
+             for r in spark.read.parquet(log_dir).collect()}
+    assert first == {1: True, 2: True}
     # fresh checkpoint replays batch 0 over the same log dir (the
     # crash-and-reprocess shape); the DB upsert is idempotent and the log
     # partition is overwritten, not appended
     run("ckpt2")
     log = spark.read.parquet(log_dir).collect()
     assert sorted(r["doc_id"] for r in log) == [1, 2]
+    # ADVICE r9: the replayed docs must NOT flip to admit=false by
+    # colliding with their own prior version — log contents are
+    # bit-identical across replays (exactly-once), not just same doc_ids
+    assert {r["doc_id"]: r["admit"] for r in log} == first
     assert len(db) == 2
+
+
+def test_gated_update_of_existing_doc_not_self_rejected(spark, tmp_path):
+    """ADVICE r9: an UPDATE (same doc_id, revised text) is gated against
+    the rest of the corpus only — never rejected as a near-dup of its own
+    prior version; and it IS still rejected if it near-dups a DIFFERENT
+    corpus doc."""
+    from binaryvectordb_spark.db import BinaryVectorDB
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    db.add_documents([1, 2], [DOC_A, DOC_B])
+    # revise doc 1 slightly (near-dup of its own v1) -> admitted, updated
+    rec = gated_add_documents_df(db, _df(spark, [(1, DOC_A_NEAR)]))
+    assert [r["admit"] for r in rec.collect()] == [True]
+    assert db.get_docs([1])[1] == DOC_A_NEAR
+    assert len(db) == 2
+    # but updating doc 2 to near-dup doc 1's text is still rejected
+    rec2 = gated_add_documents_df(db, _df(spark, [(2, DOC_A)]))
+    assert [r["admit"] for r in rec2.collect()] == [False]
+    assert db.get_docs([2])[2] == DOC_B
+
+
+def test_intra_batch_near_dups_lowest_id_wins(spark, tmp_path):
+    """ADVICE r9: two near-dup docs arriving in the SAME batch must not
+    both be admitted — the lower doc_id wins; independent docs in the
+    same batch are untouched."""
+    from binaryvectordb_spark.db import BinaryVectorDB
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    rec = gated_add_documents_df(db, _df(spark, [
+        (10, DOC_A), (11, DOC_A_NEAR), (12, DOC_FRESH)]))
+    got = {r["doc_id"]: (r["admit"], r["intra_dup"]) for r in rec.collect()}
+    assert got == {10: (True, False), 11: (False, True), 12: (True, False)}
+    assert len(db) == 2 and db.get_docs([11]) == {}
+    # corpus-only mode restores the documented old semantics
+    db2 = BinaryVectorDB(spark, str(tmp_path / "db2"), dim=16)
+    rec2 = gated_add_documents_df(
+        db2, _df(spark, [(10, DOC_A), (11, DOC_A_NEAR)]), intra_batch=False)
+    assert all(r["admit"] for r in rec2.collect())
+    assert len(db2) == 2
 
 
 def test_full_composition_gated_stream_into_ivf_db_with_textindex(

@@ -66,6 +66,7 @@ def _py_gate(batch: dict, corpus: dict, j_threshold: float = 0.5) -> dict:
         cands = set()
         for key in _py_bands(text):
             cands |= c_bands.get(key, set())
+        cands.discard(bid)  # self-pair exclusion, mirrors near_dup_gate
         sa = _py_shingles(text)
         dups, best = 0, None
         for cid in cands:
@@ -117,3 +118,32 @@ def test_gate_matches_pure_python_oracle(spark, seed):
             assert gb is None, (k, gb)
         else:
             assert gb == pytest.approx(wb, abs=0.0), (k, gb, wb)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_gate_oracle_with_overlapping_doc_ids(spark, seed):
+    """Batch doc_ids that ALSO exist in the corpus (the update/replay
+    shape): the self-pair is excluded on both sides, everything else
+    matches the python oracle bit-exactly."""
+    rng = np.random.RandomState(seed)
+    corpus = {i: _rand_text(rng) for i in range(30)}
+    batch = {}
+    for i in range(12):
+        bid = int(rng.randint(0, 30))  # overlaps the corpus id space
+        r = rng.rand()
+        if r < 0.4:
+            batch[bid] = corpus[bid]  # exact replay of its own version
+        elif r < 0.7:
+            src = corpus[bid].split(" ")
+            src[int(rng.randint(0, len(src)))] = str(rng.choice(VOCAB))
+            batch[bid] = " ".join(src)  # revision of itself
+        else:
+            batch[bid] = _rand_text(rng)
+    want = _py_gate(batch, corpus)
+    got = {r["doc_id"]: (r["n_candidates"], r["n_dups"], r["admit"])
+           for r in near_dup_gate(
+               spark.createDataFrame(list(batch.items()),
+                                     "doc_id long, text string"),
+               spark.createDataFrame(list(corpus.items()),
+                                     "doc_id long, text string")).collect()}
+    assert got == {k: (v[0], v[1], v[3]) for k, v in want.items()}
