@@ -1075,3 +1075,111 @@ WITH tri AS (
 SELECT path, count(*) AS n FROM tri WHERE t3 IS NOT NULL
 GROUP BY path ORDER BY n DESC, path ASC LIMIT 20
 """)
+
+
+# ---------------------------------------------------------------------------
+# scale-safe companions: exact rank analytics WITHOUT un-partitioned windows
+# (VERDICT r9 item 5 — the 100 TB forms of the two global-window queries)
+# ---------------------------------------------------------------------------
+
+def agg_equidepth_histogram_scalable(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of agg_equidepth_histogram: identical output
+    (exact ntile(4) quartile histogram, same oracle SQL), but computed by
+    the distributed-rank algorithm (operators/ranks.py) instead of a
+    global window — range partition on (price, orderkey), per-partition
+    offsets (P driver rows), PARTITIONED row_number, then the ntile
+    remainder rule applied to the global rank as a pure expression.
+
+    At 100 TB the exact-window form funnels every order through one task
+    (Exchange SinglePartition + global Sort); this plan's widest
+    single-task object is the P-entry offset map.  The plan is pinned
+    window-partitioned by tests/test_plans.py; the identical driver hash
+    against the SAME oracle as the window form is the equivalence
+    proof."""
+    from binaryvectordb_spark.operators.ranks import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice",
+                                                   "o_orderkey")
+    ranked, n = with_global_rank(o, ["o_totalprice", "o_orderkey"])
+    return (ranked
+            .withColumn("bucket", ntile_from_rank(F.col("grank"), n, 4))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"),
+                 F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+register("agg_equidepth_histogram_scalable", agg_equidepth_histogram_scalable,
+         oracle="""
+WITH b AS (SELECT o_totalprice,
+                  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+SELECT bucket, count(*) AS n, min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+FROM b GROUP BY bucket
+""")
+
+
+def events_funnel_latency_scalable(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of events_funnel_latency: same output (exact
+    count/avg/max plus the exact LOWER MEDIAN of time-to-convert), but
+    the median comes from the distributed-rank pick (global rank ==
+    n//2 + 1 under the (lat_us, user_id) total order) instead of an
+    un-partitioned ranking window.  The funnel stages themselves are
+    already shuffle-partitioned on user_id; only the median needed the
+    rework.  Hashes against the SAME oracle as the window form."""
+    from binaryvectordb_spark.operators.ranks import with_global_rank
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    s2 = (ev.filter(F.col("event_type") == "click").join(s1, "user_id")
+          .filter(F.col("ts") > F.col("s_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("c_ts"),
+                                  F.min("s_ts").alias("s_ts")))
+    s3 = (ev.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+          .filter(F.col("ts") > F.col("c_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("p_ts"),
+                                  F.min("s_ts").alias("s_ts")))
+    lat = s3.select("user_id",
+                    (F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+                    .alias("lat_us"))
+    ranked, n = with_global_rank(lat, ["lat_us", "user_id"])
+    med = (ranked.filter(F.col("grank") == n // 2 + 1)
+           .agg(F.min("lat_us").alias("median_lat_us")))
+    stats = ranked.agg(
+        F.count("*").alias("n_converted"),
+        (F.sum("lat_us").cast("double") / F.count("*")).alias("avg_lat_us"),
+        F.max("lat_us").alias("max_lat_us"))
+    return stats.crossJoin(med)
+
+
+register("events_funnel_latency_scalable", events_funnel_latency_scalable,
+         oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS c_ts, min(s1.s_ts) AS s_ts
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.s_ts GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS p_ts, min(s2.s_ts) AS s_ts
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.c_ts
+       GROUP BY e.user_id),
+lat AS (SELECT user_id, epoch_us(p_ts) - epoch_us(s_ts) AS lat_us FROM s3),
+ranked AS (SELECT lat_us,
+                  row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+                  count(*) OVER () AS n
+           FROM lat),
+med AS (SELECT min(lat_us) AS median_lat_us FROM ranked WHERE 2 * rn > n)
+SELECT count(*) AS n_converted,
+       CAST(sum(lat_us) AS DOUBLE) / count(*) AS avg_lat_us,
+       max(lat_us) AS max_lat_us,
+       (SELECT median_lat_us FROM med) AS median_lat_us
+FROM lat
+""")

@@ -105,3 +105,37 @@ def test_pagerank_cross_engine_on_random_graphs(spark, tmp_path, seed):
                 f"pagerank[seed={seed}]")
     finally:
         con.close()
+
+
+def test_global_rank_matches_window_form_random(spark):
+    """operators/ranks.py with_global_rank == row_number() over the
+    un-partitioned window, on random frames with heavy key ties (the
+    tie-break column makes the order total); ntile_from_rank == ntile()
+    for ragged n % tiles."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from binaryvectordb_spark.operators.ranks import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    for seed, n in ((5, 97), (29, 256), (77, 33)):
+        rng = np.random.RandomState(seed)
+        rows = [(int(i), float(v)) for i, v in
+                enumerate(rng.randint(0, 12, n).astype(float))]
+        df = spark.createDataFrame(rows, "id long, v double")
+        ranked, total = with_global_rank(df, ["v", "id"])
+        assert total == n
+        got = {r["id"]: r["grank"] for r in ranked.collect()}
+        w = Window.orderBy("v", "id")
+        want = {r["id"]: r["rn"] for r in
+                df.withColumn("rn", F.row_number().over(w)).collect()}
+        assert got == want, seed
+        for tiles in (3, 4, 7):
+            gt = {r["id"]: r["b"] for r in ranked.withColumn(
+                "b", ntile_from_rank(F.col("grank"), total, tiles))
+                .collect()}
+            wt = {r["id"]: r["b"] for r in df.withColumn(
+                "b", F.ntile(tiles).over(w)).collect()}
+            assert gt == wt, (seed, tiles)

@@ -353,3 +353,27 @@ def test_q5_q8_dims_broadcast(spark):
         plan = formatted_plan(q(spark, SF_SMOKE))
         assert plan.count("BroadcastHashJoin") >= min_bc, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_scale_safe_rank_variants_have_no_unpartitioned_window(spark):
+    """VERDICT r9 item 5: the _scalable twins must contain NO
+    un-partitioned Window — every windowspecdefinition in their plans is
+    keyed by the range-partition id (__pid), so no task ever sees the
+    whole stream.  The equidepth variant additionally has no
+    SinglePartition exchange anywhere (its output is a 4-group agg); the
+    funnel variant's scalar stats agg legitimately funnels P partial rows
+    (map-side combine), so only its WINDOWS are asserted."""
+    import re
+    from binaryvectordb_spark.queries.analytics3 import (
+        agg_equidepth_histogram_scalable,
+        events_funnel_latency_scalable,
+    )
+
+    p = formatted_plan(agg_equidepth_histogram_scalable(spark, SF_SMOKE))
+    assert "SinglePartition" not in p, p
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    assert specs and all(s.startswith("__pid#") for s in specs), specs
+
+    p = formatted_plan(events_funnel_latency_scalable(spark, SF_SMOKE))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    assert specs and all(s.startswith("__pid#") for s in specs), specs
