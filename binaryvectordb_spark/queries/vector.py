@@ -500,3 +500,139 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid
       FROM votes)
 WHERE rk = 1
 """)
+
+
+# -- calibrated int8 quantization error: the quality-retention measurement --
+
+N_CALIB_QUERIES = 8
+
+
+def quant_int8_score_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated measurement of the cascade's Phase-III int8 error
+    against the float32 brute-force score, AS DATA — the quantitative
+    echo of the reference's quality-retention table (README.md:134-153,
+    which reports recall@k for int8 rescoring but never ships the
+    harness).  For each of N_CALIB_QUERIES fixed query vectors scored
+    against the whole corpus:
+
+    - avg/max absolute error between int8_cosine(q, int8(d)) and the
+      float doc-side-norm score dot(q,d)/||d|| (the SAME functional —
+      only the quantizer differs, so the delta IS the quantization
+      error),
+    - overlap_at_10: |top-10 by float  ∩  top-10 by int8| (the recall
+      number the reference's table states),
+    - top1_match: whether the winner survives quantization.
+
+    Determinism: per-pair error is folded to INTEGER picounits
+    (round(err*1e12) -> BIGINT, HALF_UP in both engines — the same
+    device as int8_quantize itself) so the re-associable sum is exact
+    under any partitioning; max/count are order-independent; rankings
+    tie-break on doc_id.
+
+    Scale: the 8-query side broadcasts; scoring is map-side over one
+    corpus scan; the per-query top-10 windows compile to WindowGroupLimit
+    (per-partition partial top-k, no per-query funnel)."""
+    from pyspark.sql import Window
+
+    from binaryvectordb_spark.functions.vector import (
+        int8_cosine,
+        int8_quantize,
+        norm,
+    )
+
+    emb, _ = _tables(spark, sf_dir)
+    qs = (emb.where(F.col("vec_id") < N_CALIB_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qvec")))
+    d = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("dvec"))
+    scored = (d.crossJoin(F.broadcast(qs))
+              .withColumn("d8", int8_quantize("dvec"))
+              .withColumn("f_score",
+                          F.when(norm("dvec") > 0,
+                                 dot("qvec", "dvec") / norm("dvec"))
+                          .otherwise(F.lit(0.0)))
+              .withColumn("i_score", int8_cosine("qvec", "d8"))
+              .withColumn("err_pico",
+                          F.round(F.abs(F.col("i_score") - F.col("f_score"))
+                                  * F.lit(1e12)).cast("long")))
+    # one scoring pass, three consumers: materialize the NARROW projection
+    # (ids + 2 scores + err — the vectors are dropped) so the stats agg and
+    # both rankings reuse it instead of re-running the dot products per
+    # branch (Spark shares no common subplans across self-join branches);
+    # at 100 TB this artifact is smaller than the embedding corpus itself
+    scored = (scored.select("query_id", "doc_id", "f_score", "i_score",
+                            "err_pico")
+              .localCheckpoint(eager=True))
+    per_q = scored.groupBy("query_id").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("err_pico").cast("double") / F.count("*") / F.lit(1e12))
+        .alias("avg_abs_err"),
+        (F.max("err_pico").cast("double") / F.lit(1e12))
+        .alias("max_abs_err"))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("f_score"),
+                                                F.asc("doc_id"))
+    wi = Window.partitionBy("query_id").orderBy(F.desc("i_score"),
+                                                F.asc("doc_id"))
+    topf = (scored.withColumn("rn", F.row_number().over(wf))
+            .where(F.col("rn") <= 10).select("query_id", "doc_id", "rn"))
+    topi = (scored.withColumn("rni", F.row_number().over(wi))
+            .where(F.col("rni") <= 10)
+            .select("query_id", "doc_id", "rni"))
+    ov = (topf.join(topi, ["query_id", "doc_id"])
+          .groupBy("query_id")
+          .agg(F.count("*").cast("bigint").alias("overlap_at_10"),
+               F.sum(F.when((F.col("rn") == 1) & (F.col("rni") == 1), 1)
+                     .otherwise(0)).cast("bigint").alias("top1_match")))
+    return (per_q.join(ov, "query_id", "left")
+            .select("query_id", "n_docs", "avg_abs_err", "max_abs_err",
+                    F.coalesce("overlap_at_10", F.lit(0).cast("bigint"))
+                    .alias("overlap_at_10"),
+                    F.coalesce("top1_match", F.lit(0).cast("bigint"))
+                    .alias("top1_match")))
+
+
+_F_SCORE = (f"CASE WHEN {_DNORM} > 0 THEN {_DOT} / {_DNORM} "
+            "ELSE CAST(0 AS DOUBLE) END")
+_I_SCORE = (f"CASE WHEN {_I8NORM} > 0 THEN {_I8DOT} / {_I8NORM} "
+            "ELSE CAST(0 AS DOUBLE) END")
+
+register(
+    "quant_int8_score_error", quant_int8_score_error,
+    oracle=f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {N_CALIB_QUERIES}),
+{_D_CTE},
+scored AS (SELECT query_id, doc_id,
+                  {_F_SCORE} AS f_score, {_I_SCORE} AS i_score
+           FROM d CROSS JOIN qs),
+errs AS (SELECT query_id, doc_id, f_score, i_score,
+                CAST(ROUND(ABS(i_score - f_score) * 1e12) AS BIGINT)
+                  AS err_pico
+         FROM scored),
+per_q AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(err_pico) AS DOUBLE) / count(*) / 1e12
+                   AS avg_abs_err,
+                 CAST(max(err_pico) AS DOUBLE) / 1e12 AS max_abs_err
+          FROM errs GROUP BY query_id),
+topf AS (SELECT query_id, doc_id, rn FROM (
+           SELECT query_id, doc_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY f_score DESC, doc_id ASC) AS rn
+           FROM errs) WHERE rn <= 10),
+topi AS (SELECT query_id, doc_id, rni FROM (
+           SELECT query_id, doc_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY i_score DESC, doc_id ASC) AS rni
+           FROM errs) WHERE rni <= 10),
+ov AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS overlap_at_10,
+              CAST(sum(CASE WHEN f.rn = 1 AND i.rni = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS top1_match
+       FROM topf f JOIN topi i
+         ON f.query_id = i.query_id AND f.doc_id = i.doc_id
+       GROUP BY f.query_id)
+SELECT p.query_id, p.n_docs, p.avg_abs_err, p.max_abs_err,
+       COALESCE(o.overlap_at_10, 0) AS overlap_at_10,
+       COALESCE(o.top1_match, 0) AS top1_match
+FROM per_q p LEFT JOIN ov o ON o.query_id = p.query_id
+""")
