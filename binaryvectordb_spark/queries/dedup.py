@@ -827,3 +827,93 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a ON a.bid = d.doc_id
 WHERE d.doc_id % {BATCH_MOD} = {BATCH_REM}
 """)
+
+
+# -- gate-log analytics: the audit trail's READ path (VERDICT r9 item 7) ----
+
+def gate_log_admit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit/reject-rate + best_jaccard distribution over a REAL gate
+    log: the deterministic batch slice (doc_id % BATCH_MOD == BATCH_REM)
+    is split into two micro-batches by doc_id parity, each gated against
+    the corpus slice by the SAME operator the streaming ingest runs
+    (near_dup_gate) and WRITTEN to a parquet log with the SAME
+    batch_id-partitioned dynamic-overwrite discipline as
+    foreach_batch_gated_upsert — then the log is read back and
+    aggregated.  The driver row therefore exercises the audit trail's
+    full write+read round trip, not just the in-memory gate frame
+    (pytest covers that separately).
+
+    Output grain: (batch_id, jbucket) where jbucket =
+    floor(best_jaccard*10) for rejected/near-miss docs and -1 for docs
+    with no dup (the admitted mass), with per-bucket doc and admit
+    counts.  All aggregates are integer counts — order-independent, no
+    float sums.
+
+    Scale: the gate itself is the broadcast-batch shape (see
+    near_dup_gate); the log write is O(batch); the analytics is one
+    groupBy over the log scan — at 100 TB the log is partitioned by
+    batch_id, so per-window audits prune to the partitions in range."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    is_batch = (F.col("doc_id") % BATCH_MOD) == BATCH_REM
+    corpus = d.where(~is_batch)
+    log_dir = tempfile.mkdtemp(prefix="bvdb_gate_log_q_")
+    for bid in (0, 1):
+        batch = d.where(is_batch & ((F.col("doc_id") % 2) == bid))
+        rec = _gate_record(batch, corpus)
+        (rec.withColumn("batch_id", F.lit(bid).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(log_dir))
+    log = spark.read.parquet(log_dir)
+    return (log.groupBy(
+                "batch_id",
+                F.coalesce(F.floor(F.col("best_jaccard") * 10),
+                           F.lit(-1)).alias("jbucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("n_dups") == 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_admitted")))
+
+
+def _gate_record(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """near_dup_gate minus the admit flag (the log schema stores the
+    counts; admit is derivable as n_dups == 0 and the analytics recompute
+    it so the oracle needs no boolean column)."""
+    from binaryvectordb_spark.operators.ingest_gate import near_dup_gate
+    return near_dup_gate(batch, corpus, j_threshold=0.5).drop("admit")
+
+
+register("gate_log_admit_stats", gate_log_admit_stats, oracle=f"""
+{_DUCK_SHINGLES},
+bands AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
+bex AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM bands"
+                      for b in range(N_BANDS))}
+),
+cands AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+          FROM bex b JOIN bex c ON b.band_idx = c.band_idx AND b.bh = c.bh
+          WHERE b.doc_id % {BATCH_MOD} = {BATCH_REM}
+            AND c.doc_id % {BATCH_MOD} <> {BATCH_REM}),
+ver AS (SELECT bid, cid,
+               CAST(length(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS common,
+               length(sa.shs) AS na, length(sb.shs) AS nb
+        FROM cands JOIN shl sa ON sa.doc_id = bid
+                   JOIN shl sb ON sb.doc_id = cid),
+scored AS (SELECT bid, common / (na + nb - common) AS j FROM ver),
+agg AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dups,
+               max(CASE WHEN j >= 0.5 THEN j END) AS best_jaccard
+        FROM scored GROUP BY bid),
+rec AS (SELECT d.doc_id, d.doc_id % 2 AS batch_id,
+               COALESCE(a.n_dups, 0) AS n_dups, a.best_jaccard
+        FROM documents d LEFT JOIN agg a ON a.bid = d.doc_id
+        WHERE d.doc_id % {BATCH_MOD} = {BATCH_REM})
+SELECT batch_id,
+       COALESCE(CAST(FLOOR(best_jaccard * 10) AS BIGINT), -1) AS jbucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_dups = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted
+FROM rec GROUP BY batch_id, jbucket
+""")
