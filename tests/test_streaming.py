@@ -414,3 +414,131 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
             assert pd.Timestamp(r["c_ns"]) == pd.Timestamp(want_c[u]), u
         if u in want_p:
             assert pd.Timestamp(r["p_ns"]) == pd.Timestamp(want_p[u]), u
+
+
+def _ts_ordered_files(spark, tmp_path, nparts=3):
+    """Split the fixture events into nparts parquet files partitioned by
+    the (ts, event_id) total order — the ORDERING CONTRACT of the
+    sequence-stateful twins (a time-range file split preserves per-user
+    event order across micro-batches).  Files land flat in one dir with
+    ascending mtimes so the file source delivers them in order."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    n = ranked.count()
+    per = (n + nparts - 1) // nparts
+    stage = tmp_path / "stage"
+    out = tmp_path / "stream_in"
+    out.mkdir()
+    # Spark writes INT96 timestamps by default, which the stream reader's
+    # footer probe (events_ts_encoding) cannot classify — write MICROS
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for i in range(nparts):
+            part = stage / f"p{i}"
+            (ranked.where((F.col("rn") > i * per)
+                          & (F.col("rn") <= (i + 1) * per))
+             .drop("rn").coalesce(1)
+             .write.mode("overwrite").parquet(str(part)))
+            src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+            shutil.copy(src, out / f"b{i}.parquet")
+            _time.sleep(0.05)  # distinct mtimes -> in-order file delivery
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    return str(out)
+
+
+def test_streaming_transition_matrix_matches_batch(spark, tmp_path):
+    """The incrementally maintained transition matrix over a 3-trigger
+    time-ordered stream must equal the batch twin EXACTLY (counts bigint,
+    p the same single float division), including the cross-batch boundary
+    pairs carried by the per-user last-event state; a full replay over a
+    fresh checkpoint against the same state dir must change nothing
+    (exactly-once)."""
+    from binaryvectordb_spark.queries.analytics3 import (
+        events_transition_matrix,
+    )
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_transition_matrix,
+        read_transition_matrix,
+    )
+
+    in_dir = _ts_ordered_files(spark, tmp_path, nparts=3)
+    out = str(tmp_path / "tm_state")
+    cols = ["from_type", "to_type", "n", "p"]
+
+    q = foreach_batch_transition_matrix(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+    got = _rows(read_transition_matrix(spark, out), cols)
+    want = _rows(events_transition_matrix(spark, SF_SMOKE), cols)
+    assert got == want
+    # exact-once under full replay (fresh checkpoint, same state dir)
+    q2 = foreach_batch_transition_matrix(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    assert _rows(read_transition_matrix(spark, out), cols) == want
+
+
+def test_streaming_transition_matrix_batching_invariant(spark, tmp_path):
+    """Micro-batch granularity must not change the result: 1 file/trigger
+    (boundary pairs cross two seams) == one single batch (no seams)."""
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_transition_matrix,
+        read_transition_matrix,
+    )
+
+    in_dir = _ts_ordered_files(spark, tmp_path, nparts=4)
+    cols = ["from_type", "to_type", "n", "p"]
+    outs = []
+    for tag, mfpt in (("one", None), ("four", 1)):
+        out = str(tmp_path / f"tm_{tag}")
+        q = foreach_batch_transition_matrix(
+            read_events_stream(spark, in_dir, max_files_per_trigger=mfpt),
+            out, str(tmp_path / f"ck_{tag}"))
+        q.awaitTermination()
+        outs.append(_rows(read_transition_matrix(spark, out), cols))
+    assert outs[0] == outs[1]
+
+
+def test_streaming_cohort_retention_matches_batch(spark, tmp_path):
+    """The incrementally maintained retention matrix over a 3-trigger
+    time-ordered stream must equal the batch twin exactly (the cohort day
+    fixed at first sight, distinct user-week facts accumulated), and be
+    replay-idempotent."""
+    from binaryvectordb_spark.queries.analytics3 import (
+        events_cohort_retention,
+    )
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_cohort_retention,
+        read_cohort_retention,
+    )
+
+    in_dir = _ts_ordered_files(spark, tmp_path, nparts=3)
+    out = str(tmp_path / "cr_state")
+    cols = ["cohort_day", "week_offset", "n_active"]
+
+    q = foreach_batch_cohort_retention(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+    got = _rows(read_cohort_retention(spark, out), cols)
+    want = _rows(events_cohort_retention(spark, SF_SMOKE), cols)
+    assert got == want
+    q2 = foreach_batch_cohort_retention(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    assert _rows(read_cohort_retention(spark, out), cols) == want
