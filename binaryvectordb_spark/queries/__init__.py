@@ -51,73 +51,23 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority (rotated round 9): the driver value-hashes the first
-# 50 registry entries per round.  Order: (a) the 27 round-9 additions —
-# never driver-hashed, so they take the front unconditionally (a
-# never-checked row is worse than a stale one), then (b) the six r5-stale
-# static packs (VERDICT r8 item 2 — their last-chance rotation), then
-# (c) the round-6 cohort (49 queries hashed r6), ordered most-drift-risky
-# first: with 27+6 slots spent, only 17 of (c) fit the window this
-# round, so the TAIL of (c) — the static fixture-stable packs (tpch
-# constants, knn family) — ages to 4 rounds at the driver.  That tail is
-# the deliberate slip: every one of those queries is re-verified at BOTH
-# scale tiers by every local pytest run (and was re-run this round), so
-# driver-hash staleness there carries no correctness risk.  Round-7/8
-# cohorts (freshest hashes) stay at the back.
+# Evaluation priority (rotated round 10): the driver value-hashes the first
+# 50 registry entries per round.  Window arithmetic this round: (a) the 4
+# round-10 additions — never driver-hashed, front unconditionally; (b) the
+# 32-query round-6 TAIL (dedup_clusters .. agg_cube_flag_status) — the
+# stalest hashes in the registry (age 4 — the deliberate r9 slip, VERDICT
+# r9 item 2), re-hashed here so for the first time no hash is older than 2
+# rounds; (c) 14 head entries of the round-7 cohort (age 3) fill the
+# window to exactly 50.  Behind the window: the rest of the r7 cohort,
+# then r8 (age 2), then everything hashed in round 9 (the 27 r9 additions,
+# the 6 ex-r5 packs, the 17-query r6 head — freshest, least new signal).
 _PRIORITY = [
-    # (a) new in round 9 — never driver-hashed
-    "search_bm25_local",
-    "dedup_incremental_batch",
-    "search_bm25_indexed_batch",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "events_streaks_gaps_islands",
-    "scd2_event_state_history",
-    "events_error_then_purchase",
-    "agg_salted_skew_twostage",
-    "join_bloom_semi_reduction",
-    "graph_pagerank_bipartite",
-    "sketch_cms_heavy_hitters",
-    "udtf_chunk_lateral",
-    "join_point_in_time_scd2",
-    "events_transition_matrix",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_order_distribution",
-    "events_multitouch_attribution",
-    "quality_referential_integrity",
-    "cdc_snapshot_diff",
-    "quality_orders_expectations",
-    "agg_weighted_median",
-    "agg_mode_per_group",
-    "agg_equidepth_histogram",
-    "events_funnel_latency",
-    "events_path_trigrams",
-    # (b) the six r5-stale static packs — stalest rows in the registry
-    "string_funcs",
-    "string_funcs2",
-    "date_funcs",
-    "date_funcs2",
-    "math_funcs",
-    "orderby_limit_offset",
-    # (c) round-6 cohort (hashed r6, age 3 at round 9)
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "search_rerank_overlap",
-    "agg_approx_percentile",
-    "text_stratified_sample",
-    "knn_filtered_adaptive_rare",
-    "knn_filtered_adaptive_broad",
-    "multimodal_png_decode",
-    "multimodal_resize",
-    "agg_approx_count_distinct",
-    "ann_ivf_kmeans_search",
-    "similarity_join_brp_lsh",
-    "dedup_minhash_mllib",
-    "embed_documents_distributed",
-    "dedup_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "dedup_lsh_jaccard",
+    # (a) new in round 10 — never driver-hashed
+    "agg_equidepth_histogram_scalable",
+    "events_funnel_latency_scalable",
+    "quant_int8_score_error",
+    "gate_log_admit_stats",
+    # (b) round-6 tail — stalest (age 4), full re-hash this round
     "dedup_clusters",
     "dedup_levenshtein_pairs",
     "multimodal_metadata",
@@ -150,7 +100,7 @@ _PRIORITY = [
     "dedup_corpus_kept",
     "agg_rollup_region_nation",
     "agg_cube_flag_status",
-    # (d) round-7 cohort
+    # (c) round-7 cohort (age 3); first 14 complete the 50-window
     "agg_pricing_summary",
     "search_bm25_topk_batch",
     "search_hybrid_rrf_batch",
@@ -201,7 +151,7 @@ _PRIORITY = [
     "knn_cascade_filtered",
     "knn_radius_search",
     "knn_label_vote",
-    # (e) round-8 cohort (freshest hashes, least new signal)
+    # (d) round-8 cohort (age 2)
     "search_maxsim_rerank",
     "search_bm25_indexed",
     "search_phrase_indexed",
@@ -252,6 +202,57 @@ _PRIORITY = [
     "udf_arrow_scalar",
     "udf_grouped_map",
     "udf_grouped_agg",
+    # (e) hashed round 9 — freshest
+    "search_bm25_local",
+    "dedup_incremental_batch",
+    "search_bm25_indexed_batch",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_streaks_gaps_islands",
+    "scd2_event_state_history",
+    "events_error_then_purchase",
+    "agg_salted_skew_twostage",
+    "join_bloom_semi_reduction",
+    "graph_pagerank_bipartite",
+    "sketch_cms_heavy_hitters",
+    "udtf_chunk_lateral",
+    "join_point_in_time_scd2",
+    "events_transition_matrix",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_order_distribution",
+    "events_multitouch_attribution",
+    "quality_referential_integrity",
+    "cdc_snapshot_diff",
+    "quality_orders_expectations",
+    "agg_weighted_median",
+    "agg_mode_per_group",
+    "agg_equidepth_histogram",
+    "events_funnel_latency",
+    "events_path_trigrams",
+    "string_funcs",
+    "string_funcs2",
+    "date_funcs",
+    "date_funcs2",
+    "math_funcs",
+    "orderby_limit_offset",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "search_rerank_overlap",
+    "agg_approx_percentile",
+    "text_stratified_sample",
+    "knn_filtered_adaptive_rare",
+    "knn_filtered_adaptive_broad",
+    "multimodal_png_decode",
+    "multimodal_resize",
+    "agg_approx_count_distinct",
+    "ann_ivf_kmeans_search",
+    "similarity_join_brp_lsh",
+    "dedup_minhash_mllib",
+    "embed_documents_distributed",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "dedup_lsh_jaccard",
 ]
 
 
