@@ -89,3 +89,62 @@ def ntile_from_rank(rank: Column, n: int, tiles: int) -> Column:
             .otherwise(F.lit(rem)
                        + ((rank - F.lit(cut) - 1) / F.lit(q)).cast("int")
                        + 1))
+
+
+def with_group_prefix_sum(df: DataFrame, group_cols: list[str],
+                          order_cols: list[str], weight_col: str,
+                          cum_col: str = "cum",
+                          num_partitions: int | None = None
+                          ) -> tuple[DataFrame, dict]:
+    """Distributed EXACT per-group running sums — the scale-safe
+    replacement for ``sum(w) OVER (PARTITION BY g ORDER BY ...)`` when
+    groups are FEW and HUGE (the few-hot-groups funnel: a partitioned
+    window still pushes each whole group through one task).
+
+    Same machinery as with_global_rank, generalized: range-partition on
+    (group, order) — each partition holds a contiguous slice of one or a
+    few groups — collect per-(partition, group) weight sums (O(P + G)
+    driver rows), prefix-sum them into per-(partition, group) offsets,
+    then a (partition, group)-keyed window computes local running sums;
+    global running sum = offset + local.  The weight must be integral
+    (bigint/decimal) for the re-associated partial sums to be exact.
+
+    Returns (df + ``cum_col``, {group tuple: total}) — the totals fall
+    out of the offsets pass for free.  Order must be total per group."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    ranged = (df.repartitionByRange(num_partitions, *gcols, *ocols)
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    part_sums = (ranged.groupBy("__pid", *group_cols)
+                 .agg(F.sum(weight_col).alias("w"))
+                 .collect())
+    per_group: dict = {}
+    for r in sorted(part_sums, key=lambda r: r["__pid"]):
+        key = tuple(r[c] for c in group_cols)
+        per_group.setdefault(key, []).append((r["__pid"], r["w"]))
+    offset_rows, totals = [], {}
+    for key, parts in per_group.items():
+        acc = 0
+        for pid, w in parts:
+            offset_rows.append((pid, *key, acc))
+            acc += w
+        totals[key] = acc
+    spark = df.sparkSession
+    off_schema = (["__pid int"]
+                  + [f"{c} {t}" for c, t in
+                     zip(group_cols,
+                         [dict(df.dtypes)[c] for c in group_cols])]
+                  + ["__off long"])
+    off_df = spark.createDataFrame(offset_rows, ", ".join(off_schema))
+    w = (Window.partitionBy("__pid", *group_cols).orderBy(*ocols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = (ranged.withColumn("__local", F.sum(weight_col).over(w))
+           .join(F.broadcast(off_df), ["__pid", *group_cols], "left")
+           .withColumn(cum_col,
+                       (F.col("__local")
+                        + F.coalesce("__off", F.lit(0))).cast("long"))
+           .drop("__pid", "__local", "__off"))
+    return out, totals

@@ -1183,3 +1183,63 @@ SELECT count(*) AS n_converted,
        (SELECT median_lat_us FROM med) AS median_lat_us
 FROM lat
 """)
+
+
+def agg_weighted_median_scalable(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of agg_weighted_median: identical output and
+    oracle, but the per-group running quantity sum comes from the
+    distributed grouped prefix-sum (operators/ranks.py
+    with_group_prefix_sum) instead of a PARTITION BY l_returnflag window
+    — with only 3 return flags, the window form pushes each whole
+    group through ONE task (the few-hot-groups funnel); here every
+    partition carries a contiguous (group, order) slice and only the
+    O(P + G) offset table is ever driver-side.
+
+    The first qualifying row per group needs no second window: qty > 0
+    makes cum strictly increasing, so the qualifying set (2*cum >=
+    total) is an order-suffix and min(struct(order cols)) picks its
+    first element."""
+    from binaryvectordb_spark.operators.ranks import with_group_prefix_sum
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice", "l_orderkey",
+                  "l_linenumber",
+                  F.col("l_quantity").cast("bigint").alias("qty")))
+    cum, totals = with_group_prefix_sum(
+        li, ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], "qty")
+    tot_df = spark.createDataFrame(
+        [(k[0], int(v)) for k, v in totals.items()],
+        "l_returnflag string, total long")
+    qual = (cum.join(F.broadcast(tot_df), "l_returnflag")
+            .filter(2 * F.col("cum") >= F.col("total")))
+    return (qual.groupBy("l_returnflag")
+            .agg(F.min(F.struct("l_extendedprice", "l_orderkey",
+                                "l_linenumber")).alias("s"),
+                 F.max("total").cast("bigint").alias("total_qty"))
+            .select("l_returnflag",
+                    F.col("s.l_extendedprice")
+                    .alias("weighted_median_price"),
+                    "total_qty"))
+
+
+register("agg_weighted_median_scalable", agg_weighted_median_scalable,
+         oracle="""
+WITH o AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS qty,
+         sum(CAST(l_quantity AS BIGINT)) OVER
+             (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber
+              ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(CAST(l_quantity AS BIGINT)) OVER
+             (PARTITION BY l_returnflag) AS total,
+         row_number() OVER
+             (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem)
+SELECT l_returnflag, arg_min(l_extendedprice, rn) AS weighted_median_price,
+       CAST(max(total) AS BIGINT) AS total_qty
+FROM o WHERE 2 * cum >= total
+GROUP BY l_returnflag
+""")

@@ -139,3 +139,31 @@ def test_global_rank_matches_window_form_random(spark):
             wt = {r["id"]: r["b"] for r in df.withColumn(
                 "b", F.ntile(tiles).over(w)).collect()}
             assert gt == wt, (seed, tiles)
+
+
+def test_group_prefix_sum_matches_window_form_random(spark):
+    """with_group_prefix_sum == sum() OVER (PARTITION BY g ORDER BY ...)
+    on random frames with few hot groups and tied order keys; totals
+    match the per-group window sums."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from binaryvectordb_spark.operators.ranks import with_group_prefix_sum
+
+    for seed, n in ((11, 120), (43, 257)):
+        rng = np.random.RandomState(seed)
+        rows = [(str(rng.choice(list("ABC"))), float(rng.randint(0, 9)),
+                 int(i), int(rng.randint(1, 50)))
+                for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "g string, v double, id long, w long")
+        cum, totals = with_group_prefix_sum(df, ["g"], ["v", "id"], "w")
+        got = {(r["g"], r["id"]): r["cum"] for r in cum.collect()}
+        w = (Window.partitionBy("g").orderBy("v", "id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        want_df = df.withColumn("cum", F.sum("w").over(w))
+        want = {(r["g"], r["id"]): r["cum"] for r in want_df.collect()}
+        assert got == want, seed
+        want_tot = {r["g"]: r["t"] for r in
+                    df.groupBy("g").agg(F.sum("w").alias("t")).collect()}
+        assert {k[0]: v for k, v in totals.items()} == want_tot, seed

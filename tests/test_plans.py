@@ -377,3 +377,17 @@ def test_scale_safe_rank_variants_have_no_unpartitioned_window(spark):
     p = formatted_plan(events_funnel_latency_scalable(spark, SF_SMOKE))
     specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
     assert specs and all(s.startswith("__pid#") for s in specs), specs
+
+
+def test_weighted_median_scalable_windows_are_pid_keyed(spark):
+    """The grouped-prefix-sum twin must never window-partition by the
+    3-value group alone — every windowspec is keyed by the range
+    partition id first."""
+    import re
+    from binaryvectordb_spark.queries.analytics3 import (
+        agg_weighted_median_scalable,
+    )
+
+    p = formatted_plan(agg_weighted_median_scalable(spark, SF_SMOKE))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    assert specs and all(s.startswith("__pid#") for s in specs), specs
