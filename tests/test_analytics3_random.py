@@ -167,3 +167,19 @@ def test_group_prefix_sum_matches_window_form_random(spark):
         want_tot = {r["g"]: r["t"] for r in
                     df.groupBy("g").agg(F.sum("w").alias("t")).collect()}
         assert {k[0]: v for k, v in totals.items()} == want_tot, seed
+
+
+def test_rank_operators_empty_frames(spark):
+    """with_global_rank / with_group_prefix_sum on empty inputs: no
+    crash, zero totals, empty output (the sf-independent guard for the
+    funnel twin when no user converts)."""
+    from binaryvectordb_spark.operators.ranks import (
+        with_global_rank,
+        with_group_prefix_sum,
+    )
+
+    e = spark.createDataFrame([], "g string, v double, id long, w long")
+    ranked, n = with_global_rank(e, ["v", "id"])
+    assert n == 0 and ranked.collect() == []
+    cum, totals = with_group_prefix_sum(e, ["g"], ["v", "id"], "w")
+    assert totals == {} and cum.collect() == []
