@@ -492,7 +492,13 @@ def bench_hybrid_serving(spark, sf_dir: str,
         db_local.search_hybrid(TERMS, qvecs[0])  # warm-up (memo)
         db.search_hybrid_batch(terms_batch, qvecs_all)  # warm-up
         dist_runs, local_runs, batch_runs = [], [], []
-        for _ in range(7):
+        # 11 interleaved rounds (was 7): hybrid_serve_ms is a ~5 ms
+        # in-process key where a single GC pause is a >0.5 relative
+        # spread — the r10 record under the 7-round protocol measured
+        # variance 0.63 after one discard, so the ms-scale trio gets the
+        # widest protocol in the file (2 warm-up rounds + 2-outlier
+        # discard over 9), same family as agg_pricing_summary's n=13
+        for _ in range(11):
             t0 = time.perf_counter()
             db.search_hybrid(TERMS, qvecs[0])
             dist_runs.append(time.perf_counter() - t0)
@@ -508,7 +514,7 @@ def bench_hybrid_serving(spark, sf_dir: str,
         for key, runs in (("hybrid_serve_distributed_ms", dist_runs[2:]),
                           ("hybrid_serve_ms", local_runs[2:]),
                           ("hybrid_serve_batch_ms", batch_runs[2:])):
-            runs = sorted(runs)[:-1]  # the 1M trio's single-outlier discard
+            runs = sorted(runs)[:-2]  # 2-outlier discard over 9 kept rounds
             med = statistics.median(runs)
             out[key] = round(med * 1000, 2)
             variance[key] = round((max(runs) - min(runs)) / med, 2)
@@ -604,7 +610,10 @@ def bench_textindex_1m(spark, sf_dir: str,
         med, sp = _time_runs(lambda: idx.search(tags, k=10))
         out["bm25_indexed_1m"] = round(med, 4)
         variance["bm25_indexed_1m"] = round(sp, 2)
-        med, sp = _time_runs(lambda: scan(tags))
+        # the full-corpus scan is page-cache-sensitive (~2 GB of postings
+        # re-read per run): r10 measured one 4x eviction outlier under the
+        # default n=5, so it gets the widened protocol from the start
+        med, sp = _time_runs(lambda: scan(tags), n=9, discard_worst=2)
         out["bm25_scan_1m"] = round(med, 4)
         variance["bm25_scan_1m"] = round(sp, 2)
 
@@ -614,7 +623,7 @@ def bench_textindex_1m(spark, sf_dir: str,
         idx.search(TERMS, k=10).collect()
         idx.search(TERMS, k=10).collect()
         med, sp = _time_runs(lambda: idx.search(TERMS, k=10),
-                             n=9, discard_worst=2)
+                             n=13, discard_worst=3)
         out["bm25_indexed_1m_dense"] = round(med, 4)
         variance["bm25_indexed_1m_dense"] = round(sp, 2)
 
@@ -760,7 +769,11 @@ def bench_streaming(spark, sf_dir: str,
                         os.path.join(d, f"events_{i}.parquet"))
         n_big = spark.read.parquet(d).count()
         timed_drain(d, "bench_stream_big_warm", 16)
-        runs = [timed_drain(d, f"bench_stream_big_{i}", 16) for i in range(3)]
+        # 5 drains, slowest discarded (was 3/no-discard): each drain runs
+        # the full micro-batch machinery, where one slow state-store or
+        # sink commit put the r10 record's 3-sample spread at 0.59
+        runs = [timed_drain(d, f"bench_stream_big_{i}", 16) for i in range(5)]
+        runs = sorted(runs)[:-1]
         med = statistics.median(runs)
         variance["events_stream_krows_per_s"] = round(
             (max(runs) - min(runs)) / med, 2)
