@@ -1243,3 +1243,58 @@ SELECT l_returnflag, arg_min(l_extendedprice, rn) AS weighted_median_price,
 FROM o WHERE 2 * cum >= total
 GROUP BY l_returnflag
 """)
+
+
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch NDV — the companion of sketch_cms_heavy_hitters
+    for the OTHER production sketch question (incremental distinct
+    counts): per priority class, customer NDV estimated by (a) one
+    direct Apache DataSketches HLL pass (hll_sketch_agg, lgK=12) and
+    (b) the MERGEABLE path — independent sub-sketches per
+    (priority, orderkey%8 salt) slice folded with hll_union_agg — the
+    shape an incremental pipeline stores per partition/day and unions at
+    read time, never rescanning history.
+
+    Sketch bytes and estimates are engine-specific, so (like the MLlib
+    and CMS rows) the ORACLE pins exact data + invariant booleans:
+    n_exact (both engines), and both estimation paths landing within 5%
+    relative error (lgK=12 gives ~1.6% standard error).  NOTE the union
+    path is NOT register-identical to the direct sketch — datasketches
+    unions operate at the HLL_8 target width while the single-pass
+    sketch defaults to HLL_4, so the two estimators differ by a few
+    counts (measured: 1300 vs 1298 on 1297 true); the mergeability
+    contract pinned here is the ACCURACY of the merged path, which is
+    what an incremental pipeline actually relies on.
+
+    Scale: both paths are partial-aggregate shapes (a sketch per task,
+    merged at the exchange) — constant state per group, one shuffle of
+    sketch bytes, no row ever crosses the wire twice."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey")
+    direct = (o.groupBy("o_orderpriority")
+              .agg(F.countDistinct("o_custkey").alias("n_exact"),
+                   F.hll_sketch_estimate(
+                       F.hll_sketch_agg("o_custkey", F.lit(12)))
+                   .alias("est")))
+    sub = (o.withColumn("salt", F.col("o_orderkey") % 8)
+           .groupBy("o_orderpriority", "salt")
+           .agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk")))
+    merged = (sub.groupBy("o_orderpriority")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est_merged")))
+    return (direct.join(merged, "o_orderpriority")
+            .select("o_orderpriority",
+                    F.col("n_exact").cast("bigint").alias("n_exact"),
+                    (F.abs(F.col("est") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact")).alias("est_ok"),
+                    (F.abs(F.col("est_merged") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact")).alias("merge_est_ok")))
+
+
+register("sketch_hll_mergeable", sketch_hll_mergeable, oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS est_ok,
+       TRUE AS merge_est_ok
+FROM orders GROUP BY o_orderpriority
+""")
