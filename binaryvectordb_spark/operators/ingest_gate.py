@@ -205,3 +205,143 @@ def gated_add_documents_df(db, docs_df: DataFrame, *,
     if admitted.take(1):
         db.add_documents_df(admitted)
     return rec
+
+
+class LocalNearDupGate:
+    """RAM-tier admission control — the serving-tier twin of
+    near_dup_gate, zero Spark jobs per check (the same trade as
+    LocalCascadeSearcher / TextIndex.to_local: one distributed build
+    collects the corpus artifacts, then every decision is in-process).
+
+    The build collects the SPARK-computed shingle sets and LSH band
+    table (executor-side md5/minhash work, two slim collects); `check`
+    recomputes the incoming doc's bands/shingles in pure python with the
+    bit-identical recipe (md5-prefix base hash, affine min family, 4x3
+    banding — the same stack tests/test_ingest_gate_property.py pins
+    against the distributed gate), so a LocalNearDupGate decision equals
+    the distributed gate's decision exactly.
+
+    `admit` is INCREMENTAL: an admitted (or updating) doc is registered
+    into the in-memory index immediately, so a stream of single-doc
+    admissions gates each doc against everything admitted before it —
+    the per-event ingest shape no micro-batch gate can serve.  Same
+    self-pair semantics as the distributed gate: an existing doc_id is
+    first DE-registered (delete-then-insert), so updates are never
+    rejected against their own prior version.
+
+    Memory: O(corpus distinct shingles) python strings + 4 band keys per
+    doc — the honest RAM-tier cost (fixture corpus ~MBs; at very large
+    corpora keep the distributed gate or shard this one)."""
+
+    def __init__(self, j_threshold: float = 0.5):
+        self.j_threshold = j_threshold
+        self._bands: dict[tuple[int, str], set[int]] = {}
+        self._shingles: dict[int, frozenset] = {}
+
+    # -- bit-exact python twin of the Spark shingle/minhash pipeline ----
+
+    @staticmethod
+    def _py_shingle_set(text: str) -> frozenset:
+        toks = text.split(" ")
+        if len(toks) < SHINGLE_K:
+            return frozenset()
+        return frozenset(" ".join(toks[i:i + SHINGLE_K])
+                         for i in range(len(toks) - SHINGLE_K + 1))
+
+    @staticmethod
+    def _py_bands(shs: frozenset) -> list[tuple[int, str]]:
+        import hashlib
+
+        from binaryvectordb_spark.functions.text import (
+            MINHASH_P,
+            minhash_a,
+            minhash_b,
+        )
+        if not shs:
+            return []
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+              for s in shs]
+        sigs = [min((minhash_a(j) * h + minhash_b(j)) % MINHASH_P
+                    for h in hs) for j in range(N_HASHES)]
+        return [(b, "|".join(str(sigs[b * ROWS_PER_BAND + r])
+                             for r in range(ROWS_PER_BAND)))
+                for b in range(N_BANDS)]
+
+    # -- build ----------------------------------------------------------
+
+    @classmethod
+    def from_df(cls, docs: DataFrame,
+                j_threshold: float = 0.5) -> "LocalNearDupGate":
+        """One distributed build over a (doc_id, text) frame: shingle
+        sets and band table computed executor-side, collected once."""
+        g = cls(j_threshold)
+        docs = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+        for r in _shingle_sets(docs).collect():
+            g._shingles[r["doc_id"]] = frozenset(r["shs"])
+        for r in _band_table(docs).collect():
+            g._bands.setdefault((r["band_idx"], r["bh"]),
+                                set()).add(r["doc_id"])
+        return g
+
+    @classmethod
+    def from_db(cls, db, j_threshold: float = 0.5) -> "LocalNearDupGate":
+        """Build from the DB's current str-payload documents (the same
+        corpus gated_add_documents_df gates against)."""
+        from pyspark.sql import functions as F
+        corpus = db.docs_df()
+        if corpus is None:
+            return cls(j_threshold)
+        return cls.from_df(
+            corpus.where(F.col("doc_kind") == "str")
+            .select("doc_id", F.col("doc").alias("text")), j_threshold)
+
+    # -- serve ----------------------------------------------------------
+
+    def _deregister(self, doc_id: int) -> None:
+        shs = self._shingles.pop(doc_id, None)
+        if shs is None:
+            return
+        for key in self._py_bands(shs):
+            s = self._bands.get(key)
+            if s is not None:
+                s.discard(doc_id)
+                if not s:
+                    del self._bands[key]
+
+    def check(self, doc_id: int, text: str) -> dict:
+        """Gate record for one incoming doc vs the current in-memory
+        corpus — (n_candidates, n_dups, best_jaccard, admit), identical
+        to the distributed near_dup_gate row (self-pair excluded)."""
+        sa = self._py_shingle_set(text)
+        cands: set[int] = set()
+        for key in self._py_bands(sa):
+            cands |= self._bands.get(key, set())
+        cands.discard(doc_id)
+        dups, best = 0, None
+        for cid in cands:
+            sb = self._shingles[cid]
+            common = len(sa & sb)
+            j = common / (len(sa) + len(sb) - common)
+            if j >= self.j_threshold:
+                dups += 1
+                best = j if best is None else max(best, j)
+        return {"doc_id": doc_id, "n_candidates": len(cands),
+                "n_dups": dups, "best_jaccard": best,
+                "admit": dups == 0}
+
+    def admit(self, doc_id: int, text: str) -> dict:
+        """check + incremental registration: an admitted doc immediately
+        becomes part of the corpus the NEXT doc is gated against; an
+        admitted update first de-registers the prior version
+        (delete-then-insert)."""
+        rec = self.check(doc_id, text)
+        if rec["admit"]:
+            self._deregister(doc_id)
+            shs = self._py_shingle_set(text)
+            self._shingles[doc_id] = shs
+            for key in self._py_bands(shs):
+                self._bands.setdefault(key, set()).add(doc_id)
+        return rec
+
+    def __len__(self) -> int:
+        return len(self._shingles)

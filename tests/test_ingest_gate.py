@@ -237,3 +237,79 @@ def test_full_composition_gated_stream_into_ivf_db_with_textindex(
     # vector serving still answers over the IVF layout
     res = db.search("completely unrelated parquet footer statistics", k=3)
     assert len(res) == 3
+
+
+def test_local_gate_matches_distributed_gate(spark):
+    """LocalNearDupGate.check == near_dup_gate row-for-row on a corpus
+    with exact dups, near dups, disjoint docs, shingle-less docs, and an
+    overlapping doc_id (the update shape)."""
+    from binaryvectordb_spark.operators.ingest_gate import (
+        LocalNearDupGate,
+    )
+
+    corpus = _df(spark, [(1, DOC_A), (2, DOC_B), (3, DOC_C)])
+    batch = [(101, DOC_A), (102, DOC_A_NEAR), (103, DOC_FRESH),
+             (104, "too short"), (1, DOC_A_NEAR)]  # 1 = update of itself
+    g = LocalNearDupGate.from_df(corpus)
+    assert len(g) == 3
+    want = {r["doc_id"]: r for r in
+            near_dup_gate(_df(spark, batch), corpus).collect()}
+    for doc_id, text in batch:
+        got = g.check(doc_id, text)
+        w = want[doc_id]
+        assert got == {"doc_id": doc_id,
+                       "n_candidates": w["n_candidates"],
+                       "n_dups": w["n_dups"],
+                       "best_jaccard": w["best_jaccard"],
+                       "admit": w["admit"]}, doc_id
+
+
+def test_local_gate_incremental_admission_stream(spark):
+    """admit() gates each doc against everything admitted BEFORE it —
+    the per-event serving shape — and must equal a doc-at-a-time
+    distributed loop (near_dup_gate vs the growing corpus) decision for
+    decision, including an update of an already-admitted doc_id."""
+    from binaryvectordb_spark.operators.ingest_gate import (
+        LocalNearDupGate,
+    )
+
+    stream = [(1, DOC_A), (2, DOC_A_NEAR), (3, DOC_B), (4, DOC_FRESH),
+              (5, DOC_B), (1, DOC_A_NEAR), (6, DOC_A)]
+    g = LocalNearDupGate()
+    got = [g.admit(doc_id, text)["admit"] for doc_id, text in stream]
+
+    corpus: dict[int, str] = {}
+    want = []
+    for doc_id, text in stream:
+        if not corpus:
+            rec = {"admit": True}
+        else:
+            rec = near_dup_gate(
+                _df(spark, [(doc_id, text)]),
+                _df(spark, list(corpus.items()))).collect()[0]
+        want.append(rec["admit"])
+        if rec["admit"]:
+            corpus[doc_id] = text  # delete-then-insert on update
+    assert got == want
+    # 2 rejected (near-dup of 1), 5 rejected (exact dup of 3),
+    # 1's update admitted (self-pair excluded), 6 rejected (dup of the
+    # UPDATED doc 1? no — 1 now holds DOC_A_NEAR; 6 = DOC_A near-dups it)
+    assert got == [True, False, True, True, False, True, False]
+    assert len(g) == 3  # ids {1, 3, 4}: doc 1's update reuses its id
+
+
+def test_local_gate_from_db_roundtrip(spark, tmp_path):
+    """from_db builds against the DB's current str docs; decisions match
+    gated_add_documents_df's corpus gate on the same state."""
+    from binaryvectordb_spark.db import BinaryVectorDB
+    from binaryvectordb_spark.operators.ingest_gate import (
+        LocalNearDupGate,
+    )
+
+    db = BinaryVectorDB(spark, str(tmp_path / "db"), dim=16)
+    db.add_documents([1, 2], [DOC_A, DOC_B])
+    g = LocalNearDupGate.from_db(db)
+    assert len(g) == 2
+    assert not g.check(101, DOC_A_NEAR)["admit"]
+    assert g.check(103, DOC_FRESH)["admit"]
+    assert g.check(1, DOC_A)["admit"]  # update of itself: self-excluded
