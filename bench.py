@@ -449,6 +449,70 @@ def bench_textindex(spark, sf_dir: str,
     return out
 
 
+def bench_gate_serving(spark, sf_dir: str,
+                       variance: dict[str, float]) -> dict[str, float]:
+    """Admission-gate serving tiers: the per-doc near-dup check through
+    the distributed gate (one Spark gate plan per incoming doc — the
+    micro-batch path's latency floor) vs LocalNearDupGate (RAM tier,
+    zero jobs per check, bit-identical decisions).  The corpus is the
+    sf documents table; the probe mix is 50% fresh synthetic docs and
+    50% near-dup perturbations of corpus docs, fixed seed.
+
+    gate_local_checks_per_s is the number a per-event ingest pipeline
+    sizes against; gate_distributed_ms is the same floor story as
+    hybrid_serve_distributed_ms."""
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.operators.ingest_gate import (
+        LocalNearDupGate,
+        near_dup_gate,
+    )
+    from binaryvectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    out: dict[str, float] = {}
+
+    gate = LocalNearDupGate.from_df(docs)
+    # deterministic probe set: alternate fresh docs and near-dups
+    probes = []
+    for i in range(200):
+        if i % 2 == 0:
+            probes.append((10_000_000 + i,
+                           f"synthetic probe document {i} with tokens "
+                           f"alpha{i} beta{i} gamma{i} delta{i}"))
+        else:
+            did, text = corpus_rows[(i * 37) % len(corpus_rows)]
+            probes.append((10_000_000 + i, text + " perturbed"))
+    for did, text in probes[:20]:
+        gate.check(did, text)  # warm-up
+    runs = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        for did, text in probes:
+            gate.check(did, text)
+        runs.append(time.perf_counter() - t0)
+    kept = sorted(runs[2:])[:-1]
+    med = statistics.median(kept)
+    out["gate_local_checks_per_s"] = round(len(probes) / med, 1)
+    variance["gate_local_checks_per_s"] = round(
+        (max(kept) - min(kept)) / med, 2)
+
+    # distributed single-doc gate: the per-event latency floor
+    one = spark.createDataFrame([probes[1]], "doc_id long, text string")
+    near_dup_gate(one, docs).collect()  # warm-up
+    d_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        near_dup_gate(one, docs).collect()
+        d_runs.append(time.perf_counter() - t0)
+    kept = sorted(d_runs)[:-1]
+    med = statistics.median(kept)
+    out["gate_distributed_ms"] = round(med * 1000, 2)
+    variance["gate_distributed_ms"] = round((max(kept) - min(kept)) / med, 2)
+    return out
+
+
 def bench_hybrid_serving(spark, sf_dir: str,
                          variance: dict[str, float]) -> dict[str, float]:
     """db.search_hybrid through the two serving tiers (VERDICT r8 item 3):
@@ -844,6 +908,7 @@ def main() -> None:
                     **bench_png_decode(), **bench_zorder(spark, sf_dir),
                     **bench_textindex(spark, sf_dir, variance),
                     **bench_hybrid_serving(spark, sf_dir, variance),
+                    **bench_gate_serving(spark, sf_dir, variance),
                     **_textindex_1m_subprocess(sf_dir, variance)},
         "variance": variance,
         "protocol": "median of 5 fresh plans per query; variance = (max-min)/median",
@@ -872,7 +937,7 @@ def main() -> None:
                               "curation_funnel", "bm25_indexed",
                               "bm25_scan", "bm25_indexed_1m",
                               "bm25_scan_1m", "bm25_indexed_1m_dense",
-                              "hybrid_serve_ms",
+                              "hybrid_serve_ms", "gate_distributed_ms",
                               "hybrid_serve_distributed_ms",
                               "hybrid_serve_batch_ms")]
     vmax_key = max(variance, key=variance.get)
