@@ -52,7 +52,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 )
 
 # Evaluation priority (rotated round 10): the driver value-hashes the first
-# 50 registry entries per round.  Window arithmetic this round: (a) the 6
+# 50 registry entries per round.  Window arithmetic this round: (a) the 7
 # round-10 additions — never driver-hashed, front unconditionally; (b) the
 # 32-query round-6 TAIL (dedup_clusters .. agg_cube_flag_status) — the
 # stalest hashes in the registry (age 4 — the deliberate r9 slip, VERDICT
@@ -66,6 +66,7 @@ _PRIORITY = [
     "agg_equidepth_histogram_scalable",
     "agg_weighted_median_scalable",
     "sketch_hll_mergeable",
+    "events_value_outliers",
     "events_funnel_latency_scalable",
     "quant_int8_score_error",
     "gate_log_admit_stats",
@@ -102,7 +103,7 @@ _PRIORITY = [
     "dedup_corpus_kept",
     "agg_rollup_region_nation",
     "agg_cube_flag_status",
-    # (c) round-7 cohort (age 3); first 12 complete the 50-window
+    # (c) round-7 cohort (age 3); first 11 complete the 50-window
     "agg_pricing_summary",
     "search_bm25_topk_batch",
     "search_hybrid_rrf_batch",

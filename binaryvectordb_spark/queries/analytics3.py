@@ -1298,3 +1298,65 @@ SELECT o_orderpriority,
        TRUE AS merge_est_ok
 FROM orders GROUP BY o_orderpriority
 """)
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier counts per event type with ZERO float operations:
+    the z-score test |v − μ| > 3σ is algebraically cleared of divisions —
+    (n·v − S)² > 9·(n·Q − S²) over integer-cents v, sum S, and
+    sum-of-squares Q — so outlier classification is an EXACT integer
+    inequality (DECIMAL(38,0) intermediates; n·Q reaches ~1e22 at sf0.1,
+    far inside 38 digits), immune to fold order, partitioning, AQE, and
+    engine libm differences.  The repo's integer-units determinism
+    contract taken to its logical end: even the statistics are
+    comparison-exact.
+
+    Scale: one scan computes the per-type moments (map-side combinable),
+    the tiny stats frame broadcasts back onto the stream, and the verdict
+    is a per-row expression — two narrow passes, one broadcast, no
+    window."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"))
+    stats = (ev.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum("v_c").alias("s"),
+                  F.sum(F.col("v_c").cast("decimal(38,0)")
+                        * F.col("v_c").cast("decimal(38,0)")).alias("q")))
+    j = ev.join(F.broadcast(stats), "event_type")
+    dev = (F.col("n").cast("decimal(38,0)") * F.col("v_c")
+           - F.col("s").cast("decimal(38,0)"))
+    var_num = (F.col("n").cast("decimal(38,0)") * F.col("q")
+               - F.col("s").cast("decimal(38,0)")
+               * F.col("s").cast("decimal(38,0)"))
+    return (j.withColumn("is_outlier", dev * dev > 9 * var_num)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+                 .cast("bigint").alias("n_outliers"),
+                 F.max(F.when(F.col("is_outlier"), F.col("v_c")))
+                 .alias("max_outlier_cents")))
+
+
+register("events_value_outliers", events_value_outliers, oracle="""
+WITH ev AS (SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              sum(v_c) AS s,
+              sum(CAST(v_c AS DECIMAL(38,0)) * CAST(v_c AS DECIMAL(38,0)))
+                AS q
+       FROM ev GROUP BY event_type),
+j AS (SELECT ev.event_type, v_c, n, s, q,
+             (CAST(n AS DECIMAL(38,0)) * v_c - CAST(s AS DECIMAL(38,0)))
+               AS dev,
+             (CAST(n AS DECIMAL(38,0)) * q
+              - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+               AS var_num
+      FROM ev JOIN st ON ev.event_type = st.event_type)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN dev * dev > 9 * var_num THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       max(CASE WHEN dev * dev > 9 * var_num THEN v_c END)
+         AS max_outlier_cents
+FROM j GROUP BY event_type
+""")
