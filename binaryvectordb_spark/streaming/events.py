@@ -595,3 +595,81 @@ def read_cohort_retention(spark: SparkSession, out_dir: str) -> DataFrame:
     facts = spark.read.parquet(_os.path.join(out_dir, meta["facts"]))
     return (facts.groupBy("cohort_day", "week_offset")
             .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+def foreach_batch_value_histogram(events: DataFrame, out_dir: str,
+                                  checkpoint_dir: str):
+    """Incrementally maintained EXACT value histogram per event type —
+    the streaming twin of events_value_outliers, exactly-once under
+    replay (meta-pointer commit, batch_id guard).
+
+    The design point: 3-sigma outlier classification depends on the
+    FINAL moments, so per-row verdicts cannot be streamed — a row
+    admitted as normal early may be an outlier once later data moves the
+    mean.  The maintainable object is the SUFFICIENT STATISTIC: the
+    exact (event_type, v_c, cnt) integer-cents histogram, which is
+    additive (any merge order), bounded by distinct cents values per
+    type (not stream length), and from which read_value_outliers derives
+    the batch twin's exact answer — counts, moments, and the
+    division-free integer z-test — at any point in time.  Maintain
+    statistics, not answers."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    spark = events.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_meta(out_dir)
+        if batch_id <= meta.get("last_batch", -1):
+            return
+        delta = (batch_df.select(
+                    "event_type",
+                    F.round(F.col("value") * 100).cast("long").alias("v_c"))
+                 .groupBy("event_type", "v_c")
+                 .agg(F.count("*").alias("cnt")))
+        if meta.get("hist"):
+            cur = spark.read.parquet(_os.path.join(out_dir, meta["hist"]))
+            merged = (cur.unionByName(delta)
+                      .groupBy("event_type", "v_c")
+                      .agg(F.sum("cnt").alias("cnt")))
+        else:
+            merged = delta
+        hdir = f"hist_v{batch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, hdir))
+        _commit_meta(out_dir, {"hist": hdir, "last_batch": batch_id},
+                     {hdir})
+
+    return (events.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_value_outliers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The batch twin's exact output derived from the maintained
+    histogram: same integer-cleared 3-sigma test
+    ((n·v − S)² > 9·(n·Q − S²)), weights carried by the histogram
+    counts."""
+    import os as _os
+
+    meta = _read_meta(out_dir)
+    h = spark.read.parquet(_os.path.join(out_dir, meta["hist"]))
+    stats = (h.groupBy("event_type")
+             .agg(F.sum("cnt").alias("n"),
+                  F.sum(F.col("cnt") * F.col("v_c")).alias("s"),
+                  F.sum(F.col("cnt").cast("decimal(38,0)")
+                        * F.col("v_c").cast("decimal(38,0)")
+                        * F.col("v_c").cast("decimal(38,0)")).alias("q")))
+    j = h.join(stats, "event_type")
+    dev = (F.col("n").cast("decimal(38,0)") * F.col("v_c")
+           - F.col("s").cast("decimal(38,0)"))
+    var_num = (F.col("n").cast("decimal(38,0)") * F.col("q")
+               - F.col("s").cast("decimal(38,0)")
+               * F.col("s").cast("decimal(38,0)"))
+    out = j.withColumn("is_outlier", dev * dev > 9 * var_num)
+    return (out.groupBy("event_type")
+            .agg(F.sum("cnt").alias("n_events"),
+                 F.sum(F.when(F.col("is_outlier"), F.col("cnt"))
+                       .otherwise(0)).cast("bigint").alias("n_outliers"),
+                 F.max(F.when(F.col("is_outlier"), F.col("v_c")))
+                 .alias("max_outlier_cents")))

@@ -542,3 +542,54 @@ def test_streaming_cohort_retention_matches_batch(spark, tmp_path):
         out, str(tmp_path / "ckpt2"))
     q2.awaitTermination()
     assert _rows(read_cohort_retention(spark, out), cols) == want
+
+
+def test_streaming_value_outliers_matches_batch(spark, tmp_path):
+    """The maintained exact value histogram must reproduce the batch
+    outlier query bit-for-bit at drain time — classification against
+    FINAL moments even though rows arrived across 3 micro-batches (the
+    sufficient-statistic design) — and be replay-idempotent.  Batch
+    split here is by event_id (NOT time): the histogram is additive, so
+    unlike the sequence twins it needs no ordering contract."""
+    from binaryvectordb_spark.queries.analytics3 import (
+        events_value_outliers,
+    )
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_value_histogram,
+        read_value_outliers,
+    )
+    from pyspark.sql import functions as F
+    from binaryvectordb_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    in_dir = tmp_path / "vo_in"
+    in_dir.mkdir()
+    stage = tmp_path / "vo_stage"
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for i in range(3):
+            part = stage / f"p{i}"
+            (ev.where(F.col("event_id") % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(str(part)))
+            src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+            shutil.copy(src, in_dir / f"b{i}.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    out = str(tmp_path / "vo_state")
+    cols = ["event_type", "n_events", "n_outliers", "max_outlier_cents"]
+    q = foreach_batch_value_histogram(
+        read_events_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out, str(tmp_path / "ck1"))
+    q.awaitTermination()
+    got = _rows(read_value_outliers(spark, out), cols)
+    want = _rows(events_value_outliers(spark, SF_SMOKE), cols)
+    assert got == want
+    q2 = foreach_batch_value_histogram(
+        read_events_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out, str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert _rows(read_value_outliers(spark, out), cols) == want
