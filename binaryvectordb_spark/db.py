@@ -1877,9 +1877,12 @@ class BinaryVectorDB:
         if not os.path.isdir(d):
             return []
         # numeric sort: audit filenames are unpadded (v2.json, v10.json),
-        # so a lexicographic sort breaks ascending order at v10 (ADVICE r9)
+        # so a lexicographic sort breaks ascending order at v10 (ADVICE r9);
+        # tolerate stray non-numeric names (verify.json, v1_tmp.json) by
+        # skipping them rather than raising (ADVICE r10)
         names = [fn for fn in os.listdir(d)
-                 if fn.startswith("v") and fn.endswith(".json")]
+                 if fn.startswith("v") and fn.endswith(".json")
+                 and fn[1:-5].isdigit()]
         out = []
         for fn in sorted(names, key=lambda n: int(n[1:-5])):
             with open(os.path.join(d, fn)) as f:

@@ -85,10 +85,23 @@ def ntile_from_rank(rank: Column, n: int, tiles: int) -> Column:
         return rank.cast("int")
     cut = rem * (q + 1)
     return (F.when(rank <= F.lit(cut),
-                   ((rank - 1) / F.lit(q + 1)).cast("int") + 1)
+                   _int_floordiv(rank - 1, q + 1).cast("int") + 1)
             .otherwise(F.lit(rem)
-                       + ((rank - F.lit(cut) - 1) / F.lit(q)).cast("int")
+                       + _int_floordiv(rank - F.lit(cut) - 1,
+                                       q).cast("int")
                        + 1))
+
+
+def _int_floordiv(x: Column, d: int) -> Column:
+    """Exact ``x // d`` for non-negative bigint ``x`` — no DOUBLE hop.
+
+    ``(x / d).cast("int")`` rounds through DOUBLE and loses exactness
+    once x exceeds 2^53 (ADVICE r10); instead strip the remainder (bigint
+    ``%`` is exact) and divide the exact multiple in DECIMAL(38,0), where
+    the quotient is an integer and Spark's decimal division is exact."""
+    xm = x - (x % F.lit(d))
+    return (xm.cast("decimal(38,0)")
+            / F.lit(d).cast("decimal(38,0)")).cast("long")
 
 
 def with_group_prefix_sum(df: DataFrame, group_cols: list[str],

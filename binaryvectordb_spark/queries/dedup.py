@@ -853,6 +853,7 @@ def gate_log_admit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_dup_gate); the log write is O(batch); the analytics is one
     groupBy over the log scan — at 100 TB the log is partitioned by
     batch_id, so per-window audits prune to the partitions in range."""
+    import shutil
     import tempfile
 
     d = _docs(spark, sf_dir)
@@ -867,13 +868,19 @@ def gate_log_admit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(log_dir))
     log = spark.read.parquet(log_dir)
-    return (log.groupBy(
+    agg = (log.groupBy(
                 "batch_id",
                 F.coalesce(F.floor(F.col("best_jaccard") * 10),
                            F.lit(-1)).alias("jbucket"))
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.when(F.col("n_dups") == 0, 1).otherwise(0))
-                 .cast("bigint").alias("n_admitted")))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("n_dups") == 0, 1).otherwise(0))
+                .cast("bigint").alias("n_admitted")))
+    # the result grain is tiny (batch_id x jbucket <= ~24 rows):
+    # materialize it so the scratch log dir can be removed NOW instead of
+    # orphaning a /tmp directory per invocation (ADVICE r10)
+    rows, schema = agg.collect(), agg.schema
+    shutil.rmtree(log_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _gate_record(batch: DataFrame, corpus: DataFrame) -> DataFrame:

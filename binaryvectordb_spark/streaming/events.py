@@ -408,6 +408,18 @@ def _read_meta(out_dir: str) -> dict:
     return {}
 
 
+def _state_dir(meta: dict, key: str, out_dir: str) -> str:
+    """Committed state-dir name for ``key``, with a descriptive error when
+    the store has no committed batch yet (reading before the first
+    foreachBatch commit used to raise a bare KeyError — ADVICE r10)."""
+    if key not in meta:
+        raise FileNotFoundError(
+            f"no committed streaming state {key!r} under {out_dir}: the "
+            "store has no meta.json entry for it yet (run the writer's "
+            "first trigger before reading)")
+    return meta[key]
+
+
 def _commit_meta(out_dir: str, meta: dict, keep: set[str]) -> None:
     """Atomic meta swap + GC of superseded version dirs (the
     foreach_batch_rollup discipline, shared)."""
@@ -519,7 +531,8 @@ def read_transition_matrix(spark: SparkSession, out_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     meta = _read_meta(out_dir)
-    counts = spark.read.parquet(_os.path.join(out_dir, meta["counts"]))
+    counts = spark.read.parquet(
+        _os.path.join(out_dir, _state_dir(meta, "counts", out_dir)))
     wf = Window.partitionBy("from_type")
     return counts.select(
         "from_type", "to_type", "n",
@@ -592,7 +605,8 @@ def read_cohort_retention(spark: SparkSession, out_dir: str) -> DataFrame:
     import os as _os
 
     meta = _read_meta(out_dir)
-    facts = spark.read.parquet(_os.path.join(out_dir, meta["facts"]))
+    facts = spark.read.parquet(
+        _os.path.join(out_dir, _state_dir(meta, "facts", out_dir)))
     return (facts.groupBy("cohort_day", "week_offset")
             .agg(F.countDistinct("user_id").alias("n_active")))
 
@@ -653,7 +667,8 @@ def read_value_outliers(spark: SparkSession, out_dir: str) -> DataFrame:
     import os as _os
 
     meta = _read_meta(out_dir)
-    h = spark.read.parquet(_os.path.join(out_dir, meta["hist"]))
+    h = spark.read.parquet(
+        _os.path.join(out_dir, _state_dir(meta, "hist", out_dir)))
     stats = (h.groupBy("event_type")
              .agg(F.sum("cnt").alias("n"),
                   F.sum(F.col("cnt") * F.col("v_c")).alias("s"),
