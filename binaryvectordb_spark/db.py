@@ -740,6 +740,8 @@ class BinaryVectorDB:
         # history; after a rollback it would be wrong in both directions —
         # drop it (rebuild with build_text_index() if wanted)
         self._ti_drop()
+        # same argument for the gate index (derived from forward history)
+        self._gi_drop()
 
     def _read_buckets(self, name: str, touched: list[int]) -> DataFrame | None:
         """Scan ONLY the touched buckets — the partial-rewrite read path.
@@ -1186,7 +1188,7 @@ class BinaryVectorDB:
         # counts into the SAME job — the hook then needs zero take(1)
         # probes.  Only paid when a text index exists.
         incoming = incoming_counts = None
-        if self._text_index() is not None:
+        if self._text_index() is not None or self._gate_index() is not None:
             from pyspark.sql import Observation
             obs = Observation()
             incoming = (new_docs
@@ -1244,6 +1246,7 @@ class BinaryVectorDB:
             self._note_ivf_mutation(n_keys)
         if incoming is not None:
             self._ti_after_upsert(incoming, incoming_counts)
+            self._gi_after_upsert(incoming, incoming_counts)
 
     def _enqueue(self, doc_ids: list[int], docs: list[str], kinds: list[str],
                  emb: np.ndarray, save: bool) -> None:
@@ -1417,6 +1420,7 @@ class BinaryVectorDB:
             if self.index_type == "ivf" and self._ivf_model() is not None:
                 self._note_ivf_mutation(len(doc_ids))
             self._ti_after_remove(doc_ids)
+            self._gi_after_remove(doc_ids)
             return
         idx = self.index_df()
         missing = keys.join(idx, "doc_id", "left_anti").count()
@@ -1431,6 +1435,7 @@ class BinaryVectorDB:
         if self.index_type == "ivf" and self._ivf_model() is not None:
             self._note_ivf_mutation(len(doc_ids))
         self._ti_after_remove(doc_ids)
+        self._gi_after_remove(doc_ids)
 
     def remove_doc(self, doc_id: int) -> None:
         self.remove_docs([doc_id])
@@ -1632,6 +1637,75 @@ class BinaryVectorDB:
 
     def _ti_drop(self) -> None:
         p = os.path.join(self.folder, self._TEXT_INDEX_DIR)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+    # -- near-dup gate index (derived state, same lifecycle discipline as
+    # the text index: updated after each successful commit; a crash in
+    # between leaves it one batch stale — rebuild with build_gate_index();
+    # restore() drops it rather than guess) ------------------------------
+
+    _GATE_INDEX_DIR = "gate_index"
+    _GI_COMPACT_SEGMENTS = 16
+
+    def _gate_index(self):
+        from binaryvectordb_spark.operators.ingest_gate import GateIndex
+        p = os.path.join(self.folder, self._GATE_INDEX_DIR)
+        if not os.path.exists(os.path.join(p, "meta.json")):
+            return None
+        return GateIndex(self.spark, p)
+
+    def build_gate_index(self) -> None:
+        """(Re)build the persisted near-dup gate artifacts (corpus
+        shingle + LSH band tables) from the current doc store.  With the
+        index present, ``gated_add_documents_df`` gates each batch at
+        probe-side cost instead of re-deriving the corpus tables per call
+        (VERDICT r10 item 3), and every upsert/remove commit maintains
+        the artifacts incrementally.  Only str-kind payloads participate
+        — typed payloads are never near-dup candidates."""
+        from binaryvectordb_spark.operators.ingest_gate import GateIndex
+
+        self._flush_pending()
+        docs = self.docs_df()
+        if docs is None:
+            raise Exception("Index is empty; add documents first")
+        d = docs
+        if "doc_kind" in d.columns:
+            d = d.where(F.col("doc_kind") == "str")
+        GateIndex(self.spark,
+                  os.path.join(self.folder, self._GATE_INDEX_DIR)).build(
+            d.select("doc_id", F.col("doc").alias("text")))
+
+    def _gi_after_upsert(self, incoming: DataFrame, counts) -> None:
+        """Incremental gate-index maintenance after an upsert commit:
+        str-kind batch rows become one new segment; every incoming id is
+        killed in earlier segments by one scoped tombstone (non-str rows
+        — payloads updated away from text — just die).  Mirrors
+        _ti_after_upsert: zero probe jobs, bounded segment growth."""
+        gi = self._gate_index()
+        if gi is None:
+            return
+        n_str = int(counts["n_str"])
+        if int(counts["n_other"]) + n_str == 0:
+            return
+        str_df = (incoming.where(F.col("doc_kind") == "str")
+                  .select("doc_id", F.col("doc").alias("text"))
+                  if n_str else None)
+        gi.upsert_batch(str_df, incoming.select("doc_id"))
+        if (len(gi.meta["segments"]) >= self._GI_COMPACT_SEGMENTS
+                or len(gi.meta["tombstones"]) >= self._GI_COMPACT_SEGMENTS):
+            gi.compact()
+
+    def _gi_after_remove(self, doc_ids: Sequence[int]) -> None:
+        gi = self._gate_index()
+        if gi is None:
+            return
+        gi.remove([int(i) for i in doc_ids])
+        if len(gi.meta["tombstones"]) >= self._GI_COMPACT_SEGMENTS:
+            gi.compact()
+
+    def _gi_drop(self) -> None:
+        p = os.path.join(self.folder, self._GATE_INDEX_DIR)
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
 

