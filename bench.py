@@ -498,6 +498,27 @@ def bench_gate_serving(spark, sf_dir: str,
     variance["gate_local_checks_per_s"] = round(
         (max(kept) - min(kept)) / med, 2)
 
+    # sharded RAM tier (corpus > one RAM budget): 4 doc_id-sharded maps,
+    # probe shingle/minhash derived once and fanned out — bit-identical
+    # decisions (property-pinned); per-shard memory = total / 4
+    from binaryvectordb_spark.operators.ingest_gate import (
+        ShardedLocalNearDupGate,
+    )
+    sgate = ShardedLocalNearDupGate.from_df(docs, n_shards=4)
+    for did, text in probes[:20]:
+        sgate.check(did, text)  # warm-up
+    runs = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        for did, text in probes:
+            sgate.check(did, text)
+        runs.append(time.perf_counter() - t0)
+    kept = sorted(runs[2:])[:-1]
+    med = statistics.median(kept)
+    out["gate_local_sharded_checks_per_s"] = round(len(probes) / med, 1)
+    variance["gate_local_sharded_checks_per_s"] = round(
+        (max(kept) - min(kept)) / med, 2)
+
     # distributed single-doc gate: the per-event latency floor
     one = spark.createDataFrame([probes[1]], "doc_id long, text string")
     near_dup_gate(one, docs).collect()  # warm-up

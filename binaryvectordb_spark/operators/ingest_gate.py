@@ -667,8 +667,15 @@ class LocalNearDupGate:
         corpus — (n_candidates, n_dups, best_jaccard, admit), identical
         to the distributed near_dup_gate row (self-pair excluded)."""
         sa = self._py_shingle_set(text)
+        return self._check_pre(doc_id, sa, self._py_bands(sa))
+
+    def _check_pre(self, doc_id: int, sa: frozenset,
+                   band_keys: list[tuple[int, str]]) -> dict:
+        """check() over PRE-computed probe shingles/band keys — the
+        sharded gate derives them once and probes every shard with the
+        same values (the md5/minhash work is per-probe, not per-shard)."""
         cands: set[int] = set()
-        for key in self._py_bands(sa):
+        for key in band_keys:
             cands |= self._bands.get(key, set())
         cands.discard(doc_id)
         dups, best = 0, None
@@ -690,12 +697,82 @@ class LocalNearDupGate:
         (delete-then-insert)."""
         rec = self.check(doc_id, text)
         if rec["admit"]:
-            self._deregister(doc_id)
-            shs = self._py_shingle_set(text)
-            self._shingles[doc_id] = shs
-            for key in self._py_bands(shs):
-                self._bands.setdefault(key, set()).add(doc_id)
+            self._register(doc_id, text)
         return rec
+
+    def _register(self, doc_id: int, text: str) -> None:
+        self._deregister(doc_id)
+        shs = self._py_shingle_set(text)
+        self._shingles[doc_id] = shs
+        for key in self._py_bands(shs):
+            self._bands.setdefault(key, set()).add(doc_id)
 
     def __len__(self) -> int:
         return len(self._shingles)
+
+
+class ShardedLocalNearDupGate:
+    """LocalNearDupGate beyond one RAM budget: the corpus is sharded by
+    ``doc_id % n_shards``, each shard holding the band/shingle maps for
+    ITS docs only (per-shard memory = total / n, zero duplication — a
+    band-key sharding would replicate each doc's shingles into up to
+    N_BANDS shards).  Decisions are BIT-IDENTICAL to the unsharded gate:
+    candidate sets partition exactly across shards (a candidate lives
+    where its doc does), so the per-shard records merge additively —
+    n_candidates/n_dups sum, best_jaccard maxes, admit = no shard saw a
+    dup.  Property-pinned against the unsharded gate under a mixed
+    check/admit/update stream (tests/test_ingest_gate.py).
+
+    This in-process form models the cross-process architecture (the
+    ``cascade_1m_local_sharded4`` pattern): each shard is independent
+    state behind the same probe values — the probe's shingle/minhash
+    derivation runs ONCE and fans out, which is exactly the scatter a
+    real N-node deployment would broadcast."""
+
+    def __init__(self, n_shards: int = 4, j_threshold: float = 0.5):
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        self.n_shards = n_shards
+        self.j_threshold = j_threshold
+        self.shards = [LocalNearDupGate(j_threshold)
+                       for _ in range(n_shards)]
+
+    @classmethod
+    def from_df(cls, docs: DataFrame, n_shards: int = 4,
+                j_threshold: float = 0.5) -> "ShardedLocalNearDupGate":
+        """One distributed build (same two slim collects as the unsharded
+        gate); rows route to their owner shard driver-side."""
+        g = cls(n_shards, j_threshold)
+        docs = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+        for r in _shingle_sets(docs).collect():
+            g.shards[r["doc_id"] % n_shards]._shingles[r["doc_id"]] = \
+                frozenset(r["shs"])
+        for r in _band_table(docs).collect():
+            g.shards[r["doc_id"] % n_shards]._bands.setdefault(
+                (r["band_idx"], r["bh"]), set()).add(r["doc_id"])
+        return g
+
+    def check(self, doc_id: int, text: str) -> dict:
+        probe_sa = LocalNearDupGate._py_shingle_set(text)
+        probe_bands = LocalNearDupGate._py_bands(probe_sa)
+        n_cands = n_dups = 0
+        best = None
+        for sh in self.shards:
+            rec = sh._check_pre(doc_id, probe_sa, probe_bands)
+            n_cands += rec["n_candidates"]
+            n_dups += rec["n_dups"]
+            if rec["best_jaccard"] is not None:
+                best = (rec["best_jaccard"] if best is None
+                        else max(best, rec["best_jaccard"]))
+        return {"doc_id": doc_id, "n_candidates": n_cands,
+                "n_dups": n_dups, "best_jaccard": best,
+                "admit": n_dups == 0}
+
+    def admit(self, doc_id: int, text: str) -> dict:
+        rec = self.check(doc_id, text)
+        if rec["admit"]:
+            self.shards[doc_id % self.n_shards]._register(doc_id, text)
+        return rec
+
+    def __len__(self) -> int:
+        return sum(len(s) for s in self.shards)

@@ -466,3 +466,46 @@ def test_db_gate_index_lifecycle(spark, tmp_path):
     # restore drops the derived index (it would be wrong both ways)
     indexed.restore(1)
     assert indexed._gate_index() is None
+
+
+def test_sharded_local_gate_bit_identical(spark):
+    """ShardedLocalNearDupGate == LocalNearDupGate record-for-record
+    under a mixed stream of checks, admissions, updates of existing ids,
+    and rejected dups — and the shard split actually bounds per-shard
+    state (every shard < total)."""
+    import random
+
+    from binaryvectordb_spark.operators.ingest_gate import (
+        LocalNearDupGate,
+        ShardedLocalNearDupGate,
+    )
+    corpus_rows = _rand_docs(80, seed=31)
+    corpus = _df(spark, corpus_rows)
+    flat = LocalNearDupGate.from_df(corpus)
+    shard = ShardedLocalNearDupGate.from_df(corpus, n_shards=4)
+    assert len(flat) == len(shard) == len(corpus_rows)
+    sizes = [len(s) for s in shard.shards]
+    assert sum(sizes) == len(flat) and max(sizes) < len(flat)
+
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(40)]
+    for i in range(120):
+        op = rng.random()
+        if op < 0.4:   # fresh-ish doc
+            did = 5000 + i
+            text = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randrange(5, 14)))
+        elif op < 0.7:  # near-dup of an existing corpus doc
+            did = 5000 + i
+            src = rng.choice(corpus_rows)[1].split(" ")
+            j = rng.randrange(len(src))
+            text = " ".join(src[:j] + [rng.choice(vocab)] + src[j + 1:])
+        else:          # update of an existing id (never self-rejected)
+            did = rng.choice(corpus_rows)[0]
+            text = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randrange(5, 14)))
+        if rng.random() < 0.5:
+            assert flat.check(did, text) == shard.check(did, text)
+        else:
+            assert flat.admit(did, text) == shard.admit(did, text)
+        assert len(flat) == len(shard)
