@@ -593,3 +593,68 @@ def test_streaming_value_outliers_matches_batch(spark, tmp_path):
         out, str(tmp_path / "ck2"))
     q2.awaitTermination()
     assert _rows(read_value_outliers(spark, out), cols) == want
+
+
+def test_streaming_cohort_state_partitioned_append_only(spark, tmp_path):
+    """r11 (VERDICT r10 item 5): the cohort fact state is APPEND-ONLY,
+    cohort_day-partitioned segments — a later batch writes only its
+    net-new facts and never rewrites an earlier segment's partition
+    files (path+mtime snapshot identical), while the read-side matrix
+    stays exact."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_cohort_retention,
+        read_cohort_retention,
+        read_events_stream,
+    )
+
+    in_dir = _ts_ordered_files(spark, tmp_path, nparts=3)
+    files = sorted(os.listdir(in_dir))
+    held_back = str(tmp_path / "held_back.parquet")
+    os.replace(os.path.join(in_dir, files[-1]), held_back)
+
+    out = str(tmp_path / "cr_state")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_cohort_retention(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, ckpt)
+    q.awaitTermination()
+
+    def state_files():
+        snap = {}
+        for root, _, fnames in os.walk(out):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    snap[p] = os.path.getmtime(p)
+        return snap
+
+    before = state_files()
+    assert before, "no fact files written"
+
+    # deliver the held-back (latest time range) file; same checkpoint, so
+    # it arrives as a NEW batch over the existing state
+    _time.sleep(0.05)
+    os.replace(held_back, os.path.join(in_dir, files[-1]))
+    q2 = foreach_batch_cohort_retention(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, ckpt)
+    q2.awaitTermination()
+
+    after = state_files()
+    for path, mtime in before.items():
+        assert path in after, f"earlier segment file deleted: {path}"
+        assert after[path] == mtime, f"earlier segment file rewritten: {path}"
+    assert len(after) > len(before), "new batch wrote no new segment"
+
+    # and the matrix over the full stream still matches the batch twin
+    from binaryvectordb_spark.queries.analytics3 import (
+        events_cohort_retention,
+    )
+    cols = ["cohort_day", "week_offset", "n_active"]
+    assert (_rows(read_cohort_retention(spark, out), cols)
+            == _rows(events_cohort_retention(spark, SF_SMOKE), cols))
