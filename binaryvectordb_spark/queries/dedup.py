@@ -829,6 +829,65 @@ WHERE d.doc_id % {BATCH_MOD} = {BATCH_REM}
 """)
 
 
+def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_batch THROUGH the persisted gate artifacts
+    (operators/ingest_gate.py GateIndex, VERDICT r10 item 3): the corpus
+    shingle/band tables are built ONCE as a derived index (range-sorted
+    segments, the textindex discipline) and the batch is gated against
+    them at probe-side cost — band-key-pruned bands read, bounded
+    candidate-pair collect, candidate-id-pruned shingle read.  Hashes
+    against the SAME DuckDB oracle as the recompute-per-call form, so
+    the driver row pins that persistence changes the COST of the gate,
+    never its answer.  The tiny record set is materialized so the
+    scratch index directory is removed before returning (the
+    gate_log_admit_stats hygiene)."""
+    import shutil
+    import tempfile
+
+    from binaryvectordb_spark.operators.ingest_gate import GateIndex
+    d = _docs(spark, sf_dir)
+    is_batch = (F.col("doc_id") % BATCH_MOD) == BATCH_REM
+    gdir = tempfile.mkdtemp(prefix="bvdb_gate_idx_q_")
+    try:
+        gi = GateIndex(spark, gdir).build(d.where(~is_batch))
+        rec = gi.gate(d.where(is_batch), j_threshold=0.5).drop("admit")
+        rows, schema = rec.collect(), rec.schema
+    finally:
+        shutil.rmtree(gdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+register("dedup_incremental_persisted", dedup_incremental_persisted, oracle=f"""
+{_DUCK_SHINGLES},
+bands AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
+bex AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM bands"
+                      for b in range(N_BANDS))}
+),
+cands AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+          FROM bex b JOIN bex c ON b.band_idx = c.band_idx AND b.bh = c.bh
+          WHERE b.doc_id % {BATCH_MOD} = {BATCH_REM}
+            AND c.doc_id % {BATCH_MOD} <> {BATCH_REM}),
+ver AS (SELECT bid, cid,
+               CAST(length(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS common,
+               length(sa.shs) AS na, length(sb.shs) AS nb
+        FROM cands JOIN shl sa ON sa.doc_id = bid
+                   JOIN shl sb ON sb.doc_id = cid),
+scored AS (SELECT bid, cid, common / (na + nb - common) AS j FROM ver),
+agg AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dups,
+               max(CASE WHEN j >= 0.5 THEN j END) AS best_jaccard
+        FROM scored GROUP BY bid)
+SELECT d.doc_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.n_dups, 0) AS n_dups,
+       a.best_jaccard
+FROM documents d LEFT JOIN agg a ON a.bid = d.doc_id
+WHERE d.doc_id % {BATCH_MOD} = {BATCH_REM}
+""")
+
+
 # -- gate-log analytics: the audit trail's READ path (VERDICT r9 item 7) ----
 
 def gate_log_admit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

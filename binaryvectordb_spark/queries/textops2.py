@@ -284,3 +284,87 @@ SELECT stage_idx, stage, count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM st GROUP BY stage_idx, stage ORDER BY stage_idx
 """)
+
+
+# modeled postings row-group size (rows) and probe terms for the pruning
+# profile: three common tokens, one mid, one absent
+_PG = 256
+_PRUNE_TERMS = ["filter", "hash", "join", "vector", "zzzabsent"]
+
+
+def textindex_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level pruning profile of the text index's postings layout
+    as DATA (the layout_zorder_clustering pattern applied to postings —
+    NOTES r10 candidate): model the persisted index's physical order
+    (``repartitionByRange(token).sortWithinPartitions(token, doc_id)``,
+    operators/textindex.py _write_segment) as contiguous row groups of
+    ``_PG`` postings in global (token, doc_id) order, and report, per
+    probe term, how many groups — and how much posting mass — a footer
+    min/max-pruned ``In(token)`` read must touch.  This is the indexed
+    BM25 path's byte-skipping claim (bm25_indexed vs bm25_scan) engine-
+    checked deterministically instead of wall-clocked.
+
+    All counts are exact integers; the one fraction is a single division
+    of exact integers (bit-stable across engines).  The global postings
+    rank comes from operators/ranks.with_global_rank — no un-partitioned
+    window funnels the corpus (the r10 scale-safe discipline); the
+    touched-group probe is a broadcast theta-join of a 5-row literal
+    against the group-stats frame (O(groups) rows, never the corpus)."""
+    from binaryvectordb_spark.operators.ranks import with_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    postings = (d.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("token"))
+                .select("token", "doc_id").distinct())
+    ranked, _ = with_global_rank(postings, ["token", "doc_id"], "rn")
+    groups = (ranked
+              .groupBy(F.expr(f"(rn - 1) DIV {_PG}").alias("grp"))
+              .agg(F.min("token").alias("mn"), F.max("token").alias("mx"),
+                   F.count("*").alias("n")))
+    tot = groups.agg(F.count("*").alias("n_groups"),
+                     F.sum("n").alias("total_rows"))
+    terms = spark.createDataFrame([(t,) for t in _PRUNE_TERMS],
+                                  "term string")
+    touched = (terms.join(
+        F.broadcast(groups),
+        (F.col("mn") <= F.col("term")) & (F.col("term") <= F.col("mx")),
+        "left")
+        .groupBy("term")
+        .agg(F.count("grp").alias("touched_groups"),
+             F.coalesce(F.sum("n"), F.lit(0)).alias("touched_rows")))
+    return (touched.crossJoin(F.broadcast(tot))
+            .select("term", "n_groups", "touched_groups", "touched_rows",
+                    "total_rows",
+                    (F.col("touched_groups").cast("double")
+                     / F.col("n_groups").cast("double"))
+                    .alias("group_fraction"))
+            .orderBy("term"))
+
+
+register("textindex_prune_stats", textindex_prune_stats, oracle=f"""
+WITH p AS (
+  SELECT DISTINCT token, doc_id FROM (
+    SELECT unnest(string_split(text, ' ')) AS token, doc_id FROM documents)
+), r AS (
+  SELECT token, doc_id, row_number() OVER (ORDER BY token, doc_id) AS rn
+  FROM p
+), g AS (
+  SELECT (rn - 1) // {_PG} AS grp, min(token) AS mn, max(token) AS mx,
+         count(*) AS n
+  FROM r GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n) AS BIGINT) AS total_rows FROM g
+), t(term) AS (
+  VALUES {", ".join(f"('{t}')" for t in _PRUNE_TERMS)}
+), tc AS (
+  SELECT term, CAST(count(g.grp) AS BIGINT) AS touched_groups,
+         CAST(COALESCE(sum(g.n), 0) AS BIGINT) AS touched_rows
+  FROM t LEFT JOIN g ON g.mn <= t.term AND t.term <= g.mx
+  GROUP BY term
+)
+SELECT term, n_groups, touched_groups, touched_rows, total_rows,
+       CAST(touched_groups AS DOUBLE) / CAST(n_groups AS DOUBLE)
+         AS group_fraction
+FROM tc CROSS JOIN tot ORDER BY term
+""")
