@@ -1360,3 +1360,116 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
          AS max_outlier_cents
 FROM j GROUP BY event_type
 """)
+
+# -- KMV (bottom-k) mergeable NDV sketch: value-exact across engines --------
+
+KMV_K = 128
+_KMV_SPACE = 1 << 48                       # 12 hex chars of md5 = 48 bits
+_KMV_NUM = (KMV_K - 1) * _KMV_SPACE        # (K-1)/h_k scaled to the space
+
+
+def sketch_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch — the VALUE-EXACT mergeable NDV
+    estimator (companion to sketch_hll_mergeable, which can only pin
+    accuracy booleans because HLL register layouts are engine-specific).
+    KMV's sketch is just the K smallest hash values, so the estimator
+    itself is deterministic integer arithmetic both engines reproduce
+    bit-for-bit: h = first 48 bits of md5(custkey), est = (K-1)*2^48
+    div h_K (Beyer et al., "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations", SIGMOD'07 — the unbiased KMV estimator).
+
+    The Spark side computes ONLY the merged path — per-(priority, salt)
+    sub-sketches (the shape an incremental pipeline persists per
+    partition/day), union-merged to per-priority sketches, then
+    union-merged again to the ALL row.  The oracle computes the DIRECT
+    path (one global bottom-K per group over the distinct hashes).
+    Hash equality between the two is the mergeability theorem pinned as
+    data: bottom-K(∪ of bottom-K sub-sketches) = bottom-K(global),
+    because any hash in the global bottom-K is necessarily in its own
+    slice's bottom-K.  No tolerance anywhere — even err_permille is
+    exact integer division.
+
+    Scale: sub-sketches are the partial-aggregate shape (each slice's
+    row_number ≤ K compiles to WindowGroupLimit — per-partition partial
+    top-K before the exchange); only K slim (grp, salt, h) rows per
+    slice ever cross the wire, and the merge windows rank O(G·K·8)
+    bounded rows.  The exact-NDV columns are one countDistinct of the
+    8-byte key — the only full-width shuffle, present only because the
+    fixture-scale row reports its own truth."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey")
+    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
+               16, 10).cast("long")
+    hashed = o.select(F.col("o_orderpriority").alias("grp"), h.alias("h"),
+                      (F.col("o_orderkey") % 8).alias("salt"), "o_custkey")
+    # per-(grp, salt) sub-sketch: bottom-K of the slice's distinct hashes
+    w_slice = Window.partitionBy("grp", "salt").orderBy("h")
+    sub_sk = (hashed.select("grp", "salt", "h").distinct()
+              .withColumn("rn", F.row_number().over(w_slice))
+              .where(F.col("rn") <= KMV_K).select("grp", "h"))
+    # union-merge the 8 sub-sketches per group (distinct: cross-slice hash
+    # collisions between different custkeys dedup exactly as in the oracle)
+    w_grp = Window.partitionBy("grp").orderBy("h")
+    grp_sk = (sub_sk.distinct()
+              .withColumn("rn", F.row_number().over(w_grp))
+              .where(F.col("rn") <= KMV_K))
+    # union-merge the per-group sketches into the ALL sketch (bounded
+    # G*K rows — the constant-partition window is the bounded-candidate
+    # pattern, never a data-sized funnel)
+    w_all = Window.partitionBy(F.lit(1)).orderBy("h")
+    all_sk = (grp_sk.select("h").distinct()
+              .withColumn("grp", F.lit("ALL"))
+              .withColumn("rn", F.row_number().over(w_all))
+              .where(F.col("rn") <= KMV_K))
+    sk = (grp_sk.select("grp", "h").unionByName(all_sk.select("grp", "h"))
+          .groupBy("grp")
+          .agg(F.count("*").cast("bigint").alias("n_sketch"),
+               F.max("h").alias("kth_hash")))
+    ex = (hashed.groupBy("grp")
+          .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_exact"))
+          .unionByName(
+              hashed.agg(F.countDistinct("o_custkey").cast("bigint")
+                         .alias("n_exact"))
+              .select(F.lit("ALL").alias("grp"), "n_exact")))
+    out = (sk.join(ex, "grp")
+           .withColumn("est_ndv",
+                       F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch"))
+                       .otherwise(F.expr(
+                           f"CAST({_KMV_NUM} AS BIGINT) div kth_hash"))
+                       .cast("bigint"))
+           .withColumn("err_permille",
+                       F.expr("(abs(est_ndv - n_exact) * 1000)"
+                              " div n_exact").cast("bigint")))
+    return out.select("grp", "n_exact", "n_sketch", "kth_hash", "est_ndv",
+                      "err_permille")
+
+
+register("sketch_kmv_mergeable", sketch_kmv_mergeable, oracle=f"""
+WITH hashed AS (
+  SELECT o_orderpriority AS grp, o_custkey,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+           AS h
+  FROM orders),
+hu AS (SELECT DISTINCT grp, h FROM hashed
+       UNION ALL
+       SELECT DISTINCT 'ALL' AS grp, h FROM hashed),
+rk AS (SELECT grp, h,
+              row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       FROM hu),
+sk AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_sketch,
+              max(h) AS kth_hash
+       FROM rk WHERE rn <= {KMV_K} GROUP BY grp),
+ex AS (SELECT grp, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+       FROM hashed GROUP BY grp
+       UNION ALL
+       SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT)
+       FROM hashed),
+est AS (SELECT s.grp, e.n_exact, s.n_sketch, s.kth_hash,
+               CAST(CASE WHEN s.n_sketch < {KMV_K} THEN s.n_sketch
+                    ELSE {_KMV_NUM} // s.kth_hash END AS BIGINT) AS est_ndv
+        FROM sk s JOIN ex e ON s.grp = e.grp)
+SELECT grp, n_exact, n_sketch, kth_hash, est_ndv,
+       CAST((abs(est_ndv - n_exact) * 1000) // n_exact AS BIGINT)
+         AS err_permille
+FROM est
+""")

@@ -636,3 +636,158 @@ SELECT p.query_id, p.n_docs, p.avg_abs_err, p.max_abs_err,
        COALESCE(o.top1_match, 0) AS top1_match
 FROM per_q p LEFT JOIN ov o ON o.query_id = p.query_id
 """)
+
+
+# -- calibrated dimension-truncation error: the MRL quality measurement ----
+
+TRUNC_DIMS = (16, 32)
+
+# truncated-cosine fragments: every fold runs over dims 1..trunc_dim only,
+# strict left-to-right, operands widened to DOUBLE — same parity contract
+# as the full-dim fragments above
+_TDOT = ("list_sum(list_transform(range(1, trunc_dim + 1), i -> "
+         "CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))")
+_TQNORM = ("sqrt(list_sum(list_transform(range(1, trunc_dim + 1), i -> "
+           "CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))")
+_TDNORM = ("sqrt(list_sum(list_transform(range(1, trunc_dim + 1), i -> "
+           "CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))))")
+_T_SCORE = (f"CASE WHEN {_TQNORM} > 0 AND {_TDNORM} > 0 "
+            f"THEN {_TDOT} / ({_TQNORM} * {_TDNORM}) "
+            "ELSE CAST(0 AS DOUBLE) END")
+
+
+def quant_trunc_dim_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated dimension-truncation quality — the Matryoshka-style
+    companion of quant_int8_score_error: instead of narrowing each
+    dimension to int8 (keeping all 64), keep the FIRST m dimensions at
+    full precision (m ∈ TRUNC_DIMS) and measure what the prefix costs.
+    Together the two queries bracket the public embedding-compression
+    design space the reference occupies (its README's quality-retention
+    table covers binary+int8; truncation is the published alternative —
+    Kusupati et al., "Matryoshka Representation Learning", NeurIPS'22).
+
+    For each of N_CALIB_QUERIES fixed queries × each trunc dim, against
+    the whole corpus: avg/max |cos_m − cos_64| (folded to INTEGER
+    picounits so the re-associable sum is exact under any partitioning),
+    overlap_at_10 between the full-dim and truncated top-10, and
+    top1_match.  Fixture vectors are i.i.d. per-dim, so the prefix is an
+    unbiased random projection — the measured overlap is the
+    random-feature floor an MRL-trained model must beat.
+
+    Scale: the 16-row (query × dim) side broadcasts; scoring is
+    map-side over ONE corpus scan; the narrow (ids + 2 scores + err)
+    projection is localCheckpointed once and shared by the stats agg
+    and both rankings; per-group top-10 compiles to WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    emb, _ = _tables(spark, sf_dir)
+    qs = (emb.where(F.col("vec_id") < N_CALIB_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qvec"))
+          .withColumn("trunc_dim",
+                      F.explode(F.array(*[F.lit(m) for m in TRUNC_DIMS]))))
+    d = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("dvec"))
+    t_dot = ("aggregate(zip_with(slice(qvec, 1, trunc_dim), "
+             "slice(dvec, 1, trunc_dim), "
+             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+             "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    t_qn = ("sqrt(aggregate(zip_with(slice(qvec, 1, trunc_dim), "
+            "slice(qvec, 1, trunc_dim), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
+    t_dn = ("sqrt(aggregate(zip_with(slice(dvec, 1, trunc_dim), "
+            "slice(dvec, 1, trunc_dim), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
+    scored = (d.crossJoin(F.broadcast(qs))
+              .withColumn("f_score", cosine("qvec", "dvec"))
+              .withColumn("t_score",
+                          F.expr(f"CASE WHEN {t_qn} > 0 AND {t_dn} > 0 "
+                                 f"THEN {t_dot} / ({t_qn} * {t_dn}) "
+                                 "ELSE CAST(0 AS DOUBLE) END"))
+              .withColumn("err_pico",
+                          F.round(F.abs(F.col("t_score") - F.col("f_score"))
+                                  * F.lit(1e12)).cast("long"))
+              .select("query_id", "trunc_dim", "doc_id", "f_score",
+                      "t_score", "err_pico")
+              .localCheckpoint(eager=True))
+    per_q = scored.groupBy("query_id", "trunc_dim").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("err_pico").cast("double") / F.count("*") / F.lit(1e12))
+        .alias("avg_abs_err"),
+        (F.max("err_pico").cast("double") / F.lit(1e12))
+        .alias("max_abs_err"))
+    wf = Window.partitionBy("query_id", "trunc_dim").orderBy(
+        F.desc("f_score"), F.asc("doc_id"))
+    wt = Window.partitionBy("query_id", "trunc_dim").orderBy(
+        F.desc("t_score"), F.asc("doc_id"))
+    topf = (scored.withColumn("rn", F.row_number().over(wf))
+            .where(F.col("rn") <= 10)
+            .select("query_id", "trunc_dim", "doc_id", "rn"))
+    topt = (scored.withColumn("rnt", F.row_number().over(wt))
+            .where(F.col("rnt") <= 10)
+            .select("query_id", "trunc_dim", "doc_id", "rnt"))
+    ov = (topf.join(topt, ["query_id", "trunc_dim", "doc_id"])
+          .groupBy("query_id", "trunc_dim")
+          .agg(F.count("*").cast("bigint").alias("overlap_at_10"),
+               F.sum(F.when((F.col("rn") == 1) & (F.col("rnt") == 1), 1)
+                     .otherwise(0)).cast("bigint").alias("top1_match")))
+    return (per_q.join(ov, ["query_id", "trunc_dim"], "left")
+            .select("query_id", "trunc_dim", "n_docs", "avg_abs_err",
+                    "max_abs_err",
+                    F.coalesce("overlap_at_10", F.lit(0).cast("bigint"))
+                    .alias("overlap_at_10"),
+                    F.coalesce("top1_match", F.lit(0).cast("bigint"))
+                    .alias("top1_match")))
+
+
+_TF_SCORE = (f"CASE WHEN {_DNORM} > 0 AND {_QNORM} > 0 "
+             f"THEN {_DOT} / ({_QNORM} * {_DNORM}) "
+             "ELSE CAST(0 AS DOUBLE) END")
+
+register(
+    "quant_trunc_dim_error", quant_trunc_dim_error,
+    oracle=f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding AS qv, trunc_dim
+            FROM embeddings
+            CROSS JOIN (VALUES (16), (32)) AS td(trunc_dim)
+            WHERE vec_id < {N_CALIB_QUERIES}),
+{_D_CTE},
+scored AS (SELECT query_id, trunc_dim, doc_id,
+                  {_TF_SCORE} AS f_score, {_T_SCORE} AS t_score
+           FROM d CROSS JOIN qs),
+errs AS (SELECT query_id, trunc_dim, doc_id, f_score, t_score,
+                CAST(ROUND(ABS(t_score - f_score) * 1e12) AS BIGINT)
+                  AS err_pico
+         FROM scored),
+per_q AS (SELECT query_id, trunc_dim,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(err_pico) AS DOUBLE) / count(*) / 1e12
+                   AS avg_abs_err,
+                 CAST(max(err_pico) AS DOUBLE) / 1e12 AS max_abs_err
+          FROM errs GROUP BY query_id, trunc_dim),
+topf AS (SELECT query_id, trunc_dim, doc_id, rn FROM (
+           SELECT query_id, trunc_dim, doc_id, row_number() OVER (
+                    PARTITION BY query_id, trunc_dim
+                    ORDER BY f_score DESC, doc_id ASC) AS rn
+           FROM errs) WHERE rn <= 10),
+topt AS (SELECT query_id, trunc_dim, doc_id, rnt FROM (
+           SELECT query_id, trunc_dim, doc_id, row_number() OVER (
+                    PARTITION BY query_id, trunc_dim
+                    ORDER BY t_score DESC, doc_id ASC) AS rnt
+           FROM errs) WHERE rnt <= 10),
+ov AS (SELECT f.query_id, f.trunc_dim,
+              CAST(count(*) AS BIGINT) AS overlap_at_10,
+              CAST(sum(CASE WHEN f.rn = 1 AND i.rnt = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS top1_match
+       FROM topf f JOIN topt i
+         ON f.query_id = i.query_id AND f.trunc_dim = i.trunc_dim
+        AND f.doc_id = i.doc_id
+       GROUP BY f.query_id, f.trunc_dim)
+SELECT p.query_id, p.trunc_dim, p.n_docs, p.avg_abs_err, p.max_abs_err,
+       COALESCE(o.overlap_at_10, 0) AS overlap_at_10,
+       COALESCE(o.top1_match, 0) AS top1_match
+FROM per_q p LEFT JOIN ov o
+  ON o.query_id = p.query_id AND o.trunc_dim = p.trunc_dim
+""")
