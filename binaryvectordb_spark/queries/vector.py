@@ -656,6 +656,44 @@ _T_SCORE = (f"CASE WHEN {_TQNORM} > 0 AND {_TDNORM} > 0 "
             "ELSE CAST(0 AS DOUBLE) END")
 
 
+def _trunc_scored(emb: DataFrame) -> DataFrame:
+    """Pre-checkpoint scoring plan for quant_trunc_dim_error: one corpus
+    scan, the 16-row (query × dim) side broadcast, all folds in-expr.
+    Split out so tests can pin THIS plan's shape — the eager
+    localCheckpoint in the query truncates lineage, hiding the broadcast
+    from the final explain."""
+    qs = (emb.where(F.col("vec_id") < N_CALIB_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qvec"))
+          .withColumn("trunc_dim",
+                      F.explode(F.array(*[F.lit(m) for m in TRUNC_DIMS]))))
+    d = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("dvec"))
+    t_dot = ("aggregate(zip_with(slice(qvec, 1, trunc_dim), "
+             "slice(dvec, 1, trunc_dim), "
+             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+             "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    t_qn = ("sqrt(aggregate(zip_with(slice(qvec, 1, trunc_dim), "
+            "slice(qvec, 1, trunc_dim), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
+    t_dn = ("sqrt(aggregate(zip_with(slice(dvec, 1, trunc_dim), "
+            "slice(dvec, 1, trunc_dim), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
+    return (d.crossJoin(F.broadcast(qs))
+            .withColumn("f_score", cosine("qvec", "dvec"))
+            .withColumn("t_score",
+                        F.expr(f"CASE WHEN {t_qn} > 0 AND {t_dn} > 0 "
+                               f"THEN {t_dot} / ({t_qn} * {t_dn}) "
+                               "ELSE CAST(0 AS DOUBLE) END"))
+            .withColumn("err_pico",
+                        F.round(F.abs(F.col("t_score") - F.col("f_score"))
+                                * F.lit(1e12)).cast("long"))
+            .select("query_id", "trunc_dim", "doc_id", "f_score",
+                    "t_score", "err_pico"))
+
+
 def quant_trunc_dim_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibrated dimension-truncation quality — the Matryoshka-style
     companion of quant_int8_score_error: instead of narrowing each
@@ -681,37 +719,7 @@ def quant_trunc_dim_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb, _ = _tables(spark, sf_dir)
-    qs = (emb.where(F.col("vec_id") < N_CALIB_QUERIES)
-          .select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("qvec"))
-          .withColumn("trunc_dim",
-                      F.explode(F.array(*[F.lit(m) for m in TRUNC_DIMS]))))
-    d = emb.select(F.col("vec_id").alias("doc_id"),
-                   F.col("embedding").alias("dvec"))
-    t_dot = ("aggregate(zip_with(slice(qvec, 1, trunc_dim), "
-             "slice(dvec, 1, trunc_dim), "
-             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-             "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    t_qn = ("sqrt(aggregate(zip_with(slice(qvec, 1, trunc_dim), "
-            "slice(qvec, 1, trunc_dim), "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
-    t_dn = ("sqrt(aggregate(zip_with(slice(dvec, 1, trunc_dim), "
-            "slice(dvec, 1, trunc_dim), "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
-    scored = (d.crossJoin(F.broadcast(qs))
-              .withColumn("f_score", cosine("qvec", "dvec"))
-              .withColumn("t_score",
-                          F.expr(f"CASE WHEN {t_qn} > 0 AND {t_dn} > 0 "
-                                 f"THEN {t_dot} / ({t_qn} * {t_dn}) "
-                                 "ELSE CAST(0 AS DOUBLE) END"))
-              .withColumn("err_pico",
-                          F.round(F.abs(F.col("t_score") - F.col("f_score"))
-                                  * F.lit(1e12)).cast("long"))
-              .select("query_id", "trunc_dim", "doc_id", "f_score",
-                      "t_score", "err_pico")
-              .localCheckpoint(eager=True))
+    scored = _trunc_scored(emb).localCheckpoint(eager=True)
     per_q = scored.groupBy("query_id", "trunc_dim").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("err_pico").cast("double") / F.count("*") / F.lit(1e12))

@@ -391,3 +391,47 @@ def test_weighted_median_scalable_windows_are_pid_keyed(spark):
     p = formatted_plan(agg_weighted_median_scalable(spark, SF_SMOKE))
     specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
     assert specs and all(s.startswith("__pid#") for s in specs), specs
+
+
+def test_kmv_sketch_windows_prune_with_group_limit(spark):
+    """The KMV sub-sketch rank<=K filters must compile to WindowGroupLimit
+    (per-partition partial bottom-K BEFORE the exchange) — the property
+    that keeps per-slice wire traffic at K slim rows regardless of slice
+    cardinality.  No cartesian anywhere."""
+    import re
+
+    from binaryvectordb_spark.queries.analytics3 import sketch_kmv_mergeable
+
+    p = formatted_plan(sketch_kmv_mergeable(spark, SF_SMOKE))
+    wgl = re.findall(r"WindowGroupLimit", p)
+    assert len(wgl) >= 2, p  # at least the (grp,salt) and (grp) merges
+    assert "CartesianProduct" not in p
+
+
+def test_trunc_dim_error_single_scan_broadcast_shape(spark):
+    """quant_trunc_dim_error, both plan halves: (a) the scoring plan
+    (pre-checkpoint — the eager localCheckpoint truncates lineage, so it
+    must be pinned on the exposed helper) broadcasts the 16-row
+    (query x dim) side against ONE corpus scan, never a shuffled join;
+    (b) the post-checkpoint consumers share the checkpointed narrow
+    frame (ExistingRDD) and every top-10 ranking prunes with
+    WindowGroupLimit."""
+    from binaryvectordb_spark.queries.vector import (
+        _tables,
+        _trunc_scored,
+        quant_trunc_dim_error,
+    )
+
+    emb, _ = _tables(spark, SF_SMOKE)
+    ps = formatted_plan(_trunc_scored(emb))
+    assert "BroadcastNestedLoopJoin" in ps, ps
+    assert "Exchange hashpartitioning" not in ps, ps  # map-side scoring
+    import re as _re
+    # corpus + the 8-row query side only (formatted explain lists each
+    # node once in the tree and once in the detail section)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", ps)) == 2, ps
+
+    p = formatted_plan(quant_trunc_dim_error(spark, SF_SMOKE))
+    assert "ExistingRDD" in p          # the shared checkpointed frame
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
