@@ -161,12 +161,25 @@ def bench_1m_scan(spark, sf_dir: str,
         train_pq,
     )
     books = train_pq(big, dim, id_col="vec_id", emb_col="embedding")
-    t0 = time.perf_counter()
-    codes = pq_encode(big, books, id_col="vec_id",
-                      emb_col="embedding").cache()
-    n_codes = codes.count()
-    out["pq_encode_mvecs_per_s"] = round(
-        n_codes / (time.perf_counter() - t0) / 1e6, 2)
+    # median-of-3 fresh encodes: the single-shot form swung 0.23 -> 0.09
+    # Mvecs/s across driver sessions (r10 vs r11) on identical code — the
+    # one-sample key rode whatever JIT/GC state the run had reached; the
+    # first two encodes are timed throwaways (cache dropped), the third
+    # stays cached for the ADC scans below
+    enc_samples = []
+    codes, n_codes = None, 0
+    for i in range(3):
+        t0 = time.perf_counter()
+        codes = pq_encode(big, books, id_col="vec_id",
+                          emb_col="embedding").cache()
+        n_codes = codes.count()
+        enc_samples.append(time.perf_counter() - t0)
+        if i < 2:
+            codes.unpersist()
+    enc_med = statistics.median(enc_samples)
+    out["pq_encode_mvecs_per_s"] = round(n_codes / enc_med / 1e6, 2)
+    variance["pq_encode_mvecs_per_s"] = round(
+        (max(enc_samples) - min(enc_samples)) / enc_med, 2)
     qvec0 = [float(v) for v in
              emb.where(F.col("vec_id") == 0).first()["embedding"]]
 

@@ -1473,3 +1473,96 @@ SELECT grp, n_exact, n_sketch, kth_hash, est_ndv,
          AS err_permille
 FROM est
 """)
+
+
+# -- bottom-k hash-sample quantiles: the third mergeable-sketch discipline --
+
+BKQ_K = 256
+_BKQ_QS = (25, 50, 75, 90)
+
+
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sample quantile estimation — completing the
+    sketch trio (CMS = heavy hitters, KMV = distinct counts, bottom-k
+    sample = quantiles; all three mergeable, all three exact oracle
+    data).  The sample is the K rows with the smallest 48-bit md5 hash
+    of their unique key — a uniform row sample that is DETERMINISTIC
+    (no RNG, no partition dependence) and mergeable by the same
+    set-union bottom-K rule as the KMV sketch, so shards/days can
+    maintain local samples and union at read time.
+
+    Per q ∈ {25, 50, 75, 90}: the nearest-rank pick over the sorted
+    sample (rank 1 + (q·(k−1)) div 100 — pure integer arithmetic) vs
+    the TRUE nearest-rank quantile over the full table, err in exact
+    integer cents and permille.  The error column is data, not
+    tolerance: whatever the sample misses, both engines compute the
+    same miss.
+
+    Scale: the sample is orderBy(hash).limit(K) — TakeOrderedAndProject
+    (per-partition partial bottom-K, never a global sort shuffle); the
+    true quantile avoids the un-partitioned window via the scale-safe
+    exact-rank operator (operators/ranks.py), probed by a 4-row
+    broadcast of rank targets; the only constant-partition window ranks
+    the ≤K-row sample (the bounded-candidate pattern).  The row thereby
+    cross-verifies the repo's two top-k disciplines against each other."""
+    from binaryvectordb_spark.operators.ranks import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
+               16, 10).cast("long")
+    samp = (o.withColumn("h", h).orderBy("h").limit(BKQ_K)
+            .select("o_orderkey", "cents"))
+    w = Window.partitionBy(F.lit(1)).orderBy("cents", "o_orderkey")
+    samp_rk = samp.withColumn("rn", F.row_number().over(w))
+    kc = samp_rk.agg(F.count("*").cast("bigint").alias("k_sample"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _BKQ_QS])).alias("q"))
+    est = (qs.crossJoin(F.broadcast(kc))
+           .withColumn("srank", F.expr("1 + (q * (k_sample - 1)) div 100"))
+           .join(samp_rk, F.col("srank") == F.col("rn"))
+           .select("q", "k_sample", F.col("cents").alias("est_cents")))
+    ranked, n = with_global_rank(o, ["cents", "o_orderkey"], "grank")
+    targets = spark.createDataFrame(
+        [(q, 1 + (q * (n - 1)) // 100, n) for q in _BKQ_QS],
+        "q int, trank long, n_rows long")
+    tru = (ranked.join(F.broadcast(targets),
+                       F.col("grank") == F.col("trank"))
+           .select("q", "n_rows", F.col("cents").alias("true_cents")))
+    return (est.join(tru, "q")
+            .select("q", "n_rows", "k_sample", "est_cents", "true_cents",
+                    F.abs(F.col("est_cents") - F.col("true_cents"))
+                    .alias("err_cents"),
+                    F.expr("(abs(est_cents - true_cents) * 1000)"
+                           " div true_cents").cast("bigint")
+                    .alias("err_permille")))
+
+
+register("sketch_bottomk_quantiles", sketch_bottomk_quantiles, oracle=f"""
+WITH o AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                    ::BIGINT AS h
+           FROM orders),
+qs AS (SELECT * FROM (VALUES (25), (50), (75), (90)) t(q)),
+samp AS (SELECT cents, o_orderkey,
+                row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+         FROM (SELECT * FROM o ORDER BY h LIMIT {BKQ_K})),
+kc AS (SELECT CAST(count(*) AS BIGINT) AS k_sample FROM samp),
+full_rk AS (SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_orderkey) AS grank
+            FROM o),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM o),
+est AS (SELECT q, k_sample, s.cents AS est_cents
+        FROM qs CROSS JOIN kc
+        JOIN samp s ON s.rn = 1 + (q * (k_sample - 1)) // 100),
+tru AS (SELECT q, n_rows, f.cents AS true_cents
+        FROM qs CROSS JOIN nc
+        JOIN full_rk f ON f.grank = 1 + (q * (n_rows - 1)) // 100)
+SELECT e.q, t.n_rows, e.k_sample, e.est_cents, t.true_cents,
+       abs(e.est_cents - t.true_cents) AS err_cents,
+       CAST((abs(e.est_cents - t.true_cents) * 1000) // t.true_cents
+            AS BIGINT) AS err_permille
+FROM est e JOIN tru t ON e.q = t.q
+""")

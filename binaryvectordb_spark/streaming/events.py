@@ -754,3 +754,130 @@ def read_value_outliers(spark: SparkSession, out_dir: str) -> DataFrame:
                        .otherwise(0)).cast("bigint").alias("n_outliers"),
                  F.max(F.when(F.col("is_outlier"), F.col("v_c")))
                  .alias("max_outlier_cents")))
+
+
+# -- KMV bottom-k NDV sketch, streamed ---------------------------------------
+
+KMV_STREAM_K = 128
+_KMV_SPACE = 1 << 48
+
+
+def _kmv_hash(col: str):
+    """First 48 bits of md5 as bigint — the exact recipe of
+    queries/analytics3.py::sketch_kmv_mergeable (shared so stream and
+    batch sketches are hash-compatible by construction)."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 12),
+                  16, 10).cast("long")
+
+
+def kmv_direct(events_df: DataFrame, k: int = KMV_STREAM_K) -> DataFrame:
+    """The definitional batch spec the streaming sketch must equal: per
+    event_type (plus the union-merged ALL row), the bottom-k user_id
+    hash set folded to (grp, n_sketch, kth_hash, est_ndv) with the KMV
+    integer estimator."""
+    from pyspark.sql import Window
+
+    hashed = events_df.select(F.col("event_type").alias("grp"),
+                              _kmv_hash("user_id").alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    grp_sk = (hashed.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= k).select("grp", "h"))
+    w_all = Window.partitionBy(F.lit(1)).orderBy("h")
+    all_sk = (grp_sk.select("h").distinct()
+              .withColumn("grp", F.lit("ALL"))
+              .withColumn("rn", F.row_number().over(w_all))
+              .where(F.col("rn") <= k).select("grp", "h"))
+    num = (k - 1) * _KMV_SPACE
+    return (grp_sk.unionByName(all_sk)
+            .groupBy("grp")
+            .agg(F.count("*").cast("bigint").alias("n_sketch"),
+                 F.max("h").alias("kth_hash"))
+            .withColumn("est_ndv",
+                        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+                        .otherwise(F.expr(
+                            f"CAST({num} AS BIGINT) div kth_hash"))
+                        .cast("bigint")))
+
+
+def foreach_batch_kmv_sketch(events: DataFrame, out_dir: str,
+                             checkpoint_dir: str,
+                             k: int = KMV_STREAM_K):
+    """Streaming twin of the KMV bottom-k NDV sketch
+    (queries/analytics3.py::sketch_kmv_mergeable) — incrementally
+    maintained per-event_type distinct-user sketches, exactly-once under
+    micro-batch replay (meta-pointer versioned state).
+
+    State = the per-group bottom-k hash SET — a set-union CRDT:
+    commutative, associative, AND idempotent, so unlike the sequence
+    twins this fold needs NO ordering contract (any event_id/time split
+    of the stream converges to the same state), and a replayed batch
+    would be harmless even without the meta guard (kept for job
+    hygiene).  The strongest member of the exactly-once taxonomy:
+    additive counts tolerate reordering but not replay; distinct fact
+    sets tolerate both but grow with the data; the KMV set tolerates
+    both at CONSTANT state — |types|·k slim rows, so the per-batch
+    rewrite is bounded and coalesce(1) is the right physical shape.
+
+    Read-side NDV (read_kmv_ndv) derives per-group estimates AND the
+    union-merged ALL row from the same state — the mergeability theorem
+    the batch query pins cross-engine."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    spark = events.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        meta = _read_meta(out_dir)
+        if batch_id <= meta.get("last_batch", -1):
+            return
+        delta = (batch_df.select(F.col("event_type").alias("grp"),
+                                 _kmv_hash("user_id").alias("h"))
+                 .distinct())
+        if meta.get("sketch"):
+            cur = spark.read.parquet(_os.path.join(out_dir, meta["sketch"]))
+            merged = cur.unionByName(delta).distinct()
+        else:
+            merged = delta
+        w = Window.partitionBy("grp").orderBy("h")
+        sk = (merged.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= k).select("grp", "h"))
+        sdir = f"sketch_v{batch_id}"
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, sdir))
+        _commit_meta(out_dir, {"sketch": sdir, "last_batch": batch_id,
+                               "k": k}, {sdir})
+
+    return (events.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_kmv_ndv(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(grp, n_sketch, kth_hash, est_ndv) per event_type plus the
+    union-merged ALL row, derived from the committed sketch state with
+    the same integer estimator as the batch twin."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    meta = _read_meta(out_dir)
+    sk = spark.read.parquet(
+        _os.path.join(out_dir, _state_dir(meta, "sketch", out_dir)))
+    k = meta["k"]
+    w_all = Window.partitionBy(F.lit(1)).orderBy("h")
+    all_sk = (sk.select("h").distinct()
+              .withColumn("grp", F.lit("ALL"))
+              .withColumn("rn", F.row_number().over(w_all))
+              .where(F.col("rn") <= k).select("grp", "h"))
+    num = (k - 1) * _KMV_SPACE
+    return (sk.unionByName(all_sk)
+            .groupBy("grp")
+            .agg(F.count("*").cast("bigint").alias("n_sketch"),
+                 F.max("h").alias("kth_hash"))
+            .withColumn("est_ndv",
+                        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+                        .otherwise(F.expr(
+                            f"CAST({num} AS BIGINT) div kth_hash"))
+                        .cast("bigint")))

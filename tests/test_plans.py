@@ -435,3 +435,24 @@ def test_trunc_dim_error_single_scan_broadcast_shape(spark):
     assert "ExistingRDD" in p          # the shared checkpointed frame
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_bottomk_quantiles_toap_and_pid_windows(spark):
+    """sketch_bottomk_quantiles: the hash sample must compile to
+    TakeOrderedAndProject (per-partition partial bottom-K, never a
+    global sort shuffle), and the only window specs allowed are the
+    bounded <=K-row sample rank and the __pid-keyed scale-safe rank —
+    no data-sized un-partitioned window, no cartesian."""
+    import re
+
+    from binaryvectordb_spark.queries.analytics3 import (
+        sketch_bottomk_quantiles,
+    )
+
+    p = formatted_plan(sketch_bottomk_quantiles(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    assert specs, p
+    for s in specs:
+        assert s.startswith("__pid#") or s.startswith("cents#"), specs

@@ -658,3 +658,65 @@ def test_streaming_cohort_state_partitioned_append_only(spark, tmp_path):
     cols = ["cohort_day", "week_offset", "n_active"]
     assert (_rows(read_cohort_retention(spark, out), cols)
             == _rows(events_cohort_retention(spark, SF_SMOKE), cols))
+
+
+def test_streaming_kmv_sketch_matches_batch_orderfree(spark, tmp_path):
+    """The incrementally maintained KMV sketch must equal the
+    definitional batch spec (kmv_direct) after a 3-trigger stream split
+    by event_id (NOT time — the set-union state is a CRDT, so no
+    ordering contract exists to honor), be replay-idempotent, and be
+    granularity-invariant (1 batch == 3 batches)."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.sources.tables import load_table
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_kmv_sketch,
+        kmv_direct,
+        read_events_stream,
+        read_kmv_ndv,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    in_dir = tmp_path / "kmv_in"
+    in_dir.mkdir()
+    stage = tmp_path / "kmv_stage"
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for i in range(3):
+            part = stage / f"p{i}"
+            (ev.where(F.col("event_id") % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(str(part)))
+            src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+            _shutil.copy(src, in_dir / f"b{i}.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    cols = ["grp", "n_sketch", "kth_hash", "est_ndv"]
+    want = _rows(kmv_direct(ev), cols)
+
+    out = str(tmp_path / "kmv_state")
+    q = foreach_batch_kmv_sketch(
+        read_events_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out, str(tmp_path / "ck1"))
+    q.awaitTermination()
+    assert _rows(read_kmv_ndv(spark, out), cols) == want
+
+    # replay over a fresh checkpoint: same state dir, nothing changes
+    q2 = foreach_batch_kmv_sketch(
+        read_events_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out, str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert _rows(read_kmv_ndv(spark, out), cols) == want
+
+    # granularity invariance: one single batch == three batches
+    out1 = str(tmp_path / "kmv_state_one")
+    q3 = foreach_batch_kmv_sketch(
+        read_events_stream(spark, str(in_dir)),
+        out1, str(tmp_path / "ck3"))
+    q3.awaitTermination()
+    assert _rows(read_kmv_ndv(spark, out1), cols) == want
