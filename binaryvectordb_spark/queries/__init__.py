@@ -61,7 +61,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # knn_label_vote) — the registry's stalest hashes (age 4 by r11: the
 # flagship knn_cascade family, the ANN variants, the TPC-H head; VERDICT
 # r10 item 2); (c) round-8 head entries fill the window to exactly 50
-# (5 r11 additions + 39 r7 + 6 r8-head = 50; the last three r8-head names
+# (6 r11 additions + 39 r7 + 5 r8-head = 50; the last four r8-head names
 # below now sit just behind the window and lead the r12 core instead).
 # Behind the window, in next-round priority order: the r8 remainder (age 3
 # at r12 — the r12 window's natural core), the r9 cohort (age 2), then
@@ -73,6 +73,7 @@ _PRIORITY = [
     "sketch_kmv_mergeable",
     "quant_trunc_dim_error",
     "sketch_bottomk_quantiles",
+    "join_salted_skew",
     # (b) round-7 cohort remainder (age 4), full re-hash this round
     "curation_funnel",
     "agg_pivot_status",

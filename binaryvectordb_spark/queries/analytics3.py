@@ -1566,3 +1566,50 @@ SELECT e.q, t.n_rows, e.k_sample, e.est_cents, t.true_cents,
             AS BIGINT) AS err_permille
 FROM est e JOIN tru t ON e.q = t.q
 """)
+
+
+# -- explicit salted join: skew-safe join as a driver row -------------------
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit salted JOIN (operators/skew.py::salted_join) as an
+    oracle-backed row — completing the skew family next to
+    agg_salted_skew_twostage: the big side salts each row by
+    xxhash64⊕monotonic id mod 8, the small side is exploded 8×, and the
+    join runs on (key, salt) so a hot key's rows split across 8 tasks.
+    AQE's skew split handles sort-merge joins transparently; the
+    explicit form is the user-land fallback for what AQE cannot fix
+    (a hot key on the BUILD side of a broadcast join, pre-AQE engines).
+
+    The ORACLE is the plain unsalted join — the row pins the repo's
+    persisted/recompute discipline: salting may change the plan, never
+    the answer.  (The salt column itself is routing-nondeterministic;
+    the join RESULT is exact, and the aggregated integers are
+    fold-order-safe bigints.)
+
+    Scale: small side is replicated n_salts times (keep it dim-sized);
+    the big side is scanned once and shuffles on (key, salt) — each of
+    the 25 nation keys spreads over 8 reducers instead of hot-spotting
+    one."""
+    from binaryvectordb_spark.operators.skew import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k"), "c_acctbal", "c_custkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), "n_name")
+    j = salted_join(cust, nat, "k", n_salts=8)
+    return (j.groupBy("n_name")
+            .agg(F.count("*").cast("bigint").alias("n_customers"),
+                 F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                 .cast("bigint").alias("sum_acctbal_cents"),
+                 F.sum("c_custkey").cast("bigint")
+                 .alias("custkey_checksum")))
+
+
+register("join_salted_skew", join_salted_skew, oracle="""
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_acctbal_cents,
+       CAST(sum(c_custkey) AS BIGINT) AS custkey_checksum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
