@@ -56,13 +56,14 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # registry queries and a 50-query window, the max driver-hash age floor is
 # ceil(190/50) = 4 rounds, NOT 2 — the r10 comment's "no hash older than 2
 # rounds" claim was arithmetic spin and is retracted (VERDICT r10 item 2).
-# This round's window: (a) the 2 round-11 additions — never driver-hashed;
+# This round's window, 6 + 39 + 5 = 50 exactly: (a) the SIX round-11
+# additions — never driver-hashed (2 from session 1, 4 from session 2);
 # (b) the FULL 39-query round-7 cohort remainder (curation_funnel ..
 # knn_label_vote) — the registry's stalest hashes (age 4 by r11: the
 # flagship knn_cascade family, the ANN variants, the TPC-H head; VERDICT
-# r10 item 2); (c) round-8 head entries fill the window to exactly 50
-# (6 r11 additions + 39 r7 + 5 r8-head = 50; the last four r8-head names
-# below now sit just behind the window and lead the r12 core instead).
+# r10 item 2); (c) the first FIVE round-8 head entries fill the window
+# (the last four r8-head names below sit just behind the window and lead
+# the r12 core instead).
 # Behind the window, in next-round priority order: the r8 remainder (age 3
 # at r12 — the r12 window's natural core), the r9 cohort (age 2), then
 # everything hashed in round 10 (freshest, least new signal).

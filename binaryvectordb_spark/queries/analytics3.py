@@ -1364,8 +1364,24 @@ FROM j GROUP BY event_type
 # -- KMV (bottom-k) mergeable NDV sketch: value-exact across engines --------
 
 KMV_K = 128
-_KMV_SPACE = 1 << 48                       # 12 hex chars of md5 = 48 bits
-_KMV_NUM = (KMV_K - 1) * _KMV_SPACE        # (K-1)/h_k scaled to the space
+
+
+def _kmv_grp_sketch(hashed: DataFrame) -> DataFrame:
+    """Pre-checkpoint sketch pipeline for sketch_kmv_mergeable: raw
+    (grp, salt, h) rows → per-slice dense_rank ≤ K (PARTIAL
+    WindowGroupLimit prunes each map partition to the rows of its K
+    smallest hashes BEFORE the exchange) → distinct → per-group
+    row_number ≤ K.  Split out so tests can pin THIS plan — the query's
+    eager localCheckpoint truncates it out of the final explain."""
+    w_slice = Window.partitionBy("grp", "salt").orderBy("h")
+    sub_sk = (hashed.select("grp", "salt", "h")
+              .withColumn("dr", F.dense_rank().over(w_slice))
+              .where(F.col("dr") <= KMV_K)
+              .select("grp", "h").distinct())
+    w_grp = Window.partitionBy("grp").orderBy("h")
+    return (sub_sk
+            .withColumn("rn", F.row_number().over(w_grp))
+            .where(F.col("rn") <= KMV_K).select("grp", "h"))
 
 
 def sketch_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,30 +1405,33 @@ def sketch_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice's bottom-K.  No tolerance anywhere — even err_permille is
     exact integer division.
 
-    Scale: sub-sketches are the partial-aggregate shape (each slice's
-    row_number ≤ K compiles to WindowGroupLimit — per-partition partial
-    top-K before the exchange); only K slim (grp, salt, h) rows per
-    slice ever cross the wire, and the merge windows rank O(G·K·8)
-    bounded rows.  The exact-NDV columns are one countDistinct of the
-    8-byte key — the only full-width shuffle, present only because the
-    fixture-scale row reports its own truth."""
+    Scale: the sub-sketch rank runs BEFORE any dedup — dense_rank ≤ K
+    over raw rows counts distinct hashes, and its window compiles to a
+    PARTIAL WindowGroupLimit that prunes each map partition to the rows
+    of its K smallest hashes before the exchange (plan-pinned: the
+    first WindowGroupLimit sits below the first shuffle; the previous
+    distinct-then-rank form shipped the FULL distinct hash set across
+    the wire first).  The merge windows rank ≤ G·8·K bounded rows, and
+    the per-group sketch frame is localCheckpointed once so the output
+    branch and the ALL branch reuse it instead of re-running the corpus
+    pipeline per Union arm.  The exact-NDV columns reduce to ONE
+    distinct (grp, key) frame, also checkpointed and shared by both
+    truth aggregates — present only because the fixture-scale row
+    reports its own error."""
+    from binaryvectordb_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_hash48,
+    )
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_custkey", "o_orderkey")
-    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
-               16, 10).cast("long")
-    hashed = o.select(F.col("o_orderpriority").alias("grp"), h.alias("h"),
+    hashed = o.select(F.col("o_orderpriority").alias("grp"),
+                      kmv_hash48("o_custkey").alias("h"),
                       (F.col("o_orderkey") % 8).alias("salt"), "o_custkey")
-    # per-(grp, salt) sub-sketch: bottom-K of the slice's distinct hashes
-    w_slice = Window.partitionBy("grp", "salt").orderBy("h")
-    sub_sk = (hashed.select("grp", "salt", "h").distinct()
-              .withColumn("rn", F.row_number().over(w_slice))
-              .where(F.col("rn") <= KMV_K).select("grp", "h"))
-    # union-merge the 8 sub-sketches per group (distinct: cross-slice hash
-    # collisions between different custkeys dedup exactly as in the oracle)
-    w_grp = Window.partitionBy("grp").orderBy("h")
-    grp_sk = (sub_sk.distinct()
-              .withColumn("rn", F.row_number().over(w_grp))
-              .where(F.col("rn") <= KMV_K))
+    # per-(grp, salt) sub-sketches union-merged per group (_kmv_grp_sketch,
+    # plan-pinned there); checkpoint the tiny (<= G*K rows) result so both
+    # consumers below share it
+    grp_sk = _kmv_grp_sketch(hashed).localCheckpoint(eager=True)
     # union-merge the per-group sketches into the ALL sketch (bounded
     # G*K rows — the constant-partition window is the bounded-candidate
     # pattern, never a data-sized funnel)
@@ -1421,22 +1440,22 @@ def sketch_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("grp", F.lit("ALL"))
               .withColumn("rn", F.row_number().over(w_all))
               .where(F.col("rn") <= KMV_K))
-    sk = (grp_sk.select("grp", "h").unionByName(all_sk.select("grp", "h"))
+    sk = (grp_sk.unionByName(all_sk.select("grp", "h"))
           .groupBy("grp")
           .agg(F.count("*").cast("bigint").alias("n_sketch"),
                F.max("h").alias("kth_hash")))
-    ex = (hashed.groupBy("grp")
-          .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_exact"))
+    # ONE distinct (grp, key) frame carries both exact-NDV truths
+    dk = (hashed.select("grp", "o_custkey").distinct()
+          .localCheckpoint(eager=True))
+    ex = (dk.groupBy("grp")
+          .agg(F.count("*").cast("bigint").alias("n_exact"))
           .unionByName(
-              hashed.agg(F.countDistinct("o_custkey").cast("bigint")
-                         .alias("n_exact"))
+              dk.agg(F.countDistinct("o_custkey").cast("bigint")
+                     .alias("n_exact"))
               .select(F.lit("ALL").alias("grp"), "n_exact")))
     out = (sk.join(ex, "grp")
            .withColumn("est_ndv",
-                       F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch"))
-                       .otherwise(F.expr(
-                           f"CAST({_KMV_NUM} AS BIGINT) div kth_hash"))
-                       .cast("bigint"))
+                       kmv_estimate("n_sketch", "kth_hash", KMV_K))
            .withColumn("err_permille",
                        F.expr("(abs(est_ndv - n_exact) * 1000)"
                               " div n_exact").cast("bigint")))
@@ -1444,11 +1463,15 @@ def sketch_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "err_permille")
 
 
+from binaryvectordb_spark.functions.sketch import (  # noqa: E402
+    kmv_estimate_sql,
+    kmv_hash48_sql,
+)
+
 register("sketch_kmv_mergeable", sketch_kmv_mergeable, oracle=f"""
 WITH hashed AS (
   SELECT o_orderpriority AS grp, o_custkey,
-         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
-           AS h
+         {kmv_hash48_sql('o_custkey')} AS h
   FROM orders),
 hu AS (SELECT DISTINCT grp, h FROM hashed
        UNION ALL
@@ -1465,8 +1488,8 @@ ex AS (SELECT grp, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
        SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT)
        FROM hashed),
 est AS (SELECT s.grp, e.n_exact, s.n_sketch, s.kth_hash,
-               CAST(CASE WHEN s.n_sketch < {KMV_K} THEN s.n_sketch
-                    ELSE {_KMV_NUM} // s.kth_hash END AS BIGINT) AS est_ndv
+               {kmv_estimate_sql('s.n_sketch', 's.kth_hash', KMV_K)}
+                 AS est_ndv
         FROM sk s JOIN ex e ON s.grp = e.grp)
 SELECT grp, n_exact, n_sketch, kth_hash, est_ndv,
        CAST((abs(est_ndv - n_exact) * 1000) // n_exact AS BIGINT)
@@ -1479,6 +1502,21 @@ FROM est
 
 BKQ_K = 256
 _BKQ_QS = (25, 50, 75, 90)
+
+
+def _bkq_sample(o: DataFrame) -> DataFrame:
+    """Pre-checkpoint sample plan for sketch_bottomk_quantiles: the K
+    rows with the smallest (hash, key) — TakeOrderedAndProject, pinned
+    by tests on THIS helper because the query's eager localCheckpoint
+    truncates it out of the final explain.  The o_orderkey tie-break
+    makes the sample a TOTAL order: without it a 48-bit hash collision
+    straddling the K boundary would leave membership engine- and
+    layout-dependent (r11 review)."""
+    from binaryvectordb_spark.functions.sketch import kmv_hash48
+
+    return (o.withColumn("h", kmv_hash48("o_orderkey"))
+            .orderBy("h", "o_orderkey").limit(BKQ_K)
+            .select("o_orderkey", "cents"))
 
 
 def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,10 +1548,9 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
-               16, 10).cast("long")
-    samp = (o.withColumn("h", h).orderBy("h").limit(BKQ_K)
-            .select("o_orderkey", "cents"))
+    # checkpoint the <=K-row sample once: the count aggregate and the
+    # rank-probe join below otherwise each re-run the corpus TOAP scan
+    samp = _bkq_sample(o).localCheckpoint(eager=True)
     w = Window.partitionBy(F.lit(1)).orderBy("cents", "o_orderkey")
     samp_rk = samp.withColumn("rn", F.row_number().over(w))
     kc = samp_rk.agg(F.count("*").cast("bigint").alias("k_sample"))
@@ -1542,13 +1579,12 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("sketch_bottomk_quantiles", sketch_bottomk_quantiles, oracle=f"""
 WITH o AS (SELECT o_orderkey,
                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-                  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
-                    ::BIGINT AS h
+                  {kmv_hash48_sql('o_orderkey')} AS h
            FROM orders),
 qs AS (SELECT * FROM (VALUES (25), (50), (75), (90)) t(q)),
 samp AS (SELECT cents, o_orderkey,
                 row_number() OVER (ORDER BY cents, o_orderkey) AS rn
-         FROM (SELECT * FROM o ORDER BY h LIMIT {BKQ_K})),
+         FROM (SELECT * FROM o ORDER BY h, o_orderkey LIMIT {BKQ_K})),
 kc AS (SELECT CAST(count(*) AS BIGINT) AS k_sample FROM samp),
 full_rk AS (SELECT cents,
                    row_number() OVER (ORDER BY cents, o_orderkey) AS grank

@@ -664,9 +664,7 @@ def _trunc_scored(emb: DataFrame) -> DataFrame:
     from the final explain."""
     qs = (emb.where(F.col("vec_id") < N_CALIB_QUERIES)
           .select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("qvec"))
-          .withColumn("trunc_dim",
-                      F.explode(F.array(*[F.lit(m) for m in TRUNC_DIMS]))))
+                  F.col("embedding").alias("qvec")))
     d = emb.select(F.col("vec_id").alias("doc_id"),
                    F.col("embedding").alias("dvec"))
     t_dot = ("aggregate(zip_with(slice(qvec, 1, trunc_dim), "
@@ -681,8 +679,14 @@ def _trunc_scored(emb: DataFrame) -> DataFrame:
             "slice(dvec, 1, trunc_dim), "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
+    # f_score BEFORE the trunc_dim explode: the full-dim cosine depends
+    # only on (query, doc), so computing it on the un-exploded pairs and
+    # letting Generate duplicate the value halves the dominant map-side
+    # scoring work (r11 review)
     return (d.crossJoin(F.broadcast(qs))
             .withColumn("f_score", cosine("qvec", "dvec"))
+            .withColumn("trunc_dim",
+                        F.explode(F.array(*[F.lit(m) for m in TRUNC_DIMS])))
             .withColumn("t_score",
                         F.expr(f"CASE WHEN {t_qn} > 0 AND {t_dn} > 0 "
                                f"THEN {t_dot} / ({t_qn} * {t_dn}) "

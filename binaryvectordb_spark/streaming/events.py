@@ -759,44 +759,46 @@ def read_value_outliers(spark: SparkSession, out_dir: str) -> DataFrame:
 # -- KMV bottom-k NDV sketch, streamed ---------------------------------------
 
 KMV_STREAM_K = 128
-_KMV_SPACE = 1 << 48
 
 
-def _kmv_hash(col: str):
-    """First 48 bits of md5 as bigint — the exact recipe of
-    queries/analytics3.py::sketch_kmv_mergeable (shared so stream and
-    batch sketches are hash-compatible by construction)."""
-    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 12),
-                  16, 10).cast("long")
+def _kmv_fold(sk: DataFrame, k: int) -> DataFrame:
+    """Fold a distinct (grp, h) sketch table to the read-side schema
+    (grp rows + the union-merged ALL row) with the shared estimator —
+    used by both kmv_direct and read_kmv_ndv so the two derivations
+    cannot drift."""
+    from pyspark.sql import Window
+
+    from binaryvectordb_spark.functions.sketch import kmv_estimate
+
+    w_all = Window.partitionBy(F.lit(1)).orderBy("h")
+    all_sk = (sk.select("h").distinct()
+              .withColumn("grp", F.lit("ALL"))
+              .withColumn("rn", F.row_number().over(w_all))
+              .where(F.col("rn") <= k).select("grp", "h"))
+    return (sk.unionByName(all_sk)
+            .groupBy("grp")
+            .agg(F.count("*").cast("bigint").alias("n_sketch"),
+                 F.max("h").alias("kth_hash"))
+            .withColumn("est_ndv", kmv_estimate("n_sketch", "kth_hash", k)))
 
 
 def kmv_direct(events_df: DataFrame, k: int = KMV_STREAM_K) -> DataFrame:
     """The definitional batch spec the streaming sketch must equal: per
     event_type (plus the union-merged ALL row), the bottom-k user_id
     hash set folded to (grp, n_sketch, kth_hash, est_ndv) with the KMV
-    integer estimator."""
+    integer estimator (hash + estimator from functions/sketch.py — the
+    SAME definitions the batch registry query uses, so stream/batch
+    hash-compatibility is by construction)."""
     from pyspark.sql import Window
 
+    from binaryvectordb_spark.functions.sketch import kmv_hash48
+
     hashed = events_df.select(F.col("event_type").alias("grp"),
-                              _kmv_hash("user_id").alias("h")).distinct()
+                              kmv_hash48("user_id").alias("h")).distinct()
     w = Window.partitionBy("grp").orderBy("h")
     grp_sk = (hashed.withColumn("rn", F.row_number().over(w))
               .where(F.col("rn") <= k).select("grp", "h"))
-    w_all = Window.partitionBy(F.lit(1)).orderBy("h")
-    all_sk = (grp_sk.select("h").distinct()
-              .withColumn("grp", F.lit("ALL"))
-              .withColumn("rn", F.row_number().over(w_all))
-              .where(F.col("rn") <= k).select("grp", "h"))
-    num = (k - 1) * _KMV_SPACE
-    return (grp_sk.unionByName(all_sk)
-            .groupBy("grp")
-            .agg(F.count("*").cast("bigint").alias("n_sketch"),
-                 F.max("h").alias("kth_hash"))
-            .withColumn("est_ndv",
-                        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
-                        .otherwise(F.expr(
-                            f"CAST({num} AS BIGINT) div kth_hash"))
-                        .cast("bigint")))
+    return _kmv_fold(grp_sk, k)
 
 
 def foreach_batch_kmv_sketch(events: DataFrame, out_dir: str,
@@ -829,11 +831,13 @@ def foreach_batch_kmv_sketch(events: DataFrame, out_dir: str,
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        from binaryvectordb_spark.functions.sketch import kmv_hash48
+
         meta = _read_meta(out_dir)
         if batch_id <= meta.get("last_batch", -1):
             return
         delta = (batch_df.select(F.col("event_type").alias("grp"),
-                                 _kmv_hash("user_id").alias("h"))
+                                 kmv_hash48("user_id").alias("h"))
                  .distinct())
         if meta.get("sketch"):
             cur = spark.read.parquet(_os.path.join(out_dir, meta["sketch"]))
@@ -856,28 +860,11 @@ def foreach_batch_kmv_sketch(events: DataFrame, out_dir: str,
 
 def read_kmv_ndv(spark: SparkSession, out_dir: str) -> DataFrame:
     """(grp, n_sketch, kth_hash, est_ndv) per event_type plus the
-    union-merged ALL row, derived from the committed sketch state with
-    the same integer estimator as the batch twin."""
+    union-merged ALL row, derived from the committed sketch state by
+    the same shared fold as the batch spec."""
     import os as _os
-
-    from pyspark.sql import Window
 
     meta = _read_meta(out_dir)
     sk = spark.read.parquet(
         _os.path.join(out_dir, _state_dir(meta, "sketch", out_dir)))
-    k = meta["k"]
-    w_all = Window.partitionBy(F.lit(1)).orderBy("h")
-    all_sk = (sk.select("h").distinct()
-              .withColumn("grp", F.lit("ALL"))
-              .withColumn("rn", F.row_number().over(w_all))
-              .where(F.col("rn") <= k).select("grp", "h"))
-    num = (k - 1) * _KMV_SPACE
-    return (sk.unionByName(all_sk)
-            .groupBy("grp")
-            .agg(F.count("*").cast("bigint").alias("n_sketch"),
-                 F.max("h").alias("kth_hash"))
-            .withColumn("est_ndv",
-                        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
-                        .otherwise(F.expr(
-                            f"CAST({num} AS BIGINT) div kth_hash"))
-                        .cast("bigint")))
+    return _kmv_fold(sk, meta["k"])

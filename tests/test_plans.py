@@ -394,18 +394,42 @@ def test_weighted_median_scalable_windows_are_pid_keyed(spark):
 
 
 def test_kmv_sketch_windows_prune_with_group_limit(spark):
-    """The KMV sub-sketch rank<=K filters must compile to WindowGroupLimit
-    (per-partition partial bottom-K BEFORE the exchange) — the property
-    that keeps per-slice wire traffic at K slim rows regardless of slice
-    cardinality.  No cartesian anywhere."""
+    """The KMV sub-sketch dense_rank<=K must compile to a PARTIAL
+    WindowGroupLimit that sits BELOW the first shuffle in the scan
+    subtree — map partitions are pruned to their K smallest hashes
+    before anything crosses the wire (the r11-review fix: the previous
+    distinct-then-rank form shipped the full distinct hash set through
+    the dedup exchange first).  Formatted explain numbers children
+    lower than parents, so the partial WGL must carry a smaller node id
+    than every hash exchange."""
     import re
 
-    from binaryvectordb_spark.queries.analytics3 import sketch_kmv_mergeable
+    from pyspark.sql import functions as F
 
-    p = formatted_plan(sketch_kmv_mergeable(spark, SF_SMOKE))
-    wgl = re.findall(r"WindowGroupLimit", p)
-    assert len(wgl) >= 2, p  # at least the (grp,salt) and (grp) merges
+    from binaryvectordb_spark.functions.sketch import kmv_hash48
+    from binaryvectordb_spark.queries.analytics3 import (
+        _kmv_grp_sketch,
+        sketch_kmv_mergeable,
+    )
+    from binaryvectordb_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    hashed = o.select(F.col("o_orderpriority").alias("grp"),
+                      kmv_hash48("o_custkey").alias("h"),
+                      (F.col("o_orderkey") % 8).alias("salt"))
+    p = formatted_plan(_kmv_grp_sketch(hashed))
+    wgl_ids = [int(m) for m in
+               re.findall(r"\((\d+)\) WindowGroupLimit", p)]
+    ex_ids = [int(m) for m in
+              re.findall(r"\((\d+)\) Exchange", p)]
+    assert len(wgl_ids) >= 2, p  # at least the (grp,salt) and (grp) merges
+    assert ex_ids and min(wgl_ids) < min(ex_ids), (wgl_ids, ex_ids)
     assert "CartesianProduct" not in p
+
+    # final plan: both Union arms reuse the checkpointed sketch frame
+    pf = formatted_plan(sketch_kmv_mergeable(spark, SF_SMOKE))
+    assert "ExistingRDD" in pf
+    assert "CartesianProduct" not in pf
 
 
 def test_trunc_dim_error_single_scan_broadcast_shape(spark):
@@ -438,19 +462,35 @@ def test_trunc_dim_error_single_scan_broadcast_shape(spark):
 
 
 def test_bottomk_quantiles_toap_and_pid_windows(spark):
-    """sketch_bottomk_quantiles: the hash sample must compile to
-    TakeOrderedAndProject (per-partition partial bottom-K, never a
-    global sort shuffle), and the only window specs allowed are the
+    """sketch_bottomk_quantiles, both plan halves: (a) the sample plan
+    (pre-checkpoint, pinned on the exposed _bkq_sample helper) must
+    compile to TakeOrderedAndProject on the (h, key) TOTAL order —
+    per-partition partial bottom-K, never a global sort shuffle, and
+    the tie-break key present so a boundary hash collision cannot make
+    membership layout-dependent; (b) the final plan reuses the
+    checkpointed sample (ExistingRDD) and its only window specs are the
     bounded <=K-row sample rank and the __pid-keyed scale-safe rank —
     no data-sized un-partitioned window, no cartesian."""
     import re
 
+    from pyspark.sql import functions as F
+
     from binaryvectordb_spark.queries.analytics3 import (
+        _bkq_sample,
         sketch_bottomk_quantiles,
     )
+    from binaryvectordb_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    ps = formatted_plan(_bkq_sample(o))
+    assert "TakeOrderedAndProject" in ps, ps
+    toap = [l for l in ps.splitlines() if "TakeOrderedAndProject" in l]
+    assert any("o_orderkey" in l for l in toap) or "o_orderkey" in ps
 
     p = formatted_plan(sketch_bottomk_quantiles(spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in p
+    assert "ExistingRDD" in p
     assert "CartesianProduct" not in p
     specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
     assert specs, p
