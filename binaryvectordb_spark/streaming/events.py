@@ -834,6 +834,16 @@ def foreach_batch_kmv_sketch(events: DataFrame, out_dir: str,
         from binaryvectordb_spark.functions.sketch import kmv_hash48
 
         meta = _read_meta(out_dir)
+        if meta.get("k", k) != k:
+            # a bottom-k state can serve any k' <= k (subset property),
+            # but widening k against trimmed state would silently miss
+            # hashes already evicted — refuse BEFORE the replay guard
+            # (a config mismatch is an error even for a replayed batch)
+            raise ValueError(
+                f"kmv sketch state at {out_dir} was maintained with "
+                f"k={meta['k']}; restarting the writer with k={k} would "
+                "make the sketch claim hashes it already evicted — use "
+                "the original k or a fresh state dir")
         if batch_id <= meta.get("last_batch", -1):
             return
         delta = (batch_df.select(F.col("event_type").alias("grp"),

@@ -720,3 +720,30 @@ def test_streaming_kmv_sketch_matches_batch_orderfree(spark, tmp_path):
         out1, str(tmp_path / "ck3"))
     q3.awaitTermination()
     assert _rows(read_kmv_ndv(spark, out1), cols) == want
+
+
+def test_streaming_kmv_sketch_rejects_widened_k(spark, tmp_path):
+    """Restarting the sketch writer with a LARGER k than the state was
+    maintained with must fail loudly: trimmed bottom-k state cannot
+    serve a wider k (hashes already evicted), and silently merging
+    would corrupt the sketch."""
+    import pyspark.sql.utils as _u
+
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_kmv_sketch,
+        read_events_stream,
+    )
+
+    in_dir = tmp_path / "kmvk_in"
+    in_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", in_dir / "b0.parquet")
+    out = str(tmp_path / "kmvk_state")
+    q = foreach_batch_kmv_sketch(
+        read_events_stream(spark, str(in_dir)), out,
+        str(tmp_path / "ck1"), k=64)
+    q.awaitTermination()
+    q2 = foreach_batch_kmv_sketch(
+        read_events_stream(spark, str(in_dir)), out,
+        str(tmp_path / "ck2"), k=128)
+    with pytest.raises(_u.StreamingQueryException, match="evicted"):
+        q2.awaitTermination()
