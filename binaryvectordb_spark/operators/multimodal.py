@@ -524,3 +524,91 @@ def frame_sample(payload_df: DataFrame, frame_size: int = 4,
 
     return payload_df.select("doc_id", "image_bytes").mapInPandas(
         gen, schema=FRAME_SCHEMA)
+
+
+# -- BMP: the fourth REAL codec (uncompressed, but structurally distinct) ---
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB Windows BMP writer: BITMAPFILEHEADER +
+    BITMAPINFOHEADER(40), BOTTOM-UP row order, BGR channel order, rows
+    padded to 4-byte multiples — the three structural quirks that make a
+    BMP decode a genuinely different parse from PPM (top-down raw RGB)
+    and PNG (filtered + deflated)."""
+    import struct
+
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8 pixels")
+    h, w, _ = px.shape
+    pad = (-(w * 3)) % 4
+    bgr = px[:, :, ::-1]
+    data = b"".join(bgr[y].tobytes() + b"\x00" * pad
+                    for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    return head + info + data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Pure-numpy 24-bit BI_RGB BMP decoder: header walk, stride with
+    4-byte row padding, bottom-up (or top-down when height is negative)
+    row unflip, BGR→RGB swap.  Returns (h, w, 3) uint8."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off = int.from_bytes(data[10:14], "little")
+    isize = int.from_bytes(data[14:18], "little")
+    if isize < 40:
+        raise ValueError(f"unsupported BMP info header size {isize}")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB supported (got bpp={bpp}, comp={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    top_down = h < 0
+    hh = -h if top_down else h
+    stride = (w * 3 + 3) & ~3
+    if len(data) < off + stride * hh:
+        raise ValueError("truncated BMP pixel data")
+    arr = np.frombuffer(data, np.uint8, stride * hh, off).reshape(hh, stride)
+    px = arr[:, :w * 3].reshape(hh, w, 3)[:, :, ::-1]
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def with_bmp_payload(docs_df: DataFrame) -> DataFrame:
+    """The shared striped images BMP-ENCODED per doc — same _stripe_pixels
+    source as PPM/PNG/JPEG, so the decode checks against the same
+    closed-form stripe-mean oracle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = [encode_bmp(_stripe_pixels(int(d)))
+                        for d in b["doc_id"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"].values,
+                                "image_bytes": payloads})
+
+    return docs_df.select("doc_id").mapInPandas(
+        gen, "doc_id long, image_bytes binary")
+
+
+def decode_bmp_features(payload_df: DataFrame) -> DataFrame:
+    """mapInPandas over BMP payloads through the real decoder — integer
+    channel sums, one float64 division (the PPM/PNG discipline)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, buf in zip(b["doc_id"], b["image_bytes"]):
+                px = decode_bmp(bytes(buf))
+                h, w, _ = px.shape
+                s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                rows.append((doc_id, w, h, s[0] / n, s[1] / n, s[2] / n))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                              "mean_r", "mean_g", "mean_b"])
+
+    return payload_df.select("doc_id", "image_bytes").mapInPandas(
+        gen, schema=PPM_SCHEMA)

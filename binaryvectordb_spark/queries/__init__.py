@@ -56,13 +56,13 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # registry queries and a 50-query window, the max driver-hash age floor is
 # ceil(190/50) = 4 rounds, NOT 2 — the r10 comment's "no hash older than 2
 # rounds" claim was arithmetic spin and is retracted (VERDICT r10 item 2).
-# This round's window, 6 + 39 + 5 = 50 exactly: (a) the SIX round-11
-# additions — never driver-hashed (2 from session 1, 4 from session 2);
+# This round's window, 7 + 39 + 4 = 50 exactly: (a) the SEVEN round-11
+# additions — never driver-hashed (2 from session 1, 5 from session 2);
 # (b) the FULL 39-query round-7 cohort remainder (curation_funnel ..
 # knn_label_vote) — the registry's stalest hashes (age 4 by r11: the
 # flagship knn_cascade family, the ANN variants, the TPC-H head; VERDICT
-# r10 item 2); (c) the first FIVE round-8 head entries fill the window
-# (the last four r8-head names below sit just behind the window and lead
+# r10 item 2); (c) the first FOUR round-8 head entries fill the window
+# (the last five r8-head names below sit just behind the window and lead
 # the r12 core instead).
 # Behind the window, in next-round priority order: the r8 remainder (age 3
 # at r12 — the r12 window's natural core), the r9 cohort (age 2), then
@@ -75,6 +75,7 @@ _PRIORITY = [
     "quant_trunc_dim_error",
     "sketch_bottomk_quantiles",
     "join_salted_skew",
+    "multimodal_bmp_decode",
     # (b) round-7 cohort remainder (age 4), full re-hash this round
     "curation_funnel",
     "agg_pivot_status",

@@ -255,3 +255,24 @@ SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
          AS frame_checksum
 FROM frames
 """)
+
+
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH real codec, oracle-checked: the shared striped images
+    BMP-encoded (24-bit BI_RGB) and decoded back by the pure-numpy
+    decode_bmp on mapInPandas.  Structurally distinct from the other
+    three parses: BOTTOM-UP row order, BGR channel order, and 4-byte row
+    padding — an unflip, swap, or stride mistake breaks the hash against
+    the same closed-form stripe-mean oracle PPM and PNG share.  With
+    PPM (raw), PNG (deflate+filters), JPEG (DCT lossy) and BMP (padded
+    strided), only webp remains an honest external-codec stub."""
+    from binaryvectordb_spark.operators.multimodal import (
+        decode_bmp_features,
+        with_bmp_payload,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return decode_bmp_features(with_bmp_payload(d))
+
+
+register("multimodal_bmp_decode", multimodal_bmp_decode,
+         oracle=_STRIPE_ORACLE)

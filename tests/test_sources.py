@@ -405,3 +405,44 @@ def test_png_missing_iend_raises():
     stripped = data[:-12]  # IEND is the trailing 12-byte chunk
     with pytest.raises(ValueError, match="truncated PNG chunk stream"):
         decode_png(stripped)
+
+
+def test_bmp_codec_roundtrip():
+    """encode_bmp/decode_bmp are a real codec pair: round-trips arbitrary
+    pixel arrays across the padded-stride cases (w*3 % 4 in all residues),
+    honors top-down negative heights, and rejects malformed streams."""
+    import numpy as np
+    import pytest
+
+    from binaryvectordb_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(11)
+    for w in (1, 2, 3, 4, 5, 7, 8):     # covers every row-padding residue
+        for h in (1, 2, 5):
+            px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            data = encode_bmp(px)
+            assert data[:2] == b"BM" and len(data) == 54 + ((w * 3 + 3)
+                                                            & ~3) * h
+            out = decode_bmp(data)
+            assert out.shape == (h, w, 3)
+            assert np.array_equal(out, px)
+
+    # top-down variant (negative height) decodes without the unflip:
+    # encode_bmp(Q) stores file rows Q[h-1]..Q[0]; re-labelling the
+    # stream top-down must yield exactly that reversed order
+    px = rng.randint(0, 256, (3, 2, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(px))
+    data[22:26] = (-3).to_bytes(4, "little", signed=True)
+    assert np.array_equal(decode_bmp(bytes(data)), px[::-1])
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG whatever")
+    with pytest.raises(ValueError, match="only 24-bit"):
+        bad = bytearray(encode_bmp(px))
+        bad[28:30] = (8).to_bytes(2, "little")
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(px)[:-4])
