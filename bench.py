@@ -175,7 +175,9 @@ def bench_1m_scan(spark, sf_dir: str,
         n_codes = codes.count()
         enc_samples.append(time.perf_counter() - t0)
         if i < 2:
-            codes.unpersist()
+            # blocking: async eviction of sample i's blocks would overlap
+            # the timed region of sample i+1 (ADVICE r11)
+            codes.unpersist(blocking=True)
     enc_med = statistics.median(enc_samples)
     out["pq_encode_mvecs_per_s"] = round(n_codes / enc_med / 1e6, 2)
     variance["pq_encode_mvecs_per_s"] = round(

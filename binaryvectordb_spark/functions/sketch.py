@@ -34,15 +34,21 @@ def kmv_hash48_sql(expr: str) -> str:
 
 def kmv_estimate(n_sketch: str, kth_hash: str, k: int) -> Column:
     """NDV estimate from a bottom-k sketch: exact below k, else
-    (k-1)·2^48 div h_k — bigint arithmetic only."""
+    (k-1)·2^48 div h_k — bigint arithmetic only.  The kth_hash > 0
+    guard closes a cross-engine divergence at probability ~n/2^48: if
+    the k-th smallest hash were 0, Spark's `div` yields NULL while
+    DuckDB's `//` raises — both forms fall back to n_sketch (the exact
+    lower bound) instead (ADVICE r11)."""
     num = (k - 1) * KMV_SPACE
     return (F.when(F.col(n_sketch) < k, F.col(n_sketch))
-            .otherwise(F.expr(f"CAST({num} AS BIGINT) div {kth_hash}"))
+            .when(F.expr(f"({kth_hash})") <= 0, F.col(n_sketch))
+            .otherwise(F.expr(f"CAST({num} AS BIGINT) div ({kth_hash})"))
             .cast("long"))
 
 
 def kmv_estimate_sql(n_sketch: str, kth_hash: str, k: int) -> str:
-    """The DuckDB twin of kmv_estimate."""
+    """The DuckDB twin of kmv_estimate (same kth_hash > 0 guard)."""
     num = (k - 1) * KMV_SPACE
     return (f"CAST(CASE WHEN {n_sketch} < {k} THEN {n_sketch} "
-            f"ELSE {num} // {kth_hash} END AS BIGINT)")
+            f"WHEN ({kth_hash}) <= 0 THEN {n_sketch} "
+            f"ELSE {num} // ({kth_hash}) END AS BIGINT)")

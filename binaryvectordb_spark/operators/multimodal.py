@@ -568,6 +568,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
             f"only 24-bit BI_RGB supported (got bpp={bpp}, comp={comp})")
     if w <= 0 or h == 0:
         raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    if off < 14 + isize:
+        # a malformed stream whose pixel-array offset points back into
+        # the headers would otherwise decode header bytes as pixels
+        # (ADVICE r11); 14 = BITMAPFILEHEADER, isize = info header
+        raise ValueError(
+            f"BMP pixel-array offset {off} overlaps headers "
+            f"(expected >= {14 + isize})")
     top_down = h < 0
     hh = -h if top_down else h
     stride = (w * 3 + 3) & ~3

@@ -834,16 +834,21 @@ def foreach_batch_kmv_sketch(events: DataFrame, out_dir: str,
         from binaryvectordb_spark.functions.sketch import kmv_hash48
 
         meta = _read_meta(out_dir)
-        if meta.get("k", k) != k:
-            # a bottom-k state can serve any k' <= k (subset property),
-            # but widening k against trimmed state would silently miss
+        if k > meta.get("k", k):
+            # WIDENING k against trimmed state would silently claim
             # hashes already evicted — refuse BEFORE the replay guard
-            # (a config mismatch is an error even for a replayed batch)
+            # (a config mismatch is an error even for a replayed batch).
+            # SHRINKING is exact and served below: bottom-k' of a
+            # bottom-k state is the true bottom-k' (subset property), so
+            # a restart with smaller k trims once and maintains at k'
+            # from then on (ADVICE r11: the old guard refused both
+            # directions with a widening-only message)
             raise ValueError(
                 f"kmv sketch state at {out_dir} was maintained with "
-                f"k={meta['k']}; restarting the writer with k={k} would "
-                "make the sketch claim hashes it already evicted — use "
-                "the original k or a fresh state dir")
+                f"k={meta['k']}; widening to k={k} would make the "
+                "sketch claim hashes it already evicted — use k <= "
+                f"{meta['k']} (served exactly by trimming) or a fresh "
+                "state dir")
         if batch_id <= meta.get("last_batch", -1):
             return
         delta = (batch_df.select(F.col("event_type").alias("grp"),

@@ -80,3 +80,37 @@ def test_hash_recipe_matches_spark_conv_semantics():
         assert 0 <= h < SPACE
         assert h == int(hashlib.md5(str(key).encode())
                         .hexdigest().upper()[:12].lower(), 16)
+
+
+def test_estimator_zero_kth_hash_guard_cross_engine(spark):
+    """If the k-th smallest hash were 0 (probability ~n/2^48), Spark's
+    `div` would yield NULL while DuckDB's `//` raises — the guarded
+    estimator (ADVICE r11) falls back to n_sketch on BOTH engines, so
+    they still agree instead of diverging.  Exercised on a synthetic
+    sketch table (no real md5 prefix is forced to zero here — the point
+    is the expression pair, not the data path)."""
+    import duckdb
+
+    from binaryvectordb_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_estimate_sql,
+    )
+
+    rows = [("zero", 128, 0), ("normal", 128, 1 << 40), ("small", 5, 77)]
+    df = spark.createDataFrame(
+        rows, "grp string, n_sketch long, kth_hash long")
+    got = {r["grp"]: r["est"] for r in df.select(
+        "grp", kmv_estimate("n_sketch", "kth_hash", K).alias("est"))
+        .collect()}
+
+    con = duckdb.connect()
+    sql = kmv_estimate_sql("n_sketch", "kth_hash", K)
+    want = {g: e for g, e in con.execute(
+        "SELECT grp, " + sql + " AS est FROM (VALUES "
+        + ", ".join(f"('{g}', {n}, {h})" for g, n, h in rows)
+        + ") t(grp, n_sketch, kth_hash)").fetchall()}
+
+    assert got == want
+    assert got["zero"] == 128          # the guard: exact lower bound
+    assert got["normal"] == 127 * (1 << 48) // (1 << 40)
+    assert got["small"] == 5           # exact branch untouched

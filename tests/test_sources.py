@@ -446,3 +446,9 @@ def test_bmp_codec_roundtrip():
         decode_bmp(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(encode_bmp(px)[:-4])
+    # pixel-array offset pointing back into the headers must be rejected,
+    # not silently decode header bytes as pixels (ADVICE r11)
+    with pytest.raises(ValueError, match="overlaps headers"):
+        bad = bytearray(encode_bmp(px))
+        bad[10:14] = (20).to_bytes(4, "little")
+        decode_bmp(bytes(bad))

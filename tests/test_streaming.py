@@ -747,3 +747,56 @@ def test_streaming_kmv_sketch_rejects_widened_k(spark, tmp_path):
         str(tmp_path / "ck2"), k=128)
     with pytest.raises(_u.StreamingQueryException, match="evicted"):
         q2.awaitTermination()
+
+
+def test_streaming_kmv_sketch_serves_shrunk_k(spark, tmp_path):
+    """Restarting the writer with a SMALLER k is exact (ADVICE r11): the
+    bottom-k' of a bottom-k state is the true bottom-k', so the state
+    trims once on the next committed batch and equals the k' batch spec
+    from then on."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.sources.tables import load_table
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_kmv_sketch,
+        kmv_direct,
+        read_events_stream,
+        read_kmv_ndv,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    in_dir = tmp_path / "kmvs_in"
+    in_dir.mkdir()
+    stage = tmp_path / "kmvs_stage"
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for i in range(2):
+            part = stage / f"p{i}"
+            (ev.where(F.col("event_id") % 2 == i).coalesce(1)
+             .write.mode("overwrite").parquet(str(part)))
+            src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+            _shutil.copy(src, stage / f"b{i}.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    out = str(tmp_path / "kmvs_state")
+    ckpt = str(tmp_path / "ck1")
+    _shutil.copy(stage / "b0.parquet", in_dir / "b0.parquet")
+    q = foreach_batch_kmv_sketch(
+        read_events_stream(spark, str(in_dir)), out, ckpt, k=128)
+    q.awaitTermination()
+
+    # restart the SAME checkpoint with k=64 over one more batch: the
+    # state trims to 64 on the commit and the read equals the k=64 spec
+    _shutil.copy(stage / "b1.parquet", in_dir / "b1.parquet")
+    q2 = foreach_batch_kmv_sketch(
+        read_events_stream(spark, str(in_dir)), out, ckpt, k=64)
+    q2.awaitTermination()
+    cols = ["grp", "n_sketch", "kth_hash", "est_ndv"]
+    assert (_rows(read_kmv_ndv(spark, out), cols)
+            == _rows(kmv_direct(ev, k=64), cols))
