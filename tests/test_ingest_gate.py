@@ -428,6 +428,77 @@ def test_gate_index_probe_touches_only_persisted_artifacts(
     assert rows[0]["n_dups"] >= 1 and not rows[0]["admit"]
 
 
+def test_gate_index_compact_tail_preserves_bootstrap(spark, tmp_path):
+    """Tiered merge (VERDICT r11 item 3): micro-batch ingest folds only
+    the trailing run of small segments — the bootstrap corpus segment's
+    files are NEVER rewritten (path + mtime pinned across 14 micro-
+    batches with interleaved tiered merges), segment count stays
+    bounded, and gate records remain identical to the recompute form on
+    the equivalent logical corpus (including through tombstone
+    re-scoping: updates + removes interleave with the merges)."""
+    import os
+
+    from binaryvectordb_spark.operators.ingest_gate import (
+        GateIndex,
+        near_dup_gate,
+    )
+
+    # bootstrap must genuinely dwarf the micro-batch tail: the geometric
+    # policy (ratio 8) folds the bootstrap too once the accumulated tail
+    # comes within 8x of it — which is compact(), working as designed
+    corpus = dict(_rand_docs(400, seed=31))
+    gi = GateIndex(spark, str(tmp_path / "gidx")).build(
+        _df(spark, list(corpus.items())))
+    assert gi.meta["segments"] == ["seg_0"]
+
+    def seg0_files():
+        out = {}
+        for sub in ("shingles", "bands"):
+            d = os.path.join(str(tmp_path / "gidx"), "seg_0", sub)
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    boot = seg0_files()
+    batch = _df(spark, [(9000 + i, t) for i, t in _rand_docs(20, seed=32)])
+    import random
+    rng = random.Random(33)
+    next_id = 1000
+    for step in range(14):
+        kind = rng.random()
+        if kind < 0.6 or not corpus:
+            rows = [(next_id + j, t)
+                    for j, (_, t) in enumerate(_rand_docs(
+                        rng.randrange(1, 4), seed=100 + step))]
+            next_id += len(rows)
+            for i, t in rows:
+                corpus[i] = t
+            gi.upsert_batch(_df(spark, rows))
+        elif kind < 0.85:
+            # update an existing doc (delete-then-insert tombstone)
+            i = rng.choice(sorted(corpus))
+            corpus[i] = corpus[i] + " updated"
+            gi.upsert_batch(_df(spark, [(i, corpus[i])]))
+        else:
+            doomed = rng.sample(sorted(corpus), min(2, len(corpus)))
+            for i in doomed:
+                del corpus[i]
+            gi.remove(doomed)
+        # the db-hook discipline at a small threshold so several folds
+        # actually happen inside 14 batches
+        if len(gi.meta["segments"]) >= 5:
+            gi.compact_tail()
+        assert set(gi.meta["seg_stats"]) == set(gi.meta["segments"])
+
+    assert seg0_files() == boot, "bootstrap segment rewritten"
+    assert len(gi.meta["segments"]) < 7
+    assert "seg_0" in gi.meta["segments"]
+    assert (_snap(gi.gate(batch))
+            == _snap(near_dup_gate(batch,
+                                   _df(spark, list(corpus.items())))))
+
+
 def test_db_gate_index_lifecycle(spark, tmp_path):
     """DB-maintained gate index: build_gate_index, gated_add_documents_df
     routes through it with decisions identical to the index-free DB,
