@@ -761,6 +761,25 @@ def read_value_outliers(spark: SparkSession, out_dir: str) -> DataFrame:
 KMV_STREAM_K = 128
 
 
+def _check_bottomk_widening(meta: dict, k: int, out_dir: str,
+                            what: str) -> None:
+    """Shared k-compatibility guard for bottom-K CRDT state (the KMV
+    sketch and the quantile sample): WIDENING k against trimmed state
+    would silently claim members already evicted — refuse BEFORE the
+    replay guard (a config mismatch is an error even for a replayed
+    batch).  SHRINKING is exact and allowed: bottom-k' of a bottom-k
+    state is the true bottom-k' (subset property), so a restart with
+    smaller k trims once on the next commit and maintains at k' from
+    then on (ADVICE r11: the old guard refused both directions with a
+    widening-only message)."""
+    if k > meta.get("k", k):
+        raise ValueError(
+            f"{what} state at {out_dir} was maintained with "
+            f"k={meta['k']}; widening to k={k} would make it claim "
+            f"members it already evicted — use k <= {meta['k']} "
+            "(served exactly by trimming) or a fresh state dir")
+
+
 def _kmv_fold(sk: DataFrame, k: int) -> DataFrame:
     """Fold a distinct (grp, h) sketch table to the read-side schema
     (grp rows + the union-merged ALL row) with the shared estimator —
@@ -834,21 +853,7 @@ def foreach_batch_kmv_sketch(events: DataFrame, out_dir: str,
         from binaryvectordb_spark.functions.sketch import kmv_hash48
 
         meta = _read_meta(out_dir)
-        if k > meta.get("k", k):
-            # WIDENING k against trimmed state would silently claim
-            # hashes already evicted — refuse BEFORE the replay guard
-            # (a config mismatch is an error even for a replayed batch).
-            # SHRINKING is exact and served below: bottom-k' of a
-            # bottom-k state is the true bottom-k' (subset property), so
-            # a restart with smaller k trims once and maintains at k'
-            # from then on (ADVICE r11: the old guard refused both
-            # directions with a widening-only message)
-            raise ValueError(
-                f"kmv sketch state at {out_dir} was maintained with "
-                f"k={meta['k']}; widening to k={k} would make the "
-                "sketch claim hashes it already evicted — use k <= "
-                f"{meta['k']} (served exactly by trimming) or a fresh "
-                "state dir")
+        _check_bottomk_widening(meta, k, out_dir, "kmv sketch")
         if batch_id <= meta.get("last_batch", -1):
             return
         delta = (batch_df.select(F.col("event_type").alias("grp"),
@@ -883,3 +888,132 @@ def read_kmv_ndv(spark: SparkSession, out_dir: str) -> DataFrame:
     sk = spark.read.parquet(
         _os.path.join(out_dir, _state_dir(meta, "sketch", out_dir)))
     return _kmv_fold(sk, meta["k"])
+
+
+# -- bottom-k hash-sample quantiles, streamed --------------------------------
+
+BKQ_STREAM_K = 256
+BKQ_STREAM_QS = (25, 50, 75, 90)
+
+
+def _bkq_rows(events_df: DataFrame) -> DataFrame:
+    """(h, event_id, cents) projection shared by the batch spec and the
+    streaming delta: h = the shared 48-bit md5 recipe over the unique
+    event_id, cents the exact integer value — the same hash family the
+    batch registry row samples orders with (analytics3.py::_bkq_sample)."""
+    from binaryvectordb_spark.functions.sketch import kmv_hash48
+
+    return events_df.select(
+        kmv_hash48("event_id").alias("h"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+
+
+def _bkq_bottomk(rows: DataFrame, k: int) -> DataFrame:
+    """bottom-K by (h, event_id) over a BOUNDED frame (state ∪ batch
+    bottom-K, ≤ 2K rows) — the (h, key) tie-break is the r11 total-order
+    boundary rule: a 48-bit collision straddling the K boundary must
+    resolve identically on every engine and layout."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy("h", "event_id")
+    return (rows.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).select("h", "event_id", "cents"))
+
+
+def bottomk_direct(events_df: DataFrame, k: int = BKQ_STREAM_K) -> DataFrame:
+    """The definitional batch spec the streaming sample must equal: the
+    K events with the smallest (hash48(event_id), event_id), carrying
+    exact integer cents — orderBy + limit, which Spark plans as
+    TakeOrderedAndProject (per-partition partial bottom-K, no global
+    sort shuffle)."""
+    return _bkq_rows(events_df).orderBy("h", "event_id").limit(k)
+
+
+def bottomk_quantiles(sample: DataFrame,
+                      qs=BKQ_STREAM_QS) -> DataFrame:
+    """(q, k_sample, est_cents) nearest-rank picks over a committed or
+    direct sample — the read-side derivation SHARED by stream and batch
+    (rank 1 + (q·(k−1)) div 100, pure integer arithmetic, the exact
+    recipe of the oracle row sketch_bottomk_quantiles)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy("cents", "event_id")
+    rk = sample.withColumn("rn", F.row_number().over(w))
+    kc = rk.agg(F.count("*").cast("bigint").alias("k_sample"))
+    qdf = sample.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"))
+    return (qdf.crossJoin(F.broadcast(kc))
+            .withColumn("srank", F.expr("1 + (q * (k_sample - 1)) div 100"))
+            .join(rk, F.col("srank") == F.col("rn"))
+            .select("q", "k_sample", F.col("cents").alias("est_cents")))
+
+
+def foreach_batch_bottomk_sample(events: DataFrame, out_dir: str,
+                                 checkpoint_dir: str,
+                                 k: int = BKQ_STREAM_K):
+    """Streaming twin of the bottom-k hash-sample quantile sketch
+    (queries/analytics3.py::sketch_bottomk_quantiles) — completing
+    stream/batch parity for the whole sketch trio (CMS/HLL rollups,
+    the KMV NDV twin r11, and now the quantile sample; VERDICT r11
+    item 4).
+
+    State = the K rows with the smallest (h, event_id) — merged by the
+    SAME set-union bottom-K rule as the KMV sketch, so it inherits the
+    full CRDT taxonomy position: commutative, associative, AND
+    idempotent (no ordering contract to honor; a replayed batch is
+    harmless even without the meta guard, kept for job hygiene), at
+    CONSTANT state — k slim rows, so the per-batch rewrite is bounded
+    and coalesce(1) is the right physical shape.  Per batch the delta
+    is the batch's own bottom-K (TakeOrderedAndProject — no global
+    sort), and the merge ranks a ≤2K-row frame.
+
+    Read side (read_bottomk_quantiles) derives the nearest-rank
+    quantile estimates through the same integer recipe as the oracle
+    row, so at any point in time the stream state answers exactly what
+    the batch sample over the same events would."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    spark = events.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_meta(out_dir)
+        _check_bottomk_widening(meta, k, out_dir, "bottom-k sample")
+        if batch_id <= meta.get("last_batch", -1):
+            return
+        delta = bottomk_direct(batch_df, k)
+        if meta.get("sample"):
+            cur = (spark.read.schema("h long, event_id long, cents long")
+                   .parquet(_os.path.join(out_dir, meta["sample"])))
+            merged = (cur.unionByName(delta)
+                      .dropDuplicates(["h", "event_id"]))
+        else:
+            merged = delta
+        sk = _bkq_bottomk(merged, k)
+        sdir = f"sample_v{batch_id}"
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, sdir))
+        _commit_meta(out_dir, {"sample": sdir, "last_batch": batch_id,
+                               "k": k}, {sdir})
+
+    return (events.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_bottomk_sample(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed (h, event_id, cents) sample rows."""
+    import os as _os
+
+    meta = _read_meta(out_dir)
+    return (spark.read.schema("h long, event_id long, cents long")
+            .parquet(_os.path.join(out_dir,
+                                   _state_dir(meta, "sample", out_dir))))
+
+
+def read_bottomk_quantiles(spark: SparkSession, out_dir: str,
+                           qs=BKQ_STREAM_QS) -> DataFrame:
+    """(q, k_sample, est_cents) derived from the committed sample by the
+    same shared derivation as the batch spec."""
+    return bottomk_quantiles(read_bottomk_sample(spark, out_dir), qs)

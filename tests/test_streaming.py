@@ -800,3 +800,97 @@ def test_streaming_kmv_sketch_serves_shrunk_k(spark, tmp_path):
     cols = ["grp", "n_sketch", "kth_hash", "est_ndv"]
     assert (_rows(read_kmv_ndv(spark, out), cols)
             == _rows(kmv_direct(ev, k=64), cols))
+
+
+def test_streaming_bottomk_sample_matches_batch_orderfree(spark, tmp_path):
+    """The incrementally maintained bottom-k quantile sample must equal
+    the definitional batch spec (bottomk_direct) after a 3-trigger
+    stream split by event_id — the state merges by the SAME set-union
+    bottom-K rule as the KMV sketch, so no ordering contract exists —
+    be replay-idempotent, granularity-invariant (1 batch == 3 batches),
+    and derive the same nearest-rank quantiles through the shared
+    read-side recipe."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.sources.tables import load_table
+    from binaryvectordb_spark.streaming.events import (
+        bottomk_direct,
+        bottomk_quantiles,
+        foreach_batch_bottomk_sample,
+        read_bottomk_quantiles,
+        read_bottomk_sample,
+        read_events_stream,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    in_dir = tmp_path / "bkq_in"
+    in_dir.mkdir()
+    stage = tmp_path / "bkq_stage"
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for i in range(3):
+            part = stage / f"p{i}"
+            (ev.where(F.col("event_id") % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(str(part)))
+            src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+            _shutil.copy(src, in_dir / f"b{i}.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    scols = ["h", "event_id", "cents"]
+    want_sample = _rows(bottomk_direct(ev), scols)
+    qcols = ["q", "k_sample", "est_cents"]
+    want_q = _rows(bottomk_quantiles(bottomk_direct(ev)), qcols)
+
+    out = str(tmp_path / "bkq_state")
+    q = foreach_batch_bottomk_sample(
+        read_events_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out, str(tmp_path / "ck1"))
+    q.awaitTermination()
+    assert _rows(read_bottomk_sample(spark, out), scols) == want_sample
+    assert _rows(read_bottomk_quantiles(spark, out), qcols) == want_q
+
+    # replay over a fresh checkpoint: same state dir, nothing changes
+    q2 = foreach_batch_bottomk_sample(
+        read_events_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out, str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert _rows(read_bottomk_sample(spark, out), scols) == want_sample
+
+    # granularity invariance: one single batch == three batches
+    out1 = str(tmp_path / "bkq_state_one")
+    q3 = foreach_batch_bottomk_sample(
+        read_events_stream(spark, str(in_dir)),
+        out1, str(tmp_path / "ck3"))
+    q3.awaitTermination()
+    assert _rows(read_bottomk_sample(spark, out1), scols) == want_sample
+
+
+def test_streaming_bottomk_sample_rejects_widened_k(spark, tmp_path):
+    """The shared bottom-K guard (the KMV discipline): widening k
+    against trimmed sample state must fail loudly."""
+    import pyspark.sql.utils as _u
+
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_bottomk_sample,
+        read_events_stream,
+    )
+
+    in_dir = tmp_path / "bkqk_in"
+    in_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", in_dir / "b0.parquet")
+    out = str(tmp_path / "bkqk_state")
+    q = foreach_batch_bottomk_sample(
+        read_events_stream(spark, str(in_dir)), out,
+        str(tmp_path / "ck1"), k=64)
+    q.awaitTermination()
+    q2 = foreach_batch_bottomk_sample(
+        read_events_stream(spark, str(in_dir)), out,
+        str(tmp_path / "ck2"), k=128)
+    with pytest.raises(_u.StreamingQueryException, match="evicted"):
+        q2.awaitTermination()
