@@ -541,7 +541,8 @@ def read_transition_matrix(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def foreach_batch_cohort_retention(events: DataFrame, out_dir: str,
-                                   checkpoint_dir: str):
+                                   checkpoint_dir: str,
+                                   horizon_weeks: int | None = None):
     """Incrementally maintained retention matrix — the STREAMING twin of
     events_cohort_retention, exactly-once under replay.
 
@@ -570,8 +571,23 @@ def foreach_batch_cohort_retention(events: DataFrame, out_dir: str,
     exactly-once under replay.  The aggregate (cohort_day, week_offset,
     n_active) is derived at READ time — countDistinct is NOT additive,
     so the maintained object must be the fact set, not the matrix (the
-    standard exact-distinct streaming trade; a production variant bounds
-    state with a user-level TTL/watermark once cohorts close)."""
+    standard exact-distinct streaming trade).
+
+    ``horizon_weeks`` (VERDICT r11 item 5 — the production variant the
+    r11 docstring only named): cohorts CLOSE once the event-time
+    watermark (max day seen, kept in meta) has advanced more than
+    ``horizon_weeks`` weeks past their cohort day.  Facts of closed
+    cohorts stop being written (the TTL — they could never change the
+    open-window matrix), compaction physically drops closed partitions,
+    and the read side reports exactly the OPEN window.  The per-user
+    cohort assignment moves to its own grow-only map segments (the
+    irreducible O(users) identity state — without it a returning user
+    of a closed cohort would be misassigned to a fresh open cohort), so
+    fact state is O(open cohorts × active users × ≤horizon weeks)
+    instead of O(history).  ``None`` keeps the exact unbounded twin.
+    The horizon is pinned in meta: a restart with a different value is
+    refused in either direction (the matrix served would silently mean
+    a different window)."""
     import os as _os
 
     _os.makedirs(out_dir, exist_ok=True)
@@ -581,24 +597,75 @@ def foreach_batch_cohort_retention(events: DataFrame, out_dir: str,
         from pyspark.sql import Observation
 
         meta = _read_meta(out_dir)
+        if meta.get("last_batch", -1) >= 0 and \
+                meta.get("horizon") != horizon_weeks:
+            raise ValueError(
+                f"cohort retention state at {out_dir} was maintained "
+                f"with horizon_weeks={meta.get('horizon')}; restarting "
+                f"with horizon_weeks={horizon_weeks} would serve a "
+                "matrix over a DIFFERENT window (wider: closed-cohort "
+                "facts were already dropped; narrower: stored facts "
+                "would leak past the new horizon) — use the original "
+                "value or a fresh state dir")
         if batch_id <= meta.get("last_batch", -1):
             return
         segs = _cohort_segments(meta)
         b = batch_df.select("user_id", F.to_date("ts").alias("d"))
         bmin = b.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
-        prior = _cohort_facts(spark, out_dir, segs)
-        if prior is not None:
-            cohorts = (prior.select("user_id", "cohort_day").distinct()
-                       .unionByName(bmin)
-                       .groupBy("user_id")
-                       .agg(F.min("cohort_day").alias("cohort_day")))
+        new_map_segs = list(meta.get("cohort_segs", []))
+        wm = meta.get("wm")
+        if horizon_weeks is not None:
+            # advance the event-time watermark (max day seen; ISO strings
+            # compare lexicographically so max() is date order)
+            bmax = b.agg(F.max("d")).first()[0]
+            if bmax is not None:
+                bwm = bmax.isoformat()
+                wm = bwm if wm is None or bwm > wm else wm
+            prior_map = _cohort_map(spark, out_dir, new_map_segs)
+            if prior_map is not None:
+                cohorts = (prior_map.unionByName(bmin)
+                           .groupBy("user_id")
+                           .agg(F.min("cohort_day").alias("cohort_day")))
+                new_users = bmin.join(prior_map.select("user_id"),
+                                      "user_id", "left_anti")
+            else:
+                cohorts, new_users = bmin, bmin
+            mdir = f"cmap_v{batch_id}"
+            obs_m = Observation()
+            (new_users.observe(obs_m, F.count(F.lit(1)).alias("n"))
+             .write.mode("overwrite")
+             .parquet(_os.path.join(out_dir, mdir)))
+            if int(obs_m.get["n"]) == 0:
+                import shutil as _shutil
+                _shutil.rmtree(_os.path.join(out_dir, mdir),
+                               ignore_errors=True)
+            else:
+                new_map_segs.append(mdir)
+            if len(new_map_segs) > _COHORT_COMPACT_SEGMENTS:
+                cmdir = f"cmap_v{batch_id}c"
+                (_cohort_map(spark, out_dir, new_map_segs)
+                 .write.mode("overwrite")
+                 .parquet(_os.path.join(out_dir, cmdir)))
+                new_map_segs = [cmdir]
         else:
-            cohorts = bmin
+            prior_facts = _cohort_facts(spark, out_dir, segs)
+            if prior_facts is not None:
+                cohorts = (prior_facts.select("user_id", "cohort_day")
+                           .distinct().unionByName(bmin)
+                           .groupBy("user_id")
+                           .agg(F.min("cohort_day").alias("cohort_day")))
+            else:
+                cohorts = bmin
         cand = (b.join(cohorts, "user_id")
                 .select("user_id", "cohort_day",
                         F.expr("CAST(datediff(d, cohort_day) div 7 "
                                "AS BIGINT)").alias("week_offset"))
                 .distinct())
+        if horizon_weeks is not None and wm is not None:
+            # the TTL: facts of CLOSED cohorts are never written — they
+            # cannot appear in the open-window matrix
+            cand = cand.where(_cohort_open(wm, horizon_weeks))
+        prior = _cohort_facts(spark, out_dir, segs)
         if prior is not None:
             days = [r[0] for r in
                     cand.select("cohort_day").distinct().collect()]
@@ -620,17 +687,46 @@ def foreach_batch_cohort_retention(events: DataFrame, out_dir: str,
             new_segs = segs + [fdir]
         if len(new_segs) > _COHORT_COMPACT_SEGMENTS:
             cdir = f"facts_v{batch_id}c"
-            (_cohort_facts(spark, out_dir, new_segs)
-             .write.mode("overwrite").partitionBy("cohort_day")
+            fold = _cohort_facts(spark, out_dir, new_segs)
+            if horizon_weeks is not None and wm is not None:
+                # compaction physically drops closed-cohort partitions:
+                # the amortized point where fact state shrinks to the
+                # open window
+                fold = fold.where(_cohort_open(wm, horizon_weeks))
+            (fold.write.mode("overwrite").partitionBy("cohort_day")
              .parquet(_os.path.join(out_dir, cdir)))
             new_segs = [cdir]
-        _commit_meta(out_dir,
-                     {"fact_segs": new_segs, "last_batch": batch_id},
-                     set(new_segs))
+        new_meta = {"fact_segs": new_segs, "last_batch": batch_id}
+        if horizon_weeks is not None:
+            new_meta.update({"horizon": horizon_weeks, "wm": wm,
+                             "cohort_segs": new_map_segs})
+        _commit_meta(out_dir, new_meta, set(new_segs) | set(new_map_segs))
 
     return (events.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def _cohort_open(wm: str, horizon_weeks: int):
+    """OPEN-cohort predicate: the watermark has advanced at most
+    ``horizon_weeks`` whole weeks past the cohort day."""
+    return (F.expr(f"datediff(DATE'{wm}', cohort_day) div 7")
+            <= F.lit(int(horizon_weeks)))
+
+
+def _cohort_map(spark: SparkSession, out_dir: str,
+                segs: list[str]) -> DataFrame | None:
+    """Grow-only (user_id, cohort_day) assignment map — union of the
+    horizon variant's map segments."""
+    import os as _os
+    if not segs:
+        return None
+    parts = [spark.read.schema("user_id long, cohort_day date")
+             .parquet(_os.path.join(out_dir, s)) for s in segs]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 # live segments past this count are folded into one on the next batch
@@ -665,7 +761,10 @@ def read_cohort_retention(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed retention matrix — same (cohort_day, week_offset,
     n_active) schema as the batch twin.  Segments hold disjoint facts,
     so the distinct count unions them without re-deduplication cost
-    beyond the aggregate itself."""
+    beyond the aggregate itself.  A horizon-bounded state reports
+    exactly the OPEN window w.r.t. the committed watermark (facts of
+    cohorts that closed since their segment was written are filtered
+    here; compaction eventually drops them physically)."""
     meta = _read_meta(out_dir)
     segs = _cohort_segments(meta)
     if not segs:
@@ -673,6 +772,8 @@ def read_cohort_retention(spark: SparkSession, out_dir: str) -> DataFrame:
             f"no committed streaming state 'fact_segs' under {out_dir}: "
             "run the writer's first trigger before reading")
     facts = _cohort_facts(spark, out_dir, segs)
+    if meta.get("horizon") is not None and meta.get("wm") is not None:
+        facts = facts.where(_cohort_open(meta["wm"], meta["horizon"]))
     return (facts.groupBy("cohort_day", "week_offset")
             .agg(F.countDistinct("user_id").alias("n_active")))
 

@@ -894,3 +894,197 @@ def test_streaming_bottomk_sample_rejects_widened_k(spark, tmp_path):
         str(tmp_path / "ck2"), k=128)
     with pytest.raises(_u.StreamingQueryException, match="evicted"):
         q2.awaitTermination()
+
+
+def _mk_cohort_events(spark, tmp_path, batches):
+    """Write time-ordered event batch files for the cohort twin tests;
+    returns (in_dir, all_events_df).  batches = list of lists of
+    (event_id, iso_date, user_id)."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    stage = tmp_path / "coh_stage"
+    in_dir = tmp_path / "coh_in"
+    in_dir.mkdir()
+    rows = [(eid, f"{d} 12:00:00", uid, "click", 1.0, "p")
+            for batch in batches for eid, d, uid in batch]
+    schema = ("event_id long, ts_s string, user_id long, "
+              "event_type string, value double, props string")
+    all_ev = (spark.createDataFrame(rows, schema)
+              .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+              .select("event_id", "ts", "user_id", "event_type",
+                      "value", "props"))
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for i, batch in enumerate(batches):
+            ids = [eid for eid, _, _ in batch]
+            part = stage / f"p{i}"
+            (all_ev.where(F.col("event_id").isin(ids)).coalesce(1)
+             .write.mode("overwrite").parquet(str(part)))
+            src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+            _shutil.copy(src, stage / f"b{i}.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    return str(in_dir), str(stage), all_ev
+
+
+_COHORT_BATCHES = [
+    # time-ordered micro-batches; u1/u2 cohort 01-01, u3 01-15 (closed by
+    # the end under horizon 2), u4 02-05, u5 02-12 (open)
+    [(1, "2024-01-01", 1), (2, "2024-01-01", 2), (3, "2024-01-08", 1),
+     (4, "2024-01-15", 1), (5, "2024-01-15", 3)],
+    [(6, "2024-01-22", 2), (7, "2024-01-22", 3), (8, "2024-01-29", 3),
+     (9, "2024-01-29", 1)],
+    # the late u1 event (id 14) lands AFTER u1's cohort closed: the TTL
+    # must skip its fact entirely
+    [(10, "2024-02-05", 4), (11, "2024-02-12", 4), (12, "2024-02-12", 5),
+     (13, "2024-02-15", 5), (14, "2024-02-15", 1)],
+]
+
+
+def _open_matrix(all_ev, horizon):
+    """Batch-twin derivation restricted to the open window — the truth
+    the bounded streaming state must serve."""
+    from pyspark.sql import functions as F
+
+    b = all_ev.select("user_id", F.to_date("ts").alias("d"))
+    coh = b.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    wm = b.agg(F.max("d")).first()[0].isoformat()
+    facts = (b.join(coh, "user_id")
+             .select("user_id", "cohort_day",
+                     F.expr("CAST(datediff(d, cohort_day) div 7 AS BIGINT)")
+                     .alias("week_offset"))
+             .distinct()
+             .where(F.expr(f"datediff(DATE'{wm}', cohort_day) div 7")
+                    <= horizon))
+    return (facts.groupBy("cohort_day", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+def test_streaming_cohort_retention_horizon_bounds_state(spark, tmp_path):
+    """The horizon-bounded cohort twin (VERDICT r11 item 5): facts past
+    the horizon stop being written (the late closed-cohort event leaves
+    no fact and touches no closed partition), the read-side matrix over
+    the open window equals the batch twin on the same window, the
+    result is replay-safe and granularity-invariant, and a horizon
+    mismatch on restart is refused both ways."""
+    import os
+    import shutil as _shutil
+
+    import pyspark.sql.utils as _u
+
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_cohort_retention,
+        read_cohort_retention,
+        read_events_stream,
+    )
+
+    H = 2
+    in_dir, stage, all_ev = _mk_cohort_events(
+        spark, tmp_path, _COHORT_BATCHES)
+    cols = ["cohort_day", "week_offset", "n_active"]
+    want = _rows(_open_matrix(all_ev, H), cols)
+    assert len(want) == 3  # the fixture genuinely closes two cohorts
+
+    out = str(tmp_path / "coh_state")
+    ckpt = str(tmp_path / "ck1")
+    # first two batches establish closed-cohort facts on disk
+    for i in range(2):
+        _shutil.copy(f"{stage}/b{i}.parquet", f"{in_dir}/b{i}.parquet")
+    q = foreach_batch_cohort_retention(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, ckpt, horizon_weeks=H)
+    q.awaitTermination()
+
+    def closed_partition_files():
+        found = {}
+        for seg in os.listdir(out):
+            for day in ("2024-01-01", "2024-01-15"):
+                p = os.path.join(out, seg, f"cohort_day={day}")
+                if os.path.isdir(p):
+                    for f in os.listdir(p):
+                        fp = os.path.join(p, f)
+                        found[fp] = os.path.getmtime(fp)
+        return found
+
+    before = closed_partition_files()
+    assert before, "expected early-cohort facts on disk before closing"
+
+    # the third batch closes the January cohorts (wm jumps to 02-15)
+    _shutil.copy(f"{stage}/b2.parquet", f"{in_dir}/b2.parquet")
+    q2 = foreach_batch_cohort_retention(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, ckpt, horizon_weeks=H)
+    q2.awaitTermination()
+
+    assert _rows(read_cohort_retention(spark, out), cols) == want
+    # closed partitions untouched: no new files, no rewrites
+    assert closed_partition_files() == before
+    # the late u1 event's fact (week_offset 6) was never written
+    import glob
+    from functools import reduce
+    stored = reduce(lambda a, b: a.unionByName(b),
+                    [spark.read.schema(
+                        "user_id long, week_offset long, cohort_day date")
+                     .parquet(p) for p in glob.glob(f"{out}/facts_v*")])
+    assert stored.where("week_offset >= 6").count() == 0
+
+    # replay over a fresh checkpoint: nothing changes
+    q3 = foreach_batch_cohort_retention(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, str(tmp_path / "ck2"), horizon_weeks=H)
+    q3.awaitTermination()
+    assert _rows(read_cohort_retention(spark, out), cols) == want
+
+    # granularity invariance: one single batch == three batches
+    out1 = str(tmp_path / "coh_state_one")
+    q4 = foreach_batch_cohort_retention(
+        read_events_stream(spark, in_dir), out1, str(tmp_path / "ck3"),
+        horizon_weeks=H)
+    q4.awaitTermination()
+    assert _rows(read_cohort_retention(spark, out1), cols) == want
+
+    # horizon mismatch refused in both directions
+    for bad in (H + 1, None):
+        qb = foreach_batch_cohort_retention(
+            read_events_stream(spark, in_dir), out,
+            str(tmp_path / f"ckbad{bad}"), horizon_weeks=bad)
+        with pytest.raises(_u.StreamingQueryException,
+                           match="DIFFERENT window"):
+            qb.awaitTermination()
+
+
+def test_streaming_cohort_retention_horizon_compaction_drops_closed(
+        spark, tmp_path, monkeypatch):
+    """Compaction under a horizon physically drops closed-cohort
+    partitions: with the fold threshold forced low, the final state
+    holds ONLY open cohort days on disk, and the matrix still equals
+    the open-window batch twin."""
+    import glob
+    import os
+    import shutil as _shutil
+
+    import binaryvectordb_spark.streaming.events as EV
+
+    monkeypatch.setattr(EV, "_COHORT_COMPACT_SEGMENTS", 1)
+    H = 2
+    in_dir, stage, all_ev = _mk_cohort_events(
+        spark, tmp_path, _COHORT_BATCHES)
+    for i in range(3):
+        _shutil.copy(f"{stage}/b{i}.parquet", f"{in_dir}/b{i}.parquet")
+    out = str(tmp_path / "coh_state")
+    q = EV.foreach_batch_cohort_retention(
+        EV.read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out, str(tmp_path / "ck"), horizon_weeks=H)
+    q.awaitTermination()
+
+    cols = ["cohort_day", "week_offset", "n_active"]
+    assert (_rows(EV.read_cohort_retention(spark, out), cols)
+            == _rows(_open_matrix(all_ev, H), cols))
+    days = {os.path.basename(p).split("=")[1]
+            for seg in glob.glob(f"{out}/facts_v*")
+            for p in glob.glob(f"{seg}/cohort_day=*")}
+    assert days == {"2024-02-05", "2024-02-12"}, days
