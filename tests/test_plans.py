@@ -496,3 +496,46 @@ def test_bottomk_quantiles_toap_and_pid_windows(spark):
     assert specs, p
     for s in specs:
         assert s.startswith("__pid#") or s.startswith("cents#"), specs
+
+
+def test_salted_join_outer_decomposition_shape(spark):
+    """salted_join's right/full decomposition scale claims, plan-pinned
+    (VERDICT r11 item 6): (1) the unmatched-small anti-join probes
+    big's DISTINCT keys with the partial aggregate BELOW the exchange —
+    the hot key collapses map-side, so the distinct's shuffle carries
+    |keys| rows, not |big|; (2) the unmatched-big side anti-joins a
+    BROADCAST key set (skew-immune by construction: broadcast probes
+    have no reducer to hot-spot); (3) the hot big side itself is never
+    broadcast."""
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.operators.skew import salted_join
+
+    big = spark.range(30_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 40)
+        .alias("k"), F.col("id").alias("payload"))
+    small = spark.range(60).select(F.col("id").alias("k"),
+                                   (F.col("id") * 100).alias("dim_val"))
+    plan = formatted_plan(salted_join(big, small, "k", 8, "full"))
+
+    # (1) partial distinct below the exchange: a keys-only HashAggregate
+    # (Functions: []) precedes the hashpartitioning exchange of the
+    # distinct — map-side collapse of the hot key
+    exch = plan.index("hashpartitioning(k")
+    agg = plan.index("Functions: []")
+    assert agg < exch, "no partial distinct before the key shuffle"
+
+    # (2) both unmatched sides resolve as BroadcastHashJoin LeftAnti —
+    # never a shuffled anti-join on the hot table
+    assert plan.count("Join type: LeftAnti") == 2
+    anti_joins = plan.count("BroadcastHashJoin")
+    assert anti_joins >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # (3) the hot side's payload never crosses a broadcast exchange:
+    # every BroadcastExchange input is either a pure key set or the
+    # small dim side
+    for seg in plan.split("BroadcastExchange")[1:]:
+        head = seg.splitlines()[1]  # the "Input [...]" line
+        assert "payload" not in head, head
