@@ -51,82 +51,32 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority (rotated round 11): the driver value-hashes the first
-# 50 registry entries per round.  Steady-state arithmetic: with ~190
-# registry queries and a 50-query window, the max driver-hash age floor is
-# ceil(190/50) = 4 rounds, NOT 2 — the r10 comment's "no hash older than 2
-# rounds" claim was arithmetic spin and is retracted (VERDICT r10 item 2).
-# This round's window, 7 + 39 + 4 = 50 exactly: (a) the SEVEN round-11
-# additions — never driver-hashed (2 from session 1, 5 from session 2);
-# (b) the FULL 39-query round-7 cohort remainder (curation_funnel ..
-# knn_label_vote) — the registry's stalest hashes (age 4 by r11: the
-# flagship knn_cascade family, the ANN variants, the TPC-H head; VERDICT
-# r10 item 2); (c) the first FOUR round-8 head entries fill the window
-# (the last five r8-head names below sit just behind the window and lead
-# the r12 core instead).
-# Behind the window, in next-round priority order: the r8 remainder (age 3
-# at r12 — the r12 window's natural core), the r9 cohort (age 2), then
-# everything hashed in round 10 (freshest, least new signal).
+# Evaluation priority (rotated round 12): the driver value-hashes the first
+# 50 registry entries per round.  Steady-state arithmetic: with 198 registry
+# queries and a 50-query window, the max driver-hash age floor is
+# ceil(198/50) = 4 rounds.  This round's window, 2 + 46 + 2 = 50 exactly:
+# (a) the TWO round-12 additions -- never driver-hashed; (b) the FULL
+# 46-query round-8 remainder (the 5 entries the r11 window left just behind
+# it + the 41-query block window_first_last .. udf_grouped_agg) -- the
+# registry's stalest hashes (age 3; VERDICT r11 item 1); (c) the first TWO
+# round-9 cohort entries fill the window (the rest of the r9 cohort sits
+# just behind and leads the r13 core instead).
+# Behind the window, in next-round priority order: the r9 cohort remainder
+# (age 3 at r13 -- the r13 window's natural core), the round-10-hashed slice
+# (also age 3 at r13, after the r9 cohort), then everything hashed in round
+# 11 (freshest, least new signal).
 _PRIORITY = [
-    # (a) new in round 11 -- never driver-hashed
-    "textindex_prune_stats",
-    "dedup_incremental_persisted",
-    "sketch_kmv_mergeable",
-    "quant_trunc_dim_error",
-    "sketch_bottomk_quantiles",
-    "join_salted_skew",
-    "multimodal_bmp_decode",
-    # (b) round-7 cohort remainder (age 4), full re-hash this round
-    "curation_funnel",
-    "agg_pivot_status",
-    "scalar_subquery_above_avg",
-    "window_topk_per_customer",
-    "window_rank_variants",
-    "window_lag_lead",
-    "join_full_outer_nation_profile",
-    "agg_grouping_sets",
-    "window_distribution_funcs",
-    "join_right_outer_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "agg_stats_moments",
-    "ann_ivf_search",
-    "ann_lsh_bucket_search",
-    "ann_lsh_multitable_search",
-    "ann_lsh_multitable_batch",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q12_priority_by_status",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "knn_cascade",
-    "knn_cascade_ivf",
-    "knn_phase1_hamming",
-    "knn_bruteforce_cosine",
-    "knn_dot_topk",
-    "index_popcount_stats",
-    "db_len",
-    "point_lookup",
-    "knn_cascade_batch",
-    "knn_cascade_filtered",
-    "knn_radius_search",
-    "knn_label_vote",
-    # (c) round-8 head entries complete the 50-window
-    "search_maxsim_rerank",
-    "search_bm25_indexed",
-    "search_phrase_indexed",
-    "window_moving_sum",
+    # (a) new in round 12 -- never driver-hashed
+    "sketch_bkq_mergeable",
+    "join_salted_full_outer",
+    # (b) round-8 remainder (age 3 -- the registry's stalest hashes:
+    #     the 5 entries behind the r11 window + the 41-query block from
+    #     window_first_last; VERDICT r11 item 1), full re-hash this round
     "window_running_total",
     "set_ops_segments",
     "union_by_name_parties",
     "unpivot_acctbal",
     "agg_collect_set",
-    # (d) round-8 remainder (age 3 at r12: next round's core)
     "window_first_last",
     "agg_percentiles",
     "dedup_exact_stats",
@@ -168,9 +118,10 @@ _PRIORITY = [
     "udf_arrow_scalar",
     "udf_grouped_map",
     "udf_grouped_agg",
-    # (e) round-9 cohort (age 2)
+    # (c) round-9 cohort head entries complete the 50-window
     "search_bm25_local",
     "dedup_incremental_batch",
+    # (d) round-9 cohort remainder (age 3 at r13: next round's core)
     "search_bm25_indexed_batch",
     "events_funnel_conversion",
     "events_cohort_retention",
@@ -219,7 +170,7 @@ _PRIORITY = [
     "dedup_jaccard_pairs",
     "dedup_embedding_cosine",
     "dedup_lsh_jaccard",
-    # (f) hashed round 10 -- freshest
+    # (e) hashed round 10 (age 3 at r13, behind the r9 cohort)
     "agg_equidepth_histogram_scalable",
     "agg_weighted_median_scalable",
     "sketch_hll_mergeable",
@@ -270,6 +221,58 @@ _PRIORITY = [
     "layout_zorder_clustering",
     "ann_ivfpq_search",
     "dedup_semantic_clusters",
+    # (f) hashed round 11 -- freshest (the 7 r11 additions, the r7
+    #     cohort, the 4 r8 head entries)
+    "textindex_prune_stats",
+    "dedup_incremental_persisted",
+    "sketch_kmv_mergeable",
+    "quant_trunc_dim_error",
+    "sketch_bottomk_quantiles",
+    "join_salted_skew",
+    "multimodal_bmp_decode",
+    "curation_funnel",
+    "agg_pivot_status",
+    "scalar_subquery_above_avg",
+    "window_topk_per_customer",
+    "window_rank_variants",
+    "window_lag_lead",
+    "join_full_outer_nation_profile",
+    "agg_grouping_sets",
+    "window_distribution_funcs",
+    "join_right_outer_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "agg_stats_moments",
+    "ann_ivf_search",
+    "ann_lsh_bucket_search",
+    "ann_lsh_multitable_search",
+    "ann_lsh_multitable_batch",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q12_priority_by_status",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "knn_cascade",
+    "knn_cascade_ivf",
+    "knn_phase1_hamming",
+    "knn_bruteforce_cosine",
+    "knn_dot_topk",
+    "index_popcount_stats",
+    "db_len",
+    "point_lookup",
+    "knn_cascade_batch",
+    "knn_cascade_filtered",
+    "knn_radius_search",
+    "knn_label_vote",
+    "search_maxsim_rerank",
+    "search_bm25_indexed",
+    "search_phrase_indexed",
+    "window_moving_sum",
 ]
 
 

@@ -1649,3 +1649,162 @@ SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """)
+
+
+# -- bottom-k sample mergeability as oracle data (round 12) ------------------
+
+BKQM_K = 128
+_BKQM_SLICES = 8
+
+
+def _bkqm_merged_sample(o: DataFrame) -> DataFrame:
+    """Pre-checkpoint MERGED-path sample for sketch_bkq_mergeable: per
+    o_orderkey%8 slice, the slice's bottom-K by (h, o_orderkey) — the
+    per-slice rank compiles to a partial WindowGroupLimit below the
+    slice exchange (each map partition prunes to ≤K rows per slice
+    before any shuffle) — then the global bottom-K over the ≤8K-row
+    union.  Plan pinned on THIS helper (the query's eager
+    localCheckpoint truncates it out of the final explain — the r11
+    rule)."""
+    sliced = o.withColumn("slice", F.pmod("o_orderkey", F.lit(_BKQM_SLICES)))
+    w_s = Window.partitionBy("slice").orderBy("h", "o_orderkey")
+    sub = (sliced.withColumn("rn", F.row_number().over(w_s))
+           .where(F.col("rn") <= BKQM_K)
+           .select("h", "o_orderkey", "cents"))
+    w_g = Window.partitionBy(F.lit(1)).orderBy("h", "o_orderkey")
+    return (sub.withColumn("rn", F.row_number().over(w_g))
+            .where(F.col("rn") <= BKQM_K)
+            .select("h", "o_orderkey", "cents"))
+
+
+def sketch_bkq_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom-k quantile SAMPLE's mergeability pinned as oracle data
+    — the sketch_kmv_mergeable design applied to the trio's third
+    discipline, and the batch-side theorem behind the round-12
+    streaming twin (streaming/events.py::foreach_batch_bottomk_sample,
+    which merges shard/day samples by exactly this rule): Spark
+    computes ONLY the merged path (per-orderkey%8-slice bottom-K by
+    (h, key), union, global bottom-K), the oracle ONLY the direct
+    global bottom-K.  Hash equality IS the merge theorem — any row of
+    the global bottom-K is necessarily in its own slice's bottom-K.
+
+    The output carries the nearest-rank quantile picks (the integer
+    recipe shared with sketch_bottomk_quantiles) AND sample_hash_sum,
+    the Σh checksum over the sample — so the pin covers SET equality of
+    the merged and direct samples, not merely the 4 picked cells.  All
+    columns exact integers; the (h, o_orderkey) tie-break keeps the
+    K boundary a total order on both engines.
+
+    Scale: per-slice ranks are partial WindowGroupLimits (≤K rows per
+    map partition cross the wire — the shape a per-partition/per-day
+    incremental sampler persists); merge windows rank ≤8K bounded rows;
+    the sample is localCheckpointed once and shared by the count/sum
+    aggregate and the rank-probe join."""
+    from binaryvectordb_spark.functions.sketch import kmv_hash48
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).withColumn("h", kmv_hash48("o_orderkey"))
+    samp = _bkqm_merged_sample(o).localCheckpoint(eager=True)
+    w = Window.partitionBy(F.lit(1)).orderBy("cents", "o_orderkey")
+    rk = samp.withColumn("rn", F.row_number().over(w))
+    kc = samp.agg(F.count("*").cast("bigint").alias("k_sample"),
+                  F.sum("h").cast("bigint").alias("sample_hash_sum"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _BKQ_QS])).alias("q"))
+    return (qs.crossJoin(F.broadcast(kc))
+            .withColumn("srank", F.expr("1 + (q * (k_sample - 1)) div 100"))
+            .join(rk, F.col("srank") == F.col("rn"))
+            .select("q", "k_sample", F.col("cents").alias("est_cents"),
+                    "sample_hash_sum"))
+
+
+register("sketch_bkq_mergeable", sketch_bkq_mergeable, oracle=f"""
+WITH o AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  {kmv_hash48_sql('o_orderkey')} AS h
+           FROM orders),
+samp AS (SELECT cents, o_orderkey, h,
+                row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+         FROM (SELECT * FROM o ORDER BY h, o_orderkey LIMIT {BKQM_K})),
+kc AS (SELECT CAST(count(*) AS BIGINT) AS k_sample,
+              CAST(sum(h) AS BIGINT) AS sample_hash_sum FROM samp),
+qs AS (SELECT * FROM (VALUES (25), (50), (75), (90)) t(q))
+SELECT q, k_sample, s.cents AS est_cents, sample_hash_sum
+FROM qs CROSS JOIN kc
+JOIN samp s ON s.rn = 1 + (q * (k_sample - 1)) // 100
+""")
+
+
+# -- salted FULL OUTER join as a driver row (round 12) -----------------------
+
+def join_salted_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join's RIGHT/FULL decomposition as an oracle-backed
+    row, completing join_salted_skew (which covers the directly-salted
+    inner form): orders (big, hot o_custkey distribution) FULL OUTER a
+    pruned customer dim (c_custkey % 3 = 0, so BOTH unmatched sides are
+    non-empty — childless selected customers and orders of unselected
+    customers).  salted_join decomposes this into salted-inner +
+    null-padded unmatched rows of each side (operators/skew.py): the
+    unmatched-small side probes big's map-side-collapsed distinct keys,
+    the unmatched-big side probes a BROADCAST key set — plan shape
+    pinned in tests/test_plans.py; THIS row pins the other half of the
+    contract, that the decomposition changes the plan and never the
+    answer (the oracle is the plain FULL OUTER JOIN).
+
+    Output groups by match side x market segment with exact bigint
+    checksums over both tables' columns, so a row lost, duplicated, or
+    null-padded on the wrong side by the decomposition cannot hash
+    equal."""
+    from binaryvectordb_spark.operators.skew import salted_join
+
+    big = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_cents"))
+    small = (load_table(spark, sf_dir, "customer")
+             .where(F.col("c_custkey") % 3 == 0)
+             .select(F.col("c_custkey").alias("k"),
+                     F.round(F.col("c_acctbal") * 100).cast("long")
+                     .alias("acct_cents"), "c_mktsegment"))
+    j = salted_join(big, small, "k", n_salts=8, how="full")
+    side = (F.when(F.col("o_orderkey").isNull(), F.lit("small_only"))
+            .when(F.col("c_mktsegment").isNull(), F.lit("big_only"))
+            .otherwise(F.lit("matched")))
+    return (j.select(side.alias("side"),
+                     F.col("c_mktsegment").alias("mktsegment"),
+                     "k", "o_orderkey", "price_cents", "acct_cents")
+            .groupBy("side", "mktsegment")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum("k").cast("bigint").alias("key_checksum"),
+                 F.sum("o_orderkey").cast("bigint").alias("sum_orderkey"),
+                 F.sum("price_cents").cast("bigint")
+                 .alias("sum_price_cents"),
+                 F.sum("acct_cents").cast("bigint")
+                 .alias("sum_acct_cents")))
+
+
+register("join_salted_full_outer", join_salted_full_outer, oracle="""
+WITH b AS (SELECT o_custkey AS k, o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders),
+s AS (SELECT c_custkey AS k,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_cents,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0),
+j AS (SELECT COALESCE(b.k, s.k) AS k, b.o_orderkey, b.price_cents,
+             s.acct_cents, s.c_mktsegment
+      FROM b FULL OUTER JOIN s ON b.k = s.k)
+SELECT CASE WHEN o_orderkey IS NULL THEN 'small_only'
+            WHEN c_mktsegment IS NULL THEN 'big_only'
+            ELSE 'matched' END AS side,
+       c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_checksum,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+       CAST(sum(acct_cents) AS BIGINT) AS sum_acct_cents
+FROM j
+GROUP BY 1, 2
+""")

@@ -539,3 +539,46 @@ def test_salted_join_outer_decomposition_shape(spark):
     for seg in plan.split("BroadcastExchange")[1:]:
         head = seg.splitlines()[1]  # the "Input [...]" line
         assert "payload" not in head, head
+
+
+def test_bkqm_merged_sample_partial_wgl_below_slice_exchange(spark):
+    """sketch_bkq_mergeable's merged path, pinned on the exposed
+    pre-checkpoint helper (_bkqm_merged_sample — the eager
+    localCheckpoint truncates lineage out of the final explain): the
+    per-slice bottom-K must compile to a PARTIAL WindowGroupLimit BELOW
+    the slice exchange (each map partition prunes to <=K rows per slice
+    before anything crosses the wire — the shape an incremental
+    per-partition sampler persists), and the global merge over the
+    <=8K-row union to TakeOrderedAndProject, never a global sort
+    shuffle.  The final plan reuses the checkpointed sample
+    (ExistingRDD) for both the count/hash-sum aggregate and the
+    rank-probe join."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from binaryvectordb_spark.functions.sketch import kmv_hash48
+    from binaryvectordb_spark.queries.analytics3 import (
+        BKQM_K,
+        _bkqm_merged_sample,
+        sketch_bkq_mergeable,
+    )
+    from binaryvectordb_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).withColumn("h", kmv_hash48("o_orderkey"))
+    ps = formatted_plan(_bkqm_merged_sample(o))
+    wgl_ids = [int(m) for m in
+               re.findall(r"\((\d+)\) WindowGroupLimit", ps)]
+    ex_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange", ps)]
+    assert wgl_ids and ex_ids and min(wgl_ids) < min(ex_ids), (wgl_ids,
+                                                               ex_ids)
+    assert f"row_number(), {BKQM_K}, Partial" in ps, ps
+    assert "TakeOrderedAndProject" in ps, ps
+    assert "CartesianProduct" not in ps
+
+    p = formatted_plan(sketch_bkq_mergeable(spark, SF_SMOKE))
+    assert "ExistingRDD" in p
+    assert "CartesianProduct" not in p
