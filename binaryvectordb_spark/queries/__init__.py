@@ -52,15 +52,13 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 )
 
 # Evaluation priority (rotated round 12): the driver value-hashes the first
-# 50 registry entries per round.  Steady-state arithmetic: with 198 registry
+# 50 registry entries per round.  Steady-state arithmetic: with 200 registry
 # queries and a 50-query window, the max driver-hash age floor is
-# ceil(198/50) = 4 rounds.  This round's window, 2 + 46 + 2 = 50 exactly:
-# (a) the TWO round-12 additions -- never driver-hashed; (b) the FULL
+# ceil(200/50) = 4 rounds.  This round's window, 4 + 46 = 50 exactly:
+# (a) the FOUR round-12 additions -- never driver-hashed; (b) the FULL
 # 46-query round-8 remainder (the 5 entries the r11 window left just behind
 # it + the 41-query block window_first_last .. udf_grouped_agg) -- the
-# registry's stalest hashes (age 3; VERDICT r11 item 1); (c) the first TWO
-# round-9 cohort entries fill the window (the rest of the r9 cohort sits
-# just behind and leads the r13 core instead).
+# registry's stalest hashes (age 3; VERDICT r11 item 1).
 # Behind the window, in next-round priority order: the r9 cohort remainder
 # (age 3 at r13 -- the r13 window's natural core), the round-10-hashed slice
 # (also age 3 at r13, after the r9 cohort), then everything hashed in round
@@ -69,6 +67,8 @@ _PRIORITY = [
     # (a) new in round 12 -- never driver-hashed
     "sketch_bkq_mergeable",
     "join_salted_full_outer",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
     # (b) round-8 remainder (age 3 -- the registry's stalest hashes:
     #     the 5 entries behind the r11 window + the 41-query block from
     #     window_first_last; VERDICT r11 item 1), full re-hash this round
@@ -118,10 +118,9 @@ _PRIORITY = [
     "udf_arrow_scalar",
     "udf_grouped_map",
     "udf_grouped_agg",
-    # (c) round-9 cohort head entries complete the 50-window
+    # (c) round-9 cohort remainder (age 3 at r13: next round's core)
     "search_bm25_local",
     "dedup_incremental_batch",
-    # (d) round-9 cohort remainder (age 3 at r13: next round's core)
     "search_bm25_indexed_batch",
     "events_funnel_conversion",
     "events_cohort_retention",
@@ -170,7 +169,7 @@ _PRIORITY = [
     "dedup_jaccard_pairs",
     "dedup_embedding_cosine",
     "dedup_lsh_jaccard",
-    # (e) hashed round 10 (age 3 at r13, behind the r9 cohort)
+    # (d) hashed round 10 (age 3 at r13, behind the r9 cohort)
     "agg_equidepth_histogram_scalable",
     "agg_weighted_median_scalable",
     "sketch_hll_mergeable",
@@ -221,7 +220,7 @@ _PRIORITY = [
     "layout_zorder_clustering",
     "ann_ivfpq_search",
     "dedup_semantic_clusters",
-    # (f) hashed round 11 -- freshest (the 7 r11 additions, the r7
+    # (e) hashed round 11 -- freshest (the 7 r11 additions, the r7
     #     cohort, the 4 r8 head entries)
     "textindex_prune_stats",
     "dedup_incremental_persisted",

@@ -485,3 +485,119 @@ WITH per_cust AS (
 SELECT c_count, count(*) AS custdist
 FROM per_cust GROUP BY c_count
 """)
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation and year): the widest join
+    tree in the TPC-H head — lineitem x part x supplier x orders x nation
+    — with a pushed-down LIKE on the part dim and a two-key grouped
+    money aggregate.  The fixture has no partsupp, so ps_supplycost is
+    re-targeted as a retail-price cost proxy (profit = discounted
+    revenue - 0.10 * p_retailprice * l_quantity), preserving the shape:
+    a decimal-exact amount built from THREE tables' columns.
+
+    Scale: part/supplier/nation are broadcast dims (part is filtered by
+    the LIKE before the join); the only shuffles are the
+    lineitem-orders orderkey join and the final (nation, year) partial
+    hash aggregate.  Money stays DECIMAL end-to-end, cast to double
+    once at the output boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .where(F.col("p_name").like("%widget%")))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(15,2)) * "
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) - "
+        "CAST(0.10 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(15,2))"
+        " * CAST(l_quantity AS DECIMAL(15,2))")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("o_year"),
+                    amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.sum("amount").cast("double").alias("sum_profit")))
+
+
+register("tpch_q9_product_profit", tpch_q9_product_profit, oracle="""
+SELECT n_name AS nation,
+       EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(0.10 AS DECIMAL(3,2)) *
+                  CAST(p_retailprice AS DECIMAL(15,2)) *
+                  CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+""")
+
+
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): the double-
+    correlated EXISTS / NOT EXISTS on fact self-joins — the heaviest
+    subquery structure in TPC-H.  The fixture has no l_receiptdate /
+    l_commitdate, so "late" is re-targeted to l_shipdate more than 30
+    days after o_orderdate, preserving the structure exactly: for each
+    LATE line of a finished ('F') order, the order must involve ANOTHER
+    supplier (EXISTS -> left-semi self-join) and NO other supplier may
+    be late on it (NOT EXISTS -> left-anti self-join against the late
+    subset).
+
+    Scale: the late flag is computed once on the lineitem-orders join
+    (orderkey-shuffled); both correlations are hash semi/anti joins
+    co-partitioned on l_orderkey — the self-join never expands beyond
+    the order's own lines, and the final per-supplier count is a
+    broadcast-sized aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    s = _t(spark, sf_dir, "supplier")
+    lo = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .withColumn("late", F.col("l_shipdate") >
+                      F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+    l1 = (lo.where(F.col("late"))
+          .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (lo.where(F.col("late"))
+          .select(F.col("l_orderkey").alias("k3"),
+                  F.col("l_suppkey").alias("s3")))
+    waiting = (l1.join(l2, (l1.l_orderkey == l2.k2) &
+                       (l1.l_suppkey != l2.s2), "left_semi")
+               .join(l3, (l1.l_orderkey == l3.k3) &
+                     (l1.l_suppkey != l3.s3), "left_anti"))
+    return (waiting.join(F.broadcast(s),
+                         waiting.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").cast("bigint").alias("numwait")))
+
+
+register("tpch_q21_waiting_supplier", tpch_q21_waiting_supplier, oracle="""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+l1 AS (SELECT l_orderkey, l_suppkey FROM lo WHERE late)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+""")
