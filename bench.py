@@ -58,6 +58,35 @@ def _time_runs(make_plan, n: int = 5, extra_if_noisy: int = 4,
     # of the sample the reported median came from
     return statistics.median(runs), spread(runs)
 
+
+def _host_probe(n: int = 9) -> dict[str, float]:
+    """Spark-free session-quality stamp (VERDICT r11 item 2): median wall
+    time of a FIXED float32 1500^2 matmul, sampled n times 0.2 s apart.
+    The workload never changes, so the reading measures the MACHINE, not
+    the repo: quiet sessions measure a ~15-35 ms median (3 sessions
+    sampled r12), while the r12 attribution session — minutes after an
+    interleaved gate/knn A/A on byte-identical code had degraded 2-3x in
+    lockstep across all four arms (examples/ab_r11_hotkeys.py) — read
+    the SAME matmul at 249-1124 ms over 12 s with load avg 2.6 and no
+    visible process.  A bench record whose pre/post probes sit well
+    above the quiet floor was taken on a contended session; read its
+    per-key band breaches against the (probe / floor) ratio before
+    blaming any plan."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((1500, 1500)) \
+        .astype(np.float32)
+    (a @ a).sum()  # warm-up: allocator + BLAS thread spin-up
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        samples.append(time.perf_counter() - t0)
+        time.sleep(0.2)
+    med = statistics.median(samples)
+    return {"ms": round(med * 1000, 1),
+            "spread": round((max(samples) - min(samples)) / med, 2)}
+
 HEADLINE = [
     "knn_cascade",            # the reference's flagship operation
     "knn_cascade_ivf",        # pluggable-index pruned cascade
@@ -570,6 +599,56 @@ def bench_gate_serving(spark, sf_dir: str,
         out["gate_persisted_ms"] = round(med * 1000, 2)
         variance["gate_persisted_ms"] = round(
             (max(kept) - min(kept)) / med, 2)
+
+        # maintenance amortization (GateIndex.compact_tail, r12): over
+        # one FULL threshold cycle under the DB's real policy
+        # (db._gi_after_upsert: upsert per batch, compact_tail only at
+        # the 16-segment threshold), the COMPACTION component only —
+        # the upsert writes are identical under both policies, so the
+        # comparison is fold-vs-full-rewrite.  Two views:
+        # - *_ms: compaction wall-clock amortized per batch (both sit
+        #   near the Spark job floor at fixture scale);
+        # - rewrite_fraction: shingle rows the tiered folds rewrote per
+        #   cycle / rows the full compact() rewrites — the
+        #   scale-faithful number (deterministic, like the zorder
+        #   fraction keys): tiered rewrites O(recent batches), full
+        #   rewrites O(corpus), so the fraction FALLS as the corpus
+        #   grows while the old policy's stays 1.0 by definition.
+        thresh = 16  # db.BinaryVectorDB._GI_COMPACT_SEGMENTS
+
+        def _mb(i: int):
+            rows = [(20_000_000 + i * 100 + j,
+                     f"maintenance batch {i} doc {j} tokens "
+                     f"mu{i}_{j} nu{i}_{j} xi{i}_{j} om{i}_{j}")
+                    for j in range(20)]
+            return spark.createDataFrame(rows, "doc_id long, text string")
+
+        def _cycle(i0: int) -> tuple[float, int]:
+            """(fold wall-sec, fold shingle-rows) over one 16-batch
+            cycle of the DB policy starting at micro-batch i0."""
+            t_fold, rows_fold = 0.0, 0
+            for i in range(i0, i0 + thresh):
+                gi.upsert_batch(_mb(i))
+                if len(gi.meta["segments"]) >= thresh:
+                    pre = set(gi.meta["segments"])
+                    t0 = time.perf_counter()
+                    gi.compact_tail()
+                    t_fold += time.perf_counter() - t0
+                    rows_fold += sum(
+                        n for s, n in gi.meta["seg_stats"].items()
+                        if s not in pre)
+            return t_fold, rows_fold
+
+        _cycle(0)  # untimed warm-up cycle: reach tiered steady state
+        t_fold, rows_fold = _cycle(thresh)
+        out["gate_maintain_tiered_ms"] = round(t_fold * 1000 / thresh, 2)
+        t0 = time.perf_counter()
+        gi.compact()
+        out["gate_maintain_full_ms"] = round(
+            (time.perf_counter() - t0) * 1000 / thresh, 2)
+        full_rows = sum(gi.meta["seg_stats"].values())
+        out["gate_maintain_rewrite_fraction"] = round(
+            rows_fold / max(full_rows, 1), 4)
     finally:
         shutil.rmtree(gdir, ignore_errors=True)
     return out
@@ -922,6 +1001,10 @@ def main() -> None:
     # Arrow path via GC churn).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
 
+    # session-quality stamp BEFORE any Spark work (and again after): the
+    # record carries its own evidence of host contention — see _host_probe
+    probe_pre = _host_probe()
+
     from binaryvectordb_spark.queries import QUERIES
     from binaryvectordb_spark.session import get_spark
 
@@ -975,6 +1058,9 @@ def main() -> None:
         "variance": variance,
         "protocol": "median of 5 fresh plans per query; variance = (max-min)/median",
         "sf": float(sf),
+        "host_probe": {"pre": probe_pre, "post": _host_probe(),
+                       "quiet_floor_ms": 25,
+                       "note": "fixed Spark-free matmul; see _host_probe"},
     }
 
     # The driver keeps only the LAST 2000 chars of stdout and parses the
@@ -1000,6 +1086,10 @@ def main() -> None:
                               "bm25_scan", "bm25_indexed_1m",
                               "bm25_scan_1m", "bm25_indexed_1m_dense",
                               "hybrid_serve_ms", "gate_distributed_ms",
+                              "gate_persisted_ms",
+                              "gate_maintain_tiered_ms",
+                              "gate_maintain_full_ms",
+                              "gate_maintain_rewrite_fraction",
                               "hybrid_serve_distributed_ms",
                               "hybrid_serve_batch_ms")]
     vmax_key = max(variance, key=variance.get)
@@ -1011,6 +1101,8 @@ def main() -> None:
         "queries": {k: q[k] for k in headline_keys},
         "variance_max": {vmax_key: variance[vmax_key]},
         "n_queries_timed": len(q),
+        "host_probe": out["host_probe"]["pre"],
+        "host_probe_post": out["host_probe"]["post"],
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)
