@@ -601,20 +601,23 @@ def bench_gate_serving(spark, sf_dir: str,
             (max(kept) - min(kept)) / med, 2)
 
         # maintenance amortization (GateIndex.compact_tail, r12): over
-        # one FULL threshold cycle under the DB's real policy
-        # (db._gi_after_upsert: upsert per batch, compact_tail only at
-        # the 16-segment threshold), the COMPACTION component only —
-        # the upsert writes are identical under both policies, so the
-        # comparison is fold-vs-full-rewrite.  Two views:
+        # one FULL threshold cycle under the DB's REAL policy
+        # (db._gi_bound_state — tiered segment fold + tombstone-pile
+        # fold + row-budget vacuum; the r12 review caught an earlier
+        # draft that omitted the tombstone half), the COMPACTION
+        # component only — the upsert writes are identical under both
+        # policies, so the comparison is fold-vs-full-rewrite.  Two
+        # views:
         # - *_ms: compaction wall-clock amortized per batch (both sit
         #   near the Spark job floor at fixture scale);
-        # - rewrite_fraction: shingle rows the tiered folds rewrote per
+        # - rewrite_fraction: segment rows the tiered folds rewrote per
         #   cycle / rows the full compact() rewrites — the
         #   scale-faithful number (deterministic, like the zorder
         #   fraction keys): tiered rewrites O(recent batches), full
         #   rewrites O(corpus), so the fraction FALLS as the corpus
         #   grows while the old policy's stays 1.0 by definition.
-        thresh = 16  # db.BinaryVectorDB._GI_COMPACT_SEGMENTS
+        from binaryvectordb_spark.db import BinaryVectorDB
+        thresh = BinaryVectorDB._GI_COMPACT_SEGMENTS
 
         def _mb(i: int):
             rows = [(20_000_000 + i * 100 + j,
@@ -624,19 +627,22 @@ def bench_gate_serving(spark, sf_dir: str,
             return spark.createDataFrame(rows, "doc_id long, text string")
 
         def _cycle(i0: int) -> tuple[float, int]:
-            """(fold wall-sec, fold shingle-rows) over one 16-batch
-            cycle of the DB policy starting at micro-batch i0."""
+            """(compaction wall-sec, folded segment rows) over one
+            16-batch cycle of the DB policy (the real hook:
+            BinaryVectorDB._gi_bound_state) starting at micro-batch
+            i0.  A row-budget vacuum inside the cycle would show up in
+            both outputs — at bench scale the synthetic churn is ~1% of
+            the corpus, so it never trips, which IS the claim."""
             t_fold, rows_fold = 0.0, 0
             for i in range(i0, i0 + thresh):
                 gi.upsert_batch(_mb(i))
-                if len(gi.meta["segments"]) >= thresh:
-                    pre = set(gi.meta["segments"])
-                    t0 = time.perf_counter()
-                    gi.compact_tail()
-                    t_fold += time.perf_counter() - t0
-                    rows_fold += sum(
-                        n for s, n in gi.meta["seg_stats"].items()
-                        if s not in pre)
+                pre = set(gi.meta["segments"])
+                t0 = time.perf_counter()
+                BinaryVectorDB._gi_bound_state(gi)
+                t_fold += time.perf_counter() - t0
+                rows_fold += sum(
+                    n for s, n in gi.meta["seg_stats"].items()
+                    if s not in pre)
             return t_fold, rows_fold
 
         _cycle(0)  # untimed warm-up cycle: reach tiered steady state

@@ -1692,19 +1692,39 @@ class BinaryVectorDB:
                   .select("doc_id", F.col("doc").alias("text"))
                   if n_str else None)
         gi.upsert_batch(str_df, incoming.select("doc_id"))
-        # bounded segment growth under micro-batch ingest, the textindex
-        # discipline (VERDICT r11 item 3): past the threshold, fold the
-        # trailing run of small segments (tiered merge — amortized
-        # O(batch·log); the bootstrap corpus segment is never rewritten
-        # just because 16 small batches arrived).  If the tier policy
-        # finds no mergeable run the full compact() backstop keeps the
-        # hard bound; a tombstone pile-up still takes the full compact
-        # (only it clears tombstones).
-        if len(gi.meta["segments"]) >= self._GI_COMPACT_SEGMENTS:
+        self._gi_bound_state(gi)
+
+    @classmethod
+    def _gi_bound_state(cls, gi) -> None:
+        """Bounded gate-index state under micro-batch mutation, the
+        textindex discipline (VERDICT r11 item 3 + the r12 review fix):
+
+        - SEGMENT files: past the threshold, fold the trailing run of
+          small segments (tiered merge — amortized O(batch·log); the
+          bootstrap corpus segment is never rewritten just because 16
+          small batches arrived); full compact() only if the tier
+          policy finds no mergeable run.
+        - TOMBSTONE files: compact_tail also folds the pile into one
+          file (O(churn)), so file count never forces a full rewrite —
+          the r12 review found the old ``len(tombstones) >= 16`` full
+          compact() fired every ~16 gated batches and negated the
+          tiered merge entirely.
+        - TOMBSTONE rows (dead data in segments): row-budget VACUUM —
+          full compact() only once dead ids reach ~half the stored
+          rows, i.e. amortized O(1) rewrite per churned doc.  Legacy
+          pre-stats state falls back to the old file-count backstop."""
+        if len(gi.meta["segments"]) >= cls._GI_COMPACT_SEGMENTS:
             gi.compact_tail()
-            if len(gi.meta["segments"]) >= self._GI_COMPACT_SEGMENTS:
+            if len(gi.meta["segments"]) >= cls._GI_COMPACT_SEGMENTS:
                 gi.compact()
-        if len(gi.meta["tombstones"]) >= self._GI_COMPACT_SEGMENTS:
+                return
+        if len(gi.meta["tombstones"]) >= cls._GI_COMPACT_SEGMENTS:
+            gi.compact_tail()  # remove-heavy stream: fold files only
+        tr = gi.tomb_rows()
+        if tr is None:
+            if len(gi.meta["tombstones"]) >= cls._GI_COMPACT_SEGMENTS:
+                gi.compact()
+        elif 2 * tr >= max(1, gi.seg_rows()):
             gi.compact()
 
     def _gi_after_remove(self, doc_ids: Sequence[int]) -> None:
@@ -1712,8 +1732,7 @@ class BinaryVectorDB:
         if gi is None:
             return
         gi.remove([int(i) for i in doc_ids])
-        if len(gi.meta["tombstones"]) >= self._GI_COMPACT_SEGMENTS:
-            gi.compact()
+        self._gi_bound_state(gi)
 
     def _gi_drop(self) -> None:
         p = os.path.join(self.folder, self._GATE_INDEX_DIR)

@@ -260,7 +260,13 @@ class GateIndex:
       item 3): fold only the trailing run of comparably-small segments,
       so micro-batch ingest costs amortized O(batch·log) and the
       bootstrap segment is never rewritten just because 16 small
-      batches arrived.
+      batches arrived.  ``compact_tail`` ALSO folds the tombstone PILE
+      into one file (per-row effective scopes materialized), so the
+      tombstone FILE count stays bounded without a full rewrite; the
+      tombstone ROW count is bounded separately by the DB hook's
+      row-budget vacuum — a full ``compact()`` only once the dead rows
+      reach ~half the table (amortized O(1) rewrite per churned doc,
+      a vacuum, not a cadence).
 
     100 TB: both tables are O(corpus) on disk but a probe touches
     O(probe bands + candidates) row groups; segments are immutable files
@@ -317,16 +323,20 @@ class GateIndex:
         the doclen-from-written-postings pattern); both tables are
         range-sorted so probe-time In() filters prune row groups."""
         import os
-
-        from pyspark.sql import Observation
         seg = os.path.join(self.folder, name)
-        obs = Observation()
         (_shingle_sets(docs)
-         .observe(obs, F.count(F.lit(1)).alias("n"))
          .repartitionByRange("doc_id")
          .sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "shingles")))
-        n_docs = int(obs.get["n"])
+        # count by READING BACK the written footers (metadata-only):
+        # an Observation upstream of repartitionByRange double-counts —
+        # the range partitioner's boundary-sampling job evaluates the
+        # observe node once before the write does (r12 review follow-up:
+        # seg_stats carried a ~2x bias; harmless for the relative tier
+        # policy, wrong for the row-budget vacuum)
+        n_docs = int(self.spark.read
+                     .schema(self._SCHEMAS["shingles"])
+                     .parquet(os.path.join(seg, "shingles")).count())
         if n_docs == 0:
             import shutil
             shutil.rmtree(seg, ignore_errors=True)
@@ -356,7 +366,8 @@ class GateIndex:
             shutil.rmtree(os.path.join(self.folder, name),
                           ignore_errors=True)
         self.meta = {"segments": [], "tombstones": [], "tomb_upto": {},
-                     "seg_stats": {}, "v": self.meta.get("v", 0)}
+                     "seg_stats": {}, "tomb_stats": {},
+                     "v": self.meta.get("v", 0)}
         docs = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
         n = self._write_segment(docs, "seg_0")
         if n:
@@ -402,7 +413,7 @@ class GateIndex:
         elif dead_ids_df is not None:
             dead = dead_ids_df.select(
                 F.col("doc_id").cast("long").alias("doc_id"))
-        tomb_name = None
+        tomb_name, n_tomb = None, 0
         if dead is not None:
             tomb_name = self._next_name("tomb")
             obs = Observation()
@@ -411,7 +422,8 @@ class GateIndex:
              .observe(obs, F.count(F.lit(1)).alias("n"))
              .write.mode("overwrite")
              .parquet(os.path.join(self.folder, tomb_name)))
-            if int(obs.get["n"]) == 0:
+            n_tomb = int(obs.get["n"])
+            if n_tomb == 0:
                 shutil.rmtree(os.path.join(self.folder, tomb_name),
                               ignore_errors=True)
                 tomb_name = None
@@ -422,6 +434,7 @@ class GateIndex:
         if tomb_name is not None:
             self.meta["tombstones"].append(tomb_name)
             self.meta.setdefault("tomb_upto", {})[tomb_name] = upto
+            self.meta.setdefault("tomb_stats", {})[tomb_name] = n_tomb
         self._write_meta()
 
     def remove_df(self, ids_df: DataFrame) -> None:
@@ -438,17 +451,18 @@ class GateIndex:
         import os
         import shutil
 
-        from pyspark.sql import Observation
         if not self.meta["segments"]:
             return
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)
-        obs = Observation()
         (self.live_shingles()
-         .observe(obs, F.count(F.lit(1)).alias("n"))
          .repartitionByRange("doc_id").sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "shingles")))
-        n_docs = int(obs.get["n"])
+        # read-back count: observe-above-repartitionByRange double-counts
+        # (the range sampler's extra pass) — see _write_segment
+        n_docs = int(self.spark.read
+                     .schema(self._SCHEMAS["shingles"])
+                     .parquet(os.path.join(seg, "shingles")).count())
         (self.live_bands()
          .repartitionByRange("bh").sortWithinPartitions("bh", "doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "bands")))
@@ -459,6 +473,7 @@ class GateIndex:
             shutil.rmtree(seg, ignore_errors=True)
         self.meta["tombstones"] = []
         self.meta["tomb_upto"] = {}
+        self.meta["tomb_stats"] = {}
         self._write_meta()
         for n in old:
             shutil.rmtree(os.path.join(self.folder, n), ignore_errors=True)
@@ -489,9 +504,9 @@ class GateIndex:
         import os
         import shutil
 
-        from pyspark.sql import Observation
         segs = self.meta["segments"]
         if len(segs) < 2:
+            self._fold_tombstones()
             return
         stats = self.meta.get("seg_stats") or {}
         sizes = [int(stats.get(s, 0)) for s in segs]
@@ -501,18 +516,23 @@ class GateIndex:
             i -= 1
             acc += sizes[i]
         if i == len(segs) - 1:
-            return  # no mergeable run (the tail segment dwarfs its elder)
+            # no mergeable segment run (the tail dwarfs its elder) —
+            # still bound the tombstone read fan-in
+            self._fold_tombstones()
+            return
         if i == 0:
             self.compact()
             return
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)
-        obs = Observation()
         (self._live_run("shingles", i)
-         .observe(obs, F.count(F.lit(1)).alias("n"))
          .repartitionByRange("doc_id").sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "shingles")))
-        n_docs = int(obs.get["n"])
+        # read-back count: observe-above-repartitionByRange double-counts
+        # (the range sampler's extra pass) — see _write_segment
+        n_docs = int(self.spark.read
+                     .schema(self._SCHEMAS["shingles"])
+                     .parquet(os.path.join(seg, "shingles")).count())
         if n_docs:
             (self._live_run("bands", i)
              .repartitionByRange("bh").sortWithinPartitions("bh", "doc_id")
@@ -544,6 +564,65 @@ class GateIndex:
         for stale in old_sources:
             shutil.rmtree(os.path.join(self.folder, stale),
                           ignore_errors=True)
+        self._fold_tombstones()
+
+    def _fold_tombstones(self) -> None:
+        """Fold the tombstone PILE into ONE file (the other half of the
+        tiered discipline — r12 review finding: without it, tombstone
+        files accumulate one per micro-batch and the DB hook's old
+        file-count backstop forced the full O(corpus) ``compact()``
+        every ~16 batches, negating ``compact_tail``).  Per-row
+        effective scopes are materialized (``least`` of the written
+        scope and the meta override), repeated kills of the same doc
+        collapse to its widest scope, and empty-scope rows
+        (upto_seg < 0) drop — so tombstone ROWS ≈ distinct churned ids
+        since the last full compact, and the fold is O(churn), never
+        O(corpus).  The row count itself is bounded by the DB hook's
+        row-budget vacuum (full compact at ~50% churn: amortized O(1)
+        rewrite per churned doc)."""
+        import os
+        import shutil
+
+        from pyspark.sql import Observation
+        tombs = self.meta["tombstones"]
+        if len(tombs) < 2:
+            return
+        name = self._next_name("tomb")
+        obs = Observation()
+        (self._tomb()
+         .where(F.col("upto_seg") >= 0)
+         .groupBy("doc_id")
+         .agg(F.max("upto_seg").alias("upto_seg"))
+         .observe(obs, F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.folder, name)))
+        n = int(obs.get["n"])
+        if not n:
+            shutil.rmtree(os.path.join(self.folder, name),
+                          ignore_errors=True)
+        old = list(tombs)
+        self.meta["tombstones"] = [name] if n else []
+        self.meta["tomb_upto"] = {}
+        self.meta["tomb_stats"] = {name: n} if n else {}
+        self._write_meta()
+        for t in old:
+            shutil.rmtree(os.path.join(self.folder, t),
+                          ignore_errors=True)
+
+    def tomb_rows(self) -> int | None:
+        """Total tombstone rows from write-time stats (zero jobs); None
+        when a pre-stats legacy tombstone lacks one — callers fall back
+        to the file-count policy."""
+        st = self.meta.get("tomb_stats") or {}
+        if any(t not in st for t in self.meta["tombstones"]):
+            return None
+        return sum(int(st[t]) for t in self.meta["tombstones"])
+
+    def seg_rows(self) -> int:
+        """Total stored segment rows (live + not-yet-vacuumed dead) from
+        write-time stats — the row-budget vacuum's denominator."""
+        st = self.meta.get("seg_stats") or {}
+        return sum(int(st.get(s, 0)) for s in self.meta["segments"])
 
     # -- read -----------------------------------------------------------
 
@@ -553,14 +632,18 @@ class GateIndex:
             return None
         # a tiered merge (compact_tail) re-scopes tombstones whose range
         # reached into the merged run WITHOUT rewriting their parquet:
-        # meta's tomb_upto override wins over the written column
+        # meta's tomb_upto override NARROWS the written column (least,
+        # never replace — a folded tombstone file holds heterogeneous
+        # per-row scopes, and a replace would WIDEN its narrow rows)
         over = self.meta.get("tomb_upto") or {}
         parts = []
         for t in self.meta["tombstones"]:
             df = (self.spark.read.schema("doc_id long, upto_seg int")
                   .parquet(os.path.join(self.folder, t)))
             if t in over:
-                df = df.withColumn("upto_seg", F.lit(int(over[t])))
+                df = df.withColumn(
+                    "upto_seg",
+                    F.least("upto_seg", F.lit(int(over[t]))))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:

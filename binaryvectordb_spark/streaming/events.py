@@ -554,8 +554,14 @@ def foreach_batch_cohort_retention(events: DataFrame, out_dir: str,
     its own docstring's pruning claim).  Per batch:
 
     - the per-user cohort day is fixed the first time the user appears
-      (ordering contract as in foreach_batch_transition_matrix); the
-      cohort lookup is a column-pruned read of the existing segments;
+      (ordering contract as in foreach_batch_transition_matrix) and
+      NEVER moves — enforced structurally since r12: existing users
+      take their stored day, bmin only seeds new users, and
+      pre-cohort facts (week_offset < 0, possible only under a
+      contract violation) are excluded, so a late earlier event
+      degrades to stable identity instead of splitting the user
+      across two cohorts; the cohort lookup is a column-pruned read
+      of the existing segments;
     - candidate facts = the batch's (user, cohort_day, week_offset)
       distinct set; facts already known are removed by an anti-join
       against the prior segments PRUNED to the batch's cohort days
@@ -623,11 +629,20 @@ def foreach_batch_cohort_retention(events: DataFrame, out_dir: str,
                 wm = bwm if wm is None or bwm > wm else wm
             prior_map = _cohort_map(spark, out_dir, new_map_segs)
             if prior_map is not None:
-                cohorts = (prior_map.unionByName(bmin)
-                           .groupBy("user_id")
-                           .agg(F.min("cohort_day").alias("cohort_day")))
+                # FIRST-SEEN WINS, enforced structurally (r12 review):
+                # an existing user's cohort day never moves, so the
+                # persisted map, the written facts, and the read-side
+                # matrix can never disagree about a user's cohort.
+                # Under the documented ordering contract bmin of an
+                # existing user is never earlier than the map's day, so
+                # this equals a min(); under a contract violation (a
+                # late earlier event) it degrades to stable identity
+                # instead of silently splitting the user across two
+                # cohorts (the old min() wrote the new smaller day into
+                # facts while the grow-only map kept the old one).
                 new_users = bmin.join(prior_map.select("user_id"),
                                       "user_id", "left_anti")
+                cohorts = prior_map.unionByName(new_users)
             else:
                 cohorts, new_users = bmin, bmin
             mdir = f"cmap_v{batch_id}"
@@ -650,16 +665,29 @@ def foreach_batch_cohort_retention(events: DataFrame, out_dir: str,
         else:
             prior_facts = _cohort_facts(spark, out_dir, segs)
             if prior_facts is not None:
-                cohorts = (prior_facts.select("user_id", "cohort_day")
-                           .distinct().unionByName(bmin)
-                           .groupBy("user_id")
-                           .agg(F.min("cohort_day").alias("cohort_day")))
+                # first-seen wins here too: with stable identity a
+                # user's prior facts all carry ONE cohort day by
+                # construction (min() is defensive for legacy state
+                # written before the r12 fix, which could split)
+                prior_days = (prior_facts.groupBy("user_id")
+                              .agg(F.min("cohort_day")
+                                   .alias("cohort_day")))
+                cohorts = prior_days.unionByName(
+                    bmin.join(prior_days.select("user_id"),
+                              "user_id", "left_anti"))
             else:
                 cohorts = bmin
         cand = (b.join(cohorts, "user_id")
                 .select("user_id", "cohort_day",
                         F.expr("CAST(datediff(d, cohort_day) div 7 "
                                "AS BIGINT)").alias("week_offset"))
+                # pre-cohort activity (week_offset < 0) only exists
+                # under an ordering-contract violation — an existing
+                # user's late event from before their fixed cohort day;
+                # a retention matrix's domain starts at cohort entry,
+                # so such rows are excluded rather than written as
+                # negative-offset cells the batch twin cannot produce
+                .where(F.col("week_offset") >= 0)
                 .distinct())
         if horizon_weeks is not None and wm is not None:
             # the TTL: facts of CLOSED cohorts are never written — they

@@ -580,3 +580,84 @@ def test_sharded_local_gate_bit_identical(spark):
         else:
             assert flat.admit(did, text) == shard.admit(did, text)
         assert len(flat) == len(shard)
+
+
+def test_db_gate_policy_never_full_compacts_on_micro_batches(
+        spark, tmp_path, monkeypatch):
+    """The r12 review fix at the DB-POLICY level: under
+    BinaryVectorDB._gi_bound_state (the real hook policy), a stream of
+    micro-batches NEVER triggers the full O(corpus) compact() — the old
+    ``len(tombstones) >= threshold`` backstop fired every ~threshold
+    gated batches and negated compact_tail entirely.  Pins: the
+    bootstrap segment survives (name + file mtimes) across 3+ threshold
+    cycles, the tombstone FILE count stays bounded by the pile fold,
+    tomb_stats covers every live tombstone (the row-budget vacuum's
+    input), and gate records remain identical to the recompute form.
+    Then the OPPOSITE pin: once churn (dead rows) reaches ~half the
+    stored rows, the row-budget vacuum DOES run the full compact and
+    clears the tombstones — a vacuum, not a cadence."""
+    import os
+
+    from binaryvectordb_spark.db import BinaryVectorDB
+    from binaryvectordb_spark.operators.ingest_gate import (
+        GateIndex,
+        near_dup_gate,
+    )
+
+    monkeypatch.setattr(BinaryVectorDB, "_GI_COMPACT_SEGMENTS", 5)
+    corpus = dict(_rand_docs(400, seed=61))
+    gi = GateIndex(spark, str(tmp_path / "gidx")).build(
+        _df(spark, list(corpus.items())))
+
+    def seg0_files():
+        out = {}
+        for sub in ("shingles", "bands"):
+            d = os.path.join(str(tmp_path / "gidx"), "seg_0", sub)
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    boot = seg0_files()
+    next_id = 5000
+    for step in range(17):  # > 3 full threshold cycles at threshold 5
+        rows = [(next_id + j, t) for j, (_, t) in
+                enumerate(_rand_docs(2, seed=200 + step))]
+        next_id += len(rows)
+        for i, t in rows:
+            corpus[i] = t
+        gi.upsert_batch(_df(spark, rows))
+        BinaryVectorDB._gi_bound_state(gi)
+        assert "seg_0" in gi.meta["segments"], \
+            f"full compact fired on micro-batch {step}"
+        assert len(gi.meta["tombstones"]) <= 5
+        assert all(t in gi.meta.get("tomb_stats", {})
+                   for t in gi.meta["tombstones"])
+
+    assert seg0_files() == boot, "bootstrap segment rewritten"
+    batch = _df(spark, [(9900 + i, t) for i, t in _rand_docs(15, seed=62)])
+    assert (_snap(gi.gate(batch))
+            == _snap(near_dup_gate(batch,
+                                   _df(spark, list(corpus.items())))))
+
+    # the OPPOSITE pin, on the shape where only the row budget can act:
+    # a REMOVE-heavy stream adds tombstone rows but no segments (the
+    # tier policy never degenerates — there is no growing tail), so
+    # dead rows accumulate until the row-budget vacuum fires a full
+    # compact: tombstones cleared, state = live rows only
+    vacuumed = False
+    doomed = sorted(corpus)[:240]  # > half of the ~434 stored rows
+    for lo in range(0, len(doomed), 40):
+        chunk = doomed[lo:lo + 40]
+        for i in chunk:
+            del corpus[i]
+        gi.remove(chunk)
+        BinaryVectorDB._gi_bound_state(gi)
+        if not gi.meta["tombstones"] and lo > 0:
+            vacuumed = True
+            assert "seg_0" not in gi.meta["segments"]
+            break
+    assert vacuumed, "row-budget vacuum never fired under heavy removes"
+    assert (_snap(gi.gate(batch))
+            == _snap(near_dup_gate(batch,
+                                   _df(spark, list(corpus.items())))))

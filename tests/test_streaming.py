@@ -1088,3 +1088,66 @@ def test_streaming_cohort_retention_horizon_compaction_drops_closed(
             for seg in glob.glob(f"{out}/facts_v*")
             for p in glob.glob(f"{seg}/cohort_day=*")}
     assert days == {"2024-02-05", "2024-02-12"}, days
+
+
+@pytest.mark.parametrize("horizon", [None, 8])
+def test_streaming_cohort_first_seen_wins_out_of_contract(
+        spark, tmp_path, horizon):
+    """r12 review fix: an ORDERING-CONTRACT violation (a user's earlier
+    event arriving in a LATER micro-batch) must degrade to stable
+    identity — the user stays in the cohort of their FIRST-SEEN day —
+    never split the user across two cohorts (the old min() wrote the
+    new smaller day into facts while prior facts / the grow-only map
+    kept the old day, so the read-side matrix counted the user twice).
+    Pins, for both the exact twin and the horizon variant: exactly one
+    cohort_day ever carries the user, it is the first-SEEN day, the
+    pre-cohort late event is excluded (no negative week offsets), and
+    the later event lands at the offset from the FIXED day."""
+    import shutil as _shutil
+    import time as _time
+
+    from binaryvectordb_spark.streaming.events import (
+        foreach_batch_cohort_retention,
+        read_cohort_retention,
+    )
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+    import datetime as _dt
+
+    def _t(day):
+        return _dt.datetime.fromisoformat(day + "T12:00:00")
+
+    b1 = [(1, _t("2024-02-10"), 7, "view", 1.0, "{}")]     # first seen
+    b2 = [(2, _t("2024-02-01"), 7, "view", 1.0, "{}"),      # LATE earlier
+          (3, _t("2024-02-24"), 7, "view", 1.0, "{}")]      # wk2 from 02-10
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for i, rows in enumerate([b1, b2]):
+            part = tmp_path / f"stage{i}"
+            _mk(rows).coalesce(1).write.mode("overwrite").parquet(str(part))
+            src = next(p for p in part.iterdir()
+                       if p.suffix == ".parquet")
+            _shutil.copy(src, in_dir / f"b{i}.parquet")
+            _time.sleep(0.05)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    out = str(tmp_path / f"cr_state_{horizon}")
+    q = foreach_batch_cohort_retention(
+        read_events_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out, str(tmp_path / f"ckpt_{horizon}"),
+        horizon_weeks=horizon)
+    q.awaitTermination()
+    got = sorted(
+        (r["cohort_day"].isoformat(), int(r["week_offset"]),
+         int(r["n_active"]))
+        for r in read_cohort_retention(spark, out).collect())
+    assert got == [("2024-02-10", 0, 1), ("2024-02-10", 2, 1)], got
