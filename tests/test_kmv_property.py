@@ -114,3 +114,31 @@ def test_estimator_zero_kth_hash_guard_cross_engine(spark):
     assert got["zero"] == 128          # the guard: exact lower bound
     assert got["normal"] == 127 * (1 << 48) // (1 << 40)
     assert got["small"] == 5           # exact branch untouched
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_sample_tuple_merge_with_hash_collisions(seed):
+    """The bottom-k SAMPLE's merge rule (sketch_bkq_mergeable /
+    foreach_batch_bottomk_sample) over (h, key, payload) TUPLES with the
+    (h, key) tie-break — the case the hash-only KMV pin cannot exercise:
+    FORCED hash collisions at and across the K boundary.  Rows (not
+    hash values) merge by keeping the K smallest under the (h, key)
+    total order; any slicing of the rows must merge to the direct
+    bottom-K, and because (h, key) is a total order over distinct keys
+    the result is a unique row SET (payloads ride along untouched)."""
+    rng = random.Random(seed)
+    n = rng.randrange(K // 2, 6 * K)
+    # ~8 distinct hash values -> massive collisions; key disambiguates
+    rows = [(rng.randrange(8), key, f"p{key}") for key in range(n)]
+
+    def bottomk(rs):
+        return sorted(set(rs), key=lambda r: (r[0], r[1]))[:K]
+
+    direct = bottomk(rows)
+    for _ in range(4):
+        nparts = rng.randrange(1, 9)
+        slices = [[] for _ in range(nparts)]
+        for r in rows:
+            slices[rng.randrange(nparts)].append(r)
+        merged = bottomk([r for s in slices for r in bottomk(s)])
+        assert merged == direct
