@@ -1132,8 +1132,23 @@ def _textindex_1m_subprocess(sf_dir: str,
             [sys.executable, os.path.abspath(__file__),
              "--textindex-1m", sf_dir],
             capture_output=True, text=True, env=env, timeout=900)
-        line = p.stdout.strip().splitlines()[-1]
-        got = json.loads(line)
+        # scan from the end for the JSON result line — a Spark progress
+        # bar's carriage-return fragment can merge into the same stdout
+        # line as the child's print (observed r12 run 3: the keys were
+        # silently dropped)
+        got = None
+        for line in reversed(p.stdout.strip().splitlines()):
+            i = line.find("{")
+            if i < 0:
+                continue
+            try:
+                got = json.loads(line[i:])
+                break
+            except ValueError:
+                continue
+        if got is None:
+            raise RuntimeError(
+                f"no JSON line in child stdout tail: {p.stdout[-200:]!r}")
         variance.update(got.pop("variance"))
         return got
     except Exception as e:  # noqa: BLE001 — report what we have
