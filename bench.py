@@ -1138,17 +1138,23 @@ def _textindex_1m_subprocess(sf_dir: str,
         # silently dropped)
         got = None
         for line in reversed(p.stdout.strip().splitlines()):
-            i = line.find("{")
-            if i < 0:
-                continue
-            try:
-                got = json.loads(line[i:])
+            # try every '{' on the line (a progress fragment can merge
+            # BEFORE the result json on the same line), and accept only
+            # the child's result dict — identified by its "variance"
+            # key — so a stray '{}' log line can't shadow the result
+            for i in [k for k, c in enumerate(line) if c == "{"]:
+                try:
+                    cand = json.loads(line[i:])
+                except ValueError:
+                    continue
+                if isinstance(cand, dict) and "variance" in cand:
+                    got = cand
+                    break
+            if got is not None:
                 break
-            except ValueError:
-                continue
         if got is None:
             raise RuntimeError(
-                f"no JSON line in child stdout tail: {p.stdout[-200:]!r}")
+                f"no result JSON in child stdout tail: {p.stdout[-200:]!r}")
         variance.update(got.pop("variance"))
         return got
     except Exception as e:  # noqa: BLE001 — report what we have

@@ -1611,29 +1611,39 @@ class BinaryVectorDB:
                   .select("doc_id", F.col("doc").alias("text"))
                   if n_str else None)
         ti.upsert_batch(str_df, incoming.select("doc_id"), text_col="text")
-        # bounded segment growth under micro-batch ingest (a streaming
-        # sink creates one segment per batch): past the threshold, fold
-        # the trailing run of small segments (tiered merge — amortized
-        # O(batch·log), the bootstrap segment is never rewritten just
-        # because small batches arrived).  If the tier policy finds no
-        # mergeable run the full compact() backstop keeps the hard bound
-        # (and restores the zero-job stats fast path).
-        if len(ti.meta["segments"]) >= self._TI_COMPACT_SEGMENTS:
+        self._ti_bound_state(ti)
+
+    @classmethod
+    def _ti_bound_state(cls, ti) -> None:
+        """Bounded text-index state under micro-batch mutation — the
+        same discipline as _gi_bound_state (r12 review: the two indexes
+        claim one segment/tombstone design, so they share one policy):
+        tiered segment fold past the threshold (bootstrap never
+        rewritten by small-batch arrivals; full compact only if the tier
+        finds no run), tombstone PILE folded into one file (O(churn)),
+        and the full compact demoted to a row-budget VACUUM — only once
+        TRUE dead rows (existence-filtered tombstones) reach ~half the
+        stored rows, i.e. amortized O(1) rewrite per churned doc.  The
+        old ADVICE-r8 file-count compact fired a full O(index) rewrite
+        every ~16 remove batches; the upsert side previously had NO
+        tombstone bound at all."""
+        if len(ti.meta["segments"]) >= cls._TI_COMPACT_SEGMENTS:
             ti.compact_tail()
-            if len(ti.meta["segments"]) >= self._TI_COMPACT_SEGMENTS:
+            if len(ti.meta["segments"]) >= cls._TI_COMPACT_SEGMENTS:
                 ti.compact()
+                return
+        if len(ti.meta["tombstones"]) >= cls._TI_COMPACT_SEGMENTS:
+            ti.compact_tail()  # remove-heavy stream: fold files only
+        tr = ti.tomb_rows()
+        if tr is not None and 2 * tr >= max(1, ti.doc_rows()):
+            ti.compact()
 
     def _ti_after_remove(self, doc_ids: Sequence[int]) -> None:
         ti = self._text_index()
         if ti is None:
             return
         ti.remove([int(i) for i in doc_ids])
-        # a remove-heavy workload never trips the upsert-side segment
-        # threshold, so tombstone tables (and the query-side broadcast
-        # anti-join input) would otherwise grow without bound — compact on
-        # a tombstone-count threshold too (ADVICE r8)
-        if len(ti.meta["tombstones"]) >= self._TI_COMPACT_SEGMENTS:
-            ti.compact()
+        self._ti_bound_state(ti)
 
     def _ti_drop(self) -> None:
         p = os.path.join(self.folder, self._TEXT_INDEX_DIR)
@@ -1720,11 +1730,12 @@ class BinaryVectorDB:
                 return
         if len(gi.meta["tombstones"]) >= cls._GI_COMPACT_SEGMENTS:
             gi.compact_tail()  # remove-heavy stream: fold files only
+        # tomb_rows() is None only for a <2-file legacy pile (any fold
+        # above stats it), which is trivially bounded — no fallback
+        # needed (r12 review: the old file-count fallback here was
+        # unreachable dead code)
         tr = gi.tomb_rows()
-        if tr is None:
-            if len(gi.meta["tombstones"]) >= cls._GI_COMPACT_SEGMENTS:
-                gi.compact()
-        elif 2 * tr >= max(1, gi.seg_rows()):
+        if tr is not None and 2 * tr >= max(1, gi.seg_rows()):
             gi.compact()
 
     def _gi_after_remove(self, doc_ids: Sequence[int]) -> None:

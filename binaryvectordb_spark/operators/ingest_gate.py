@@ -323,20 +323,24 @@ class GateIndex:
         the doclen-from-written-postings pattern); both tables are
         range-sorted so probe-time In() filters prune row groups."""
         import os
+
+        from pyspark.sql import Observation
         seg = os.path.join(self.folder, name)
+        # the Observation sits ABOVE the range exchange: the range
+        # partitioner's boundary-sampling pass re-executes only the
+        # exchange's CHILD, so a below-exchange observe double-counts
+        # (r12 review follow-up: seg_stats carried a ~2x bias; harmless
+        # for the relative tier policy, wrong for the row-budget
+        # vacuum) while this placement is exact AND free — no read-back
+        # job, no sampling bias (verified empirically: child 2000 vs
+        # above-exchange 1000 on a 1000-row write)
+        obs = Observation()
         (_shingle_sets(docs)
          .repartitionByRange("doc_id")
+         .observe(obs, F.count(F.lit(1)).alias("n"))
          .sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "shingles")))
-        # count by READING BACK the written footers (metadata-only):
-        # an Observation upstream of repartitionByRange double-counts —
-        # the range partitioner's boundary-sampling job evaluates the
-        # observe node once before the write does (r12 review follow-up:
-        # seg_stats carried a ~2x bias; harmless for the relative tier
-        # policy, wrong for the row-budget vacuum)
-        n_docs = int(self.spark.read
-                     .schema(self._SCHEMAS["shingles"])
-                     .parquet(os.path.join(seg, "shingles")).count())
+        n_docs = int(obs.get["n"])
         if n_docs == 0:
             import shutil
             shutil.rmtree(seg, ignore_errors=True)
@@ -380,9 +384,12 @@ class GateIndex:
                      dead_ids_df: DataFrame | None = None) -> None:
         """One mutation round trip: ``docs`` rows become a new segment;
         every touched id (docs' ids, or ``dead_ids_df`` when the caller
-        tracks a wider dead set) is killed in earlier segments by ONE
-        scoped tombstone.  Empty batches are rolled back without a meta
-        bump (write-time observed counts — no probe jobs)."""
+        tracks a wider dead set) that ACTUALLY EXISTS in an earlier
+        segment is killed there by ONE scoped tombstone — the existence
+        probe is a bounded In(doc_id)-pruned read (r12: ids that were
+        never stored write no tombstone rows, so tombstone mass = true
+        dead rows).  Empty batches and all-new batches are rolled back
+        to segment-only commits without a tombstone."""
         import os
         import shutil
 
@@ -415,18 +422,51 @@ class GateIndex:
                 F.col("doc_id").cast("long").alias("doc_id"))
         tomb_name, n_tomb = None, 0
         if dead is not None:
-            tomb_name = self._next_name("tomb")
-            obs = Observation()
-            (dead.dropDuplicates(["doc_id"])
-             .withColumn("upto_seg", F.lit(upto))
-             .observe(obs, F.count(F.lit(1)).alias("n"))
-             .write.mode("overwrite")
-             .parquet(os.path.join(self.folder, tomb_name)))
-            n_tomb = int(obs.get["n"])
-            if n_tomb == 0:
-                shutil.rmtree(os.path.join(self.folder, tomb_name),
-                              ignore_errors=True)
-                tomb_name = None
+            # EXISTENCE-FILTERED tombstones (r12 review): only ids that
+            # actually live in an earlier segment die.  A brand-new id
+            # (or a typed-payload doc that never entered the text gate)
+            # writes NO tombstone row — insert-only streams carry zero
+            # tombstones, and the row-budget vacuum counts TRUE dead
+            # rows, so it can never fire on reclaim-nothing state.  The
+            # probe reuses gate()'s own discipline: the batch ids are a
+            # bounded collect (micro-batch contract, same class as the
+            # probe-band collect) and earlier segments are read
+            # In(doc_id)-pruned (range-sorted on doc_id → footer
+            # pruning) — O(batch row groups), not O(corpus).  Bulk
+            # loads past the literal-list comfort point skip the probe
+            # and keep the old write-all behavior (their tombstones are
+            # bounded by the batch anyway).
+            ids = sorted({int(r[0]) for r in
+                          dead.dropDuplicates(["doc_id"]).collect()})
+            if len(ids) > 100_000:
+                dead_ids = ids  # bulk path: no pruned-probe, write all
+            elif not ids:
+                dead_ids = []
+            else:
+                parts = []
+                for j, sname in enumerate(self.meta["segments"]):
+                    if j > upto:
+                        break
+                    parts.append(
+                        self.spark.read.schema(self._SCHEMAS["shingles"])
+                        .parquet(os.path.join(self.folder, sname,
+                                              "shingles"))
+                        .where(F.col("doc_id").isin(ids))
+                        .select("doc_id"))
+                un = parts[0]
+                for p in parts[1:]:
+                    un = un.unionByName(p)
+                exist = {int(r[0]) for r in un.distinct().collect()}
+                dead_ids = [i for i in ids if i in exist]
+            if dead_ids:
+                tomb_name = self._next_name("tomb")
+                n_tomb = len(dead_ids)
+                (self.spark.createDataFrame([(i,) for i in dead_ids],
+                                            "doc_id long")
+                 .withColumn("upto_seg", F.lit(upto))
+                 .coalesce(1).sortWithinPartitions("doc_id")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(self.folder, tomb_name)))
         if seg_name is None and tomb_name is None:
             return
         if seg_name is not None:
@@ -451,18 +491,18 @@ class GateIndex:
         import os
         import shutil
 
+        from pyspark.sql import Observation
         if not self.meta["segments"]:
             return
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)
+        obs = Observation()
         (self.live_shingles()
-         .repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+         .repartitionByRange("doc_id")
+         .observe(obs, F.count(F.lit(1)).alias("n"))  # above the
+         .sortWithinPartitions("doc_id")  # exchange: exact, no extra job
          .write.mode("overwrite").parquet(os.path.join(seg, "shingles")))
-        # read-back count: observe-above-repartitionByRange double-counts
-        # (the range sampler's extra pass) — see _write_segment
-        n_docs = int(self.spark.read
-                     .schema(self._SCHEMAS["shingles"])
-                     .parquet(os.path.join(seg, "shingles")).count())
+        n_docs = int(obs.get["n"])
         (self.live_bands()
          .repartitionByRange("bh").sortWithinPartitions("bh", "doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "bands")))
@@ -504,6 +544,7 @@ class GateIndex:
         import os
         import shutil
 
+        from pyspark.sql import Observation
         segs = self.meta["segments"]
         if len(segs) < 2:
             self._fold_tombstones()
@@ -594,7 +635,8 @@ class GateIndex:
          .groupBy("doc_id")
          .agg(F.max("upto_seg").alias("upto_seg"))
          .observe(obs, F.count(F.lit(1)).alias("n"))
-         .write.mode("overwrite")
+         .coalesce(1).sortWithinPartitions("doc_id")  # In(doc_id)
+         .write.mode("overwrite")                     # footer pruning
          .parquet(os.path.join(self.folder, name)))
         n = int(obs.get["n"])
         if not n:
@@ -650,9 +692,12 @@ class GateIndex:
             out = out.unionByName(p)
         return out
 
-    def _live_run(self, sub: str, lo: int = 0) -> DataFrame:
-        """Live rows of segments[lo:] (global segment ordinals — the
-        tombstone scopes are global), without the seg column."""
+    def _raw_run(self, sub: str, lo: int = 0,
+                 prune_ids=None) -> DataFrame:
+        """Stored rows of segments[lo:] with their global segment
+        ordinal as ``seg`` — NO tombstone filtering.  ``prune_ids``
+        adds an In(doc_id) filter to every segment read (footer
+        row-group pruning; the segments are range-sorted)."""
         import os
         if not self.meta["segments"]:
             raise Exception("empty GateIndex; build() first")
@@ -660,16 +705,34 @@ class GateIndex:
         for i, name in enumerate(self.meta["segments"]):
             if i < lo:
                 continue
-            parts.append(self.spark.read.schema(self._SCHEMAS[sub])
-                         .parquet(os.path.join(self.folder, name, sub))
-                         .withColumn("seg", F.lit(i)))
-        df = parts[0]
+            df = (self.spark.read.schema(self._SCHEMAS[sub])
+                  .parquet(os.path.join(self.folder, name, sub)))
+            if prune_ids is not None:
+                df = df.where(F.col("doc_id").isin(prune_ids))
+            parts.append(df.withColumn("seg", F.lit(i)))
+        out = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            out = out.unionByName(p)
+        return out
+
+    def _live_run(self, sub: str, lo: int = 0,
+                  prune_ids=None) -> DataFrame:
+        """Live rows of segments[lo:] (global segment ordinals — the
+        tombstone scopes are global), without the seg column.
+        ``prune_ids`` prunes BOTH sides — the segment reads and the
+        tombstone read (all range-sorted on doc_id) — so a bounded-id
+        caller pays bounded cost regardless of the tombstone pile.  No
+        forced broadcast on the anti-join (r12 review: the pile is
+        bounded by the row-budget vacuum at ~half the stored rows,
+        which can exceed the broadcast limit at corpus scale — AQE
+        picks the strategy from actual sizes)."""
+        df = self._raw_run(sub, lo, prune_ids)
         tomb = self._tomb()
         if tomb is not None:
+            if prune_ids is not None:
+                tomb = tomb.where(F.col("doc_id").isin(prune_ids))
             df = df.join(
-                F.broadcast(tomb),
+                tomb,
                 (df["doc_id"] == tomb["doc_id"])
                 & (tomb["upto_seg"] >= df["seg"]),
                 "left_anti")
@@ -678,8 +741,8 @@ class GateIndex:
     def _live(self, sub: str) -> DataFrame:
         return self._live_run(sub, 0)
 
-    def live_shingles(self) -> DataFrame:
-        return self._live("shingles")
+    def live_shingles(self, prune_ids=None) -> DataFrame:
+        return self._live_run("shingles", 0, prune_ids)
 
     def live_bands(self) -> DataFrame:
         return self._live("bands")
@@ -696,11 +759,15 @@ class GateIndex:
            x N_BANDS) slim rows — the bounded candidate-set collect class);
         2. the persisted bands scan carries ``In(bh)`` from those keys
            (row-group pruned — the segments are range-sorted on bh) and
-           its broadcast-join collisions are collected as (bid, cid)
-           pairs (bounded by LSH collisions);
-        3. the final plan verifies exactly those pairs: batch shingles
-           (narrow recompute) x corpus shingles read with ``In(doc_id)``
-           pruned row groups — the bands table is not re-scanned.
+           its broadcast-join collisions are collected as
+           (bid, cid, seg) pairs (bounded by LSH collisions); liveness
+           is then refined DRIVER-SIDE from an ``In(cid)``-pruned
+           tombstone read, so probe cost never scales with the
+           tombstone pile;
+        3. the final plan verifies exactly the surviving pairs: batch
+           shingles (narrow recompute) x corpus shingles read with
+           ``In(doc_id)`` pruned row groups on BOTH the segment and
+           tombstone sides — the bands table is not re-scanned.
 
         The corpus is never re-shingled and never shuffled; the only
         exchanges in the final plan carry candidate/record rows."""
@@ -721,18 +788,40 @@ class GateIndex:
         b_bands = spark.createDataFrame(
             brows, "bid long, band_idx int, bh string")
         keys = sorted({r["bh"] for r in brows})
-        c_bands = self.live_bands().where(F.col("bh").isin(keys))
-        pairs = (c_bands.join(F.broadcast(b_bands), ["band_idx", "bh"])
-                 .where(F.col("doc_id") != F.col("bid"))
-                 .select("bid", F.col("doc_id").alias("cid"))
-                 .distinct().collect())
+        # collisions against the RAW (un-tombstoned) bands, carrying the
+        # segment ordinal; liveness is refined DRIVER-SIDE from an
+        # In(cid)-pruned tombstone read (r12 review: joining the whole
+        # pile into the probe made probe cost O(churn since vacuum) —
+        # this way both the collision collect and the tombstone read
+        # are bounded by the probe, and the surviving (row, seg) set is
+        # exactly what the anti-join would keep, so records stay
+        # bit-identical to the recompute form)
+        c_bands = self._raw_run("bands").where(F.col("bh").isin(keys))
+        raw_pairs = (c_bands.join(F.broadcast(b_bands),
+                                  ["band_idx", "bh"])
+                     .where(F.col("doc_id") != F.col("bid"))
+                     .select("bid", F.col("doc_id").alias("cid"), "seg")
+                     .distinct().collect())
+        if not raw_pairs:
+            return empty_core
+        cset = sorted({int(p["cid"]) for p in raw_pairs})
+        dead_scope: dict[int, int] = {}
+        tomb = self._tomb()
+        if tomb is not None:
+            for r in (tomb.where(F.col("doc_id").isin(cset))
+                      .groupBy("doc_id")
+                      .agg(F.max("upto_seg").alias("u")).collect()):
+                dead_scope[int(r["doc_id"])] = int(r["u"])
+        pairs = sorted({(int(p["bid"]), int(p["cid"])) for p in raw_pairs
+                        if dead_scope.get(int(p["cid"]), -1)
+                        < int(p["seg"])})
         if not pairs:
             return empty_core
         pairs_df = spark.createDataFrame(pairs, "bid long, cid long")
-        cids = sorted({p["cid"] for p in pairs})
+        cids = sorted({c for _, c in pairs})
         sa = (_shingle_sets(batch)
               .select(F.col("doc_id").alias("bid"), F.col("shs").alias("sa")))
-        sb = (self.live_shingles().where(F.col("doc_id").isin(cids))
+        sb = (self.live_shingles(prune_ids=cids)
               .select(F.col("doc_id").alias("cid"), F.col("shs").alias("sb")))
         ver = (F.broadcast(pairs_df).join(sa, "bid").join(sb, "cid")
                .withColumn("common", F.size(F.array_intersect("sa", "sb"))

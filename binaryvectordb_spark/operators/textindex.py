@@ -184,6 +184,10 @@ class TextIndex:
         obs = Observation()
         (dl.observe(obs, F.count(F.lit(1)).alias("n"),
                     F.sum("dl").alias("s"))
+         # doc_id-sorted (r12) so upsert_batch's bounded existence probe
+         # prunes row groups; coalesce+sortWithinPartitions adds no
+         # exchange, so the observed stats stay exact
+         .coalesce(1).sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(os.path.join(seg, "doclen")))
         got = obs.get
         return {"n_docs": int(got["n"]),
@@ -240,11 +244,14 @@ class TextIndex:
         remove_df write.
 
         Spark-job budget (the streaming-sink cost): postings write + doclen
-        write (stats folded in via observed metrics) + one tombstone write
-        = 3 jobs; an index-only batch (no dead ids) skips the tombstone
-        when the index is empty, and an all-dead batch (docs_df None/empty)
-        pays only the tombstone.  Zero driver probe/stats jobs — pinned by
-        tests/test_textindex.py job counting."""
+        write (stats folded in via observed metrics) + one bounded
+        In(doc_id)-pruned existence probe + one tombstone write; an
+        all-new batch skips the tombstone entirely.  The existence probe
+        (r12, mirroring GateIndex): only ids that actually have a doclen
+        row in an earlier segment die — so insert-only streams carry ZERO
+        tombstones and the tombstone mass equals TRUE dead rows, which is
+        what the DB hook's row-budget vacuum counts.  Zero per-batch
+        STATS jobs — pinned by tests/test_textindex.py job counting."""
         if not self.meta["segments"]:
             # nothing earlier to tombstone: a fresh index is just a build
             # over the new postings (dead ids have nothing to kill)
@@ -274,16 +281,43 @@ class TextIndex:
                 F.col("doc_id").cast("long").alias("doc_id"))
         tomb_name = None
         if dead is not None:
-            tomb_name = self._next_name("tomb")
-            obs = Observation()
-            (dead.withColumn("upto_seg", F.lit(upto))
-             .observe(obs, F.count(F.lit(1)).alias("n"))
-             .write.mode("overwrite")
-             .parquet(os.path.join(self.folder, tomb_name)))
-            if int(obs.get["n"]) == 0:
-                shutil.rmtree(os.path.join(self.folder, tomb_name),
-                              ignore_errors=True)
-                tomb_name = None
+            # existence-filtered (r12): collect the bounded dead-candidate
+            # ids (micro-batch contract), probe earlier segments' doclen
+            # tables In(doc_id)-pruned (doc_id-sorted since r12 → footer
+            # row-group pruning), and tombstone only ids that are
+            # actually stored.  Bulk loads past the literal-list comfort
+            # point keep the old write-all behavior (their tombstones are
+            # bounded by the batch anyway).
+            ids = sorted({int(r[0]) for r in
+                          dead.dropDuplicates(["doc_id"]).collect()})
+            if len(ids) > 100_000:
+                dead_ids = ids
+            elif not ids:
+                dead_ids = []
+            else:
+                parts = []
+                for j, sname in enumerate(self.meta["segments"]):
+                    if j > upto:
+                        break
+                    parts.append(
+                        self.spark.read.schema(self._SCHEMAS["doclen"])
+                        .parquet(os.path.join(self.folder, sname,
+                                              "doclen"))
+                        .where(F.col("doc_id").isin(ids))
+                        .select("doc_id"))
+                un = parts[0]
+                for p in parts[1:]:
+                    un = un.unionByName(p)
+                exist = {int(r[0]) for r in un.distinct().collect()}
+                dead_ids = [i for i in ids if i in exist]
+            if dead_ids:
+                tomb_name = self._next_name("tomb")
+                (self.spark.createDataFrame([(i,) for i in dead_ids],
+                                            "doc_id long")
+                 .withColumn("upto_seg", F.lit(upto))
+                 .coalesce(1).sortWithinPartitions("doc_id")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(self.folder, tomb_name)))
         if seg_name is None and tomb_name is None:
             return  # fully empty batch: no state change, no meta bump
         if seg_name is not None:
@@ -293,6 +327,8 @@ class TextIndex:
             # effective scope recorded in meta from birth, so compact_tail
             # can re-scope without rewriting the tombstone parquet
             self.meta.setdefault("tomb_upto", {})[tomb_name] = upto
+            self.meta.setdefault("tomb_stats", {})[tomb_name] = \
+                len(dead_ids)
         self._write_meta()
 
     def remove(self, doc_ids: Sequence[int]) -> None:
@@ -364,6 +400,7 @@ class TextIndex:
         the tombstones."""
         segs = self.meta["segments"]
         if len(segs) < 2:
+            self._fold_tombstones()
             return
         stats = self.meta.get("seg_stats") or {}
         sizes = [int(stats.get(s, {}).get("n_docs", 0)) for s in segs]
@@ -373,7 +410,10 @@ class TextIndex:
             i -= 1
             acc += sizes[i]
         if i == len(segs) - 1:
-            return  # no mergeable run (the tail segment dwarfs its elder)
+            # no mergeable segment run (the tail dwarfs its elder) —
+            # still bound the tombstone read fan-in
+            self._fold_tombstones()
+            return
         if i == 0:
             self.compact()
             return
@@ -412,6 +452,59 @@ class TextIndex:
         for stale in old_sources:
             shutil.rmtree(os.path.join(self.folder, stale),
                           ignore_errors=True)
+        self._fold_tombstones()
+
+    def _fold_tombstones(self) -> None:
+        """Fold the tombstone PILE into ONE doc_id-sorted file — the
+        other half of the tiered discipline (r12, ported with the
+        GateIndex fix): per-row effective scopes materialized (``least``
+        of written scope and meta override), repeated kills of one doc
+        collapse to the widest scope, empty scopes (upto_seg < 0) drop.
+        Bounds the tombstone FILE count (the anti-join read fan-in)
+        without touching any segment; the ROW count — true dead docs,
+        thanks to upsert_batch's existence filter — is bounded by the DB
+        hook's row-budget vacuum."""
+        tombs = self.meta["tombstones"]
+        if len(tombs) < 2:
+            return
+        name = self._next_name("tomb")
+        obs = Observation()
+        (self._tomb()
+         .where(F.col("upto_seg") >= 0)
+         .groupBy("doc_id")
+         .agg(F.max("upto_seg").alias("upto_seg"))
+         .observe(obs, F.count(F.lit(1)).alias("n"))
+         .coalesce(1).sortWithinPartitions("doc_id")
+         .write.mode("overwrite")
+         .parquet(os.path.join(self.folder, name)))
+        n = int(obs.get["n"])
+        if not n:
+            shutil.rmtree(os.path.join(self.folder, name),
+                          ignore_errors=True)
+        old = list(tombs)
+        self.meta["tombstones"] = [name] if n else []
+        self.meta["tomb_upto"] = {}
+        self.meta["tomb_stats"] = {name: n} if n else {}
+        self._write_meta()
+        for t in old:
+            shutil.rmtree(os.path.join(self.folder, t),
+                          ignore_errors=True)
+
+    def tomb_rows(self) -> int | None:
+        """Total tombstone rows from write-time stats (zero jobs); None
+        when a pre-stats legacy tombstone lacks one (trivially bounded:
+        any >=2-file pile is folded by compact_tail, which stats it)."""
+        st = self.meta.get("tomb_stats") or {}
+        if any(t not in st for t in self.meta["tombstones"]):
+            return None
+        return sum(int(st[t]) for t in self.meta["tombstones"])
+
+    def doc_rows(self) -> int:
+        """Total stored doc rows (live + not-yet-vacuumed dead) from
+        write-time stats — the row-budget vacuum's denominator."""
+        st = self.meta.get("seg_stats") or {}
+        return sum(int(st.get(s, {}).get("n_docs", 0))
+                   for s in self.meta["segments"])
 
     # -- read paths --------------------------------------------------------
 
@@ -430,14 +523,18 @@ class TextIndex:
             return None
         # a tiered merge (compact_tail) re-scopes tombstones whose range
         # reached into the merged run WITHOUT rewriting their parquet:
-        # meta's tomb_upto override wins over the written column
+        # meta's tomb_upto override NARROWS the written column (least,
+        # never replace — a folded tombstone file holds heterogeneous
+        # per-row scopes, and a replace would WIDEN its narrow rows)
         over = self.meta.get("tomb_upto") or {}
         parts = []
         for t in self.meta["tombstones"]:
             df = (self.spark.read.schema(self._SCHEMAS["tomb"])
                   .parquet(os.path.join(self.folder, t)))
             if t in over:
-                df = df.withColumn("upto_seg", F.lit(int(over[t])))
+                df = df.withColumn(
+                    "upto_seg",
+                    F.least("upto_seg", F.lit(int(over[t]))))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:

@@ -300,12 +300,16 @@ def test_local_bm25_searcher_bit_identical(spark, tmp_path):
 
 
 def test_upsert_batch_job_budget(spark, tmp_path):
-    """An incremental upsert runs exactly 4 Spark jobs — range-boundary
-    sample + postings write + doclen write (per-segment stats folded into
-    the SAME job via observed metrics) + ONE combined tombstone write —
-    and ZERO driver probe/stats jobs (round 8 paid a .first() stats job
-    per segment plus take(1) probes at the DB hook; VERDICT r8 item 6).
-    A pure remove is 1 job; a fully-empty batch mutates nothing.
+    """An incremental upsert runs a FIXED small job budget — range-
+    boundary sample + postings write + doclen write (per-segment stats
+    folded into the SAME job via observed metrics) + the r12 bounded
+    existence probe (dead-candidate collect + ONE In(doc_id)-pruned
+    doclen read — the price of tombstone mass equaling TRUE dead rows,
+    which the row-budget vacuum requires) + one tombstone write — and
+    ZERO per-batch STATS jobs (round 8 paid a .first() stats job per
+    segment plus take(1) probes at the DB hook; VERDICT r8 item 6).
+    A pure remove is the probe pair + 1 write; a fully-empty batch
+    mutates nothing.
 
     Measured with AQE OFF: adaptive execution legitimately splits one
     action into several jobs (one per materialized exchange stage), which
@@ -333,9 +337,9 @@ def test_upsert_batch_job_budget(spark, tmp_path):
     try:
         n = jobs_during(lambda: ti.upsert_batch(
             d.limit(10), d.limit(20).select("doc_id")))
-        assert n <= 4, f"upsert ran {n} jobs"
+        assert n <= 6, f"upsert ran {n} jobs"
         n = jobs_during(lambda: ti.remove_df(d.limit(3).select("doc_id")))
-        assert n <= 1, f"remove ran {n} jobs"
+        assert n <= 3, f"remove ran {n} jobs"
         # empty batch: the observed zero-count rolls the staged writes back
         segs, tombs = list(ti.meta["segments"]), list(ti.meta["tombstones"])
         ti.upsert_batch(d.where(F.lit(False)), d.where(F.lit(False))
@@ -436,9 +440,14 @@ def test_compact_tail_tiered_merge(spark, tmp_path):
     assert len(ti.meta["segments"]) == 2
     assert sorted(os.listdir(os.path.join(
         str(tmp_path / "ti"), "seg_0", "postings"))) == seg0_file
-    # tombstones survive re-scoped to the last untouched segment
-    assert len(ti.meta["tombstones"]) == n_tombs
-    assert all(u == 0 for u in ti.meta["tomb_upto"].values())
+    # the tombstone PILE folds to ONE doc_id-sorted file (r12), its
+    # per-row scopes materialized to the last untouched segment — the
+    # re-scope override is consumed by the fold and cleared
+    assert len(ti.meta["tombstones"]) == 1
+    assert ti.meta["tomb_upto"] == {}
+    folded = ti._tomb().collect()
+    assert all(int(r["upto_seg"]) == 0 for r in folded)
+    assert ti.tomb_rows() == len(folded)
 
     # answers equal a fresh rebuild of the live corpus
     live = {**{r["doc_id"]: r["text"] for r in d.collect()},
