@@ -466,3 +466,78 @@ def test_compact_tail_tiered_merge(spark, tmp_path):
     # deleted and replaced postings are really gone
     alive = {r["doc_id"] for r in ti.search(TERMS, k=10_000).collect()}
     assert not alive & {40, 41}
+
+
+def test_db_textindex_policy_never_full_compacts_on_micro_batches(
+        spark, tmp_path, monkeypatch):
+    """The r12 unified-policy pin, TextIndex side (mirror of
+    test_db_gate_policy_never_full_compacts_on_micro_batches): under
+    BinaryVectorDB._ti_bound_state, insert-only micro-batches NEVER
+    trigger the full O(index) compact() — the bootstrap segment's
+    postings files survive byte-for-byte, insert-only batches write
+    ZERO tombstones (existence-filtered), and search answers equal a
+    fresh rebuild.  Then the opposite pin: a remove-heavy stream (no
+    new segments, so the tier never degenerates) accumulates TRUE dead
+    rows until the row-budget vacuum fires a full compact and clears
+    the tombstones."""
+    import os
+
+    from binaryvectordb_spark.db import BinaryVectorDB
+
+    monkeypatch.setattr(BinaryVectorDB, "_TI_COMPACT_SEGMENTS", 5)
+    d = _docs(spark)  # 60-doc bootstrap
+    ti = TextIndex(spark, str(tmp_path / "ti")).build(d)
+
+    def seg0_files():
+        out = {}
+        p = os.path.join(str(tmp_path / "ti"), "seg_0", "postings")
+        for f in os.listdir(p):
+            fp = os.path.join(p, f)
+            out[fp] = (os.path.getmtime(fp), os.path.getsize(fp))
+        return out
+
+    boot = seg0_files()
+    live = {r["doc_id"]: r["text"] for r in d.collect()}
+    for step in range(13):  # > 2 threshold cycles at threshold 5
+        rows = [(1000 + 2 * step, f"vector merge extra s{step}"),
+                (1001 + 2 * step, f"window scan extra s{step}")]
+        live.update(dict(rows))
+        ti.upsert_batch(
+            spark.createDataFrame(rows, "doc_id: long, text: string"),
+            spark.createDataFrame(rows, "doc_id: long, text: string")
+            .select("doc_id"))
+        BinaryVectorDB._ti_bound_state(ti)
+        assert "seg_0" in ti.meta["segments"], \
+            f"full compact fired on insert-only micro-batch {step}"
+        # existence filter: brand-new ids write NO tombstone rows
+        assert ti.tomb_rows() in (0, None) \
+            and not ti.meta["tombstones"], \
+            (ti.meta["tombstones"], ti.tomb_rows())
+
+    assert seg0_files() == boot, "bootstrap postings rewritten"
+    fresh = TextIndex(spark, str(tmp_path / "fresh")).build(
+        spark.createDataFrame(sorted(live.items()),
+                              "doc_id: long, text: string"))
+    assert _rows(ti.search(TERMS, k=30)) == _rows(fresh.search(TERMS, k=30))
+
+    # remove-heavy phase: true dead rows accumulate until the vacuum
+    # (stored rows ~526: the ~500-doc fixture bootstrap + 26 inserts,
+    # so the 50% budget needs ~265 dead)
+    vacuumed = False
+    doomed = sorted(live)[:280]
+    for lo in range(0, len(doomed), 56):
+        chunk = doomed[lo:lo + 56]
+        for i in chunk:
+            live.pop(i)
+        ti.remove(chunk)
+        BinaryVectorDB._ti_bound_state(ti)
+        if not ti.meta["tombstones"] and lo > 0:
+            vacuumed = True
+            assert "seg_0" not in ti.meta["segments"]
+            break
+    assert vacuumed, "row-budget vacuum never fired under heavy removes"
+    fresh2 = TextIndex(spark, str(tmp_path / "fresh2")).build(
+        spark.createDataFrame(sorted(live.items()),
+                              "doc_id: long, text: string"))
+    assert _rows(ti.search(TERMS, k=30)) == _rows(fresh2.search(TERMS,
+                                                                k=30))
