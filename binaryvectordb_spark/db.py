@@ -1627,12 +1627,18 @@ class BinaryVectorDB:
         old ADVICE-r8 file-count compact fired a full O(index) rewrite
         every ~16 remove batches; the upsert side previously had NO
         tombstone bound at all."""
+        ran_tail = False
         if len(ti.meta["segments"]) >= cls._TI_COMPACT_SEGMENTS:
             ti.compact_tail()
+            ran_tail = True
             if len(ti.meta["segments"]) >= cls._TI_COMPACT_SEGMENTS:
                 ti.compact()
                 return
-        if len(ti.meta["tombstones"]) >= cls._TI_COMPACT_SEGMENTS:
+        # compact_tail already folds the tombstone pile itself — don't
+        # run a second tiered merge in the same hook invocation (r13
+        # ADVICE: one maintenance call must not pay multiple rewrites)
+        if (not ran_tail
+                and len(ti.meta["tombstones"]) >= cls._TI_COMPACT_SEGMENTS):
             ti.compact_tail()  # remove-heavy stream: fold files only
         tr = ti.tomb_rows()
         if tr is not None and 2 * tr >= max(1, ti.doc_rows()):
@@ -1723,12 +1729,18 @@ class BinaryVectorDB:
           full compact() only once dead ids reach ~half the stored
           rows, i.e. amortized O(1) rewrite per churned doc.  Legacy
           pre-stats state falls back to the old file-count backstop."""
+        ran_tail = False
         if len(gi.meta["segments"]) >= cls._GI_COMPACT_SEGMENTS:
             gi.compact_tail()
+            ran_tail = True
             if len(gi.meta["segments"]) >= cls._GI_COMPACT_SEGMENTS:
                 gi.compact()
                 return
-        if len(gi.meta["tombstones"]) >= cls._GI_COMPACT_SEGMENTS:
+        # compact_tail already folds the tombstone pile itself — skip
+        # the tombstone-file branch when it just ran (r13 ADVICE: a
+        # single hook invocation must not pay two tiered merges)
+        if (not ran_tail
+                and len(gi.meta["tombstones"]) >= cls._GI_COMPACT_SEGMENTS):
             gi.compact_tail()  # remove-heavy stream: fold files only
         # tomb_rows() is None only for a <2-file legacy pile (any fold
         # above stats it), which is trivially bounded — no fallback

@@ -427,37 +427,46 @@ class GateIndex:
             # (or a typed-payload doc that never entered the text gate)
             # writes NO tombstone row — insert-only streams carry zero
             # tombstones, and the row-budget vacuum counts TRUE dead
-            # rows, so it can never fire on reclaim-nothing state.  The
-            # probe reuses gate()'s own discipline: the batch ids are a
-            # bounded collect (micro-batch contract, same class as the
-            # probe-band collect) and earlier segments are read
-            # In(doc_id)-pruned (range-sorted on doc_id → footer
-            # pruning) — O(batch row groups), not O(corpus).  Bulk
-            # loads past the literal-list comfort point skip the probe
-            # and keep the old write-all behavior (their tombstones are
-            # bounded by the batch anyway).
-            ids = sorted({int(r[0]) for r in
-                          dead.dropDuplicates(["doc_id"]).collect()})
-            if len(ids) > 100_000:
-                dead_ids = ids  # bulk path: no pruned-probe, write all
-            elif not ids:
+            # rows, so it can never fire on reclaim-nothing state.
+            # Three tiers by batch-id cardinality (r13 ADVICE — the
+            # collect itself must be BOUNDED, so the probe starts with a
+            # limit()-capped collect, never a full one):
+            #   ≤ _PROBE_LITERAL_IDS: In(doc_id)-pruned segment reads
+            #     (range-sorted → footer row-group pruning; plan tree
+            #     stays small at this literal count);
+            #   ≤ _BULK_IDS: broadcast LeftSemi probe — one doc_id-only
+            #     corpus scan, O(1) plan size, no giant literal list;
+            #   > _BULK_IDS (bulk load/remove): skip the probe and write
+            #     the dead set FULLY DISTRIBUTED (observe above the range
+            #     exchange for the exact count) — the id set never
+            #     round-trips through the driver.
+            dead = dead.dropDuplicates(["doc_id"])
+            head = dead.limit(self._BULK_IDS + 1).collect()
+            if len(head) > self._BULK_IDS:
+                tomb_name = self._next_name("tomb")
+                obs = Observation()
+                (dead.withColumn("upto_seg", F.lit(upto).cast("int"))
+                 .repartitionByRange("doc_id")
+                 .observe(obs, F.count(F.lit(1)).alias("n"))
+                 .sortWithinPartitions("doc_id")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(self.folder, tomb_name)))
+                n_tomb = int(obs.get["n"])
+                if not n_tomb:
+                    shutil.rmtree(os.path.join(self.folder, tomb_name),
+                                  ignore_errors=True)
+                    tomb_name = None
                 dead_ids = []
             else:
-                parts = []
-                for j, sname in enumerate(self.meta["segments"]):
-                    if j > upto:
-                        break
-                    parts.append(
-                        self.spark.read.schema(self._SCHEMAS["shingles"])
-                        .parquet(os.path.join(self.folder, sname,
-                                              "shingles"))
-                        .where(F.col("doc_id").isin(ids))
-                        .select("doc_id"))
-                un = parts[0]
-                for p in parts[1:]:
-                    un = un.unionByName(p)
-                exist = {int(r[0]) for r in un.distinct().collect()}
-                dead_ids = [i for i in ids if i in exist]
+                ids = sorted({int(r[0]) for r in head})
+                if not ids:
+                    dead_ids = []
+                elif len(ids) <= self._PROBE_LITERAL_IDS:
+                    exist = self._probe_exists_literal(ids, upto)
+                    dead_ids = [i for i in ids if i in exist]
+                else:
+                    exist = self._probe_exists_semijoin(dead, upto)
+                    dead_ids = [i for i in ids if i in exist]
             if dead_ids:
                 tomb_name = self._next_name("tomb")
                 n_tomb = len(dead_ids)
@@ -476,6 +485,56 @@ class GateIndex:
             self.meta.setdefault("tomb_upto", {})[tomb_name] = upto
             self.meta.setdefault("tomb_stats", {})[tomb_name] = n_tomb
         self._write_meta()
+
+    # existence-probe tiers: literal In() lists stay small enough that
+    # the per-segment filter doesn't bloat the plan tree (r13 ADVICE:
+    # 100k literals per segment read was driver-side plan overhead);
+    # past _BULK_IDS the probe is skipped entirely and the tombstone
+    # write is fully distributed (no driver round-trip for the id set)
+    _PROBE_LITERAL_IDS = 10_000
+    _BULK_IDS = 100_000
+
+    def _probe_exists_literal(self, ids: list[int], upto: int) -> set:
+        """Which of ``ids`` exist in segments[:upto+1] — In(doc_id)-pruned
+        reads (range-sorted segments → footer row-group pruning;
+        O(batch row groups), not O(corpus))."""
+        import os
+        parts = []
+        for j, sname in enumerate(self.meta["segments"]):
+            if j > upto:
+                break
+            parts.append(
+                self.spark.read.schema(self._SCHEMAS["shingles"])
+                .parquet(os.path.join(self.folder, sname, "shingles"))
+                .where(F.col("doc_id").isin(ids))
+                .select("doc_id"))
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        return {int(r[0]) for r in un.distinct().collect()}
+
+    def _probe_exists_semijoin(self, dead: DataFrame, upto: int) -> set:
+        """Which of ``dead``'s doc_ids exist in segments[:upto+1] — the
+        mid-size tier: the corpus side scans its doc_id column once and
+        probes a BROADCAST hash of the batch ids (BroadcastHashJoin
+        LeftSemi — no shuffle of the corpus, O(1) plan size vs a
+        10k+-literal In list).  The result collect is bounded by the
+        batch-id count (≤ _BULK_IDS)."""
+        import os
+        parts = []
+        for j, sname in enumerate(self.meta["segments"]):
+            if j > upto:
+                break
+            parts.append(
+                self.spark.read.schema(self._SCHEMAS["shingles"])
+                .parquet(os.path.join(self.folder, sname, "shingles"))
+                .select("doc_id"))
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        hit = un.join(F.broadcast(dead.select("doc_id")),
+                      "doc_id", "left_semi").distinct()
+        return {int(r[0]) for r in hit.collect()}
 
     def remove_df(self, ids_df: DataFrame) -> None:
         self.upsert_batch(None, ids_df)
@@ -549,8 +608,24 @@ class GateIndex:
         if len(segs) < 2:
             self._fold_tombstones()
             return
-        stats = self.meta.get("seg_stats") or {}
-        sizes = [int(stats.get(s, 0)) for s in segs]
+        stats = dict(self.meta.get("seg_stats") or {})
+        backfilled = False
+        for s in segs:
+            if s not in stats:
+                # legacy pre-stats segment: one-time count backfill,
+                # persisted — defaulting its size to 0 would absorb a
+                # huge legacy bootstrap into the trailing run and
+                # degrade this tiered merge to a full O(corpus)
+                # compact() (r13 ADVICE)
+                stats[s] = int(
+                    self.spark.read.schema(self._SCHEMAS["shingles"])
+                    .parquet(os.path.join(self.folder, s, "shingles"))
+                    .count())
+                backfilled = True
+        if backfilled:
+            self.meta["seg_stats"] = stats
+            self._write_meta()
+        sizes = [int(stats[s]) for s in segs]
         i = len(segs) - 1
         acc = sizes[i]
         while i - 1 >= 0 and sizes[i - 1] <= self._TIER_RATIO * max(acc, 1):
@@ -566,14 +641,17 @@ class GateIndex:
             return
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)
+        obs = Observation()
         (self._live_run("shingles", i)
-         .repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+         .repartitionByRange("doc_id")
+         .observe(obs, F.count(F.lit(1)).alias("n"))  # ABOVE the range
+         .sortWithinPartitions("doc_id")  # exchange: exact AND free — a
+         # BELOW-exchange observe double-counts (the range partitioner's
+         # boundary-sampling pass re-executes the exchange's CHILD); see
+         # _write_segment (r13 ADVICE: the old comment here claimed the
+         # opposite and paid a read-back count() job for it)
          .write.mode("overwrite").parquet(os.path.join(seg, "shingles")))
-        # read-back count: observe-above-repartitionByRange double-counts
-        # (the range sampler's extra pass) — see _write_segment
-        n_docs = int(self.spark.read
-                     .schema(self._SCHEMAS["shingles"])
-                     .parquet(os.path.join(seg, "shingles")).count())
+        n_docs = int(obs.get["n"])
         if n_docs:
             (self._live_run("bands", i)
              .repartitionByRange("bh").sortWithinPartitions("bh", "doc_id")

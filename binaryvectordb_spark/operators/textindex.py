@@ -279,39 +279,50 @@ class TextIndex:
         elif dead_ids_df is not None:
             dead = dead_ids_df.select(
                 F.col("doc_id").cast("long").alias("doc_id"))
-        tomb_name = None
+        tomb_name, n_tomb = None, 0
         if dead is not None:
-            # existence-filtered (r12): collect the bounded dead-candidate
-            # ids (micro-batch contract), probe earlier segments' doclen
-            # tables In(doc_id)-pruned (doc_id-sorted since r12 → footer
-            # row-group pruning), and tombstone only ids that are
-            # actually stored.  Bulk loads past the literal-list comfort
-            # point keep the old write-all behavior (their tombstones are
-            # bounded by the batch anyway).
-            ids = sorted({int(r[0]) for r in
-                          dead.dropDuplicates(["doc_id"]).collect()})
-            if len(ids) > 100_000:
-                dead_ids = ids
-            elif not ids:
+            # existence-filtered (r12): tombstone only ids actually
+            # stored in an earlier segment.  Three tiers by batch-id
+            # cardinality (r13 ADVICE, the GateIndex discipline — the
+            # collect is limit()-capped, never unbounded):
+            #   ≤ _PROBE_LITERAL_IDS: In(doc_id)-pruned doclen reads
+            #     (doc_id-sorted since r12 → footer row-group pruning);
+            #   ≤ _BULK_IDS: broadcast LeftSemi probe — one doc_id-only
+            #     doclen scan, O(1) plan size vs a giant literal list;
+            #   > _BULK_IDS (bulk remove): skip the probe and write the
+            #     dead set FULLY DISTRIBUTED (observe above the range
+            #     exchange for the exact count) — the id set never
+            #     round-trips through the driver.
+            dead = dead.dropDuplicates(["doc_id"])
+            head = dead.limit(self._BULK_IDS + 1).collect()
+            if len(head) > self._BULK_IDS:
+                tomb_name = self._next_name("tomb")
+                obs = Observation()
+                (dead.withColumn("upto_seg", F.lit(upto).cast("int"))
+                 .repartitionByRange("doc_id")
+                 .observe(obs, F.count(F.lit(1)).alias("n"))
+                 .sortWithinPartitions("doc_id")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(self.folder, tomb_name)))
+                n_tomb = int(obs.get["n"])
+                if not n_tomb:
+                    shutil.rmtree(os.path.join(self.folder, tomb_name),
+                                  ignore_errors=True)
+                    tomb_name = None
                 dead_ids = []
             else:
-                parts = []
-                for j, sname in enumerate(self.meta["segments"]):
-                    if j > upto:
-                        break
-                    parts.append(
-                        self.spark.read.schema(self._SCHEMAS["doclen"])
-                        .parquet(os.path.join(self.folder, sname,
-                                              "doclen"))
-                        .where(F.col("doc_id").isin(ids))
-                        .select("doc_id"))
-                un = parts[0]
-                for p in parts[1:]:
-                    un = un.unionByName(p)
-                exist = {int(r[0]) for r in un.distinct().collect()}
-                dead_ids = [i for i in ids if i in exist]
+                ids = sorted({int(r[0]) for r in head})
+                if not ids:
+                    dead_ids = []
+                elif len(ids) <= self._PROBE_LITERAL_IDS:
+                    exist = self._probe_exists_literal(ids, upto)
+                    dead_ids = [i for i in ids if i in exist]
+                else:
+                    exist = self._probe_exists_semijoin(dead, upto)
+                    dead_ids = [i for i in ids if i in exist]
             if dead_ids:
                 tomb_name = self._next_name("tomb")
+                n_tomb = len(dead_ids)
                 (self.spark.createDataFrame([(i,) for i in dead_ids],
                                             "doc_id long")
                  .withColumn("upto_seg", F.lit(upto))
@@ -327,9 +338,53 @@ class TextIndex:
             # effective scope recorded in meta from birth, so compact_tail
             # can re-scope without rewriting the tombstone parquet
             self.meta.setdefault("tomb_upto", {})[tomb_name] = upto
-            self.meta.setdefault("tomb_stats", {})[tomb_name] = \
-                len(dead_ids)
+            self.meta.setdefault("tomb_stats", {})[tomb_name] = n_tomb
         self._write_meta()
+
+    # existence-probe tiers — the unified GateIndex policy (r13 ADVICE):
+    # small batches probe with literal In() lists (footer pruning), mid
+    # batches with a broadcast semi-join (O(1) plan size), bulk removes
+    # skip the probe and write fully distributed
+    _PROBE_LITERAL_IDS = 10_000
+    _BULK_IDS = 100_000
+
+    def _probe_exists_literal(self, ids: list, upto: int) -> set:
+        """Which of ``ids`` have a doclen row in segments[:upto+1] —
+        In(doc_id)-pruned reads (doc_id-sorted doclen → footer
+        row-group pruning; O(batch row groups), not O(index))."""
+        parts = []
+        for j, sname in enumerate(self.meta["segments"]):
+            if j > upto:
+                break
+            parts.append(
+                self.spark.read.schema(self._SCHEMAS["doclen"])
+                .parquet(os.path.join(self.folder, sname, "doclen"))
+                .where(F.col("doc_id").isin(ids))
+                .select("doc_id"))
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        return {int(r[0]) for r in un.distinct().collect()}
+
+    def _probe_exists_semijoin(self, dead: DataFrame, upto: int) -> set:
+        """Mid-size tier: scan the doclen doc_id column once and probe a
+        BROADCAST hash of the batch ids (BroadcastHashJoin LeftSemi — no
+        shuffle of the index side, no 10k+-literal plan tree).  The
+        collect is bounded by the batch-id count (≤ _BULK_IDS)."""
+        parts = []
+        for j, sname in enumerate(self.meta["segments"]):
+            if j > upto:
+                break
+            parts.append(
+                self.spark.read.schema(self._SCHEMAS["doclen"])
+                .parquet(os.path.join(self.folder, sname, "doclen"))
+                .select("doc_id"))
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        hit = un.join(F.broadcast(dead.select("doc_id")),
+                      "doc_id", "left_semi").distinct()
+        return {int(r[0]) for r in hit.collect()}
 
     def remove(self, doc_ids: Sequence[int]) -> None:
         """Delete ids: a tombstone covering every current segment."""
@@ -340,7 +395,10 @@ class TextIndex:
 
     def remove_df(self, ids_df: DataFrame) -> None:
         """remove() from a DataFrame of doc_ids — the distributed form
-        mutation hooks use (no driver round-trip for the id set)."""
+        mutation hooks use.  Bulk sets (> _BULK_IDS) never round-trip
+        through the driver (distributed tombstone write); smaller sets
+        pay one bounded limit()-capped collect for the existence
+        probe."""
         self.upsert_batch(None, ids_df)
 
     def compact(self) -> None:
@@ -402,8 +460,24 @@ class TextIndex:
         if len(segs) < 2:
             self._fold_tombstones()
             return
-        stats = self.meta.get("seg_stats") or {}
-        sizes = [int(stats.get(s, {}).get("n_docs", 0)) for s in segs]
+        stats = dict(self.meta.get("seg_stats") or {})
+        backfilled = False
+        for s in segs:
+            if "n_docs" not in (stats.get(s) or {}):
+                # legacy pre-stats segment: one-time count backfill,
+                # persisted — a default size of 0 would absorb a huge
+                # legacy bootstrap into the trailing run and degrade
+                # this tiered merge to a full compact() (r13 ADVICE,
+                # mirrored from GateIndex)
+                n = int(self.spark.read.schema(self._SCHEMAS["doclen"])
+                        .parquet(os.path.join(self.folder, s, "doclen"))
+                        .count())
+                stats[s] = dict(stats.get(s) or {}, n_docs=n)
+                backfilled = True
+        if backfilled:
+            self.meta["seg_stats"] = stats
+            self._write_meta()
+        sizes = [int(stats[s].get("n_docs", 0)) for s in segs]
         i = len(segs) - 1
         acc = sizes[i]
         while i - 1 >= 0 and sizes[i - 1] <= self._TIER_RATIO * max(acc, 1):

@@ -661,3 +661,91 @@ def test_db_gate_policy_never_full_compacts_on_micro_batches(
     assert (_snap(gi.gate(batch))
             == _snap(near_dup_gate(batch,
                                    _df(spark, list(corpus.items())))))
+
+
+def test_gate_index_bulk_and_semijoin_tombstone_tiers(spark, tmp_path):
+    """The three existence-probe tiers of upsert_batch (r13 brief item 5
+    + ADVICE: the bulk threshold was untested, so a future edit could
+    silently invert the branch):
+
+    - BULK (> _BULK_IDS dead ids): probe skipped, tombstone written
+      fully DISTRIBUTED (write-all) — mass equals the full id count, and
+      the surviving live set is identical to a twin index that removed
+      only the genuinely-existing ids through the pruned probe.
+    - MID (_PROBE_LITERAL_IDS < n <= _BULK_IDS): broadcast-semi-join
+      probe — tombstone mass equals TRUE dead rows only.
+    - SMALL (<= _PROBE_LITERAL_IDS): literal In() probe — same mass
+      contract (regression pin alongside the new tiers)."""
+    from binaryvectordb_spark.operators.ingest_gate import GateIndex
+
+    def mkdocs(ids):
+        return [(i, f"tok{i % 7} tok{i % 11} tok{i % 13} body {i} "
+                    f"alpha beta gamma") for i in ids]
+
+    low, high = list(range(1, 11)), list(range(200_000, 200_010))
+    corpus = mkdocs(low + high)
+    bulk_n = GateIndex._BULK_IDS + 1
+
+    gi = GateIndex(spark, str(tmp_path / "bulk")).build(_df(spark, corpus))
+    # BULK: ids 0..100_000 — kills the low ids, misses the high ids
+    gi.remove_df(spark.range(0, bulk_n)
+                 .select(F.col("id").alias("doc_id")))
+    tomb = gi.meta["tombstones"]
+    assert len(tomb) == 1
+    assert gi.meta["tomb_stats"][tomb[0]] == bulk_n  # write-all mass
+    # the tombstone parquet itself is the full distributed set
+    import os
+    tdf = spark.read.parquet(os.path.join(str(tmp_path / "bulk"), tomb[0]))
+    assert tdf.count() == bulk_n
+    assert tdf.where(F.col("upto_seg") != 0).count() == 0
+
+    # twin: pruned-probe removal of only the existing ids
+    twin = GateIndex(spark, str(tmp_path / "twin")).build(_df(spark, corpus))
+    twin.remove(low)
+    t2 = twin.meta["tombstones"]
+    assert twin.meta["tomb_stats"][t2[0]] == len(low)  # true-dead mass
+    live_bulk = sorted(r[0] for r in
+                       gi.live_shingles().select("doc_id").collect())
+    live_twin = sorted(r[0] for r in
+                       twin.live_shingles().select("doc_id").collect())
+    assert live_bulk == live_twin == high  # parity across the tiers
+
+    # MID: 20k ids through the broadcast-semi-join probe — only the 10
+    # high ids exist, so the tombstone holds exactly 10 rows
+    gi2 = GateIndex(spark, str(tmp_path / "mid")).build(_df(spark, corpus))
+    gi2.remove(low)  # SMALL tier first (In-literal): mass == 10
+    assert gi2.meta["tomb_stats"][gi2.meta["tombstones"][0]] == len(low)
+    gi2.remove_df(spark.range(190_000, 210_000)
+                  .select(F.col("id").alias("doc_id")))
+    t3 = gi2.meta["tombstones"]
+    assert len(t3) == 2
+    assert gi2.meta["tomb_stats"][t3[1]] == len(high)  # existence-filtered
+    assert gi2.live_shingles().count() == 0
+
+
+def test_textindex_bulk_and_semijoin_tombstone_tiers(spark, tmp_path):
+    """TextIndex shares the GateIndex probe-tier policy (same thresholds,
+    same bulk distributed write) — mirror pin of the gate-side test."""
+    from binaryvectordb_spark.operators.textindex import TextIndex
+
+    def docs(ids):
+        return [(i, f"term{i % 5} term{i % 9} corpus body {i}")
+                for i in ids]
+
+    low, high = list(range(1, 11)), list(range(200_000, 200_010))
+    bulk_n = TextIndex._BULK_IDS + 1
+    ti = TextIndex(spark, str(tmp_path / "ti")).build(
+        _df(spark, docs(low + high)), "doc_id", "text")
+    ti.remove_df(spark.range(0, bulk_n)
+                 .select(F.col("id").alias("doc_id")))
+    tomb = ti.meta["tombstones"]
+    assert len(tomb) == 1 and ti.meta["tomb_stats"][tomb[0]] == bulk_n
+    live = sorted(r[0] for r in
+                  ti.live_doclen().select("doc_id").distinct().collect())
+    assert live == high
+    # MID tier: 20k-id window over the high ids -> true-dead mass only
+    ti.remove_df(spark.range(190_000, 210_000)
+                 .select(F.col("id").alias("doc_id")))
+    t2 = ti.meta["tombstones"]
+    assert ti.meta["tomb_stats"][t2[-1]] == len(high)
+    assert ti.live_doclen().count() == 0
