@@ -118,6 +118,63 @@ GROUP BY 1, 2
 """)
 
 
+def events_cohort_retention_open_window(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """The week-horizon TTL's READ side as oracle data (VERDICT r12 item
+    6): the retention matrix restricted to OPEN cohorts — exactly the
+    rows the streaming twin's state may ever contain.  The open-window
+    predicate is SHARED with the twin (this query calls
+    streaming.events._cohort_open, the same function the foreachBatch
+    sink uses to refuse writing closed-cohort facts and to drop their
+    partitions at compaction), so the driver hash pins the TTL
+    semantics themselves: a cohort is open iff the event-time
+    watermark (max day seen) has advanced at most ``horizon`` whole
+    weeks past the cohort day.
+
+    Scale: the watermark is a single-row max (bounded driver scalar,
+    the stats-collect class); the fact build is the same
+    user_id-co-partitioned join + distinct as the streaming twin's
+    per-batch plan; the horizon filter prunes BEFORE the distinct, so
+    closed-cohort facts never shuffle."""
+    from binaryvectordb_spark.streaming.events import _cohort_open
+    # the PURCHASE substream: its first-seen days spread across the
+    # fixture month, so horizon=3 genuinely splits open vs closed
+    # cohorts (the all-events stream has every user in week-1 cohorts —
+    # the filter would be all-or-nothing and pin nothing)
+    horizon = 3
+    ev = (_events(spark, sf_dir)
+          .where(F.col("event_type") == "purchase")
+          .select("user_id", F.to_date("ts").alias("d")))
+    wm = ev.agg(F.max("d")).first()[0].isoformat()
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    facts = (ev.join(first, "user_id")
+             .select("user_id", "cohort_day",
+                     F.expr("CAST(datediff(d, cohort_day) div 7 "
+                            "AS BIGINT)").alias("week_offset"))
+             .where(F.col("week_offset") >= 0)
+             .where(_cohort_open(wm, horizon))
+             .distinct())
+    return (facts.groupBy("cohort_day", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+register("events_cohort_retention_open_window",
+         events_cohort_retention_open_window, oracle="""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+            WHERE event_type = 'purchase'),
+     first AS (SELECT user_id, min(d) AS cohort_day FROM ev
+               GROUP BY user_id),
+     wm AS (SELECT max(d) AS w FROM ev)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, d) // 7 AS BIGINT) AS week_offset,
+       count(DISTINCT user_id) AS n_active
+FROM ev JOIN first USING (user_id), wm
+WHERE date_diff('day', cohort_day, d) >= 0
+  AND date_diff('day', cohort_day, w) // 7 <= 3
+GROUP BY 1, 2
+""")
+
+
 # ---------------------------------------------------------------------------
 # gaps and islands: consecutive-active-day streaks per user
 # ---------------------------------------------------------------------------

@@ -601,3 +601,220 @@ WHERE EXISTS (SELECT 1 FROM lineitem l2
                     AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
 GROUP BY s_name
 """)
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): the CORRELATED SCALAR MIN
+    subquery — for each qualifying part, the supplier(s) in a region
+    whose offer cost equals the minimum over ALL of that region's
+    offers for the part.  The fixture has no partsupp, so the
+    supplier-part offer relation is re-targeted to lineitem history
+    (one offer per distinct (l_partkey, l_suppkey), cost = the cheapest
+    extended price that pair ever shipped at — min() is fold-order-
+    insensitive, so doubles stay exact), preserving the decorrelation
+    pattern exactly: the oracle keeps the correlated `cost = (SELECT
+    min(cost) ... WHERE partkey = outer.partkey)` form; the Spark plan
+    is the classic decorrelation — a per-part min aggregate joined back
+    on (partkey, cost).
+
+    Scale: supplier x nation x region is a broadcast dim pipeline (the
+    region filter prunes before the fact join); the offers aggregate
+    and the min-cost aggregate shuffle on the same l_partkey-led keys;
+    the filtered part dim is broadcast into the final join."""
+    li = _t(spark, sf_dir, "lineitem")
+    eligible = (_t(spark, sf_dir, "supplier")
+                .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(F.broadcast(_t(spark, sf_dir, "region")
+                                  .where(F.col("r_name") == "EUROPE")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
+    offers = (li.groupBy(F.col("l_partkey").alias("partkey"),
+                         F.col("l_suppkey").alias("suppkey"))
+              .agg(F.min("l_extendedprice").alias("cost")))
+    ro = offers.join(F.broadcast(eligible),
+                     offers.suppkey == F.col("s_suppkey"))
+    mn = (ro.groupBy(F.col("partkey").alias("mk"))
+          .agg(F.min("cost").alias("min_cost")))
+    p = (_t(spark, sf_dir, "part")
+         .where((F.col("p_size") == 15) & (F.col("p_type") == "PROMO")))
+    return (ro.join(mn, (F.col("partkey") == F.col("mk"))
+                    & (F.col("cost") == F.col("min_cost")))
+            .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_name", F.col("cost").alias("supplycost")))
+
+
+register("tpch_q2_min_cost_supplier", tpch_q2_min_cost_supplier, oracle="""
+WITH offers AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice) AS cost
+  FROM lineitem GROUP BY 1, 2),
+eligible AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+ro AS (
+  SELECT o.partkey, o.suppkey, o.cost, e.s_acctbal, e.s_name, e.n_name
+  FROM offers o JOIN eligible e ON o.suppkey = e.s_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       cost AS supplycost
+FROM ro JOIN part ON ro.partkey = p_partkey
+WHERE p_size = 15 AND p_type = 'PROMO'
+  AND cost = (SELECT min(cost) FROM ro r2 WHERE r2.partkey = ro.partkey)
+""")
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): grouped HAVING against a SCALAR
+    SUBQUERY over the same relation — per-part value of one nation's
+    supply vs a fraction of that nation's TOTAL value.  Re-target (no
+    partsupp): value = sum of extended price over lines shipped by the
+    nation's suppliers (DECIMAL-exact fold; the fraction comparison
+    runs on doubles derived from the exact sums, so both engines decide
+    ties identically).
+
+    Scale: the nation's supplier set is a broadcast semi-side; the only
+    shuffles are the per-part partial hash aggregate and the single-row
+    grand total, which re-enters as a broadcast (crossJoin of a 1-row
+    frame) — the scalar subquery never forces a second scan-shuffle of
+    the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(_t(spark, sf_dir, "nation")
+                              .where(F.col("n_name") == "NATION_3")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    val = F.sum(F.col("l_extendedprice").cast("decimal(15,2)"))
+    per_part = (li.join(F.broadcast(supp),
+                        li.l_suppkey == F.col("s_suppkey"))
+                .groupBy("l_partkey")
+                .agg(val.alias("value_dec")))
+    total = per_part.agg(
+        F.sum("value_dec").cast("double").alias("total"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .where(F.col("value_dec").cast("double")
+                   > F.col("total") * F.lit(0.001))
+            .select(F.col("l_partkey").alias("ps_partkey"),
+                    F.col("value_dec").cast("double").alias("value")))
+
+
+register("tpch_q11_important_stock", tpch_q11_important_stock, oracle="""
+SELECT l_partkey AS ps_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) > (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) * 0.001
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3')
+""")
+
+
+def tpch_q16_supplier_part_counts(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship): NOT IN subquery +
+    COUNT(DISTINCT) over a de-duplicated pair relation.  Re-targets
+    (no partsupp / s_comment): the pair relation is the distinct
+    (l_partkey, l_suppkey) history, and the excluded-supplier set is
+    s_acctbal < 0 (the complaints proxy).
+
+    Scale: NOT IN over a non-null key compiles to a BROADCAST anti
+    join (the excluded set is dim-sized); the part dim is broadcast
+    with its brand/type/size predicates pushed into the scan; the only
+    shuffles are the pair dedup and the final count-distinct hash
+    aggregate — both keyed on l_partkey-led keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = (_t(spark, sf_dir, "part")
+         .where((F.col("p_brand") != "Brand#45")
+                & ~F.col("p_type").like("MEDIUM%")
+                & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)))
+    bad = (_t(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (pairs.join(F.broadcast(p),
+                       pairs.l_partkey == p.p_partkey)
+            .join(F.broadcast(bad),
+                  pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt")))
+
+
+register("tpch_q16_supplier_part_counts", tpch_q16_supplier_part_counts,
+         oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+
+
+def tpch_q20_hot_part_suppliers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): the NESTED SEMI — suppliers
+    whose key is IN a set derived from an aggregate-HAVING over pairs
+    whose part is IN a name-filtered part set.  Re-target (no
+    partsupp.availqty): a (part, supplier) pair is "hot" when more than
+    half its all-time shipped quantity went out in 1996 (DECIMAL-exact
+    conditional sums; the 0.5 comparison runs on doubles derived from
+    them).
+
+    Scale: the name-filtered part set broadcasts into the fact scan as
+    a semi join; the pair aggregate is the only fact shuffle; the
+    final supplier membership is a broadcast LEFT SEMI against the
+    hot-pair supplier keys — no correlated re-scan, no nested loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    pk = (_t(spark, sf_dir, "part")
+          .where(F.col("p_name").like("%red%")).select("p_partkey"))
+    qty = F.col("l_quantity").cast("decimal(15,2)")
+    in_1996 = ((F.col("l_shipdate") >= F.lit("1996-01-01")
+                .cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit("1997-01-01")
+                  .cast("timestamp")))
+    hot = (li.join(F.broadcast(pk),
+                   li.l_partkey == F.col("p_partkey"), "left_semi")
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.when(in_1996, qty)
+                      .otherwise(F.lit(0).cast("decimal(15,2)")))
+                .cast("double").alias("q_1996"),
+                F.sum(qty).cast("double").alias("q_total"))
+           .where(F.col("q_1996") > F.lit(0.5) * F.col("q_total"))
+           .select("l_suppkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(_t(spark, sf_dir, "nation")
+                           .where(F.col("n_name")
+                                  .isin("NATION_3", "NATION_4"))),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (s.join(F.broadcast(hot),
+                   s.s_suppkey == hot.l_suppkey, "left_semi")
+            .select("s_name", "n_name"))
+
+
+register("tpch_q20_hot_part_suppliers", tpch_q20_hot_part_suppliers,
+         oracle="""
+WITH hot AS (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '%red%')
+  GROUP BY l_partkey, l_suppkey
+  HAVING CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN CAST(l_quantity AS DECIMAL(15,2))
+                       ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE)
+         > 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE))
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_4')
+  AND s_suppkey IN (SELECT l_suppkey FROM hot)
+""")
