@@ -860,6 +860,45 @@ def bench_textindex_1m(spark, sf_dir: str,
                     touched += g.total_byte_size
         out["bm25_indexed_1m_bytes_fraction"] = round(
             touched / total if total else 1.0, 4)
+
+        # -- r13: early-termination tier (fmt-3 impact layout) ---------
+        # three query shapes, each FORCED through the tier and asserted
+        # bit-identical to the classic plan before timing; timings are
+        # steady-state (the threshold memo is warm — the serving shape):
+        # - dense1: one stop-word term — block-max descent at its best
+        #   (the threshold sits just under the winners' own impacts)
+        # - mixed: selective tag + two stop words — the MaxScore
+        #   essential/dense split (candidates from the tag, dense
+        #   postings fetched for candidates only)
+        # - dense3 stays the honest bound: three uniform dense terms
+        #   cap the provable threshold via partial-coverage credit
+        #   inflation, so bm25_indexed_1m_dense (auto mode, above)
+        #   gains little by construction — measured, not hidden
+        d1 = (TERMS[0],)
+        mixed = ("tag7", TERMS[0], TERMS[1])
+        for qname, q in (("dense1", d1), ("mixed", mixed)):
+            got_c = [(r["doc_id"], r["bm25_e10"]) for r in
+                     idx.search(q, k=10, block_max=False).collect()]
+            got_b = [(r["doc_id"], r["bm25_e10"]) for r in
+                     idx.search(q, k=10, block_max=True).collect()]
+            assert got_c == got_b, f"blockmax diverged on {qname}"
+            idx.search(q, k=10, block_max=True).collect()  # warm memo
+            med, sp = _time_runs(
+                lambda q=q: idx.search(q, k=10, block_max=True),
+                n=9, discard_worst=2)
+            out[f"bm25_blockmax_{qname}_1m"] = round(med, 4)
+            variance[f"bm25_blockmax_{qname}_1m"] = round(sp, 2)
+        # deterministic skipping claim for the dense1 steady state: the
+        # fraction of the term's postings the proven threshold retains
+        idx.search(d1, k=10, block_max=True).collect()
+        thr1 = idx.last_blockmax["thr"][TERMS[0]]
+        post = spark.read.schema("token string, imp double").parquet(
+            os.path.join(d, "ti", "seg_0", "postings"))
+        n_term = post.where(F.col("token") == TERMS[0]).count()
+        n_kept = post.where((F.col("token") == TERMS[0])
+                            & (F.col("imp") >= thr1)).count()
+        out["bm25_blockmax_dense1_read_fraction"] = round(
+            n_kept / max(1, n_term), 4)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

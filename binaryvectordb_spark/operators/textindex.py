@@ -60,8 +60,18 @@ _META = "meta.json"
 # length (dl) so BM25 reads ONLY pruned postings — no O(corpus) doclen
 # join per query (the 1M-corpus bench measured that join dominating:
 # indexed 1.8 s vs scan 3.8 s; postings-only drops the indexed side to
-# O(matching postings) at any corpus size)
-_FMT = 2
+# O(matching postings) at any corpus size); 3 = IMPACT layout (r13):
+# build/compact store each posting's exact score weight (`imp`, the
+# _TERM_SCORE factor sans idf, computed with the segment's write-time
+# avgdl) and sort each token's postings imp DESC, so the parquet
+# row-group footers themselves become the Block-Max WAND structure
+# (Ding & Suel, SIGIR'11) — an `imp >= I` pushdown skips every block
+# that cannot reach the running top-k threshold — plus a per-term
+# stats table (token, df, max_imp) the early-termination tier reads
+# token-pruned to set thresholds and bounds.  Micro-batch segments
+# keep a tf DESC / dl ASC order and no imp (the per-upsert job budget
+# stays pinned); the tier is gated to the compacted state.
+_FMT = 3
 
 
 class TextIndex:
@@ -119,8 +129,16 @@ class TextIndex:
             .alias("pos0", "token")).select(
             "doc_id", (F.col("pos0") + 1).alias("pos"), "token")
 
+    # the tf/dl weight factor of _TERM_SCORE (everything but the per-term
+    # idf): stored per posting as the fmt-3 `imp` column.  score_e10 =
+    # floor(idf * imp * 1e10) — identical IEEE ops to the classic tree,
+    # so the impact tier's scores are bit-for-bit the classic scores.
+    _IMP_EXPR = ("((tf * 2.2D) / (tf + (1.2D * (0.25D + "
+                 "(0.75D * (dl / avgdl))))))")
+
     def _write_segment(self, docs_df: DataFrame, id_col: str,
-                       text_col: str, name: str) -> dict:
+                       text_col: str, name: str,
+                       with_imp: bool = False) -> dict:
         # postings carry POSITIONAL lists (sorted, 1-based) — tf is their
         # size, and the positions power phrase queries (search_phrase);
         # the extra ints cost ~the text itself once, at build time
@@ -148,11 +166,32 @@ class TextIndex:
         postings = postings.withColumn(
             "dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         seg = os.path.join(self.folder, name)
-        # token-range files + within-file token sort: the query's
-        # In(token) predicate then prunes files AND row groups from
-        # footer min/max alone
+        order = ["token", F.desc("tf"), "dl", "doc_id"]
+        if with_imp:
+            # fmt-3 IMPACT layout (build/compact only — the extra stats
+            # job stays off the pinned per-upsert budget; the block-max
+            # tier is gated to the compacted state anyway): store the
+            # exact score weight per posting, computed with THIS
+            # segment's avgdl as a literal — in the single-segment
+            # steady state that literal IS the query-time avgdl
+            # (fold-order-free sum / int count, same IEEE division), so
+            # floor(idf * imp * 1e10) replays the classic score
+            # bit-for-bit.  Sorting tokens by imp DESC makes the parquet
+            # row-group max(imp) stats a DESCENDING ladder through each
+            # term's blocks: the footers ARE the Block-Max WAND table,
+            # and an `imp >= I` pushdown physically skips every block
+            # below the running top-k threshold.
+            per_doc = (postings.groupBy("doc_id")
+                       .agg(F.first("dl").alias("dl"))
+                       .agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("dl").alias("s")).first())
+            avgdl = float(per_doc["s"]) / float(per_doc["n"])
+            postings = postings.withColumn(
+                "imp", F.expr(self._IMP_EXPR.replace(
+                    "avgdl", repr(avgdl) + "D")))
+            order = ["token", F.desc("imp"), "doc_id"]
         (postings.repartitionByRange("token")
-         .sortWithinPartitions("token", "doc_id")
+         .sortWithinPartitions(*order)
          .write.mode("overwrite")
          # 16 MB row groups (unless the env pins its own block size):
          # pruning granularity for the In(token) read (smaller groups =
@@ -193,6 +232,25 @@ class TextIndex:
         return {"n_docs": int(got["n"]),
                 "sum_dl": float(got["s"] or 0.0)}
 
+    def _write_term_stats(self, seg: str) -> None:
+        """Per-term stats table for the block-max tier (fmt 3): one row
+        per token — postings count (the exact BM25 df of the compacted
+        state) and the max stored impact (the threshold ladder's start).
+        Written only by the FULL rewrites (build / compact), never by a
+        micro-batch upsert — the per-upsert job budget stays pinned, and
+        the early-termination tier simply waits for the next maintenance
+        fold (same philosophy as _corpus_stats' zero-job path).  Token-
+        sorted single file: the per-query stats read is one pruned row
+        group."""
+        ts = (self.spark.read.schema("token string, imp double")
+              .parquet(os.path.join(seg, "postings"))
+              .groupBy("token")
+              .agg(F.count("*").cast("double").alias("df"),
+                   F.max("imp").alias("max_imp")))
+        (ts.coalesce(1).sortWithinPartitions("token")
+         .write.mode("overwrite")
+         .parquet(os.path.join(seg, "term_stats")))
+
     def _postings_block_opt(self) -> dict:
         """{parquet.block.size: 16 MB} unless the session's hadoop conf
         pins one explicitly (tests shrink it to force many row groups —
@@ -219,7 +277,10 @@ class TextIndex:
                           ignore_errors=True)
         self.meta = {"segments": [], "tombstones": [], "seg_stats": {},
                      "v": self.meta.get("v", 0), "fmt": _FMT}
-        st = self._write_segment(docs_df, id_col, text_col, "seg_0")
+        st = self._write_segment(docs_df, id_col, text_col, "seg_0",
+                                 with_imp=True)
+        self._write_term_stats(os.path.join(self.folder, "seg_0"))
+        st["ts"] = True
         self.meta["segments"] = ["seg_0"]
         self.meta["seg_stats"] = {"seg_0": st}
         self._write_meta()
@@ -408,15 +469,29 @@ class TextIndex:
         # would leave the compacted segment schema-incompatible with the
         # next upsert's segment and break the query-side union
         post = self.live_postings().drop("seg")
+        if "imp" in post.columns:
+            post = post.drop("imp")  # recompute: live avgdl may differ
         dl = self.live_doclen().select("doc_id", "dl")
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)
+        # the fmt-3 impact column, with the POST-compaction corpus avgdl
+        # (one small stats job — compact is the amortized rewrite, not
+        # the pinned upsert path); fold-order-free sum / int count, so
+        # the literal equals the query-time _corpus_stats value exactly
+        srow = dl.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("dl").alias("s")).first()
+        avgdl = float(srow["s"]) / float(srow["n"])
+        post = post.withColumn(
+            "imp", F.expr(self._IMP_EXPR.replace("avgdl",
+                                                 repr(avgdl) + "D")))
         (post.repartitionByRange("token")
-         .sortWithinPartitions("token", "doc_id")
+         .sortWithinPartitions("token", F.desc("imp"), "doc_id")
          .write.mode("overwrite")
          .options(**self._postings_block_opt())  # same cap as _write_segment
          .parquet(os.path.join(seg, "postings")))
         st = self._write_doclen(dl, seg)  # stats folded into the write job
+        self._write_term_stats(seg)
+        st["ts"] = True
         old = self.meta["segments"] + self.meta["tombstones"]
         # compaction rewrites every posting row (with dl), so the folded
         # index is fmt-current even when the input segments predated it
@@ -492,10 +567,15 @@ class TextIndex:
             self.compact()
             return
         merged = self.live_postings().where(F.col("seg") >= i).drop("seg")
+        if "imp" in merged.columns:
+            merged = merged.drop("imp")  # run-local avgdl would be wrong
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)
+        # no imp / term_stats here: the tier is gated to the SINGLE-
+        # segment state (per-segment write-time avgdl only equals the
+        # live avgdl there), and this merge leaves older segments alive
         (merged.repartitionByRange("token")
-         .sortWithinPartitions("token", "doc_id")
+         .sortWithinPartitions("token", F.desc("tf"), "dl", "doc_id")
          .write.mode("overwrite")
          .options(**self._postings_block_opt())
          .parquet(os.path.join(seg, "postings")))
@@ -677,23 +757,421 @@ class TextIndex:
             F.count("*").cast("double").alias("n_docs"),
             (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
 
-    def search(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+    # -- block-max early termination (fmt 3) --------------------------------
+
+    # auto-engagement floors: below these the classic single-read path is
+    # already cheap and the tier's threshold iterations would only add
+    # driver round-trips.  block_max=True (tests, the driver row) skips
+    # the floors but never the state requirements.
+    _BLOCKMAX_MIN_DOCS = 200_000
+    _BLOCKMAX_MIN_POSTINGS = 50_000
+    def _blockmax_ready(self) -> bool:
+        """State requirements for exactness of the impact tier: fmt 3,
+        a SINGLE segment (the stored imp column was computed with that
+        segment's write-time avgdl, which equals the live avgdl only
+        when it is the whole index), no tombstones (write-time df ==
+        live df), and the term_stats table present.  Micro-batch
+        segments and removes gate the tier off until the next compact —
+        the same philosophy as _corpus_stats' zero-job path."""
+        ss = self.meta.get("seg_stats") or {}
+        return (len(self.meta["segments"]) == 1
+                and self.meta.get("fmt", 1) >= 3
+                and not self.meta["tombstones"]
+                and bool((ss.get(self.meta["segments"][0]) or {})
+                         .get("ts")))
+
+    def _meta_n_docs(self) -> int:
+        ss = self.meta.get("seg_stats") or {}
+        return sum(int((ss.get(s) or {}).get("n_docs", 0))
+                   for s in self.meta["segments"])
+
+    def _term_stats_lookup(self, terms: list) -> dict:
+        """{token: (df, max_imp)} — one token-pruned read of the tiny
+        term_stats table, memoized per (meta version, term set) so
+        repeated serving queries pay it once.  Terms absent from the
+        index are absent from the result."""
+        key = (self.meta.get("v", 0), tuple(sorted(set(terms))))
+        cache = getattr(self, "_ts_cache", None)
+        if cache is None:
+            cache = self._ts_cache = {}
+        if key in cache:
+            return cache[key]
+        seg = self.meta["segments"][0]
+        agg = (self.spark.read
+               .schema("token string, df double, max_imp double")
+               .parquet(os.path.join(self.folder, seg, "term_stats"))
+               .where(F.col("token").isin(*terms)).collect())
+        out = {r["token"]: (float(r["df"]), float(r["max_imp"]))
+               for r in agg}
+        if len(cache) > 256:
+            cache.clear()  # bounded memo; stale versions purge naturally
+        cache[key] = out
+        return out
+
+    # a term is ESSENTIAL (MaxScore vocabulary) when it matches at most
+    # this corpus fraction — its postings are cheap to read in full
+    _ESSENTIAL_FRAC = 0.05
+
+    def _search_maxscore_split(self, present, stats, idf, base,
+                               k: int) -> DataFrame | None:
+        """MaxScore essential/non-essential partitioning (Turtle &
+        Flood 1995), the other classic early-termination next to the
+        block-max descent — and the one that wins on the REALISTIC
+        query shape, selective terms mixed with stop words: score the
+        SELECTIVE terms' postings in full (tiny by definition), bound
+        every other doc by the dense terms' maximum impacts, and fetch
+        dense postings only for the candidate docs.  Exactness proof:
+
+        - theta_E = k-th best essential-only partial; slack = sum over
+          dense terms of floor(idf * max_imp * 1e10);
+        - a doc with NO essential posting totals <= slack < theta_E
+          <= final k-th score — excluded, strictly;
+        - a doc with essential partial < theta_E - slack totals
+          < theta_E — excluded, strictly;
+        - every remaining doc is a candidate and is scored EXACTLY
+          (all its postings for all query terms are read in phase B).
+
+        Three bounded jobs, no iteration.  Returns None when the query
+        has no selective/dense mix, the bound does not separate, or
+        the candidate set is not small — the threshold descent takes
+        over."""
+        ess = [t for t in present
+               if stats[t][0] <= self._ESSENTIAL_FRAC
+               * max(1.0, self._meta_n_docs())]
+        dense = [t for t in present if t not in ess]
+        if not ess or not dense:
+            return None
+        if sum(stats[t][0] for t in ess) > 1_000_000:
+            return None  # "essential" side too heavy — descend instead
+        slack = sum(self._ub_py(idf[t], stats[t][1]) for t in dense)
+        s_case_e = ("CAST(floor((CASE token "
+                    + " ".join(
+                        f"WHEN '{t.replace(chr(39), chr(92) + chr(39))}'"
+                        f" THEN {idf[t]!r}D" for t in ess)
+                    + " ELSE 0.0D END) * imp * 1e10) AS BIGINT)")
+        g_e = (base.where(F.col("token").isin(*ess))
+               .select("doc_id", F.expr(s_case_e).alias("s"))
+               .groupBy("doc_id").agg(F.sum("s").alias("pe")))
+        top_e = (g_e.orderBy(F.desc("pe"), F.asc("doc_id"))
+                 .limit(k).collect())
+        if len(top_e) < k:
+            return None  # fewer essential docs than k: can't separate
+        theta_e = int(top_e[-1]["pe"])
+        if theta_e <= slack + 1:
+            return None  # dense mass could outrank: no separation
+        cand = (g_e.where(F.col("pe") >= theta_e - slack)
+                .select("doc_id").limit(100_001).collect())
+        if len(cand) > 100_000:
+            return None
+        ids = [int(r["doc_id"]) for r in cand]
+        s_case = ("CAST(floor((CASE token "
+                  + " ".join(
+                      f"WHEN '{t.replace(chr(39), chr(92) + chr(39))}'"
+                      f" THEN {idf[t]!r}D" for t in present)
+                  + " ELSE 0.0D END) * imp * 1e10) AS BIGINT)")
+        top = (base.where(F.col("token").isin(*present)
+                          & F.col("doc_id").isin(ids))
+               .select("doc_id", F.expr(s_case).alias("s"))
+               .groupBy("doc_id").agg(F.sum("s").alias("bm25_e10"))
+               .orderBy(F.desc("bm25_e10"), F.asc("doc_id"))
+               .limit(k).collect())
+        self.last_blockmax = {"mode": "maxscore",
+                              "essential": list(ess),
+                              "n_candidates": len(ids)}
+        rows = [(int(r["doc_id"]), int(r["bm25_e10"]), i + 1)
+                for i, r in enumerate(top)]
+        return self.spark.createDataFrame(
+            rows, "doc_id long, bm25_e10 long, kw_rank int")
+
+    def _search_blockmax(self, terms: list, k: int,
+                         forced: bool) -> DataFrame | None:
+        """Exact top-k with block skipping over the IMPACT-ORDERED
+        postings — Block-Max WAND (Ding & Suel, SIGIR'11) re-shaped for
+        a batch engine.  Each round reads only the per-term HIGH-IMPACT
+        PREFIX ``imp >= I_t``: the fmt-3 layout sorts each term's
+        postings imp-descending, so the parquet footer max(imp) stats
+        descend through the term's row groups and the pushdown
+        physically skips every block below the threshold — the footers
+        ARE the block-max table.  The prefix is scored exactly
+        (score_e10 = floor(idf * imp * 1e10), bit-identical to the
+        classic tree), and the answer is PROVEN:
+
+        - a doc read in every query term it contains is EXACT
+          (miss_ub == 0);
+        - a doc read in only some terms is bounded by partial +
+          Sum_missing U_t where U_t = floor(idf_t * I_t * 1e10) — any
+          unseen posting of t scores <= U_t by monotonicity;
+        - a doc read in no term is bounded by Sum U_t.
+
+        If the k-th exact score strictly beats both bounds, the answer
+        is provably identical to the full read.  Otherwise the next
+        thresholds come from theta itself when one exists (the largest
+        I_t whose outside-bound still clears the running k-th score)
+        or halve, and I_t == 0 IS the full read — the descent
+        terminates exact unconditionally.  Returns None when no query
+        term has enough mass (caller falls through to the classic
+        single-read plan)."""
+        terms = list(dict.fromkeys(terms))
+        stats = self._term_stats_lookup(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return None  # classic path returns the empty frame
+        if not forced and sum(stats[t][0] for t in present) < \
+                self._BLOCKMAX_MIN_POSTINGS:
+            return None  # sparse query: single pruned read is optimal
+        n_docs = float(self._meta_n_docs())
+        idf = {t: ((n_docs - stats[t][0]) + 0.5) / (stats[t][0] + 0.5)
+               for t in present}
+        seg = self.meta["segments"][0]
+        base = (self.spark.read
+                .schema("token string, doc_id long, imp double")
+                .parquet(os.path.join(self.folder, seg, "postings")))
+        out = self._search_maxscore_split(present, stats, idf, base, k)
+        if out is not None:
+            return out
+        # start HIGH in the impact order (the round cost is dominated by
+        # how many postings enter the doc_id aggregation, so a cheap
+        # high-prefix probe beats a safe low one), then descend through
+        # the theta-capped ladder.  PROVEN thresholds are memoized per
+        # (meta version, terms, k): a repeated serving query re-proves
+        # from the known-good frontier in ONE round.
+        m = len(present)
+        tkey = (self.meta.get("v", 0), tuple(sorted(present)), int(k))
+        tc = getattr(self, "_thr_cache", None)
+        if tc is None:
+            tc = self._thr_cache = {}
+        thr = dict(tc.get(tkey) or
+                   {t: stats[t][1] * 0.8 for t in present})
+
+        def esc(t: str) -> str:
+            return t.replace("\\", "\\\\").replace("'", "\\'")
+
+        self.last_blockmax = None
+        top, rounds, theta = [], 0, None
+        while True:
+            rounds += 1
+            full_read = all(thr[t] <= 0.0 for t in present)
+            # per-term literals: idf (exact score factor) and U_t (the
+            # unseen-posting bound at the current threshold) — injected
+            # as CASE expressions, not a per-round broadcast join
+            u = {t: self._ub_py(idf[t], thr[t]) for t in present}
+            s_case = ("CAST(floor((CASE token "
+                      + " ".join(f"WHEN '{esc(t)}' THEN {idf[t]!r}D"
+                                 for t in present)
+                      + " ELSE 0.0D END) * imp * 1e10) AS BIGINT)")
+            u_case = ("(CASE token "
+                      + " ".join(f"WHEN '{esc(t)}' THEN "
+                                 f"CAST({int(u[t])} AS BIGINT)"
+                                 for t in present)
+                      + " ELSE CAST(0 AS BIGINT) END)")
+            pred = None
+            for t in present:
+                c = (F.col("token") == t) & (F.col("imp") >= thr[t])
+                pred = c if pred is None else (pred | c)
+            # ONE job per round: rank candidates by key = partial +
+            # miss_ub (== the exact score for fully-covered docs, an
+            # upper bound otherwise) and TakeOrdered the top k.  The
+            # key ordering makes a separate verification pass
+            # unnecessary: every non-returned candidate d has
+            # true(d) <= key(d) <= key_k, and if it TIES key_k its
+            # doc_id is larger by the sort order — it loses the
+            # tie-break exactly as in the classic plan.  So the answer
+            # is proven by (a) all k returned rows exact, (b) the
+            # never-read outside bound strictly below key_k.
+            g = (base.where(pred)
+                 .select("doc_id", F.expr(s_case).alias("s"),
+                         F.expr(u_case).alias("t_u"))
+                 .groupBy("doc_id")
+                 .agg(F.sum("s").alias("partial"),
+                      F.sum("t_u").alias("cov_u"))
+                 .select("doc_id", "partial", "cov_u",
+                         (F.lit(int(sum(u.values())))
+                          - F.col("cov_u")).alias("miss_ub"))
+                 .withColumn("key", F.col("partial") + F.col("miss_ub")))
+            # collect a deeper window than k: when the strict top keys
+            # are credit-inflated partial docs, the exact rows further
+            # down anchor the theta estimate for the next round's cap
+            # (a few hundred extra collected rows, one job either way)
+            rows_big = (g.orderBy(F.desc("key"), F.asc("doc_id"))
+                        .limit(max(k, 256)).collect())
+            rows_k = rows_big[:k]
+            if full_read:
+                top = rows_k  # u == 0 everywhere: keys ARE exact scores
+                break
+            if len(rows_k) == k and \
+                    all(r["miss_ub"] == 0 for r in rows_k):
+                theta = int(rows_k[-1]["key"])
+                ub_out = sum(u.values())
+                # +1 slack on the driver-side bound (the mirrored ops
+                # agree bit-for-bit anyway); strict <: an unseen doc
+                # tying theta could carry a smaller doc_id
+                if ub_out + 1 < theta:
+                    top = rows_k
+                    break
+            # descent heuristic only (correctness is re-proven every
+            # round): the LARGEST exact key seen — the strongest score
+            # the round verified — estimates the final k-th score; the
+            # cap derived from it aims the next round at the provable
+            # frontier instead of far below it
+            # theta estimate for the next round's cap (heuristic only —
+            # correctness is re-proven every round): the best EXACT key
+            # seen, or the k-th best partial (partial <= true score, so
+            # any k partials lower-bound the final k-th) when heavy
+            # duplication floods the window with credit-inflated rows
+            exact_keys = [int(r["key"]) for r in rows_big
+                          if r["miss_ub"] == 0]
+            partials = sorted((int(r["partial"]) for r in rows_big),
+                              reverse=True)
+            theta = max(
+                max(exact_keys, default=0),
+                partials[k - 1] if len(partials) >= k else 0) or None
+            if rounds >= 6:
+                thr = {t: 0.0 for t in present}  # full read, terminate
+                continue
+            # BLOCKER-GUIDED per-term descent: each non-exact row's
+            # cov_u is a subset sum of the per-term U literals, so it
+            # DECODES which terms that row is missing (ambiguous sums
+            # decode to the union — conservative).  Only the terms that
+            # actually blocked the proof (missing in a top-k row)
+            # descend; the others hold their prefix — the batch
+            # analogue of WAND advancing one cursor.  From round 3 on
+            # every term descends (ping-pong guard across templates).
+            decode: dict[int, set] = {}
+            for mask in range(1 << m):
+                ssum = sum(u[present[i]] for i in range(m)
+                           if not (mask >> i) & 1)
+                decode.setdefault(ssum, set()).update(
+                    present[i] for i in range(m) if not (mask >> i) & 1)
+            blockers: set = set()
+            for r in rows_k:
+                if r["miss_ub"] != 0:
+                    blockers |= decode.get(int(r["cov_u"]), set(present))
+            if not blockers or rounds >= 3:
+                blockers = set(present)  # ub_out / short-fill / guard
+            for t in present:
+                if t not in blockers:
+                    continue
+                cand = thr[t] * 0.6
+                if theta is not None and idf[t] > 0:
+                    # theta-informed cap: the largest threshold whose
+                    # outside-bound still clears theta (0.9 margin).
+                    # Jump TO the cap when it sits between the
+                    # geometric step and the current threshold — going
+                    # below the provable frontier reads more than the
+                    # proof needs; the geometric step only takes over
+                    # when the cap itself already failed.
+                    want = 0.9 * theta / (m * idf[t] * 1e10)
+                    if cand < want < thr[t] * 0.98:
+                        cand = want
+                    elif want < cand:
+                        cand = want
+                thr[t] = cand if cand * 1e10 * idf[t] >= 1.0 else 0.0
+        if len(tc) > 256:
+            tc.clear()
+        tc[tkey] = dict(thr)  # proven frontier for the next identical call
+        if not full_read and tkey not in getattr(self, "_thr_refined",
+                                                 set()):
+            # one-time REFINEMENT of the memo: the winners are known, so
+            # the tightest useful thresholds are their own per-term
+            # impacts (epsilon below the smallest winner imp per term).
+            # If the outside-bound still clears theta there, memoize
+            # THAT frontier — the next identical query re-proves it in
+            # one round reading only the winners' stratum.  Driver-side
+            # arithmetic only; a wrong guess just fails that round's
+            # proof and descends, so exactness is never at stake.
+            refined = getattr(self, "_thr_refined", None)
+            if refined is None:
+                refined = self._thr_refined = set()
+            refined.add(tkey)
+            ids = [int(r["doc_id"]) for r in top]
+            if ids:
+                win = (base.where(F.col("token").isin(*present)
+                                  & F.col("doc_id").isin(ids))
+                       .select("token", "imp").collect())
+                mins: dict = {}
+                for r in win:
+                    v = float(r["imp"])
+                    t = r["token"]
+                    mins[t] = min(mins.get(t, v), v)
+                cand = {t: mins.get(t, thr[t]) * 0.999 for t in present}
+                theta_f = int(top[k - 1]["partial"]) if len(top) >= k \
+                    else None
+                if theta_f is not None and \
+                        all(cand[t] >= thr[t] for t in present):
+                    # the refinement must survive CREDIT INFLATION: a
+                    # non-winner covered only in subset S carries at
+                    # most Sum_S idf*max_imp (its best possible
+                    # partial) + Sum_notS U(cand) — if any subset's
+                    # bound reaches theta, a raised threshold would
+                    # push partial-coverage keys above the winners and
+                    # fail every re-proof round.  Check all 2^m
+                    # subsets driver-side (m is query-sized).
+                    ok = True
+                    for mask in range(1 << m):
+                        s_bound = sum(
+                            self._ub_py(idf[present[i]],
+                                        stats[present[i]][1])
+                            if (mask >> i) & 1 else
+                            self._ub_py(idf[present[i]],
+                                        cand[present[i]])
+                            for i in range(m))
+                        if mask != (1 << m) - 1 and \
+                                s_bound + 1 >= theta_f:
+                            ok = False
+                            break
+                    if ok:
+                        tc[tkey] = cand
+        self.last_blockmax = {"thr": dict(thr), "full_read": full_read,
+                              "rounds": rounds}
+        rows = [(int(r["doc_id"]), int(r["partial"]), i + 1)
+                for i, r in enumerate(top)]
+        return self.spark.createDataFrame(
+            rows, "doc_id long, bm25_e10 long, kw_rank int")
+
+    @staticmethod
+    def _ub_py(idf: float, imp_thr: float) -> int:
+        """floor(idf * I * 1e10) — the driver-side mirror of the
+        per-posting score at the threshold impact (same IEEE ops as the
+        Spark multiplication chain, Python floats are binary64): any
+        posting with imp < I scores at most this by monotonicity of
+        floor."""
+        return int(math.floor(idf * imp_thr * 1e10))
+
+    def search(self, terms: Sequence[str], k: int = 10,
+               block_max: bool | None = None) -> DataFrame:
         """BM25 top-k over the index — bit-identical to the corpus-scan
         path (queries/hybrid.py search_bm25_topk): same rarity idf, same
-        floored-bigint 1e-10 score units, same expression tree.  Reads
-        ONLY the pruned postings row groups for ``terms`` — dl rides in
-        the posting rows (fmt 2), so query cost is O(matching postings)
-        at ANY corpus size; the doclen tables are touched only for the
-        tombstone-path corpus stats."""
+        floored-bigint 1e-10 units, same expression tree.  Reads ONLY
+        the pruned postings row groups for ``terms`` — dl rides in the
+        posting rows (fmt 2), so query cost is O(matching postings) at
+        ANY corpus size; the doclen tables are touched only for the
+        tombstone-path corpus stats.
+
+        ``block_max``: the fmt-3 EARLY-TERMINATION tier (Block-Max WAND
+        re-expressed for a batch engine — _search_blockmax) for dense
+        (stop-word) terms, where "matching postings" IS a large corpus
+        fraction.  None (default) auto-engages on large maintained
+        indexes; True forces it whenever the index state allows
+        (compacted, term_stats present); False disables.  Every mode is
+        bit-identical — the tier either PROVES its answer exact via
+        upper bounds or descends to the full read."""
         terms = [str(t) for t in terms]
         if not terms:
             # would otherwise surface as an opaque py4j error from
             # isin(*[]) — and db.search_text forwards raw user input here
             raise ValueError("empty terms: pass at least one query term")
-        if self.meta["segments"] and self.meta.get("fmt", 1) < _FMT:
+        if self.meta["segments"] and self.meta.get("fmt", 1) < 2:
             raise Exception(
                 "TextIndex was written by an older layout (postings rows "
                 "carry no dl column); rebuild() or compact() the index")
+        if block_max is not False and self._blockmax_ready():
+            want = (block_max is True
+                    or self._meta_n_docs() >= self._BLOCKMAX_MIN_DOCS)
+            if want:
+                out = self._search_blockmax(terms, k,
+                                            forced=block_max is True)
+                if out is not None:
+                    return out
         tf = (self.live_postings()
               .where(F.col("token").isin(*terms))
               .select("token", "doc_id", "tf", "dl"))
@@ -736,7 +1214,7 @@ class TextIndex:
             raise ValueError("empty batch: pass at least one query")
         if any(not ts for ts in qmap.values()):
             raise ValueError("empty terms: every query needs >= 1 term")
-        if self.meta["segments"] and self.meta.get("fmt", 1) < _FMT:
+        if self.meta["segments"] and self.meta.get("fmt", 1) < 2:
             raise Exception(
                 "TextIndex was written by an older layout (postings rows "
                 "carry no dl column); rebuild() or compact() the index")

@@ -164,6 +164,33 @@ WHERE kw_rank <= 10
 """)
 
 
+def search_bm25_indexed_blockmax(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The same top-10 BM25 query through the fmt-3 BLOCK-MAX
+    EARLY-TERMINATION tier, FORCED on (operators/textindex.py
+    _search_blockmax — the Block-Max WAND idea on impact-ordered
+    parquet: per-term high-impact prefixes `tf >= T` pruned by the
+    row-group footer max(tf) stats, answer proven exact via upper
+    bounds or descended to the full read).  The fixture TERMS sit in
+    ~78% of docs — exactly the stop-word density the tier exists for.
+    Same oracle as search_bm25_topk / search_bm25_indexed: the tier
+    changes which blocks are READ, never the answer — this row is the
+    driver-level exactness gate for the termination proof."""
+    return _shared_text_index(spark, sf_dir).search(
+        TERMS, k=10, block_max=True)
+
+
+register("search_bm25_indexed_blockmax", search_bm25_indexed_blockmax,
+         oracle=f"""
+WITH {_BM25_ORACLE_CTE}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
 def search_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same top-10 BM25 query served by the RAM-tier lexical searcher
     (TextIndex.to_local — collected postings, zero Spark jobs per query):
