@@ -197,16 +197,20 @@ def bench_1m_scan(spark, sf_dir: str,
     # stays cached for the ADC scans below
     enc_samples = []
     codes, n_codes = None, 0
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         codes = pq_encode(big, books, id_col="vec_id",
                           emb_col="embedding").cache()
         n_codes = codes.count()
         enc_samples.append(time.perf_counter() - t0)
-        if i < 2:
+        if i < 4:
             # blocking: async eviction of sample i's blocks would overlap
             # the timed region of sample i+1 (ADVICE r11)
             codes.unpersist(blocking=True)
+    # r13 variance protocol: the FIRST encode is a measured warm-up
+    # (JIT + codec paths) — it carried most of the r12 0.99 spread;
+    # median over the 4 post-warm-up samples
+    enc_samples = enc_samples[1:]
     enc_med = statistics.median(enc_samples)
     out["pq_encode_mvecs_per_s"] = round(n_codes / enc_med / 1e6, 2)
     variance["pq_encode_mvecs_per_s"] = round(
@@ -221,7 +225,8 @@ def bench_1m_scan(spark, sf_dir: str,
             .orderBy(F.desc("s"), F.asc("pq_id")).limit(100))
 
     adc_scan().collect()  # warm-up
-    dt, sp = _time_runs(adc_scan, n=9, discard_worst=1)
+    adc_scan().collect()  # 2nd warm-up (r13: variance 1.76 at n=9)
+    dt, sp = _time_runs(adc_scan, n=13, discard_worst=3)
     out["pq_adc_scan_1m"] = round(dt, 4)
     variance["pq_adc_scan_1m"] = round(sp, 2)
     codes.unpersist()
@@ -471,8 +476,10 @@ def bench_textindex(spark, sf_dir: str,
         idx = TextIndex(spark, d).build(load_table(spark, sf_dir,
                                                    "documents"))
         idx.search(TERMS, k=10).collect()          # warm-up
+        idx.search(TERMS, k=10).collect()          # 2nd (r13: var 1.35)
         search_bm25_topk(spark, sf_dir).collect()  # warm-up
-        med, sp = _time_runs(lambda: idx.search(TERMS, k=10))
+        med, sp = _time_runs(lambda: idx.search(TERMS, k=10),
+                             n=9, discard_worst=2)
         out["bm25_indexed"] = round(med, 4)
         variance["bm25_indexed"] = round(sp, 2)
         med, sp = _time_runs(lambda: search_bm25_topk(spark, sf_dir))
@@ -709,7 +716,7 @@ def bench_hybrid_serving(spark, sf_dir: str,
         # variance 0.63 after one discard, so the ms-scale trio gets the
         # widest protocol in the file (2 warm-up rounds + 2-outlier
         # discard over 9), same family as agg_pricing_summary's n=13
-        for _ in range(11):
+        for _ in range(15):  # r13: 11 -> 15 (hybrid_serve_ms var 0.59)
             t0 = time.perf_counter()
             db.search_hybrid(TERMS, qvecs[0])
             dist_runs.append(time.perf_counter() - t0)
@@ -725,7 +732,7 @@ def bench_hybrid_serving(spark, sf_dir: str,
         for key, runs in (("hybrid_serve_distributed_ms", dist_runs[2:]),
                           ("hybrid_serve_ms", local_runs[2:]),
                           ("hybrid_serve_batch_ms", batch_runs[2:])):
-            runs = sorted(runs)[:-2]  # 2-outlier discard over 9 kept rounds
+            runs = sorted(runs)[:-3]  # 3-outlier discard, 13 kept rounds
             med = statistics.median(runs)
             out[key] = round(med * 1000, 2)
             variance[key] = round((max(runs) - min(runs)) / med, 2)

@@ -51,74 +51,23 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     vector,
 )
 
-# Evaluation priority (rotated round 12): the driver value-hashes the first
-# 50 registry entries per round.  Steady-state arithmetic: with 200 registry
-# queries and a 50-query window, the max driver-hash age floor is
-# ceil(200/50) = 4 rounds.  This round's window, 4 + 46 = 50 exactly:
-# (a) the FOUR round-12 additions -- never driver-hashed; (b) the FULL
-# 46-query round-8 remainder (the 5 entries the r11 window left just behind
-# it + the 41-query block window_first_last .. udf_grouped_agg) -- the
-# registry's stalest hashes (age 3; VERDICT r11 item 1).
-# Behind the window, in next-round priority order: the r9 cohort remainder
-# (age 3 at r13 -- the r13 window's natural core), the round-10-hashed slice
-# (also age 3 at r13, after the r9 cohort), then everything hashed in round
-# 11 (freshest, least new signal).
+# Evaluation priority — GENERATED, do not hand-edit the order or carry
+# age arithmetic in comments (that drifted twice, VERDICT r11/r12): the
+# canonical rotation comes from `python examples/rotation_audit.py
+# --emit`, which derives it from the CORRECTNESS_r*.json files directly
+# (never-hashed entries first, then ascending last-hashed round, ties by
+# prior position).  The close gate runs the audit and FAILS if this list
+# diverges from canonical.  Rotated at the close of round 13: window =
+# 6 r13 additions + the first 44 of the r9 cohort; the cohort's 6-entry
+# displaced tail (similarity_join_brp_lsh .. dedup_lsh_jaccard) leads
+# the r14 window per the audit's "displaced tail" output.
 _PRIORITY = [
-    # (a) new in round 12 -- never driver-hashed
-    "sketch_bkq_mergeable",
-    "join_salted_full_outer",
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
-    # (b) round-8 remainder (age 3 -- the registry's stalest hashes:
-    #     the 5 entries behind the r11 window + the 41-query block from
-    #     window_first_last; VERDICT r11 item 1), full re-hash this round
-    "window_running_total",
-    "set_ops_segments",
-    "union_by_name_parties",
-    "unpivot_acctbal",
-    "agg_collect_set",
-    "window_first_last",
-    "agg_percentiles",
-    "dedup_exact_stats",
-    "dedup_minhash_signature",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_fingerprint_groups",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "events_click_purchase_attribution",
-    "join_asof_purchase_click",
-    "join_range_value_bands",
-    "mutation_upsert_documents",
-    "mutation_upsert_index",
-    "mutation_delete_documents",
-    "multimodal_ppm_decode",
-    "date_arithmetic",
-    "array_funcs",
-    "array_higher_order",
-    "map_funcs",
-    "json_funcs",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_chunk_documents",
-    "text_gopher_filter",
-    "text_contamination_overlap",
-    "text_normalize",
-    "text_redact_terms",
-    "text_repetition_ratios",
-    "text_source_profile",
-    "text_pack_sequences",
-    "text_train_val_test_split",
-    "udf_scalar_pandas",
-    "udf_arrow_scalar",
-    "udf_grouped_map",
-    "udf_grouped_agg",
-    # (c) round-9 cohort remainder (age 3 at r13: next round's core)
+    "events_cohort_retention_open_window",
+    "search_bm25_indexed_blockmax",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_hot_part_suppliers",
     "search_bm25_local",
     "dedup_incremental_batch",
     "search_bm25_indexed_batch",
@@ -169,7 +118,6 @@ _PRIORITY = [
     "dedup_jaccard_pairs",
     "dedup_embedding_cosine",
     "dedup_lsh_jaccard",
-    # (d) hashed round 10 (age 3 at r13, behind the r9 cohort)
     "agg_equidepth_histogram_scalable",
     "agg_weighted_median_scalable",
     "sketch_hll_mergeable",
@@ -220,8 +168,6 @@ _PRIORITY = [
     "layout_zorder_clustering",
     "ann_ivfpq_search",
     "dedup_semantic_clusters",
-    # (e) hashed round 11 -- freshest (the 7 r11 additions, the r7
-    #     cohort, the 4 r8 head entries)
     "textindex_prune_stats",
     "dedup_incremental_persisted",
     "sketch_kmv_mergeable",
@@ -272,6 +218,56 @@ _PRIORITY = [
     "search_bm25_indexed",
     "search_phrase_indexed",
     "window_moving_sum",
+    "sketch_bkq_mergeable",
+    "join_salted_full_outer",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "window_running_total",
+    "set_ops_segments",
+    "union_by_name_parties",
+    "unpivot_acctbal",
+    "agg_collect_set",
+    "window_first_last",
+    "agg_percentiles",
+    "dedup_exact_stats",
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_fingerprint_groups",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "events_click_purchase_attribution",
+    "join_asof_purchase_click",
+    "join_range_value_bands",
+    "mutation_upsert_documents",
+    "mutation_upsert_index",
+    "mutation_delete_documents",
+    "multimodal_ppm_decode",
+    "date_arithmetic",
+    "array_funcs",
+    "array_higher_order",
+    "map_funcs",
+    "json_funcs",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_chunk_documents",
+    "text_gopher_filter",
+    "text_contamination_overlap",
+    "text_normalize",
+    "text_redact_terms",
+    "text_repetition_ratios",
+    "text_source_profile",
+    "text_pack_sequences",
+    "text_train_val_test_split",
+    "udf_scalar_pandas",
+    "udf_arrow_scalar",
+    "udf_grouped_map",
+    "udf_grouped_agg",
 ]
 
 
