@@ -10,9 +10,15 @@ few pruned row groups.
 
 Architecture (Lucene's segment model on plain parquet):
 
-    <folder>/seg_<n>/postings/   (token, doc_id, tf, positions, dl)
+    <folder>/seg_<n>/postings/   (token, doc_id, tf, positions, dl[, imp])
                                  token-RANGE-sorted; dl denormalized so
-                                 BM25 is a postings-only read (fmt 2)
+                                 BM25 is a postings-only read (fmt 2);
+                                 build/compact also store the impact
+                                 column and sort it DESC per token so
+                                 footer stats drive block-max early
+                                 termination (fmt 3)
+    <folder>/seg_<n>/term_stats/ (token, df, max_imp) — fmt-3 threshold
+                                 seeds, build/compact only
     <folder>/seg_<n>/doclen/     (doc_id, dl)  — stats + local serving
     <folder>/tomb_<n>/           (doc_id, upto_seg)    deletes/replacements
     <folder>/meta.json           {segments, tombstones} — atomic swap
