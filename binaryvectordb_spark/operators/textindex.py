@@ -191,7 +191,10 @@ class TextIndex:
                        .agg(F.first("dl").alias("dl"))
                        .agg(F.count(F.lit(1)).alias("n"),
                             F.sum("dl").alias("s")).first())
-            avgdl = float(per_doc["s"]) / float(per_doc["n"])
+            # empty corpus build: zero postings (sum is NULL) — any
+            # literal works, the imp projection runs over zero rows
+            avgdl = (float(per_doc["s"]) / float(per_doc["n"])
+                     if per_doc["n"] else 1.0)
             postings = postings.withColumn(
                 "imp", F.expr(self._IMP_EXPR.replace(
                     "avgdl", repr(avgdl) + "D")))
@@ -486,7 +489,10 @@ class TextIndex:
         # the literal equals the query-time _corpus_stats value exactly
         srow = dl.agg(F.count(F.lit(1)).alias("n"),
                       F.sum("dl").alias("s")).first()
-        avgdl = float(srow["s"]) / float(srow["n"])
+        # fully-deleted index: the live set is empty (sum is NULL) — any
+        # literal works, the imp projection runs over zero rows
+        avgdl = (float(srow["s"]) / float(srow["n"])
+                 if srow["n"] else 1.0)
         post = post.withColumn(
             "imp", F.expr(self._IMP_EXPR.replace("avgdl",
                                                  repr(avgdl) + "D")))
