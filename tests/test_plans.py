@@ -582,3 +582,44 @@ def test_bkqm_merged_sample_partial_wgl_below_slice_exchange(spark):
     p = formatted_plan(sketch_bkq_mergeable(spark, SF_SMOKE))
     assert "ExistingRDD" in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_r13_head_plan_shapes(spark):
+    """The four r13 subquery-decorrelation shapes (q2/q11/q16/q20): no
+    nested loop anywhere except q11's single-row total broadcast, dims
+    broadcast, and each query's defining physical pattern present."""
+    from binaryvectordb_spark.queries.tpch_more import (
+        tpch_q2_min_cost_supplier,
+        tpch_q11_important_stock,
+        tpch_q16_supplier_part_counts,
+        tpch_q20_hot_part_suppliers,
+    )
+
+    # q2: correlated-min decorrelation — broadcast dim pipeline + the
+    # agg-back join; no cartesian anywhere
+    p = formatted_plan(tpch_q2_min_cost_supplier(spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") >= 4, p.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # q11: the scalar subquery enters as a 1-ROW broadcast (the repo's
+    # crossJoin(broadcast(agg)) convention) — exactly one BNLJ, no
+    # second fact scan-shuffle beyond the partial aggregate
+    import re
+    p = formatted_plan(tpch_q11_important_stock(spark, SF_SMOKE))
+    bnlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+    assert len(bnlj_nodes) == 1, bnlj_nodes
+    assert "CartesianProduct" not in p
+    assert "partial" in p.lower()  # map-side combine on the fact agg
+
+    # q16: NOT IN compiles to a broadcast ANTI join; count distinct
+    p = formatted_plan(tpch_q16_supplier_part_counts(spark, SF_SMOKE))
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # q20: nested semi — both membership levels as broadcast LeftSemi
+    p = formatted_plan(tpch_q20_hot_part_suppliers(spark, SF_SMOKE))
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
