@@ -192,9 +192,9 @@ def bench_1m_scan(spark, sf_dir: str,
     books = train_pq(big, dim, id_col="vec_id", emb_col="embedding")
     # median-of-3 fresh encodes: the single-shot form swung 0.23 -> 0.09
     # Mvecs/s across driver sessions (r10 vs r11) on identical code — the
-    # one-sample key rode whatever JIT/GC state the run had reached; the
-    # first two encodes are timed throwaways (cache dropped), the third
-    # stays cached for the ADC scans below
+    # one-sample key rode whatever JIT/GC state the run had reached; r13
+    # protocol: 5 encodes, the FIRST is a measured warm-up dropped from
+    # the median, the FIFTH stays cached for the ADC scans below
     enc_samples = []
     codes, n_codes = None, 0
     for i in range(5):

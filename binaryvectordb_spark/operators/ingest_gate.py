@@ -440,42 +440,15 @@ class GateIndex:
             #     the dead set FULLY DISTRIBUTED (observe above the range
             #     exchange for the exact count) — the id set never
             #     round-trips through the driver.
-            dead = dead.dropDuplicates(["doc_id"])
-            head = dead.limit(self._BULK_IDS + 1).collect()
-            if len(head) > self._BULK_IDS:
-                tomb_name = self._next_name("tomb")
-                obs = Observation()
-                (dead.withColumn("upto_seg", F.lit(upto).cast("int"))
-                 .repartitionByRange("doc_id")
-                 .observe(obs, F.count(F.lit(1)).alias("n"))
-                 .sortWithinPartitions("doc_id")
-                 .write.mode("overwrite")
-                 .parquet(os.path.join(self.folder, tomb_name)))
-                n_tomb = int(obs.get["n"])
-                if not n_tomb:
-                    shutil.rmtree(os.path.join(self.folder, tomb_name),
-                                  ignore_errors=True)
-                    tomb_name = None
-                dead_ids = []
-            else:
-                ids = sorted({int(r[0]) for r in head})
-                if not ids:
-                    dead_ids = []
-                elif len(ids) <= self._PROBE_LITERAL_IDS:
-                    exist = self._probe_exists_literal(ids, upto)
-                    dead_ids = [i for i in ids if i in exist]
-                else:
-                    exist = self._probe_exists_semijoin(dead, upto)
-                    dead_ids = [i for i in ids if i in exist]
-            if dead_ids:
-                tomb_name = self._next_name("tomb")
-                n_tomb = len(dead_ids)
-                (self.spark.createDataFrame([(i,) for i in dead_ids],
-                                            "doc_id long")
-                 .withColumn("upto_seg", F.lit(upto))
-                 .coalesce(1).sortWithinPartitions("doc_id")
-                 .write.mode("overwrite")
-                 .parquet(os.path.join(self.folder, tomb_name)))
+            from binaryvectordb_spark.operators.segprobe import (
+                write_existence_filtered_tombstone,
+            )
+            tomb_name = self._next_name("tomb")
+            n_tomb = write_existence_filtered_tombstone(
+                self.spark, self.folder, self.meta["segments"], upto,
+                self._SCHEMAS["shingles"], "shingles", dead, tomb_name)
+            if not n_tomb:
+                tomb_name = None
         if seg_name is None and tomb_name is None:
             return
         if seg_name is not None:
@@ -486,55 +459,13 @@ class GateIndex:
             self.meta.setdefault("tomb_stats", {})[tomb_name] = n_tomb
         self._write_meta()
 
-    # existence-probe tiers: literal In() lists stay small enough that
-    # the per-segment filter doesn't bloat the plan tree (r13 ADVICE:
-    # 100k literals per segment read was driver-side plan overhead);
-    # past _BULK_IDS the probe is skipped entirely and the tombstone
-    # write is fully distributed (no driver round-trip for the id set)
-    _PROBE_LITERAL_IDS = 10_000
-    _BULK_IDS = 100_000
-
-    def _probe_exists_literal(self, ids: list[int], upto: int) -> set:
-        """Which of ``ids`` exist in segments[:upto+1] — In(doc_id)-pruned
-        reads (range-sorted segments → footer row-group pruning;
-        O(batch row groups), not O(corpus))."""
-        import os
-        parts = []
-        for j, sname in enumerate(self.meta["segments"]):
-            if j > upto:
-                break
-            parts.append(
-                self.spark.read.schema(self._SCHEMAS["shingles"])
-                .parquet(os.path.join(self.folder, sname, "shingles"))
-                .where(F.col("doc_id").isin(ids))
-                .select("doc_id"))
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionByName(p)
-        return {int(r[0]) for r in un.distinct().collect()}
-
-    def _probe_exists_semijoin(self, dead: DataFrame, upto: int) -> set:
-        """Which of ``dead``'s doc_ids exist in segments[:upto+1] — the
-        mid-size tier: the corpus side scans its doc_id column once and
-        probes a BROADCAST hash of the batch ids (BroadcastHashJoin
-        LeftSemi — no shuffle of the corpus, O(1) plan size vs a
-        10k+-literal In list).  The result collect is bounded by the
-        batch-id count (≤ _BULK_IDS)."""
-        import os
-        parts = []
-        for j, sname in enumerate(self.meta["segments"]):
-            if j > upto:
-                break
-            parts.append(
-                self.spark.read.schema(self._SCHEMAS["shingles"])
-                .parquet(os.path.join(self.folder, sname, "shingles"))
-                .select("doc_id"))
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionByName(p)
-        hit = un.join(F.broadcast(dead.select("doc_id")),
-                      "doc_id", "left_semi").distinct()
-        return {int(r[0]) for r in hit.collect()}
+    # existence-probe tiers — one shared implementation for both derived
+    # indexes (operators/segprobe.py, r13 review: the "unified policy"
+    # must be unified in CODE); the caps are re-exported for tests
+    from binaryvectordb_spark.operators.segprobe import (
+        BULK_CAP as _BULK_IDS,
+        LITERAL_CAP as _PROBE_LITERAL_IDS,
+    )
 
     def remove_df(self, ids_df: DataFrame) -> None:
         self.upsert_batch(None, ids_df)

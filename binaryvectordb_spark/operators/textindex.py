@@ -363,42 +363,15 @@ class TextIndex:
             #     dead set FULLY DISTRIBUTED (observe above the range
             #     exchange for the exact count) — the id set never
             #     round-trips through the driver.
-            dead = dead.dropDuplicates(["doc_id"])
-            head = dead.limit(self._BULK_IDS + 1).collect()
-            if len(head) > self._BULK_IDS:
-                tomb_name = self._next_name("tomb")
-                obs = Observation()
-                (dead.withColumn("upto_seg", F.lit(upto).cast("int"))
-                 .repartitionByRange("doc_id")
-                 .observe(obs, F.count(F.lit(1)).alias("n"))
-                 .sortWithinPartitions("doc_id")
-                 .write.mode("overwrite")
-                 .parquet(os.path.join(self.folder, tomb_name)))
-                n_tomb = int(obs.get["n"])
-                if not n_tomb:
-                    shutil.rmtree(os.path.join(self.folder, tomb_name),
-                                  ignore_errors=True)
-                    tomb_name = None
-                dead_ids = []
-            else:
-                ids = sorted({int(r[0]) for r in head})
-                if not ids:
-                    dead_ids = []
-                elif len(ids) <= self._PROBE_LITERAL_IDS:
-                    exist = self._probe_exists_literal(ids, upto)
-                    dead_ids = [i for i in ids if i in exist]
-                else:
-                    exist = self._probe_exists_semijoin(dead, upto)
-                    dead_ids = [i for i in ids if i in exist]
-            if dead_ids:
-                tomb_name = self._next_name("tomb")
-                n_tomb = len(dead_ids)
-                (self.spark.createDataFrame([(i,) for i in dead_ids],
-                                            "doc_id long")
-                 .withColumn("upto_seg", F.lit(upto))
-                 .coalesce(1).sortWithinPartitions("doc_id")
-                 .write.mode("overwrite")
-                 .parquet(os.path.join(self.folder, tomb_name)))
+            from binaryvectordb_spark.operators.segprobe import (
+                write_existence_filtered_tombstone,
+            )
+            tomb_name = self._next_name("tomb")
+            n_tomb = write_existence_filtered_tombstone(
+                self.spark, self.folder, self.meta["segments"], upto,
+                self._SCHEMAS["doclen"], "doclen", dead, tomb_name)
+            if not n_tomb:
+                tomb_name = None
         if seg_name is None and tomb_name is None:
             return  # fully empty batch: no state change, no meta bump
         if seg_name is not None:
@@ -411,50 +384,13 @@ class TextIndex:
             self.meta.setdefault("tomb_stats", {})[tomb_name] = n_tomb
         self._write_meta()
 
-    # existence-probe tiers — the unified GateIndex policy (r13 ADVICE):
-    # small batches probe with literal In() lists (footer pruning), mid
-    # batches with a broadcast semi-join (O(1) plan size), bulk removes
-    # skip the probe and write fully distributed
-    _PROBE_LITERAL_IDS = 10_000
-    _BULK_IDS = 100_000
-
-    def _probe_exists_literal(self, ids: list, upto: int) -> set:
-        """Which of ``ids`` have a doclen row in segments[:upto+1] —
-        In(doc_id)-pruned reads (doc_id-sorted doclen → footer
-        row-group pruning; O(batch row groups), not O(index))."""
-        parts = []
-        for j, sname in enumerate(self.meta["segments"]):
-            if j > upto:
-                break
-            parts.append(
-                self.spark.read.schema(self._SCHEMAS["doclen"])
-                .parquet(os.path.join(self.folder, sname, "doclen"))
-                .where(F.col("doc_id").isin(ids))
-                .select("doc_id"))
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionByName(p)
-        return {int(r[0]) for r in un.distinct().collect()}
-
-    def _probe_exists_semijoin(self, dead: DataFrame, upto: int) -> set:
-        """Mid-size tier: scan the doclen doc_id column once and probe a
-        BROADCAST hash of the batch ids (BroadcastHashJoin LeftSemi — no
-        shuffle of the index side, no 10k+-literal plan tree).  The
-        collect is bounded by the batch-id count (≤ _BULK_IDS)."""
-        parts = []
-        for j, sname in enumerate(self.meta["segments"]):
-            if j > upto:
-                break
-            parts.append(
-                self.spark.read.schema(self._SCHEMAS["doclen"])
-                .parquet(os.path.join(self.folder, sname, "doclen"))
-                .select("doc_id"))
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionByName(p)
-        hit = un.join(F.broadcast(dead.select("doc_id")),
-                      "doc_id", "left_semi").distinct()
-        return {int(r[0]) for r in hit.collect()}
+    # existence-probe tiers — one shared implementation for both derived
+    # indexes (operators/segprobe.py, r13 review: the "unified policy"
+    # must be unified in CODE); the caps are re-exported for tests
+    from binaryvectordb_spark.operators.segprobe import (
+        BULK_CAP as _BULK_IDS,
+        LITERAL_CAP as _PROBE_LITERAL_IDS,
+    )
 
     def remove(self, doc_ids: Sequence[int]) -> None:
         """Delete ids: a tombstone covering every current segment."""
@@ -478,8 +414,6 @@ class TextIndex:
         # would leave the compacted segment schema-incompatible with the
         # next upsert's segment and break the query-side union
         post = self.live_postings().drop("seg")
-        if "imp" in post.columns:
-            post = post.drop("imp")  # recompute: live avgdl may differ
         dl = self.live_doclen().select("doc_id", "dl")
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)
@@ -579,8 +513,6 @@ class TextIndex:
             self.compact()
             return
         merged = self.live_postings().where(F.col("seg") >= i).drop("seg")
-        if "imp" in merged.columns:
-            merged = merged.drop("imp")  # run-local avgdl would be wrong
         name = self._next_name("seg")
         seg = os.path.join(self.folder, name)
         # no imp / term_stats here: the tier is gated to the SINGLE-
@@ -824,6 +756,13 @@ class TextIndex:
     # this corpus fraction — its postings are cheap to read in full
     _ESSENTIAL_FRAC = 0.05
 
+    @staticmethod
+    def _sql_str(t: str) -> str:
+        """Escape a token for a SQL string literal — backslashes AND
+        quotes (r13 review: quote-only escaping let a backslash token
+        break the CASE literal or silently mis-match)."""
+        return t.replace("\\", "\\\\").replace("'", "\\'")
+
     def _search_maxscore_split(self, present, stats, idf, base,
                                k: int) -> DataFrame | None:
         """MaxScore essential/non-essential partitioning (Turtle &
@@ -858,7 +797,7 @@ class TextIndex:
         slack = sum(self._ub_py(idf[t], stats[t][1]) for t in dense)
         s_case_e = ("CAST(floor((CASE token "
                     + " ".join(
-                        f"WHEN '{t.replace(chr(39), chr(92) + chr(39))}'"
+                        f"WHEN '{self._sql_str(t)}'"
                         f" THEN {idf[t]!r}D" for t in ess)
                     + " ELSE 0.0D END) * imp * 1e10) AS BIGINT)")
         g_e = (base.where(F.col("token").isin(*ess))
@@ -878,11 +817,20 @@ class TextIndex:
         ids = [int(r["doc_id"]) for r in cand]
         s_case = ("CAST(floor((CASE token "
                   + " ".join(
-                      f"WHEN '{t.replace(chr(39), chr(92) + chr(39))}'"
+                      f"WHEN '{self._sql_str(t)}'"
                       f" THEN {idf[t]!r}D" for t in present)
                   + " ELSE 0.0D END) * imp * 1e10) AS BIGINT)")
-        top = (base.where(F.col("token").isin(*present)
-                          & F.col("doc_id").isin(ids))
+        hit = base.where(F.col("token").isin(*present))
+        if len(ids) <= self._PROBE_LITERAL_IDS:
+            hit = hit.where(F.col("doc_id").isin(ids))
+        else:
+            # past the literal-list cap, membership goes through a
+            # broadcast semi-join (r13 review: same plan-size policy as
+            # the tombstone probe tiers)
+            hit = hit.join(F.broadcast(self.spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long")),
+                "doc_id", "left_semi")
+        top = (hit
                .select("doc_id", F.expr(s_case).alias("s"))
                .groupBy("doc_id").agg(F.sum("s").alias("bm25_e10"))
                .orderBy(F.desc("bm25_e10"), F.asc("doc_id"))
@@ -923,6 +871,9 @@ class TextIndex:
         terminates exact unconditionally.  Returns None when no query
         term has enough mass (caller falls through to the classic
         single-read plan)."""
+        if k <= 0:
+            return None  # classic path returns the empty frame (r13
+            # review: rows_k[-1] would IndexError on k == 0)
         terms = list(dict.fromkeys(terms))
         stats = self._term_stats_lookup(terms)
         present = [t for t in terms if t in stats]
@@ -955,8 +906,7 @@ class TextIndex:
         thr = dict(tc.get(tkey) or
                    {t: stats[t][1] * 0.8 for t in present})
 
-        def esc(t: str) -> str:
-            return t.replace("\\", "\\\\").replace("'", "\\'")
+        esc = self._sql_str
 
         self.last_blockmax = None
         top, rounds, theta = [], 0, None
@@ -1057,7 +1007,8 @@ class TextIndex:
             blockers: set = set()
             for r in rows_k:
                 if r["miss_ub"] != 0:
-                    blockers |= decode.get(int(r["cov_u"]), set(present))
+                    blockers |= decode.get(int(r["miss_ub"]),
+                                           set(present))
             if not blockers or rounds >= 3:
                 blockers = set(present)  # ub_out / short-fill / guard
             for t in present:

@@ -75,9 +75,11 @@ def main() -> int:
         print(f"displaced tail of the stalest cohort ({len(displaced)}): "
               f"{displaced}")
 
-    live_window = names[:WINDOW]
-    ok = live_window == window
-    print("live _PRIORITY window matches canonical:", ok)
+    # compare the FULL list, not just the window (r13 review: a
+    # behind-the-window hand-edit would change the NEXT round's derived
+    # window while still passing a window-only gate)
+    ok = names == canonical
+    print("live _PRIORITY matches canonical (full list):", ok)
     if "--emit" in sys.argv:
         print("\n# canonical order (paste into _PRIORITY):")
         for n in canonical:
