@@ -180,7 +180,7 @@ def bench_1m_scan(spark, sf_dir: str,
     out["hamming_scan_1m"] = round(dt, 4)
     variance["hamming_scan_1m"] = round(sp, 2)
 
-    # PQ tier at the same 1M scale: encode once (untimed ingest artifact,
+    # PQ tier at the same 1M scale: codebooks trained once (untimed,
     # like the int8 store), then time the ADC shortlist scan — the
     # measured counterpart of the 32x compression claim (8-byte codes vs
     # 256-byte floats) next to hamming_scan_1m's 1-bit tier
@@ -190,7 +190,7 @@ def bench_1m_scan(spark, sf_dir: str,
         train_pq,
     )
     books = train_pq(big, dim, id_col="vec_id", emb_col="embedding")
-    # median-of-3 fresh encodes: the single-shot form swung 0.23 -> 0.09
+    # median over fresh encodes: the single-shot form swung 0.23 -> 0.09
     # Mvecs/s across driver sessions (r10 vs r11) on identical code — the
     # one-sample key rode whatever JIT/GC state the run had reached; r13
     # protocol: 5 encodes, the FIRST is a measured warm-up dropped from

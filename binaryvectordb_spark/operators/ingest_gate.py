@@ -389,11 +389,9 @@ class GateIndex:
         probe is a bounded In(doc_id)-pruned read (r12: ids that were
         never stored write no tombstone rows, so tombstone mass = true
         dead rows).  Empty batches and all-new batches are rolled back
-        to segment-only commits without a tombstone."""
-        import os
-        import shutil
-
-        from pyspark.sql import Observation
+        to segment-only commits without a tombstone.  The probe +
+        tombstone write is the shared three-tier implementation
+        (operators/segprobe.py)."""
         if not self.meta["segments"]:
             if docs is not None:
                 live = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
@@ -446,7 +444,9 @@ class GateIndex:
             tomb_name = self._next_name("tomb")
             n_tomb = write_existence_filtered_tombstone(
                 self.spark, self.folder, self.meta["segments"], upto,
-                self._SCHEMAS["shingles"], "shingles", dead, tomb_name)
+                self._SCHEMAS["shingles"], "shingles", dead, tomb_name,
+                literal_cap=self._PROBE_LITERAL_IDS,
+                bulk_cap=self._BULK_IDS)
             if not n_tomb:
                 tomb_name = None
         if seg_name is None and tomb_name is None:

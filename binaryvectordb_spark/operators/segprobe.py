@@ -80,15 +80,16 @@ def probe_exists_semijoin(spark: SparkSession, folder: str,
 def write_existence_filtered_tombstone(
         spark: SparkSession, folder: str, segments: list[str], upto: int,
         probe_schema: str, probe_sub: str, dead: DataFrame,
-        tomb_name: str) -> int:
+        tomb_name: str, literal_cap: int = LITERAL_CAP,
+        bulk_cap: int = BULK_CAP) -> int:
     """Write ``folder/tomb_name`` holding the subset of ``dead``'s ids
     that actually exist in segments[:upto+1] (or, past BULK_CAP, the
     full distributed set), scoped ``upto_seg = upto``.  Returns the
     tombstone row count; 0 means nothing was written (the caller must
     not register the name)."""
     dead = dead.dropDuplicates(["doc_id"])
-    head = dead.limit(BULK_CAP + 1).collect()
-    if len(head) > BULK_CAP:
+    head = dead.limit(bulk_cap + 1).collect()
+    if len(head) > bulk_cap:
         obs = Observation()
         (dead.withColumn("upto_seg", F.lit(upto).cast("int"))
          .repartitionByRange("doc_id")
@@ -104,7 +105,7 @@ def write_existence_filtered_tombstone(
     ids = sorted({int(r[0]) for r in head})
     if not ids:
         return 0
-    if len(ids) <= LITERAL_CAP:
+    if len(ids) <= literal_cap:
         exist = probe_exists_literal(spark, folder, segments, upto,
                                      probe_schema, probe_sub, ids)
     else:

@@ -369,7 +369,9 @@ class TextIndex:
             tomb_name = self._next_name("tomb")
             n_tomb = write_existence_filtered_tombstone(
                 self.spark, self.folder, self.meta["segments"], upto,
-                self._SCHEMAS["doclen"], "doclen", dead, tomb_name)
+                self._SCHEMAS["doclen"], "doclen", dead, tomb_name,
+                literal_cap=self._PROBE_LITERAL_IDS,
+                bulk_cap=self._BULK_IDS)
             if not n_tomb:
                 tomb_name = None
         if seg_name is None and tomb_name is None:
@@ -999,7 +1001,10 @@ class TextIndex:
             # analogue of WAND advancing one cursor.  From round 3 on
             # every term descends (ping-pong guard across templates).
             decode: dict[int, set] = {}
-            for mask in range(1 << m):
+            # 2^m enumeration is driver-side: cap it (r13 review —
+            # a ~30-term query would hang here); past the cap every
+            # term descends (the geometric ladder still terminates)
+            for mask in range(1 << m if m <= 12 else 0):
                 ssum = sum(u[present[i]] for i in range(m)
                            if not (mask >> i) & 1)
                 decode.setdefault(ssum, set()).update(
@@ -1059,7 +1064,7 @@ class TextIndex:
                 cand = {t: mins.get(t, thr[t]) * 0.999 for t in present}
                 theta_f = int(top[k - 1]["partial"]) if len(top) >= k \
                     else None
-                if theta_f is not None and \
+                if theta_f is not None and m <= 12 and \
                         all(cand[t] >= thr[t] for t in present):
                     # the refinement must survive CREDIT INFLATION: a
                     # non-winner covered only in subset S carries at
