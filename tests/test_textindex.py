@@ -638,3 +638,39 @@ def test_blockmax_multiterm_and_state_gates(spark, tmp_path):
     idx.compact()
     assert idx._blockmax_ready()
     assert _rows(idx.search(TERMS, k=10, block_max=True)) == mutated
+
+
+def test_maxscore_split_engages_and_is_exact(spark, tmp_path):
+    """The MaxScore essential/dense split must ENGAGE (not silently fall
+    back) on the selective+stop-word query shape, report a bounded
+    candidate set, and stay bit-identical to the classic plan."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(8)]        # dense: each in ~all docs
+    rare = [f"r{i}" for i in range(10)]        # selective: ~3% each —
+    # each rare term must land in comfortably more than k docs, or the
+    # split CORRECTLY refuses (it cannot fill the top-k from essential
+    # docs alone) and the descent path serves instead
+    rows = []
+    for i in range(1200):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(8, 40))]
+        if rng.random() < 0.3:
+            body.append(rng.choice(rare))
+        rows.append((i, " ".join(body)))
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+
+    q = ["r7", "w0", "w3"]  # one selective + two dense terms
+    classic = _rows(idx.search(q, k=10, block_max=False))
+    fast = _rows(idx.search(q, k=10, block_max=True))
+    assert fast == classic
+    info = idx.last_blockmax
+    assert info is not None and info.get("mode") == "maxscore", info
+    assert info["essential"] == ["r7"]
+    # candidates are the docs the essential bound could not exclude —
+    # a small superset of the docs carrying the selective term
+    n_rare = sum(1 for _, t in rows if "r7" in t.split(" "))
+    assert n_rare >= 20  # corpus premise: essential docs >> k
+    assert info["n_candidates"] <= 40 * n_rare + 10, \
+        (n_rare, info["n_candidates"])
