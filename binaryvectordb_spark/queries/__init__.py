@@ -57,61 +57,11 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # --emit`, which derives it from the CORRECTNESS_r*.json files directly
 # (never-hashed entries first, then ascending last-hashed round, ties by
 # prior position).  The close gate runs the audit and FAILS if this list
-# diverges from canonical.  Rotated at the close of round 13: window =
-# 6 r13 additions + the first 44 of the r9 cohort; the cohort's 6-entry
-# displaced tail (similarity_join_brp_lsh .. dedup_lsh_jaccard) leads
-# the r14 window per the audit's "displaced tail" output.
+# diverges from canonical.  Rotated at the open of round 14 (post-CORRECTNESS_r13): window =
+# the 6 displaced r9 entries (age 4) + the first 44 of the r10 cohort;
+# r14 additions are inserted at the head before close and the list is
+# re-emitted then.
 _PRIORITY = [
-    "events_cohort_retention_open_window",
-    "search_bm25_indexed_blockmax",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_hot_part_suppliers",
-    "search_bm25_local",
-    "dedup_incremental_batch",
-    "search_bm25_indexed_batch",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "events_streaks_gaps_islands",
-    "scd2_event_state_history",
-    "events_error_then_purchase",
-    "agg_salted_skew_twostage",
-    "join_bloom_semi_reduction",
-    "graph_pagerank_bipartite",
-    "sketch_cms_heavy_hitters",
-    "udtf_chunk_lateral",
-    "join_point_in_time_scd2",
-    "events_transition_matrix",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_order_distribution",
-    "events_multitouch_attribution",
-    "quality_referential_integrity",
-    "cdc_snapshot_diff",
-    "quality_orders_expectations",
-    "agg_weighted_median",
-    "agg_mode_per_group",
-    "agg_equidepth_histogram",
-    "events_funnel_latency",
-    "events_path_trigrams",
-    "string_funcs",
-    "string_funcs2",
-    "date_funcs",
-    "date_funcs2",
-    "math_funcs",
-    "orderby_limit_offset",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "search_rerank_overlap",
-    "agg_approx_percentile",
-    "text_stratified_sample",
-    "knn_filtered_adaptive_rare",
-    "knn_filtered_adaptive_broad",
-    "multimodal_png_decode",
-    "multimodal_resize",
-    "agg_approx_count_distinct",
-    "ann_ivf_kmeans_search",
     "similarity_join_brp_lsh",
     "dedup_minhash_mllib",
     "embed_documents_distributed",
@@ -268,6 +218,56 @@ _PRIORITY = [
     "udf_arrow_scalar",
     "udf_grouped_map",
     "udf_grouped_agg",
+    "events_cohort_retention_open_window",
+    "search_bm25_indexed_blockmax",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_hot_part_suppliers",
+    "search_bm25_local",
+    "dedup_incremental_batch",
+    "search_bm25_indexed_batch",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_streaks_gaps_islands",
+    "scd2_event_state_history",
+    "events_error_then_purchase",
+    "agg_salted_skew_twostage",
+    "join_bloom_semi_reduction",
+    "graph_pagerank_bipartite",
+    "sketch_cms_heavy_hitters",
+    "udtf_chunk_lateral",
+    "join_point_in_time_scd2",
+    "events_transition_matrix",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_order_distribution",
+    "events_multitouch_attribution",
+    "quality_referential_integrity",
+    "cdc_snapshot_diff",
+    "quality_orders_expectations",
+    "agg_weighted_median",
+    "agg_mode_per_group",
+    "agg_equidepth_histogram",
+    "events_funnel_latency",
+    "events_path_trigrams",
+    "string_funcs",
+    "string_funcs2",
+    "date_funcs",
+    "date_funcs2",
+    "math_funcs",
+    "orderby_limit_offset",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "search_rerank_overlap",
+    "agg_approx_percentile",
+    "text_stratified_sample",
+    "knn_filtered_adaptive_rare",
+    "knn_filtered_adaptive_broad",
+    "multimodal_png_decode",
+    "multimodal_resize",
+    "agg_approx_count_distinct",
+    "ann_ivf_kmeans_search",
 ]
 
 
