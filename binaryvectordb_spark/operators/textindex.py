@@ -486,16 +486,21 @@ class TextIndex:
         stats = dict(self.meta.get("seg_stats") or {})
         backfilled = False
         for s in segs:
-            if "n_docs" not in (stats.get(s) or {}):
-                # legacy pre-stats segment: one-time count backfill,
-                # persisted — a default size of 0 would absorb a huge
-                # legacy bootstrap into the trailing run and degrade
-                # this tiered merge to a full compact() (r13 ADVICE,
-                # mirrored from GateIndex)
-                n = int(self.spark.read.schema(self._SCHEMAS["doclen"])
-                        .parquet(os.path.join(self.folder, s, "doclen"))
-                        .count())
-                stats[s] = dict(stats.get(s) or {}, n_docs=n)
+            have = stats.get(s) or {}
+            if "n_docs" not in have or "sum_dl" not in have:
+                # legacy pre-stats segment: one-time backfill, persisted —
+                # a default size of 0 would absorb a huge legacy bootstrap
+                # into the trailing run and degrade this tiered merge to a
+                # full compact() (r13 ADVICE, mirrored from GateIndex).
+                # BOTH stats come from the one doclen read: backfilling
+                # only n_docs left _corpus_stats' zero-job fast path to
+                # KeyError on sum_dl after the merge (r14 ADVICE).
+                got = (self.spark.read.schema(self._SCHEMAS["doclen"])
+                       .parquet(os.path.join(self.folder, s, "doclen"))
+                       .agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("dl").alias("s")).first())
+                stats[s] = dict(have, n_docs=int(got["n"]),
+                                sum_dl=float(got["s"] or 0.0))
                 backfilled = True
         if backfilled:
             self.meta["seg_stats"] = stats
@@ -690,7 +695,11 @@ class TextIndex:
         seg_stats = self.meta.get("seg_stats") or {}
         segs = self.meta["segments"]
         if (not self.meta["tombstones"]
-                and all(s in seg_stats for s in segs)
+                # require BOTH stats per segment — a partial entry (e.g.
+                # written by an old n_docs-only backfill) must fall through
+                # to the aggregation path, not KeyError (r14 ADVICE)
+                and all(s in seg_stats and "sum_dl" in seg_stats[s]
+                        and "n_docs" in seg_stats[s] for s in segs)
                 and sum(seg_stats[s]["n_docs"] for s in segs) > 0):
             n = sum(seg_stats[s]["n_docs"] for s in segs)
             sd = 0.0
@@ -1050,6 +1059,12 @@ class TextIndex:
             refined = getattr(self, "_thr_refined", None)
             if refined is None:
                 refined = self._thr_refined = set()
+            if len(refined) > 256:
+                # same bound as _thr_cache/_ts_cache: stale meta versions
+                # never re-prove, so the marker set would otherwise grow
+                # one tuple per distinct query forever in a long-lived
+                # serving process (r14 ADVICE)
+                refined.clear()
             refined.add(tkey)
             ids = [int(r["doc_id"]) for r in top]
             if ids:

@@ -169,9 +169,11 @@ def search_bm25_indexed_blockmax(spark: SparkSession,
     """The same top-10 BM25 query through the fmt-3 BLOCK-MAX
     EARLY-TERMINATION tier, FORCED on (operators/textindex.py
     _search_blockmax — the Block-Max WAND idea on impact-ordered
-    parquet: per-term high-impact prefixes `tf >= T` pruned by the
-    row-group footer max(tf) stats, answer proven exact via upper
-    bounds or descended to the full read).  The fixture TERMS sit in
+    parquet: per-term high-impact prefixes `imp >= I` pruned by the
+    row-group footer max(imp) stats (imp is the stored per-posting
+    impact; tf-ordering is only the non-impact micro-batch layout),
+    answer proven exact via upper bounds or descended to the full
+    read).  The fixture TERMS sit in
     ~78% of docs — exactly the stop-word density the tier exists for.
     Same oracle as search_bm25_topk / search_bm25_indexed: the tier
     changes which blocks are READ, never the answer — this row is the

@@ -475,6 +475,48 @@ def test_compact_tail_tiered_merge(spark, tmp_path):
     assert not alive & {40, 41}
 
 
+def test_compact_tail_backfill_restores_full_stats(spark, tmp_path):
+    """A pre-stats index (no seg_stats in meta) run through compact_tail
+    must end with COMPLETE per-segment stats — both n_docs and sum_dl —
+    so the tombstone-free zero-job corpus-stats fast path neither crashes
+    (r14 ADVICE: an n_docs-only backfill left _corpus_stats to
+    KeyError('sum_dl')) nor drifts from the aggregation path."""
+    d = _docs(spark)
+    ti = TextIndex(spark, str(tmp_path / "ti")).build(d)
+    # two micro-batches of brand-new docs: their upsert tombstones have
+    # empty scope, so the fold drops them and the post-merge state is
+    # tombstone-free — exactly the state that engages the fast path
+    for i in range(2):
+        ti.add_documents(spark.createDataFrame(
+            [(2_000 + 2 * i, "vector merge fresh"),
+             (2_001 + 2 * i, "window scan fresh")],
+            "doc_id: long, text: string"))
+    # simulate a legacy pre-stats meta
+    ti.meta["seg_stats"] = {}
+    ti._write_meta()
+    ti.compact_tail()
+    assert not ti.meta["tombstones"]
+    stats = ti.meta["seg_stats"]
+    assert set(stats) == set(ti.meta["segments"])
+    for s in ti.meta["segments"]:
+        assert "n_docs" in stats[s] and "sum_dl" in stats[s], s
+    # the fast path must agree with the aggregation over live doclen
+    fast = ti._corpus_stats().first()
+    agg = ti.live_doclen().agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("a")).first()
+    assert fast["n_docs"] == agg["n"] and fast["avgdl"] == agg["a"]
+    # and search works end-to-end (the ADVICE repro crashed here)
+    assert len(ti.search(TERMS, k=10).collect()) == 10
+    # a PARTIAL legacy entry (n_docs only) must also fall through the
+    # guard rather than KeyError — both on read and via compact_tail
+    ti.meta["seg_stats"] = {
+        s: {"n_docs": stats[s]["n_docs"]} for s in ti.meta["segments"]}
+    ti._write_meta()
+    part = ti._corpus_stats().first()
+    assert part["n_docs"] == agg["n"] and part["avgdl"] == agg["a"]
+
+
 def test_db_textindex_policy_never_full_compacts_on_micro_batches(
         spark, tmp_path, monkeypatch):
     """The r12 unified-policy pin, TextIndex side (mirror of
