@@ -87,6 +87,61 @@ def _host_probe(n: int = 9) -> dict[str, float]:
     return {"ms": round(med * 1000, 1),
             "spread": round((max(samples) - min(samples)) / med, 2)}
 
+
+# a probe reading is QUIET when its sample spread is under the 0.5 trust
+# bar AND its median sits near the measured quiet floor (15-35 ms across
+# sessions): 2x floor catches sustained contention, spread catches bursty
+# contention (the r13 driver record read 19.6 ms median / 1.02 spread and
+# carried a uniform 20-45% inflation across unrelated subsystems)
+_PROBE_QUIET_SPREAD = 0.5
+_PROBE_QUIET_MS = 50.0
+
+
+def _probe_quiet(p: dict[str, float]) -> bool:
+    return p["spread"] <= _PROBE_QUIET_SPREAD and p["ms"] <= _PROBE_QUIET_MS
+
+
+def _gated_probe(max_retries: int = 5, backoff_s: float = 20.0):
+    """ACT on the pre-run probe instead of just stamping it (r13 verdict
+    item 2: the noisy r13 record cost that round its regression signal).
+    Re-probe after a backoff until quiet, bounded; if the session never
+    goes quiet, proceed anyway but the record carries a loud
+    ``session_noisy: true`` the band comparisons can ignore.  Returns
+    (final_probe, n_attempts, noisy)."""
+    attempts = 0
+    while True:
+        p = _host_probe()
+        attempts += 1
+        if _probe_quiet(p):
+            return p, attempts, False
+        if attempts > max_retries:
+            print(f"host probe NOISY after {attempts} attempts "
+                  f"({p['ms']} ms, spread {p['spread']}) — recording with "
+                  f"session_noisy=true", file=sys.stderr)
+            return p, attempts, True
+        print(f"host probe noisy ({p['ms']} ms, spread {p['spread']}); "
+              f"backing off {backoff_s:.0f}s "
+              f"({attempts}/{max_retries + 1})", file=sys.stderr)
+        time.sleep(backoff_s)
+
+def _ms_block(fn, min_elapsed: float) -> float:
+    """One DURATION-TARGETED measurement window for ms-scale in-process
+    keys (r13 verdict item 3 / NOTES r14 candidate 5): repeat ``fn`` — a
+    thunk returning how many queries it executed — until ``min_elapsed``
+    seconds have passed, and return per-query seconds.  A single ~5 ms GC
+    pause inside a 25 ms fixed window is a >0.5 relative spread; inside a
+    >=120 ms window it is a few percent.  The arms of an interleaved loop
+    each wrap their sweep in one block per round, so the interleave (all
+    arms see identical session drift) is preserved."""
+    t0 = time.perf_counter()
+    n = 0
+    while True:
+        n += fn()
+        el = time.perf_counter() - t0
+        if el >= min_elapsed:
+            return el / n
+
+
 HEADLINE = [
     "knn_cascade",            # the reference's flagship operation
     "knn_cascade_ivf",        # pluggable-index pruned cascade
@@ -403,21 +458,24 @@ def bench_1m_scan(spark, sf_dir: str,
     # identical session drift
     local.search(qvecs[0])  # warm-up (BLAS thread spin-up)
     router.search(qvecs[0])
+    # duration-targeted windows (r14): each round's arm repeats its
+    # 20-query sweep until >=0.4 s elapsed, so one GC pause can no longer
+    # dominate a window (r13 final-tree run: cascade_1m_local var 0.68 on
+    # a quiet probe under the fixed-sweep protocol)
+    def _sweep(s):
+        for v in qvecs:
+            s.search(v)
+        return len(qvecs)
+
     local_runs, router_runs = [], []
     for _ in range(7):
-        t0 = time.perf_counter()
-        for v in qvecs:
-            local.search(v)
-        local_runs.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        for v in qvecs:
-            router.search(v)
-        router_runs.append(time.perf_counter() - t0)
+        local_runs.append(_ms_block(lambda: _sweep(local), 0.4))
+        router_runs.append(_ms_block(lambda: _sweep(router), 0.4))
     for key, runs in (("cascade_1m_local_ms", local_runs[2:]),
                       ("cascade_1m_local_sharded4_ms", router_runs[2:])):
         runs = sorted(runs)[:-1]  # same single-outlier discard as the trio
         med = statistics.median(runs)
-        out[key] = round(med / len(qvecs) * 1000, 2)
+        out[key] = round(med * 1000, 2)
         variance[key] = round((max(runs) - min(runs)) / med, 2)
 
     index.unpersist()
@@ -482,7 +540,12 @@ def bench_textindex(spark, sf_dir: str,
                              n=9, discard_worst=2)
         out["bm25_indexed"] = round(med, 4)
         variance["bm25_indexed"] = round(sp, 2)
-        med, sp = _time_runs(lambda: search_bm25_topk(spark, sf_dir))
+        search_bm25_topk(spark, sf_dir).collect()  # 2nd warm-up
+        # widened protocol (r13 verdict item 3: var 1.67 in the driver
+        # record, the worst key that round, and the only heavy key never
+        # given the r12 treatment): 2nd warm-up + 9 runs / discard-2
+        med, sp = _time_runs(lambda: search_bm25_topk(spark, sf_dir),
+                             n=9, discard_worst=2)
         out["bm25_scan"] = round(med, 4)
         variance["bm25_scan"] = round(sp, 2)
         from binaryvectordb_spark.queries.hybrid import PHRASE
@@ -716,14 +779,20 @@ def bench_hybrid_serving(spark, sf_dir: str,
         # variance 0.63 after one discard, so the ms-scale trio gets the
         # widest protocol in the file (2 warm-up rounds + 2-outlier
         # discard over 9), same family as agg_pricing_summary's n=13
+        # the RAM-tier arm is duration-targeted (r14): repeat the 5-query
+        # sweep until >=0.12 s elapsed per round — a ~5 ms in-process key
+        # where one GC pause was a >0.5 relative spread under any fixed
+        # sweep count (r13 final-tree run: var 0.98 on a quiet probe)
+        def _local_sweep():
+            for v in qvecs:
+                db_local.search_hybrid(TERMS, v)
+            return len(qvecs)
+
         for _ in range(15):  # r13: 11 -> 15 (hybrid_serve_ms var 0.59)
             t0 = time.perf_counter()
             db.search_hybrid(TERMS, qvecs[0])
             dist_runs.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            for v in qvecs:
-                db_local.search_hybrid(TERMS, v)
-            local_runs.append((time.perf_counter() - t0) / len(qvecs))
+            local_runs.append(_ms_block(_local_sweep, 0.12))
             # the distributed THROUGHPUT tier: 3 jobs per batch, job
             # floor amortized across the queries
             t0 = time.perf_counter()
@@ -890,13 +959,38 @@ def bench_textindex_1m(spark, sf_dir: str,
                      idx.search(q, k=10, block_max=True).collect()]
             assert got_c == got_b, f"blockmax diverged on {qname}"
             idx.search(q, k=10, block_max=True).collect()  # warm memo
+            # dense1 joins the widest protocol (r14: var 0.65 under
+            # n=9/discard-2 — same page-cache-sensitive family as
+            # bm25_indexed_1m_dense)
+            nn, dw = (13, 3) if qname == "dense1" else (9, 2)
             med, sp = _time_runs(
                 lambda q=q: idx.search(q, k=10, block_max=True),
-                n=9, discard_worst=2)
+                n=nn, discard_worst=dw)
             out[f"bm25_blockmax_{qname}_1m"] = round(med, 4)
             variance[f"bm25_blockmax_{qname}_1m"] = round(sp, 2)
-        # deterministic skipping claim for the dense1 steady state: the
-        # fraction of the term's postings the proven threshold retains
+        # r14 (verdict item 4): the WORST realistic shape — all three
+        # uniformly dense terms, NO selective anchor (mixed has tag7;
+        # bm25_indexed_1m_dense above is this query in AUTO mode).  The
+        # forced key + its diagnostics quantify the partial-coverage
+        # credit-inflation bound (SCALE.md §1b) so the per-block-bound
+        # decision is measured, not guessed.
+        got_c = [(r["doc_id"], r["bm25_e10"]) for r in
+                 idx.search(TERMS, k=10, block_max=False).collect()]
+        got_b = [(r["doc_id"], r["bm25_e10"]) for r in
+                 idx.search(TERMS, k=10, block_max=True).collect()]
+        assert got_c == got_b, "blockmax diverged on dense3"
+        idx.search(TERMS, k=10, block_max=True).collect()  # warm memo
+        med, sp = _time_runs(
+            lambda: idx.search(TERMS, k=10, block_max=True),
+            n=9, discard_worst=2)
+        out["bm25_blockmax_dense3_1m"] = round(med, 4)
+        variance["bm25_blockmax_dense3_1m"] = round(sp, 2)
+
+        # deterministic skipping claims at the proven steady state: the
+        # fraction of the term's postings the threshold retains (dense1)
+        # and the union fraction over all three terms (dense3) plus the
+        # steady-state descent round count — if the credit-inflation
+        # bound bites, it shows up HERE as a high fraction / full_read
         idx.search(d1, k=10, block_max=True).collect()
         thr1 = idx.last_blockmax["thr"][TERMS[0]]
         post = spark.read.schema("token string, imp double").parquet(
@@ -906,6 +1000,21 @@ def bench_textindex_1m(spark, sf_dir: str,
                             & (F.col("imp") >= thr1)).count()
         out["bm25_blockmax_dense1_read_fraction"] = round(
             n_kept / max(1, n_term), 4)
+        idx.search(TERMS, k=10, block_max=True).collect()
+        bm3 = idx.last_blockmax
+        if bm3 and "thr" in bm3:
+            cond = None
+            for t in TERMS:
+                c = (F.col("token") == t) & \
+                    (F.col("imp") >= bm3["thr"].get(t, 0.0))
+                cond = c if cond is None else (cond | c)
+            n_all = post.where(F.col("token").isin(*TERMS)).count()
+            n_kept3 = post.where(cond).count()
+            out["bm25_blockmax_dense3_read_fraction"] = round(
+                n_kept3 / max(1, n_all), 4)
+            out["bm25_blockmax_dense3_rounds"] = float(bm3["rounds"])
+            out["bm25_blockmax_dense3_full_read"] = float(
+                bool(bm3["full_read"]))
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -1053,9 +1162,10 @@ def main() -> None:
     # Arrow path via GC churn).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
 
-    # session-quality stamp BEFORE any Spark work (and again after): the
-    # record carries its own evidence of host contention — see _host_probe
-    probe_pre = _host_probe()
+    # session-quality stamp BEFORE any Spark work (and again after) — and
+    # GATED: a noisy pre-probe re-probes with backoff rather than letting
+    # host contention masquerade as a fleet-wide regression (r13)
+    probe_pre, probe_tries, noisy_pre = _gated_probe()
 
     from binaryvectordb_spark.queries import QUERIES
     from binaryvectordb_spark.session import get_spark
@@ -1111,9 +1221,15 @@ def main() -> None:
         "protocol": "median of 5 fresh plans per query; variance = (max-min)/median",
         "sf": float(sf),
         "host_probe": {"pre": probe_pre, "post": _host_probe(),
+                       "pre_attempts": probe_tries,
                        "quiet_floor_ms": 25,
                        "note": "fixed Spark-free matmul; see _host_probe"},
     }
+    # noisy = the pre-probe never went quiet (the record's baseline-worth
+    # is suspect from the start) OR the post-probe is noisy (contention
+    # arrived mid-run).  Bands should ignore a flagged record.
+    out["session_noisy"] = bool(
+        noisy_pre or not _probe_quiet(out["host_probe"]["post"]))
 
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # tail as JSON — the full ~2.6 KB detail line exceeded that every round
@@ -1155,6 +1271,7 @@ def main() -> None:
         "n_queries_timed": len(q),
         "host_probe": out["host_probe"]["pre"],
         "host_probe_post": out["host_probe"]["post"],
+        "session_noisy": out["session_noisy"],
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

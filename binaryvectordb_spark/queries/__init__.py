@@ -62,6 +62,8 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # r14 additions are inserted at the head before close and the list is
 # re-emitted then.
 _PRIORITY = [
+    "search_bm25_maxscore_split",
+    "search_bm25_local_sharded",
     "similarity_join_brp_lsh",
     "dedup_minhash_mllib",
     "embed_documents_distributed",

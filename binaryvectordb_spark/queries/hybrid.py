@@ -93,7 +93,12 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("term_score_e10").alias("bm25_e10")))
 
 
-_BM25_ORACLE_CTE = f"""
+def _bm25_cte(terms) -> str:
+    """The _BM25_ORACLE_CTE shape parameterized over the query terms —
+    same expression tree, same determinism contract (floored bigint
+    per-term scores summed exactly)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 tokens AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ), dl AS (
@@ -103,7 +108,7 @@ tokens AS (
          sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl
 ), tf AS (
   SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tokens
-  WHERE token IN ('{TERMS[0]}', '{TERMS[1]}', '{TERMS[2]}')
+  WHERE token IN ({in_list})
   GROUP BY 1, 2
 ), df AS (
   SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
@@ -117,6 +122,9 @@ tokens AS (
   FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY doc_id
 )"""
+
+
+_BM25_ORACLE_CTE = _bm25_cte(TERMS)
 
 
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,6 +217,73 @@ def search_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("search_bm25_local", search_bm25_local, oracle=f"""
+WITH {_BM25_ORACLE_CTE}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
+# selective + dense mix: 'dup' sits in exactly 5% of fixture docs (the
+# MaxScore essential-vocabulary cutoff); the other two in ~77%
+SPLIT_TERMS = ("dup", "vector", "window")
+
+
+def search_bm25_maxscore_split(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Top-10 BM25 for the SELECTIVE+dense term mix, FORCED through the
+    fmt-3 early-termination tier where the MaxScore essential/dense
+    split engages (operators/textindex.py _search_maxscore_split,
+    Turtle & Flood '95): the selective term's postings are read in full
+    (tiny by definition), every no-essential doc is excluded by the
+    dense terms' max-impact slack, and dense postings are fetched ONLY
+    for the bounded candidate set — three bounded jobs, no iteration.
+    The split's engagement on this exact shape is pytest-pinned
+    (tests/test_textindex.py); this row is its driver-level exactness
+    gate against the SAME corpus-scan oracle shape as search_bm25_topk
+    (r13 verdict item 6: the split was pinned but never separately
+    driver-hashed).  Exactness is structural: a non-separating bound
+    returns None and the threshold descent takes over — either way the
+    answer hashes identical."""
+    return _shared_text_index(spark, sf_dir).search(
+        SPLIT_TERMS, k=10, block_max=True)
+
+
+register("search_bm25_maxscore_split", search_bm25_maxscore_split,
+         oracle=f"""
+WITH {_bm25_cte(SPLIT_TERMS)}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
+def search_bm25_local_sharded(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """search_bm25_local through the 3-shard in-process router
+    (ShardedLocalBM25Searcher: doc-partitioned shards, per-shard exact
+    partial top-k, global (score, doc_id) merge — BM25 scores are
+    per-doc-independent so sharding is embarrassingly exact).  This row
+    completes the serving-tier driver coverage (r13 verdict item 6):
+    corpus scan / indexed Spark plan / RAM tier / sharded router all
+    hash against the SAME oracle."""
+    from binaryvectordb_spark.operators.textindex import (
+        ShardedLocalBM25Searcher,
+    )
+
+    base = _shared_text_index(spark, sf_dir).to_local()
+    router = ShardedLocalBM25Searcher.from_searcher(base, n_shards=3)
+    hits = router.search(list(TERMS), k=10)
+    return spark.createDataFrame(
+        [(h["doc_id"], h["bm25_e10"], h["kw_rank"]) for h in hits],
+        "doc_id: long, bm25_e10: bigint, kw_rank: int")
+
+
+register("search_bm25_local_sharded", search_bm25_local_sharded, oracle=f"""
 WITH {_BM25_ORACLE_CTE}
 SELECT doc_id, bm25_e10, kw_rank
 FROM (SELECT doc_id, bm25_e10,

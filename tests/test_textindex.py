@@ -716,3 +716,34 @@ def test_maxscore_split_engages_and_is_exact(spark, tmp_path):
     assert n_rare >= 20  # corpus premise: essential docs >> k
     assert info["n_candidates"] <= 40 * n_rare + 10, \
         (n_rare, info["n_candidates"])
+
+
+def test_driver_row_maxscore_split_engages_on_fixture(spark):
+    """The search_bm25_maxscore_split driver row's exact query shape
+    (SPLIT_TERMS on the documents fixture: 'dup' in 5% of docs + two
+    ~77% stop words) must actually take the MaxScore split — otherwise
+    the driver hash would silently gate the descent path instead of the
+    split it exists to cover (r14, verdict r13 item 6)."""
+    from binaryvectordb_spark.queries.hybrid import (
+        SPLIT_TERMS,
+        _shared_text_index,
+        search_bm25_maxscore_split,
+        search_bm25_topk,
+    )
+    got = _rows(search_bm25_maxscore_split(spark, SF_SMOKE))
+    # engagement pin on the same shared index (each _shared_text_index
+    # call wraps the cached path in a fresh handle, so probe explicitly)
+    ti = _shared_text_index(spark, SF_SMOKE)
+    ti.search(SPLIT_TERMS, k=10, block_max=True).collect()
+    info = ti.last_blockmax
+    assert info is not None and info.get("mode") == "maxscore", info
+    assert info["essential"] == ["dup"]
+    # and the answer is the corpus-scan answer for the same terms
+    import binaryvectordb_spark.queries.hybrid as H
+    orig = H.TERMS
+    try:
+        H.TERMS = SPLIT_TERMS
+        want = _rows(search_bm25_topk(spark, SF_SMOKE))
+    finally:
+        H.TERMS = orig
+    assert got == want and len(got) == 10
