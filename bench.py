@@ -124,6 +124,7 @@ def _gated_probe(max_retries: int = 5, backoff_s: float = 20.0):
               f"({attempts}/{max_retries + 1})", file=sys.stderr)
         time.sleep(backoff_s)
 
+
 def _ms_block(fn, min_elapsed: float) -> float:
     """One DURATION-TARGETED measurement window for ms-scale in-process
     keys (r13 verdict item 3 / NOTES r14 candidate 5): repeat ``fn`` — a

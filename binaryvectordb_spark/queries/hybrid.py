@@ -96,8 +96,10 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_cte(terms) -> str:
     """The _BM25_ORACLE_CTE shape parameterized over the query terms —
     same expression tree, same determinism contract (floored bigint
-    per-term scores summed exactly)."""
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    per-term scores summed exactly).  Terms are registry constants, but
+    quotes are escaped anyway (r13 review discipline: never build a SQL
+    literal without it)."""
+    in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     return f"""
 tokens AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
