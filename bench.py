@@ -1016,6 +1016,47 @@ def bench_textindex_1m(spark, sf_dir: str,
             out["bm25_blockmax_dense3_rounds"] = float(bm3["rounds"])
             out["bm25_blockmax_dense3_full_read"] = float(
                 bool(bm3["full_read"]))
+
+        # -- r14: the MUTATION-TOLERANT tier measured ------------------
+        # A 1% remove + a 0.2% micro batch put the index in the
+        # segmented+tombstoned state every real ingest pipeline lives
+        # in.  Pre-r14 the only exact option there was the classic
+        # live-set scan; the dirty tier keeps early-terminating on the
+        # dense term (thresholded bootstrap + full micro read +
+        # tombstone anti-join, scores re-derived with live stats).
+        # Identity is asserted before timing, as for every tier key.
+        idx.remove_df(big.select("doc_id")
+                      .where(F.col("doc_id") % 100 == 7))
+        idx.add_documents(spark.range(2000).select(
+            (F.col("id") + 5_000_000).alias("doc_id"),
+            F.concat(F.lit("vector window merge dirtybatch x"),
+                     (F.col("id") % 7).cast("string")).alias("text")))
+        got_c = [(r["doc_id"], r["bm25_e10"]) for r in
+                 idx.search(d1, k=10, block_max=False).collect()]
+        got_b = [(r["doc_id"], r["bm25_e10"]) for r in
+                 idx.search(d1, k=10, block_max=True).collect()]
+        assert got_c == got_b, "dirty blockmax diverged on dense1"
+        idx.search(d1, k=10, block_max=True).collect()  # warm memo
+        med, sp = _time_runs(
+            lambda: idx.search(d1, k=10, block_max=True),
+            n=9, discard_worst=2)
+        out["bm25_dirty_dense1_blockmax_1m"] = round(med, 4)
+        variance["bm25_dirty_dense1_blockmax_1m"] = round(sp, 2)
+        med, sp = _time_runs(
+            lambda: idx.search(d1, k=10, block_max=False),
+            n=9, discard_worst=2)
+        out["bm25_dirty_dense1_classic_1m"] = round(med, 4)
+        variance["bm25_dirty_dense1_classic_1m"] = round(sp, 2)
+        idx.search(d1, k=10, block_max=True).collect()
+        bmd = idx.last_blockmax
+        if bmd and "thr" in bmd:
+            thr_d = bmd["thr"].get(TERMS[0], 0.0)
+            n_kept_d = post.where((F.col("token") == TERMS[0])
+                                  & (F.col("imp") >= thr_d)).count()
+            out["bm25_blockmax_dirty_read_fraction"] = round(
+                n_kept_d / max(1, n_term), 4)
+            out["bm25_blockmax_dirty_full_read"] = float(
+                bool(bmd["full_read"]))
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

@@ -721,19 +721,95 @@ class TextIndex:
     _BLOCKMAX_MIN_DOCS = 200_000
     _BLOCKMAX_MIN_POSTINGS = 50_000
     def _blockmax_ready(self) -> bool:
-        """State requirements for exactness of the impact tier: fmt 3,
-        a SINGLE segment (the stored imp column was computed with that
-        segment's write-time avgdl, which equals the live avgdl only
-        when it is the whole index), no tombstones (write-time df ==
-        live df), and the term_stats table present.  Micro-batch
-        segments and removes gate the tier off until the next compact —
-        the same philosophy as _corpus_stats' zero-job path."""
+        """State requirements for exactness of the impact tier: fmt 3
+        with the bootstrap segment's term_stats table present.  Since
+        r14 the tier survives MUTATION — micro-batch segments and
+        tombstones no longer gate it off (see _blockmax_dirty): the
+        dirty mode thresholds only the impact-ordered bootstrap
+        segment, reads the (small) micro segments in full, anti-joins
+        the bounded tombstone set, re-derives exact scores from tf/dl
+        with LIVE corpus stats, and inflates the unseen-posting bound
+        by the avgdl drift factor — so the exactness proof carries
+        through every segmented/tombstoned state."""
         ss = self.meta.get("seg_stats") or {}
-        return (len(self.meta["segments"]) == 1
+        return (bool(self.meta["segments"])
                 and self.meta.get("fmt", 1) >= 3
-                and not self.meta["tombstones"]
                 and bool((ss.get(self.meta["segments"][0]) or {})
                          .get("ts")))
+
+    def _blockmax_dirty(self) -> bool:
+        """True when the index state diverges from the compacted
+        steady state (micro segments or tombstones): the tier must
+        re-derive scores/stats from the live tables instead of
+        replaying stored impacts."""
+        return (len(self.meta["segments"]) > 1
+                or bool(self.meta["tombstones"]))
+
+    # auto-mode cost gate for the dirty tier: the micro segments are
+    # re-read IN FULL each descent round, so auto engages only while
+    # their total mass stays a small fraction of the thresholdable
+    # bootstrap segment (forced mode ignores this — exactness never
+    # depends on it, only round cost does)
+    _BLOCKMAX_MICRO_FRAC = 0.25
+
+    def _micro_frac(self) -> float:
+        """Micro-segment doc mass / bootstrap doc mass (inf when a
+        segment lacks write-time stats — auto then refuses)."""
+        ss = self.meta.get("seg_stats") or {}
+        segs = self.meta["segments"]
+        n0 = int((ss.get(segs[0]) or {}).get("n_docs", 0))
+        if n0 <= 0:
+            return float("inf")
+        tail = 0
+        for s in segs[1:]:
+            st = ss.get(s) or {}
+            if "n_docs" not in st:
+                return float("inf")
+            tail += int(st["n_docs"])
+        return tail / n0
+
+    def _live_corpus_scalars(self) -> tuple:
+        """(n_docs, avgdl) of the LIVE corpus as driver doubles,
+        memoized per meta version.  Zero jobs in tombstone-free states
+        (the seg_stats fast path inside _corpus_stats); one slim doclen
+        aggregation otherwise.  Both values are deterministic: counts
+        are ints, dl sums are sums of integer-valued doubles (exact and
+        fold-order-free), the division is one IEEE op — so the literal
+        replay matches the classic plan's broadcast stats frame
+        bit-for-bit."""
+        key = self.meta.get("v", 0)
+        cache = getattr(self, "_cs_cache", None)
+        if cache is None:
+            cache = self._cs_cache = {}
+        if key not in cache:
+            if len(cache) > 64:
+                cache.clear()
+            r = self._corpus_stats().first()
+            cache[key] = (float(r["n_docs"]), float(r["avgdl"]))
+        return cache[key]
+
+    def _live_df(self, terms: list) -> dict:
+        """{token: live df} — the per-term live postings count the
+        classic plan derives inside its own job tree, memoized per
+        (meta version, term).  One aggregation job fills all of a
+        query's missing terms at once; repeated serving queries then
+        pay ZERO df jobs until the next mutation bumps the version."""
+        v = self.meta.get("v", 0)
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        missing = [t for t in terms if (v, t) not in cache]
+        if missing:
+            if len(cache) > 1024:
+                cache.clear()
+            rows = (self.live_postings()
+                    .where(F.col("token").isin(*missing))
+                    .groupBy("token")
+                    .agg(F.count(F.lit(1)).alias("n")).collect())
+            got = {r["token"]: float(r["n"]) for r in rows}
+            for t in missing:
+                cache[(v, t)] = got.get(t, 0.0)
+        return {t: cache[(v, t)] for t in terms}
 
     def _meta_n_docs(self) -> int:
         ss = self.meta.get("seg_stats") or {}
@@ -886,21 +962,66 @@ class TextIndex:
             return None  # classic path returns the empty frame (r13
             # review: rows_k[-1] would IndexError on k == 0)
         terms = list(dict.fromkeys(terms))
+        dirty = self._blockmax_dirty()
         stats = self._term_stats_lookup(terms)
-        present = [t for t in terms if t in stats]
-        if not present:
-            return None  # classic path returns the empty frame
-        if not forced and sum(stats[t][0] for t in present) < \
-                self._BLOCKMAX_MIN_POSTINGS:
-            return None  # sparse query: single pruned read is optimal
-        n_docs = float(self._meta_n_docs())
-        idf = {t: ((n_docs - stats[t][0]) + 0.5) / (stats[t][0] + 0.5)
-               for t in present}
+        if not dirty:
+            present = [t for t in terms if t in stats]
+            if not present:
+                return None  # classic path returns the empty frame
+            if not forced and sum(stats[t][0] for t in present) < \
+                    self._BLOCKMAX_MIN_POSTINGS:
+                return None  # sparse query: single pruned read is optimal
+            n_docs = float(self._meta_n_docs())
+            idf = {t: ((n_docs - stats[t][0]) + 0.5) / (stats[t][0] + 0.5)
+                   for t in present}
+            c_drift = 1.0
+            avgdl = None
+        else:
+            # MUTATED state (r14): micro segments and/or tombstones.
+            # Auto mode only pays the per-round full micro reads while
+            # they are a small fraction of the thresholdable bootstrap
+            # (forced ignores the gate — exactness never depends on it).
+            if not forced and self._micro_frac() > \
+                    self._BLOCKMAX_MICRO_FRAC:
+                return None
+            # LIVE semantics, same as the classic plan and the oracle:
+            # df/n_docs/avgdl of the live corpus.  A term whose live df
+            # is 0 contributes nothing in the classic plan (df comes
+            # from the matched live postings) — drop it; a term present
+            # ONLY in micro segments has no impact stratum to threshold
+            # (thr pinned at 0.0, no unseen mass, U_t = 0) but scores
+            # exactly through the full micro read.
+            live_df = self._live_df(terms)
+            present = [t for t in terms if live_df[t] > 0]
+            if not present:
+                return None
+            if not forced and sum(live_df[t] for t in present) < \
+                    self._BLOCKMAX_MIN_POSTINGS:
+                return None
+            n_docs, avgdl = self._live_corpus_scalars()
+            if n_docs <= 0:
+                return None  # fully-deleted index: classic path
+            idf = {t: ((n_docs - live_df[t]) + 0.5) / (live_df[t] + 0.5)
+                   for t in present}
+            # avgdl DRIFT factor for the unseen-posting bound: stored
+            # imp was computed with the bootstrap's write-time avgdl
+            # a_w; the true tf-part with live avgdl a_l satisfies
+            # g_live <= max(1, a_l/a_w) * imp  (the denominator
+            # tf + 0.3 + 0.9*dl/a is decreasing in a, and
+            # D(a_w)/D(a_l) <= a_l/a_w for a_l > a_w).
+            ss0 = (self.meta.get("seg_stats") or {}).get(
+                self.meta["segments"][0]) or {}
+            n0, s0 = int(ss0.get("n_docs", 0)), float(ss0.get("sum_dl", 0))
+            a_w = (s0 / n0) if n0 else 1.0
+            c_drift = max(1.0, avgdl / a_w) if a_w > 0 else 1.0
         seg = self.meta["segments"][0]
         base = (self.spark.read
                 .schema("token string, doc_id long, imp double")
                 .parquet(os.path.join(self.folder, seg, "postings")))
-        out = self._search_maxscore_split(present, stats, idf, base, k)
+        # the MaxScore split replays stored impacts directly — clean
+        # state only; the dirty state always goes through the descent
+        out = (None if dirty else
+               self._search_maxscore_split(present, stats, idf, base, k))
         if out is not None:
             return out
         # start HIGH in the impact order (the round cost is dominated by
@@ -915,9 +1036,73 @@ class TextIndex:
         if tc is None:
             tc = self._thr_cache = {}
         thr = dict(tc.get(tkey) or
-                   {t: stats[t][1] * 0.8 for t in present})
+                   {t: (stats[t][1] * 0.8 if t in stats else 0.0)
+                    for t in present})
 
         esc = self._sql_str
+
+        def _ub(t, imp_v):
+            """Unseen-posting bound at threshold imp_v for term t.
+            Clean: the exact driver-side replay floor(idf*I*1e10).
+            Dirty: the true tf-part can exceed the stored imp by the
+            avgdl drift factor (g_live <= c_drift * imp, see above);
+            +2 margin — one for the float rounding of the
+            idf*c*thr*1e10 product chain, one for the stored imp's own
+            last-ulp rounding vs the re-derived tf-part.  Conservative
+            bounds only deepen the descent, never break the proof."""
+            if imp_v <= 0.0:
+                return 0  # threshold 0 == everything read: no unseen mass
+            if not dirty:
+                return self._ub_py(idf[t], imp_v)
+            return int(math.floor(idf[t] * (c_drift * imp_v) * 1e10)) + 2
+
+        def _seen_ub(t):
+            """Bound on any single posting's contribution for term t —
+            the refinement's 'best possible partial' arm.  Clean: the
+            term's stored max impact.  Dirty: drift-inflate it, and
+            with micro segments present cap at the tf-part's universal
+            supremum 2.2 (a micro posting is bounded by no footer
+            stat)."""
+            base_imp = stats[t][1] if t in stats else 0.0
+            if not dirty:
+                return self._ub_py(idf[t], base_imp)
+            cap = c_drift * base_imp
+            if len(self.meta["segments"]) > 1:
+                cap = max(cap, 2.2)
+            return int(math.floor(idf[t] * cap * 1e10)) + 2
+
+        def _live_frame(pred):
+            """Dirty-state round frame: the imp-thresholded bootstrap
+            stratum + the micro segments IN FULL, minus scope-correct
+            tombstoned rows (the _live anti-join) — tf/dl carried so
+            the score is re-derived exactly with the live stats."""
+            segs = self.meta["segments"]
+            s0 = (self.spark.read
+                  .schema("token string, doc_id long, tf double, "
+                          "dl double, imp double")
+                  .parquet(os.path.join(self.folder, segs[0], "postings"))
+                  .where(pred).select("token", "doc_id", "tf", "dl")
+                  .withColumn("seg", F.lit(0)))
+            parts = [s0]
+            for i, nm in enumerate(segs[1:], 1):
+                parts.append(
+                    self.spark.read
+                    .schema("token string, doc_id long, tf double, "
+                            "dl double")
+                    .parquet(os.path.join(self.folder, nm, "postings"))
+                    .where(F.col("token").isin(*present))
+                    .withColumn("seg", F.lit(i)))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            tomb = self._tomb()
+            if tomb is not None:
+                df = df.join(
+                    F.broadcast(tomb),
+                    (df["doc_id"] == tomb["doc_id"])
+                    & (tomb["upto_seg"] >= df["seg"]),
+                    "left_anti")
+            return df
 
         self.last_blockmax = None
         top, rounds, theta = [], 0, None
@@ -927,11 +1112,21 @@ class TextIndex:
             # per-term literals: idf (exact score factor) and U_t (the
             # unseen-posting bound at the current threshold) — injected
             # as CASE expressions, not a per-round broadcast join
-            u = {t: self._ub_py(idf[t], thr[t]) for t in present}
+            u = {t: _ub(t, thr[t]) for t in present}
+            if not dirty:
+                val = "imp"
+            else:
+                # exact score re-derivation from tf/dl with the LIVE
+                # avgdl literal — the classic _TERM_SCORE tree with the
+                # per-term idf folded in as a literal (same IEEE ops,
+                # same association, bit-identical)
+                val = (f"((tf * 2.2D) / (tf + (1.2D * (0.25D + "
+                       f"(0.75D * (dl / {avgdl!r}D))))))")
             s_case = ("CAST(floor((CASE token "
                       + " ".join(f"WHEN '{esc(t)}' THEN {idf[t]!r}D"
                                  for t in present)
-                      + " ELSE 0.0D END) * imp * 1e10) AS BIGINT)")
+                      + " ELSE 0.0D END) * " + val
+                      + " * 1e10) AS BIGINT)")
             u_case = ("(CASE token "
                       + " ".join(f"WHEN '{esc(t)}' THEN "
                                  f"CAST({int(u[t])} AS BIGINT)"
@@ -951,7 +1146,8 @@ class TextIndex:
             # tie-break exactly as in the classic plan.  So the answer
             # is proven by (a) all k returned rows exact, (b) the
             # never-read outside bound strictly below key_k.
-            g = (base.where(pred)
+            src = _live_frame(pred) if dirty else base.where(pred)
+            g = (src
                  .select("doc_id", F.expr(s_case).alias("s"),
                          F.expr(u_case).alias("t_u"))
                  .groupBy("doc_id")
@@ -1046,8 +1242,8 @@ class TextIndex:
         if len(tc) > 256:
             tc.clear()
         tc[tkey] = dict(thr)  # proven frontier for the next identical call
-        if not full_read and tkey not in getattr(self, "_thr_refined",
-                                                 set()):
+        if not full_read and \
+                tkey not in getattr(self, "_thr_refined", set()):
             # one-time REFINEMENT of the memo: the winners are known, so
             # the tightest useful thresholds are their own per-term
             # impacts (epsilon below the smallest winner imp per term).
@@ -1068,6 +1264,11 @@ class TextIndex:
             refined.add(tkey)
             ids = [int(r["doc_id"]) for r in top]
             if ids:
+                # winners' own impacts, from the bootstrap segment only
+                # (a dirty winner's posting may live in a micro segment
+                # and carry no imp — the current threshold stands in;
+                # the guess is memo-only either way: a wrong frontier
+                # just fails the next call's round-1 proof and descends)
                 win = (base.where(F.col("token").isin(*present)
                                   & F.col("doc_id").isin(ids))
                        .select("token", "imp").collect())
@@ -1092,11 +1293,9 @@ class TextIndex:
                     ok = True
                     for mask in range(1 << m):
                         s_bound = sum(
-                            self._ub_py(idf[present[i]],
-                                        stats[present[i]][1])
+                            _seen_ub(present[i])
                             if (mask >> i) & 1 else
-                            self._ub_py(idf[present[i]],
-                                        cand[present[i]])
+                            _ub(present[i], cand[present[i]])
                             for i in range(m))
                         if mask != (1 << m) - 1 and \
                                 s_bound + 1 >= theta_f:
@@ -1105,7 +1304,7 @@ class TextIndex:
                     if ok:
                         tc[tkey] = cand
         self.last_blockmax = {"thr": dict(thr), "full_read": full_read,
-                              "rounds": rounds}
+                              "rounds": rounds, "dirty": dirty}
         rows = [(int(r["doc_id"]), int(r["partial"]), i + 1)
                 for i, r in enumerate(top)]
         return self.spark.createDataFrame(

@@ -64,6 +64,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 _PRIORITY = [
     "search_bm25_maxscore_split",
     "search_bm25_local_sharded",
+    "search_bm25_indexed_mutated",
     "similarity_join_brp_lsh",
     "dedup_minhash_mllib",
     "embed_documents_distributed",

@@ -93,16 +93,16 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("term_score_e10").alias("bm25_e10")))
 
 
-def _bm25_cte(terms) -> str:
-    """The _BM25_ORACLE_CTE shape parameterized over the query terms —
-    same expression tree, same determinism contract (floored bigint
-    per-term scores summed exactly).  Terms are registry constants, but
-    quotes are escaped anyway (r13 review discipline: never build a SQL
-    literal without it)."""
+def _bm25_cte(terms, source: str = "documents") -> str:
+    """The _BM25_ORACLE_CTE shape parameterized over the query terms
+    and the corpus relation — same expression tree, same determinism
+    contract (floored bigint per-term scores summed exactly).  Terms
+    are registry constants, but quotes are escaped anyway (r13 review
+    discipline: never build a SQL literal without it)."""
     in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     return f"""
 tokens AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {source}
 ), dl AS (
   SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tokens GROUP BY 1
 ), stats AS (
@@ -287,6 +287,84 @@ def search_bm25_local_sharded(spark: SparkSession,
 
 register("search_bm25_local_sharded", search_bm25_local_sharded, oracle=f"""
 WITH {_BM25_ORACLE_CTE}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
+# deterministic mutation script for the dirty-tier driver row: remove
+# docs 0..19, overwrite 20..24, add 5 brand-new docs carrying a token
+# the bootstrap never saw ('mutated' — micro-segment-only vocabulary)
+_MUT_REMOVED = tuple(range(20))
+_MUT_OVERWRITES = tuple(
+    (20 + i, f"vector window mutated overwrite{i} extra") for i in range(5))
+_MUT_NEW = tuple(
+    (900_001 + i, f"merge mutated fresh{i} batch") for i in range(5))
+MUT_TERMS = TERMS + ("mutated",)
+_TI_MUT_CACHE: dict[str, str] = {}
+
+
+def _shared_mutated_text_index(spark: SparkSession, sf_dir: str):
+    """A per-corpus TextIndex carried through the deterministic mutation
+    script WITHOUT compaction — the segmented + tombstoned state the r14
+    dirty block-max tier serves."""
+    import os as _os
+    import tempfile
+
+    from binaryvectordb_spark.operators.textindex import TextIndex
+
+    key = _os.path.abspath(sf_dir)
+    path = _TI_MUT_CACHE.get(key)
+    if path is None or not _os.path.exists(_os.path.join(path, "meta.json")):
+        path = tempfile.mkdtemp(prefix="bvdb_textindex_mut_")
+        ti = TextIndex(spark, path).build(
+            load_table(spark, sf_dir, "documents"))
+        ti.add_documents(spark.createDataFrame(
+            list(_MUT_OVERWRITES), "doc_id: long, text: string"))
+        ti.add_documents(spark.createDataFrame(
+            list(_MUT_NEW), "doc_id: long, text: string"))
+        ti.remove(list(_MUT_REMOVED))
+        _TI_MUT_CACHE[key] = path
+    return TextIndex(spark, path)
+
+
+def search_bm25_indexed_mutated(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Top-10 BM25 through the fmt-3 early-termination tier in the
+    MUTATED index state (r14: operators/textindex.py dirty mode) — the
+    bootstrap segment is imp-thresholded, the micro segments (an
+    overwrite batch and a batch carrying brand-new vocabulary) are read
+    in full, the tombstones (20 removes + 5 overwrites) anti-join out,
+    and the scores are re-derived from tf/dl with the LIVE df/avgdl the
+    classic plan would compute.  The query mixes the three dense
+    bootstrap terms with 'mutated' — a token that exists ONLY in the
+    micro segments, so it has no impact stratum at all.  The oracle is
+    the corpus-scan SQL over the mutated live corpus (removed docs
+    filtered, overwrites and adds as literal rows): this row is the
+    driver-level exactness gate for the mutation-tolerant termination
+    proof."""
+    return _shared_mutated_text_index(spark, sf_dir).search(
+        MUT_TERMS, k=10, block_max=True)
+
+
+def _mutated_corpus_sql() -> str:
+    rm = ", ".join(str(i) for i in _MUT_REMOVED + tuple(
+        i for i, _ in _MUT_OVERWRITES))
+    lits = ", ".join(f"({i}, '{t}')" for i, t in
+                     _MUT_OVERWRITES + _MUT_NEW)
+    return (f"mutated_corpus AS (\n"
+            f"  SELECT doc_id, text FROM documents"
+            f" WHERE doc_id NOT IN ({rm})\n"
+            f"  UNION ALL SELECT * FROM (VALUES {lits})"
+            f" AS t(doc_id, text)\n)")
+
+
+register("search_bm25_indexed_mutated", search_bm25_indexed_mutated,
+         oracle=f"""
+WITH {_mutated_corpus_sql()}, {_bm25_cte(MUT_TERMS, source="mutated_corpus")}
 SELECT doc_id, bm25_e10, kw_rank
 FROM (SELECT doc_id, bm25_e10,
              row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank

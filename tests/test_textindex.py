@@ -662,24 +662,112 @@ def test_blockmax_identical_and_skips_groups(spark, tmp_path):
 
 def test_blockmax_multiterm_and_state_gates(spark, tmp_path):
     """Multi-term block-max agrees with classic on the fixture TERMS
-    (each in ~78% of docs); mutated state (tombstones / stats-less
-    micro-batch segments) DISABLES the tier — forced mode silently
-    serves the classic plan, never a stale-stats answer."""
+    (each in ~78% of docs); a mutated state (tombstones / stats-less
+    micro-batch segments) no longer disables the tier (r14): forced
+    mode engages the DIRTY descent — live df/avgdl re-derivation,
+    thresholded bootstrap + full micro reads, tombstone anti-join —
+    and stays bit-identical to the classic plan."""
     idx = TextIndex(spark, str(tmp_path / "ti")).build(_docs(spark))
-    assert idx._blockmax_ready()
+    assert idx._blockmax_ready() and not idx._blockmax_dirty()
     want = _rows(idx.search(TERMS, k=10, block_max=False))
     assert _rows(idx.search(TERMS, k=10, block_max=True)) == want
 
-    # an upsert adds a stats-less segment + a tombstone: tier gates off
+    # an upsert adds a stats-less segment + a tombstone: the tier stays
+    # READY but flips to the dirty mode
     idx.add_documents(_docs(spark).limit(3))
-    assert not idx._blockmax_ready()
+    assert idx._blockmax_ready() and idx._blockmax_dirty()
     mutated = _rows(idx.search(TERMS, k=10, block_max=True))
+    info = idx.last_blockmax
+    assert info is not None and info.get("dirty") is True, info
     assert mutated == _rows(idx.search(TERMS, k=10, block_max=False))
 
-    # maintenance folds restore the tier (compact writes term_stats)
+    # maintenance folds restore the clean mode (compact writes
+    # term_stats and a fresh impact layout)
     idx.compact()
-    assert idx._blockmax_ready()
+    assert idx._blockmax_ready() and not idx._blockmax_dirty()
     assert _rows(idx.search(TERMS, k=10, block_max=True)) == mutated
+    assert idx.last_blockmax is None or \
+        idx.last_blockmax.get("dirty") is not True
+
+
+def test_blockmax_dirty_state_identity_soak(spark, tmp_path):
+    """The r14 mutation-tolerant tier: across a mutation script
+    (removes shifting avgdl BOTH directions, micro adds introducing
+    NEW vocabulary, upsert overwrites), at EVERY intermediate state
+    and for a battery of term sets and k's, the forced tier answers
+    bit-identically to the classic plan — including fully-tombstoned
+    query terms, micro-only terms, absent terms, k=1, and k far past
+    the match count; memo-path double calls included.  Plus the
+    engagement pin: the dense skewed term still early-terminates
+    (thr > 0, no full read) in the dirty state."""
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(
+        _blockmax_corpus(spark))
+    batteries = [(["hot"], 10), (["hot", "fill3"], 10),
+                 (["fill0", "fill1", "fill2"], 7), (["hot"], 1),
+                 (["hot", "zzz_missing"], 10), (["newword"], 5),
+                 (["hot", "newword"], 10), (["pad"], 10), (["pad"], 200)]
+
+    def check(tag):
+        for terms, k in batteries:
+            a = _rows(idx.search(terms, k=k, block_max=True))
+            b = _rows(idx.search(terms, k=k, block_max=False))
+            assert a == b, (tag, terms, k)
+            # memo path: the second identical call re-proves from the
+            # cached frontier and must not drift
+            assert _rows(idx.search(terms, k=k, block_max=True)) == a, \
+                (tag, terms, k)
+
+    check("clean")
+    # remove SHORT elite docs: live avgdl RISES above the bootstrap's
+    # write-time value — the c_drift > 1 branch of the unseen bound
+    idx.remove(list(range(100_000, 100_010)))
+    assert idx._blockmax_dirty()
+    check("tombstones-only")
+    # micro add with NEW vocabulary (term absent from term_stats —
+    # thresholdless, read via the full micro scan)
+    idx.add_documents(spark.createDataFrame(
+        [(200_000 + i, "newword hot pad") for i in range(5)],
+        "doc_id long, text string"))
+    check("tomb+micro")
+    # overwrite tail docs (upsert: scoped tombstones + new postings;
+    # removing LONG docs drags avgdl down)
+    idx.add_documents(spark.createDataFrame(
+        [(i, "hot hot hot newword") for i in range(7)],
+        "doc_id long, text string"))
+    check("overwrites")
+    # kill every doc carrying 'newword': a fully-tombstoned term must
+    # vanish from the scoring exactly as it does in the classic plan
+    idx.remove([200_000 + i for i in range(5)] + list(range(7)))
+    check("newword-dead")
+    # engagement pin in the dirty state
+    idx.search(["hot"], k=10, block_max=True).collect()
+    info = idx.last_blockmax
+    assert info is not None and info["dirty"] is True, info
+    assert not info["full_read"] and info["thr"]["hot"] > 0.0, info
+    # maintenance converges the state back; answers never move
+    idx.compact_tail()
+    check("tiered-merge")
+    idx.compact()
+    assert not idx._blockmax_dirty()
+    check("clean-again")
+
+
+def test_blockmax_dirty_auto_cost_gate(spark, tmp_path):
+    """Auto mode refuses the dirty tier while the micro mass exceeds
+    the cost gate (each descent round re-reads micros in full); forced
+    mode still engages — the gate is a cost choice, exactness never
+    depends on it."""
+    docs = _docs(spark)
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(
+        docs.where(F.col("doc_id") < 100))
+    idx.add_documents(
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 160))
+        .withColumn("doc_id", F.col("doc_id") + 10_000))
+    assert idx._micro_frac() > idx._BLOCKMAX_MICRO_FRAC
+    assert idx._search_blockmax(list(TERMS), 10, forced=False) is None
+    forced = _rows(idx.search(TERMS, k=10, block_max=True))
+    assert forced == _rows(idx.search(TERMS, k=10, block_max=False))
+    assert idx.last_blockmax and idx.last_blockmax["dirty"] is True
 
 
 def test_maxscore_split_engages_and_is_exact(spark, tmp_path):
