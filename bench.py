@@ -1268,10 +1268,19 @@ def main() -> None:
                        "note": "fixed Spark-free matmul; see _host_probe"},
     }
     # noisy = the pre-probe never went quiet (the record's baseline-worth
-    # is suspect from the start) OR the post-probe is noisy (contention
-    # arrived mid-run).  Bands should ignore a flagged record.
-    out["session_noisy"] = bool(
-        noisy_pre or not _probe_quiet(out["host_probe"]["post"]))
+    # is suspect from the start) OR the post-probe is noisy AND STAYS
+    # noisy after a short backoff (a single end-of-run spike — JVM
+    # teardown, page-cache writeback — is a transient, not evidence of
+    # mid-run contention; r14 run 2 measured post 94 ms/1.53 seconds
+    # after a 16 ms/0.23 pre and a fleet of in-band keys).  Bands should
+    # ignore a flagged record.
+    post_noisy = not _probe_quiet(out["host_probe"]["post"])
+    if post_noisy and not noisy_pre:
+        time.sleep(20)
+        retry = _host_probe()
+        out["host_probe"]["post_retry"] = retry
+        post_noisy = not _probe_quiet(retry)
+    out["session_noisy"] = bool(noisy_pre or post_noisy)
 
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # tail as JSON — the full ~2.6 KB detail line exceeded that every round
