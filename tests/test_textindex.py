@@ -752,6 +752,57 @@ def test_blockmax_dirty_state_identity_soak(spark, tmp_path):
     check("clean-again")
 
 
+def test_blockmax_dirty_randomized_mutation_property(spark, tmp_path):
+    """Seeded randomized sweep over corpora, mutation scripts, and
+    queries: at every step the forced tier must equal the classic plan
+    exactly.  Randomness explores corpus shapes (vocab skew, doc-length
+    spread) and mutation interleavings the deterministic soak does not;
+    fixed seeds keep the suite reproducible."""
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        n_vocab = rng.randrange(4, 12)
+        vocab = [f"w{seed}_{i}" for i in range(n_vocab)]
+        docs = [(i, " ".join(rng.choices(vocab,
+                                         k=rng.randrange(3, 30))))
+                for i in range(rng.randrange(150, 400))]
+        ti = TextIndex(spark, str(tmp_path / f"ti{seed}")).build(
+            spark.createDataFrame(docs, "doc_id long, text string"))
+        ids = [i for i, _ in docs]
+        next_id = len(docs)
+        for step in range(4):
+            op = rng.choice(["remove", "add", "overwrite", "tail"])
+            if op == "remove" and ids:
+                kill = rng.sample(ids, min(len(ids) // 4 + 1, 25))
+                ti.remove(kill)
+                ids = [i for i in ids if i not in set(kill)]
+            elif op == "add":
+                fresh = [(next_id + j,
+                          " ".join(rng.choices(
+                              vocab + [f"new{seed}_{step}"],
+                              k=rng.randrange(2, 12))))
+                         for j in range(rng.randrange(2, 9))]
+                next_id += len(fresh)
+                ids += [i for i, _ in fresh]
+                ti.add_documents(spark.createDataFrame(
+                    fresh, "doc_id long, text string"))
+            elif op == "overwrite" and ids:
+                pick = rng.sample(ids, min(3, len(ids)))
+                ti.add_documents(spark.createDataFrame(
+                    [(i, " ".join(rng.choices(vocab, k=5)))
+                     for i in pick], "doc_id long, text string"))
+            else:
+                ti.compact_tail()
+            for _ in range(3):
+                q = rng.sample(vocab + [f"new{seed}_{step}", "absent"],
+                               rng.randrange(1, 4))
+                k = rng.choice([1, 5, 10, 50])
+                a = _rows(ti.search(q, k=k, block_max=True))
+                b = _rows(ti.search(q, k=k, block_max=False))
+                assert a == b, (seed, step, q, k)
+
+
 def test_blockmax_dirty_auto_cost_gate(spark, tmp_path):
     """Auto mode refuses the dirty tier while the micro mass exceeds
     the cost gate (each descent round re-reads micros in full); forced
