@@ -1276,10 +1276,19 @@ def main() -> None:
     # ignore a flagged record.
     post_noisy = not _probe_quiet(out["host_probe"]["post"])
     if post_noisy and not noisy_pre:
-        time.sleep(20)
-        retry = _host_probe()
-        out["host_probe"]["post_retry"] = retry
-        post_noisy = not _probe_quiet(retry)
+        # tie-break with TWO independent retry draws and flag only if
+        # both are noisy: sustained contention fails both, while a
+        # single scheduler blip rarely lands in two separate windows
+        # (run 4 was flagged by one 28 ms sample pushing an 18.4 ms —
+        # dead-on-the-floor — retry to spread 0.54; a max/min spread
+        # only gets MORE outlier-prone with more samples, so repeated
+        # draws, not a bigger n, are the robust form)
+        retries = []
+        for _ in range(2):
+            time.sleep(20)
+            retries.append(_host_probe())
+        out["host_probe"]["post_retry"] = retries
+        post_noisy = not any(_probe_quiet(r) for r in retries)
     out["session_noisy"] = bool(noisy_pre or post_noisy)
 
     # The driver keeps only the LAST 2000 chars of stdout and parses the
