@@ -1057,6 +1057,30 @@ def bench_textindex_1m(spark, sf_dir: str,
                 n_kept_d / max(1, n_term), 4)
             out["bm25_blockmax_dirty_full_read"] = float(
                 bool(bmd["full_read"]))
+
+        # the MIXED (selective anchor + stop words) shape in the dirty
+        # state — the r15 measure-first probe: the MaxScore split is
+        # clean-state-only, so this shape falls to the dirty descent;
+        # if its steady-state rounds/wall materially trail the clean
+        # split (bm25_blockmax_mixed_1m), a dirty split is worth
+        # building — otherwise that item closes early
+        got_c = [(r["doc_id"], r["bm25_e10"]) for r in
+                 idx.search(mixed, k=10, block_max=False).collect()]
+        got_b = [(r["doc_id"], r["bm25_e10"]) for r in
+                 idx.search(mixed, k=10, block_max=True).collect()]
+        assert got_c == got_b, "dirty blockmax diverged on mixed"
+        idx.search(mixed, k=10, block_max=True).collect()  # warm memo
+        med, sp = _time_runs(
+            lambda: idx.search(mixed, k=10, block_max=True),
+            n=9, discard_worst=2)
+        out["bm25_dirty_mixed_blockmax_1m"] = round(med, 4)
+        variance["bm25_dirty_mixed_blockmax_1m"] = round(sp, 2)
+        idx.search(mixed, k=10, block_max=True).collect()
+        bmm = idx.last_blockmax
+        if bmm and "thr" in bmm:
+            out["bm25_dirty_mixed_rounds"] = float(bmm["rounds"])
+            out["bm25_dirty_mixed_full_read"] = float(
+                bool(bmm["full_read"]))
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
