@@ -57,61 +57,11 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # --emit`, which derives it from the CORRECTNESS_r*.json files directly
 # (never-hashed entries first, then ascending last-hashed round, ties by
 # prior position).  The close gate runs the audit and FAILS if this list
-# diverges from canonical.  Rotated at the open of round 14 (post-CORRECTNESS_r13): window =
-# the 6 displaced r9 entries (age 4) + the first 44 of the r10 cohort;
-# r14 additions are inserted at the head before close and the list is
+# diverges from canonical.  Rotated at the open of round 15 (post-CORRECTNESS_r14): window =
+# the 9-entry r10 remainder (age 5) + the first 41 of the r11 cohort;
+# r15 additions are inserted at the head before close and the list is
 # re-emitted then.
 _PRIORITY = [
-    "search_bm25_maxscore_split",
-    "search_bm25_local_sharded",
-    "search_bm25_indexed_mutated",
-    "similarity_join_brp_lsh",
-    "dedup_minhash_mllib",
-    "embed_documents_distributed",
-    "dedup_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "dedup_lsh_jaccard",
-    "agg_equidepth_histogram_scalable",
-    "agg_weighted_median_scalable",
-    "sketch_hll_mergeable",
-    "events_value_outliers",
-    "events_funnel_latency_scalable",
-    "quant_int8_score_error",
-    "gate_log_admit_stats",
-    "dedup_clusters",
-    "dedup_levenshtein_pairs",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "events_multigrain_rollup",
-    "events_gap_fill_daily",
-    "window_range_frame_30d",
-    "agg_min_by_max_by",
-    "agg_filter_clause",
-    "agg_equiwidth_histogram",
-    "agg_count_distinct",
-    "agg_having",
-    "set_ops_bag_semantics",
-    "filter_range_pushdown",
-    "filter_in_like_null",
-    "filter_empty_result",
-    "join_null_safe_eq",
-    "join_multiway_revenue",
-    "join_semi_customers_with_errors",
-    "join_anti_customers_no_orders",
-    "join_outer_order_counts",
-    "distinct_pairs",
-    "case_when_buckets",
-    "explode_token_topk",
-    "posexplode_embedding_head",
-    "explode_outer_null_preserving",
-    "text_tf_rarity_topk",
-    "profile_orders",
-    "dedup_corpus_kept",
-    "agg_rollup_region_nation",
-    "agg_cube_flag_status",
-    "agg_pricing_summary",
-    "search_bm25_topk_batch",
     "search_hybrid_rrf_batch",
     "multimodal_jpeg_decode",
     "search_maxsim_topk",
@@ -271,6 +221,56 @@ _PRIORITY = [
     "multimodal_resize",
     "agg_approx_count_distinct",
     "ann_ivf_kmeans_search",
+    "search_bm25_maxscore_split",
+    "search_bm25_local_sharded",
+    "search_bm25_indexed_mutated",
+    "similarity_join_brp_lsh",
+    "dedup_minhash_mllib",
+    "embed_documents_distributed",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "dedup_lsh_jaccard",
+    "agg_equidepth_histogram_scalable",
+    "agg_weighted_median_scalable",
+    "sketch_hll_mergeable",
+    "events_value_outliers",
+    "events_funnel_latency_scalable",
+    "quant_int8_score_error",
+    "gate_log_admit_stats",
+    "dedup_clusters",
+    "dedup_levenshtein_pairs",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "events_multigrain_rollup",
+    "events_gap_fill_daily",
+    "window_range_frame_30d",
+    "agg_min_by_max_by",
+    "agg_filter_clause",
+    "agg_equiwidth_histogram",
+    "agg_count_distinct",
+    "agg_having",
+    "set_ops_bag_semantics",
+    "filter_range_pushdown",
+    "filter_in_like_null",
+    "filter_empty_result",
+    "join_null_safe_eq",
+    "join_multiway_revenue",
+    "join_semi_customers_with_errors",
+    "join_anti_customers_no_orders",
+    "join_outer_order_counts",
+    "distinct_pairs",
+    "case_when_buckets",
+    "explode_token_topk",
+    "posexplode_embedding_head",
+    "explode_outer_null_preserving",
+    "text_tf_rarity_topk",
+    "profile_orders",
+    "dedup_corpus_kept",
+    "agg_rollup_region_nation",
+    "agg_cube_flag_status",
+    "agg_pricing_summary",
+    "search_bm25_topk_batch",
 ]
 
 
