@@ -135,12 +135,26 @@ class TextIndex:
             .alias("pos0", "token")).select(
             "doc_id", (F.col("pos0") + 1).alias("pos"), "token")
 
+    # BM25 Okapi constants (K1=1.2, B=0.75) shared by every score tree
+    # in this module and by the driver-side bound arithmetic.  The SQL
+    # literals in _IMP_EXPR/_TERM_SCORE are WRITTEN OUT as exact float64
+    # text (the strings must stay byte-identical to queries/hybrid.py's
+    # corpus-scan tree); the asserts beside them pin the literals to
+    # these constants so a future parameter change cannot silently
+    # diverge the _seen_ub supremum (ADVICE r14).
+    _K1 = 1.2
+    _TF_SUP = _K1 + 1.0  # sup over tf,dl of (tf*(K1+1))/(tf + K1*den):
+    #                      the tf-part's universal supremum (_seen_ub)
+
     # the tf/dl weight factor of _TERM_SCORE (everything but the per-term
     # idf): stored per posting as the fmt-3 `imp` column.  score_e10 =
     # floor(idf * imp * 1e10) — identical IEEE ops to the classic tree,
     # so the impact tier's scores are bit-for-bit the classic scores.
     _IMP_EXPR = ("((tf * 2.2D) / (tf + (1.2D * (0.25D + "
                  "(0.75D * (dl / avgdl))))))")
+    assert (("(tf * %rD)" % _TF_SUP) in _IMP_EXPR
+            and ("(%rD * " % _K1) in _IMP_EXPR), \
+        "_IMP_EXPR literals diverged from _K1/_TF_SUP"
 
     def _write_segment(self, docs_df: DataFrame, id_col: str,
                        text_col: str, name: str,
@@ -683,6 +697,9 @@ class TextIndex:
         "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D)"
         " / (tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
         "* 1e10) AS BIGINT)")
+    assert (("(tf * %rD)" % _TF_SUP) in _TERM_SCORE
+            and ("(%rD * " % _K1) in _TERM_SCORE), \
+        "_TERM_SCORE literals diverged from _K1/_TF_SUP"
 
     def _corpus_stats(self) -> DataFrame:
         """1-row (n_docs, avgdl).  With NO tombstones (the compacted
@@ -1012,8 +1029,18 @@ class TextIndex:
             ss0 = (self.meta.get("seg_stats") or {}).get(
                 self.meta["segments"][0]) or {}
             n0, s0 = int(ss0.get("n_docs", 0)), float(ss0.get("sum_dl", 0))
-            a_w = (s0 / n0) if n0 else 1.0
-            c_drift = max(1.0, avgdl / a_w) if a_w > 0 else 1.0
+            a_w = (s0 / n0) if n0 else 0.0
+            if a_w <= 0:
+                # bootstrap write-time stats unusable (missing/zero
+                # sum_dl or n_docs): no sound drift bound can be
+                # derived, and a 1.0 fallback defends in the WRONG
+                # direction whenever live avgdl exceeds the true
+                # write-time avgdl — serve classic (ADVICE r14).
+                # Unreachable via build/compact (they always store full
+                # {n_docs, sum_dl}); this guards hand-edited or
+                # partially-migrated metas.
+                return None
+            c_drift = max(1.0, avgdl / a_w)
         seg = self.meta["segments"][0]
         base = (self.spark.read
                 .schema("token string, doc_id long, imp double")
@@ -1041,35 +1068,48 @@ class TextIndex:
 
         esc = self._sql_str
 
+        def _margin(v):
+            """Float-error margin for a DIRTY bound of magnitude v (in
+            e10 units).  The stored imp and the re-derived tf-part come
+            from different ~6-op double chains, so the accumulated
+            rounding is RELATIVE — proportional to score magnitude, not
+            a fixed ulp count (ADVICE r14: a df-in-single-digits term at
+            1M docs has idf ~1e5 and score scale ~1e15 e10-units, where
+            a fixed +2 under-covers).  1e-14 relative ≈ 45× the ~2e-16
+            per-op epsilon over the chain length — generous, and a
+            too-large margin only deepens the descent; the floor of 2
+            keeps the small-score regime at the proven r14 margin."""
+            return max(2, int(math.ceil(v * 1e-14)))
+
         def _ub(t, imp_v):
             """Unseen-posting bound at threshold imp_v for term t.
             Clean: the exact driver-side replay floor(idf*I*1e10).
             Dirty: the true tf-part can exceed the stored imp by the
-            avgdl drift factor (g_live <= c_drift * imp, see above);
-            +2 margin — one for the float rounding of the
-            idf*c*thr*1e10 product chain, one for the stored imp's own
-            last-ulp rounding vs the re-derived tf-part.  Conservative
+            avgdl drift factor (g_live <= c_drift * imp, see above),
+            plus the relative float margin (_margin).  Conservative
             bounds only deepen the descent, never break the proof."""
             if imp_v <= 0.0:
                 return 0  # threshold 0 == everything read: no unseen mass
             if not dirty:
                 return self._ub_py(idf[t], imp_v)
-            return int(math.floor(idf[t] * (c_drift * imp_v) * 1e10)) + 2
+            v = idf[t] * (c_drift * imp_v) * 1e10
+            return int(math.floor(v)) + _margin(v)
 
         def _seen_ub(t):
             """Bound on any single posting's contribution for term t —
             the refinement's 'best possible partial' arm.  Clean: the
             term's stored max impact.  Dirty: drift-inflate it, and
             with micro segments present cap at the tf-part's universal
-            supremum 2.2 (a micro posting is bounded by no footer
+            supremum _TF_SUP = K1+1 (a micro posting is bounded by no footer
             stat)."""
             base_imp = stats[t][1] if t in stats else 0.0
             if not dirty:
                 return self._ub_py(idf[t], base_imp)
             cap = c_drift * base_imp
             if len(self.meta["segments"]) > 1:
-                cap = max(cap, 2.2)
-            return int(math.floor(idf[t] * cap * 1e10)) + 2
+                cap = max(cap, self._TF_SUP)
+            v = idf[t] * cap * 1e10
+            return int(math.floor(v)) + _margin(v)
 
         def _live_frame(pred):
             """Dirty-state round frame: the imp-thresholded bootstrap

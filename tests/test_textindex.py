@@ -886,3 +886,28 @@ def test_driver_row_maxscore_split_engages_on_fixture(spark):
     finally:
         H.TERMS = orig
     assert got == want and len(got) == 10
+
+
+def test_blockmax_dirty_refuses_broken_bootstrap_stats(spark, tmp_path):
+    """A dirty index whose bootstrap write-time stats are unusable
+    (sum_dl missing/zero) must NOT engage the block-max tier even when
+    forced: c_drift cannot be derived soundly, and the old 1.0 fallback
+    defended in the wrong direction whenever live avgdl exceeded the
+    true write-time avgdl (ADVICE r14).  The classic plan serves and
+    results stay exact."""
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(_docs(spark))
+    idx.remove([0, 1])  # tombstones -> dirty state
+    assert idx._blockmax_dirty()
+    seg0 = idx.meta["segments"][0]
+    good = _rows(idx.search(TERMS, k=10, block_max=False))
+    orig_sum_dl = idx.meta["seg_stats"][seg0]["sum_dl"]
+    # corrupt: a partially-migrated meta with zero sum_dl
+    idx.meta["seg_stats"][seg0]["sum_dl"] = 0
+    idx._write_meta()
+    assert idx._search_blockmax(list(TERMS), 10, forced=True) is None
+    assert _rows(idx.search(TERMS, k=10, block_max=True)) == good
+    # restore the true bootstrap entry -> the tier engages again
+    idx.meta["seg_stats"][seg0]["sum_dl"] = orig_sum_dl
+    idx._write_meta()
+    assert idx._search_blockmax(list(TERMS), 10, forced=True) is not None
+    assert _rows(idx.search(TERMS, k=10, block_max=True)) == good
