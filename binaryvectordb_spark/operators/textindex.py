@@ -1068,18 +1068,7 @@ class TextIndex:
 
         esc = self._sql_str
 
-        def _margin(v):
-            """Float-error margin for a DIRTY bound of magnitude v (in
-            e10 units).  The stored imp and the re-derived tf-part come
-            from different ~6-op double chains, so the accumulated
-            rounding is RELATIVE — proportional to score magnitude, not
-            a fixed ulp count (ADVICE r14: a df-in-single-digits term at
-            1M docs has idf ~1e5 and score scale ~1e15 e10-units, where
-            a fixed +2 under-covers).  1e-14 relative ≈ 45× the ~2e-16
-            per-op epsilon over the chain length — generous, and a
-            too-large margin only deepens the descent; the floor of 2
-            keeps the small-score regime at the proven r14 margin."""
-            return max(2, int(math.ceil(v * 1e-14)))
+        _margin = self._rel_margin
 
         def _ub(t, imp_v):
             """Unseen-posting bound at threshold imp_v for term t.
@@ -1351,6 +1340,20 @@ class TextIndex:
             rows, "doc_id long, bm25_e10 long, kw_rank int")
 
     @staticmethod
+    def _rel_margin(v: float) -> int:
+        """Float-error margin for a DIRTY bound of magnitude v (in e10
+        units).  The stored imp and the re-derived tf-part come from
+        different ~6-op double chains, so the accumulated rounding is
+        RELATIVE — proportional to score magnitude, not a fixed ulp
+        count (ADVICE r14: a df-in-single-digits term at 1M docs has
+        idf ~1e5 and score scale ~1e15 e10-units, where a fixed +2
+        under-covers).  1e-14 relative ≈ 45× the ~2e-16 per-op epsilon
+        over the chain length — generous, and a too-large margin only
+        deepens the descent; the floor of 2 keeps the small-score
+        regime at the proven r14 margin."""
+        return max(2, int(math.ceil(v * 1e-14)))
+
+    @staticmethod
     def _ub_py(idf: float, imp_thr: float) -> int:
         """floor(idf * I * 1e10) — the driver-side mirror of the
         per-posting score at the threshold impact (same IEEE ops as the
@@ -1358,6 +1361,299 @@ class TextIndex:
         posting with imp < I scores at most this by monotonicity of
         floor."""
         return int(math.floor(idf * imp_thr * 1e10))
+
+    def _search_blockmax_batch(self, qmap: dict, k: int,
+                               forced: bool) -> DataFrame | None:
+        """Batched Block-Max early termination — the N-query twin of
+        _search_blockmax (r15, VERDICT r14 item 4: `search_batch` was
+        classic-only, so an N-query batch paid the pruned-but-full
+        postings read even when every member would early-terminate).
+        ONE thresholded postings read serves every still-unproven query
+        per round:
+
+        - the per-term READ threshold is the min over the active
+          queries' ladder/memo thresholds (the union of their
+          frontiers), so a shared term is read once at the deepest
+          frontier any member needs;
+        - idf and the unseen bound U_t at the read threshold are
+          per-TERM facts (they do not depend on the query), so one CASE
+          expression pair scores the whole batch; the tiny (qid, token)
+          membership table broadcasts in, and a qid-partitioned rank
+          window (Spark 4 WindowGroupLimit — per-partition top-window
+          pruned before the exchange) bounds the collect at
+          N * max(k, 256) rows;
+        - each query's proof is the single-query proof verbatim (all k
+          rows fully covered + the never-read outside bound strictly
+          under the k-th key; excluded ties lose the doc_id tie-break
+          by the sort order), carried at the READ thresholds — valid
+          because any unseen posting of t has imp < thr_eff[t] <= the
+          member's own threshold, and a LOWER read threshold only
+          tightens U_t;
+        - proven queries exit; the rest descend their own ladders
+          exactly as the single-query path does (blocker-guided,
+          theta-capped, full read by round 6 — unconditional exactness).
+
+        The threshold memo is SHARED with the single-query path per
+        (version, sorted terms, k) — single and batch serving warm each
+        other, and the frontier memoized for a member is thr_eff at its
+        proof (the thresholds the proof actually held at).  Steady
+        state (warm memos — the serving shape) proves every member in
+        round 1: ONE job per batch instead of one per query.  Dirty
+        states ride the same live-stats score re-derivation and
+        drift-inflated bounds as the single-query dirty mode; the
+        MaxScore split and the winners-impact refinement stay
+        single-query features.  Returns None when the state/cost gates
+        refuse (the classic batch read serves)."""
+        if k <= 0:
+            return None
+        window = max(k, 256)
+        if len(qmap) * window > 150_000:
+            return None  # bounded-collect discipline (classic serves)
+        dirty = self._blockmax_dirty()
+        union_terms = sorted({t for ts in qmap.values() for t in ts})
+        stats = self._term_stats_lookup(union_terms)
+        if not dirty:
+            present_all = [t for t in union_terms if t in stats]
+            if not present_all:
+                return None
+            if not forced and sum(stats[t][0] for t in present_all) < \
+                    self._BLOCKMAX_MIN_POSTINGS:
+                return None
+            n_docs = float(self._meta_n_docs())
+            idf = {t: ((n_docs - stats[t][0]) + 0.5) / (stats[t][0] + 0.5)
+                   for t in present_all}
+            c_drift, avgdl = 1.0, None
+        else:
+            if not forced and self._micro_frac() > \
+                    self._BLOCKMAX_MICRO_FRAC:
+                return None
+            live_df = self._live_df(union_terms)
+            present_all = [t for t in union_terms if live_df[t] > 0]
+            if not present_all:
+                return None
+            if not forced and sum(live_df[t] for t in present_all) < \
+                    self._BLOCKMAX_MIN_POSTINGS:
+                return None
+            n_docs, avgdl = self._live_corpus_scalars()
+            if n_docs <= 0:
+                return None
+            idf = {t: ((n_docs - live_df[t]) + 0.5) / (live_df[t] + 0.5)
+                   for t in present_all}
+            ss0 = (self.meta.get("seg_stats") or {}).get(
+                self.meta["segments"][0]) or {}
+            n0, s0 = int(ss0.get("n_docs", 0)), float(ss0.get("sum_dl", 0))
+            a_w = (s0 / n0) if n0 else 0.0
+            if a_w <= 0:
+                return None  # unusable bootstrap stats: same guard as
+                # the single-query path (no sound drift bound)
+            c_drift = max(1.0, avgdl / a_w)
+        pres = set(present_all)
+        # per-query present terms (an absent term contributes nothing in
+        # the classic plan); a query with NO present terms yields no rows
+        qterms = {q: [t for t in dict.fromkeys(ts) if t in pres]
+                  for q, ts in qmap.items()}
+        active = {q for q, ts in qterms.items() if ts}
+        results: dict = {q: [] for q in qmap if q not in active}
+        seg = self.meta["segments"][0]
+        base = (self.spark.read
+                .schema("token string, doc_id long, imp double")
+                .parquet(os.path.join(self.folder, seg, "postings")))
+        esc = self._sql_str
+        tc = getattr(self, "_thr_cache", None)
+        if tc is None:
+            tc = self._thr_cache = {}
+        v_meta = self.meta.get("v", 0)
+        keys = {q: (v_meta, tuple(sorted(qterms[q])), int(k))
+                for q in active}
+        thr = {q: dict(tc.get(keys[q]) or
+                       {t: (stats[t][1] * 0.8 if t in stats else 0.0)
+                        for t in qterms[q]})
+               for q in active}
+
+        def _ub(t, imp_v):
+            if imp_v <= 0.0:
+                return 0
+            if not dirty:
+                return self._ub_py(idf[t], imp_v)
+            v = idf[t] * (c_drift * imp_v) * 1e10
+            return int(math.floor(v)) + self._rel_margin(v)
+
+        def _live_frame(pred, act_terms):
+            # the single-query dirty frame with the batch's active-term
+            # union: thresholded bootstrap + micro segments in full,
+            # minus scope-correct tombstoned rows
+            segs = self.meta["segments"]
+            s0f = (self.spark.read
+                   .schema("token string, doc_id long, tf double, "
+                           "dl double, imp double")
+                   .parquet(os.path.join(self.folder, segs[0],
+                                         "postings"))
+                   .where(pred).select("token", "doc_id", "tf", "dl")
+                   .withColumn("seg", F.lit(0)))
+            parts = [s0f]
+            for i, nm in enumerate(segs[1:], 1):
+                parts.append(
+                    self.spark.read
+                    .schema("token string, doc_id long, tf double, "
+                            "dl double")
+                    .parquet(os.path.join(self.folder, nm, "postings"))
+                    .where(F.col("token").isin(*act_terms))
+                    .withColumn("seg", F.lit(i)))
+            dfr = parts[0]
+            for p in parts[1:]:
+                dfr = dfr.unionByName(p)
+            tomb = self._tomb()
+            if tomb is not None:
+                dfr = dfr.join(
+                    F.broadcast(tomb),
+                    (dfr["doc_id"] == tomb["doc_id"])
+                    & (tomb["upto_seg"] >= dfr["seg"]),
+                    "left_anti")
+            return dfr
+
+        self.last_blockmax_batch = None
+        proved_round: dict = {}
+        full_read_info: dict = {}
+        rq_round = dict.fromkeys(active, 0)
+        round_no = 0
+        while active:
+            round_no += 1
+            act_terms = sorted({t for q in active for t in qterms[q]})
+            thr_eff = {t: min(thr[q][t] for q in active if t in thr[q])
+                       for t in act_terms}
+            u = {t: _ub(t, thr_eff[t]) for t in act_terms}
+            full_read = {q: all(thr_eff[t] <= 0.0 for t in qterms[q])
+                         for q in active}
+            if not dirty:
+                val = "imp"
+            else:
+                val = (f"((tf * 2.2D) / (tf + (1.2D * (0.25D + "
+                       f"(0.75D * (dl / {avgdl!r}D))))))")
+            s_case = ("CAST(floor((CASE token "
+                      + " ".join(f"WHEN '{esc(t)}' THEN {idf[t]!r}D"
+                                 for t in act_terms)
+                      + " ELSE 0.0D END) * " + val
+                      + " * 1e10) AS BIGINT)")
+            u_case = ("(CASE token "
+                      + " ".join(f"WHEN '{esc(t)}' THEN "
+                                 f"CAST({int(u[t])} AS BIGINT)"
+                                 for t in act_terms)
+                      + " ELSE CAST(0 AS BIGINT) END)")
+            pred = None
+            for t in act_terms:
+                c = (F.col("token") == t) & (F.col("imp") >= thr_eff[t])
+                pred = c if pred is None else (pred | c)
+            src = (_live_frame(pred, act_terms) if dirty
+                   else base.where(pred))
+            qt = self.spark.createDataFrame(
+                [(int(q), t) for q in sorted(active) for t in qterms[q]],
+                "qid long, token string")
+            utot_q = {q: sum(u[t] for t in qterms[q]) for q in active}
+            utot_case = ("(CASE qid " + " ".join(
+                f"WHEN {int(q)} THEN CAST({int(utot_q[q])} AS BIGINT)"
+                for q in sorted(active))
+                + " ELSE CAST(0 AS BIGINT) END)")
+            g = (src
+                 .select("doc_id", "token", F.expr(s_case).alias("s"),
+                         F.expr(u_case).alias("t_u"))
+                 .join(F.broadcast(qt), "token")
+                 .groupBy("qid", "doc_id")
+                 .agg(F.sum("s").alias("partial"),
+                      F.sum("t_u").alias("cov_u"))
+                 .withColumn("miss_ub",
+                             F.expr(utot_case) - F.col("cov_u"))
+                 .withColumn("key", F.col("partial") + F.col("miss_ub")))
+            w = Window.partitionBy("qid").orderBy(F.desc("key"),
+                                                  F.asc("doc_id"))
+            rows = (g.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") <= window)
+                    .collect())  # ONE job per round, <= N*window rows
+            by_q: dict = {}
+            for r in sorted(rows, key=lambda r: (r["qid"], r["rn"])):
+                by_q.setdefault(int(r["qid"]), []).append(r)
+            newly_done = set()
+            for q in sorted(active):
+                rq_round[q] += 1
+                rq = by_q.get(q, [])
+                rows_k = rq[:k]
+                if full_read[q]:
+                    # u == 0 on every term q reads: keys ARE exact
+                    results[q] = rows_k
+                    full_read_info[q] = True
+                    proved_round[q] = round_no
+                    newly_done.add(q)
+                    if len(tc) > 256:
+                        tc.clear()
+                    tc[keys[q]] = {t: 0.0 for t in qterms[q]}
+                    continue
+                if len(rows_k) == k and \
+                        all(r["miss_ub"] == 0 for r in rows_k):
+                    theta = int(rows_k[-1]["key"])
+                    if utot_q[q] + 1 < theta:
+                        results[q] = rows_k
+                        full_read_info[q] = False
+                        proved_round[q] = round_no
+                        newly_done.add(q)
+                        if len(tc) > 256:
+                            tc.clear()
+                        # memoize the frontier the proof HELD at (the
+                        # read thresholds, not q's own ladder state —
+                        # q's ladder may sit above thr_eff when another
+                        # member dragged a shared term deeper)
+                        tc[keys[q]] = {t: thr_eff[t] for t in qterms[q]}
+                        continue
+                # descend q's ladder — the single-query logic scoped to q
+                exact_keys = [int(r["key"]) for r in rq
+                              if r["miss_ub"] == 0]
+                partials = sorted((int(r["partial"]) for r in rq),
+                                  reverse=True)
+                theta = max(
+                    max(exact_keys, default=0),
+                    partials[k - 1] if len(partials) >= k else 0) or None
+                if rq_round[q] >= 6:
+                    thr[q] = {t: 0.0 for t in qterms[q]}
+                    continue
+                m_q = len(qterms[q])
+                decode: dict = {}
+                for mask in range(1 << m_q if m_q <= 12 else 0):
+                    ssum = sum(u[qterms[q][i]] for i in range(m_q)
+                               if not (mask >> i) & 1)
+                    decode.setdefault(ssum, set()).update(
+                        qterms[q][i] for i in range(m_q)
+                        if not (mask >> i) & 1)
+                blockers: set = set()
+                for r in rows_k:
+                    if r["miss_ub"] != 0:
+                        blockers |= decode.get(int(r["miss_ub"]),
+                                               set(qterms[q]))
+                if not blockers or rq_round[q] >= 3:
+                    blockers = set(qterms[q])
+                for t in qterms[q]:
+                    if t not in blockers:
+                        continue
+                    cand = min(thr[q][t], thr_eff[t]) * 0.6
+                    if theta is not None and idf[t] > 0:
+                        want = 0.9 * theta / (m_q * idf[t] * 1e10)
+                        if cand < want < thr_eff[t] * 0.98:
+                            cand = want
+                        elif want < cand:
+                            cand = want
+                    thr[q][t] = cand if cand * 1e10 * idf[t] >= 1.0 \
+                        else 0.0
+            active -= newly_done
+        out_rows = []
+        for q in sorted(qmap):
+            for i, r in enumerate(results.get(q, [])):
+                out_rows.append((int(q), int(r["doc_id"]),
+                                 int(r["partial"]), i + 1))
+        self.last_blockmax_batch = {
+            "rounds": round_no, "dirty": dirty,
+            "full_read": {q: bool(full_read_info.get(q, False))
+                          for q in qmap},
+            "proved_round": dict(proved_round),
+            "thr": {q: dict(tc.get(keys[q]) or {}) for q in keys}}
+        return self.spark.createDataFrame(
+            out_rows, "qid long, doc_id long, bm25_e10 long, kw_rank int")
 
     def search(self, terms: Sequence[str], k: int = 10,
                block_max: bool | None = None) -> DataFrame:
@@ -1419,7 +1715,8 @@ class TextIndex:
                 .select("doc_id", "bm25_e10", "kw_rank"))
 
     def search_batch(self, queries: dict[int, Sequence[str]],
-                     k: int = 10) -> DataFrame:
+                     k: int = 10,
+                     block_max: bool | None = None) -> DataFrame:
         """Multi-query BM25 in ONE postings read — the throughput twin of
         ``search`` (mirrors queries/hybrid.py's corpus-scan batch, and is
         bit-identical to it): the pruned row groups for the UNION of all
@@ -1427,7 +1724,15 @@ class TextIndex:
         broadcasts in, scores group by (qid, doc_id), and a
         qid-partitioned rank window (Spark 4 WindowGroupLimit — per-
         partition top-k pruned before the shuffle) keeps each query's
-        top-k.  Returns (qid, doc_id, bm25_e10, kw_rank)."""
+        top-k.  Returns (qid, doc_id, bm25_e10, kw_rank).
+
+        ``block_max``: the fmt-3 early-termination tier, batched
+        (_search_blockmax_batch) — one imp-thresholded read per round at
+        the union of the members' proven frontiers instead of the
+        pruned-but-full union read.  None auto-engages on large
+        maintained indexes, True forces (state permitting), False
+        disables; every mode is bit-identical (per-query exactness
+        proofs or descent to the full read)."""
         # a repeated term within one query contributes once (the single-
         # query path's isin() set semantics)
         qmap = {int(q): list(dict.fromkeys(str(t) for t in ts))
@@ -1440,6 +1745,14 @@ class TextIndex:
             raise Exception(
                 "TextIndex was written by an older layout (postings rows "
                 "carry no dl column); rebuild() or compact() the index")
+        if block_max is not False and self._blockmax_ready():
+            want = (block_max is True
+                    or self._meta_n_docs() >= self._BLOCKMAX_MIN_DOCS)
+            if want:
+                out = self._search_blockmax_batch(
+                    qmap, k, forced=block_max is True)
+                if out is not None:
+                    return out
         all_terms = sorted({t for ts in qmap.values() for t in ts})
         tf = (self.live_postings()
               .where(F.col("token").isin(*all_terms))

@@ -62,6 +62,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # r15 additions are inserted at the head before close and the list is
 # re-emitted then.
 _PRIORITY = [
+    "search_bm25_indexed_batch_blockmax",
     "search_hybrid_rrf_batch",
     "multimodal_jpeg_decode",
     "search_maxsim_topk",

@@ -782,3 +782,30 @@ FROM (SELECT qid, doc_id, bm25_e10,
       FROM bm25)
 WHERE kw_rank <= 10
 """)
+
+
+def search_bm25_indexed_batch_blockmax(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The 5-query batch FORCED through the batched early-termination
+    tier (r15, operators/textindex.py _search_blockmax_batch): one
+    imp-thresholded postings read per descent round serves every
+    still-unproven member at the union of their frontiers, each member's
+    exactness proven per-query (all k rows covered + outside bound under
+    the k-th key) or descended to the full read.  Bit-identical to the
+    classic batch by construction, so it shares the corpus-scan batch
+    oracle verbatim — the tier twin of search_bm25_indexed_batch, as
+    search_bm25_indexed_blockmax is of search_bm25_indexed."""
+    return (_shared_text_index(spark, sf_dir)
+            .search_batch(BATCH_TERMS, k=10, block_max=True))
+
+
+register("search_bm25_indexed_batch_blockmax",
+         search_bm25_indexed_batch_blockmax, oracle=f"""
+WITH {_BM25_BATCH_ORACLE_CTE}
+SELECT qid, doc_id, bm25_e10, kw_rank
+FROM (SELECT qid, doc_id, bm25_e10,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")

@@ -180,6 +180,11 @@ def test_property_indexed_bm25_matches_python_reference(spark, tmp_path_factory,
               for r in ti.search(terms, k=10_000,
                                  block_max=True).collect()}
     assert got_bm == want_top
+    # and the BATCHED tier (r15) agrees on the same mutated state
+    got_bb = {r["doc_id"]: r["bm25_e10"]
+              for r in ti.search_batch({0: terms}, k=10_000,
+                                       block_max=True).collect()}
+    assert got_bb == want_top
 
 
 def test_stale_handle_write_fails_loudly(spark, tmp_path):
@@ -911,3 +916,86 @@ def test_blockmax_dirty_refuses_broken_bootstrap_stats(spark, tmp_path):
     idx._write_meta()
     assert idx._search_blockmax(list(TERMS), 10, forced=True) is not None
     assert _rows(idx.search(TERMS, k=10, block_max=True)) == good
+
+
+def _batch_rows(df):
+    return sorted((int(r["qid"]), int(r["doc_id"]), int(r["bm25_e10"]),
+                   int(r["kw_rank"])) for r in df.collect())
+
+
+def test_search_batch_blockmax_identity_and_memo(spark, tmp_path):
+    """The batched early-termination tier (r15): bit-identical to the
+    classic batch read on a corpus with hot provable frontiers, warm
+    memos prove every member in ONE round (one job per batch — the
+    steady-state serving shape), and the memo is SHARED with the
+    single-query path."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(8)]
+    rare = [f"r{i}" for i in range(10)]
+    rows = []
+    for i in range(1200):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(8, 40))]
+        if rng.random() < 0.3:
+            body.append(rng.choice(rare))
+        rows.append((i, " ".join(body)))
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+
+    B = {0: ["w0"], 1: ["w3"], 2: ["r7"], 3: ["r2", "r5"],
+         4: ["w0", "w5"], 5: ["zzz-absent"], 6: ["r7", "w1", "w2"],
+         7: ["r1", "r1", "w4"]}  # intra-query dup: set semantics
+    want = _batch_rows(idx.search_batch(B, k=10, block_max=False))
+    got = _batch_rows(idx.search_batch(B, k=10, block_max=True))
+    assert got == want
+    info = idx.last_blockmax_batch
+    assert info is not None and info["dirty"] is False
+    # the absent-vocabulary member yields no rows in BOTH paths
+    assert not any(r[0] == 5 for r in want)
+    # steady state: warm memos prove every member in ONE round
+    got2 = _batch_rows(idx.search_batch(B, k=10, block_max=True))
+    assert got2 == want
+    assert idx.last_blockmax_batch["rounds"] == 1
+    # memo sharing: the single-query path at the same (terms, k) starts
+    # from the batch-proven frontier and answers identically
+    single = sorted(
+        (0, int(r["doc_id"]), int(r["bm25_e10"]), int(r["kw_rank"]))
+        for r in idx.search(["w0"], k=10, block_max=True).collect())
+    assert single == [r for r in want if r[0] == 0]
+
+
+def test_search_batch_blockmax_dirty_identity(spark, tmp_path):
+    """Dirty-state batched tier: removes + micro adds with NEW
+    vocabulary stay bit-identical to the classic live-set batch read
+    (live-stats score re-derivation + drift-inflated bounds, per
+    member)."""
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(_docs(spark))
+    idx.remove([0, 1, 2])
+    idx.add_documents(spark.createDataFrame(
+        [(900001, "vector freshword scan"),
+         (900002, "freshword window only")],
+        "doc_id long, text string"))
+    assert idx._blockmax_dirty()
+    B = {0: list(TERMS), 1: ["freshword"], 2: ["freshword", "vector"],
+         3: ["scan"], 4: ["window", "merge"]}
+    want = _batch_rows(idx.search_batch(B, k=10, block_max=False))
+    got = _batch_rows(idx.search_batch(B, k=10, block_max=True))
+    assert got == want
+    assert idx.last_blockmax_batch["dirty"] is True
+    # the micro-only-vocabulary member is served exactly (full micro
+    # read, no impact stratum to threshold)
+    assert any(r[0] == 1 for r in got)
+
+
+def test_search_batch_blockmax_collect_cap_refuses(spark, tmp_path):
+    """The bounded-collect discipline: a batch whose N * max(k, 256)
+    collect budget exceeds the cap refuses the tier (classic serves)
+    instead of collecting unboundedly."""
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(_docs(spark))
+    big = {i: [TERMS[i % 3]] for i in range(600)}  # 600*256 > 150k
+    idx.last_blockmax_batch = "sentinel"
+    got = _batch_rows(idx.search_batch(big, k=10, block_max=True))
+    want = _batch_rows(idx.search_batch(big, k=10, block_max=False))
+    assert got == want
+    assert idx.last_blockmax_batch == "sentinel"  # tier never engaged
