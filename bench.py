@@ -1143,6 +1143,11 @@ def bench_textindex_1m(spark, sf_dir: str,
             out["bm25_dirty_mixed_rounds"] = float(bmm["rounds"])
             out["bm25_dirty_mixed_full_read"] = float(
                 bool(bmm["full_read"]))
+        if bmm:
+            # r15: the dirty MaxScore split serves this shape (the r14
+            # full-read verdict was re-opened by the eager-timing fix)
+            out["bm25_dirty_mixed_split"] = float(
+                bmm.get("mode") == "maxscore")
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

@@ -947,6 +947,125 @@ class TextIndex:
         return self.spark.createDataFrame(
             rows, "doc_id long, bm25_e10 long, kw_rank int")
 
+    def _search_maxscore_split_dirty(self, present, stats, idf, k,
+                                     c_drift, live_df, n_docs,
+                                     avgdl) -> DataFrame | None:
+        """The MaxScore essential/dense split in the MUTATED state
+        (r15).  The r14 close rejected this on a measured "zero wall
+        gap" — an artifact of the collect-only timing defect fixed this
+        round: timed end-to-end, the dirty-mixed descent falls to the
+        full read (~1.5 s at 1M) while the clean split serves the same
+        shape at ~0.85 s.  Same three bounded jobs as the clean split
+        (_search_maxscore_split), with the dirty machinery of the
+        descent tier:
+
+        - essential/dense classification and idf from LIVE df/n_docs;
+        - both phases read the live frame (all segments, tombstones
+          broadcast anti-joined) and re-derive exact scores from tf/dl
+          with the live avgdl literal — bit-identical to the classic
+          live-set plan;
+        - the dense slack bounds a posting ANYWHERE in the index: the
+          bootstrap's write-time max_imp drift-inflated by c_drift,
+          capped below by the universal tf-part supremum _TF_SUP when
+          micro segments exist (a micro posting is bounded by no footer
+          stat), plus the relative float margin — the _seen_ub bound of
+          the descent tier.  Inflated slack only shrinks the separation
+          window and widens the candidate set; the proof inequalities
+          are unchanged from the clean split's docstring.
+
+        Returns None when the shape/separation refuses — the dirty
+        descent takes over."""
+        ess = [t for t in present
+               if live_df[t] <= self._ESSENTIAL_FRAC * max(1.0, n_docs)]
+        dense = [t for t in present if t not in ess]
+        if not ess or not dense:
+            return None
+        if sum(live_df[t] for t in ess) > 1_000_000:
+            return None  # "essential" side too heavy — descend instead
+        multi = len(self.meta["segments"]) > 1
+
+        def _dense_ub(t):
+            base_imp = stats[t][1] if t in stats else 0.0
+            cap = c_drift * base_imp
+            if multi:
+                cap = max(cap, self._TF_SUP)
+            v = idf[t] * cap * 1e10
+            return int(math.floor(v)) + self._rel_margin(v)
+
+        slack = sum(_dense_ub(t) for t in dense)
+        val = (f"((tf * 2.2D) / (tf + (1.2D * (0.25D + "
+               f"(0.75D * (dl / {avgdl!r}D))))))")
+
+        def live(terms_subset):
+            # full live read of these terms' postings: every segment
+            # token-pruned, tombstones anti-joined with scope semantics
+            segs = self.meta["segments"]
+            parts = []
+            for i, nm in enumerate(segs):
+                parts.append(
+                    self.spark.read
+                    .schema("token string, doc_id long, tf double, "
+                            "dl double")
+                    .parquet(os.path.join(self.folder, nm, "postings"))
+                    .where(F.col("token").isin(*terms_subset))
+                    .withColumn("seg", F.lit(i)))
+            dfr = parts[0]
+            for p in parts[1:]:
+                dfr = dfr.unionByName(p)
+            tomb = self._tomb()
+            if tomb is not None:
+                dfr = dfr.join(
+                    F.broadcast(tomb),
+                    (dfr["doc_id"] == tomb["doc_id"])
+                    & (tomb["upto_seg"] >= dfr["seg"]),
+                    "left_anti")
+            return dfr
+
+        s_case_e = ("CAST(floor((CASE token "
+                    + " ".join(
+                        f"WHEN '{self._sql_str(t)}'"
+                        f" THEN {idf[t]!r}D" for t in ess)
+                    + " ELSE 0.0D END) * " + val + " * 1e10) AS BIGINT)")
+        g_e = (live(ess)
+               .select("doc_id", F.expr(s_case_e).alias("s"))
+               .groupBy("doc_id").agg(F.sum("s").alias("pe")))
+        top_e = (g_e.orderBy(F.desc("pe"), F.asc("doc_id"))
+                 .limit(k).collect())
+        if len(top_e) < k:
+            return None  # fewer essential docs than k: can't separate
+        theta_e = int(top_e[-1]["pe"])
+        if theta_e <= slack + 1:
+            return None  # dense mass could outrank: no separation
+        cand = (g_e.where(F.col("pe") >= theta_e - slack)
+                .select("doc_id").limit(100_001).collect())
+        if len(cand) > 100_000:
+            return None
+        ids = [int(r["doc_id"]) for r in cand]
+        s_case = ("CAST(floor((CASE token "
+                  + " ".join(
+                      f"WHEN '{self._sql_str(t)}'"
+                      f" THEN {idf[t]!r}D" for t in present)
+                  + " ELSE 0.0D END) * " + val + " * 1e10) AS BIGINT)")
+        hit = live(present)
+        if len(ids) <= self._PROBE_LITERAL_IDS:
+            hit = hit.where(F.col("doc_id").isin(ids))
+        else:
+            hit = hit.join(F.broadcast(self.spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long")),
+                "doc_id", "left_semi")
+        top = (hit
+               .select("doc_id", F.expr(s_case).alias("s"))
+               .groupBy("doc_id").agg(F.sum("s").alias("bm25_e10"))
+               .orderBy(F.desc("bm25_e10"), F.asc("doc_id"))
+               .limit(k).collect())
+        self.last_blockmax = {"mode": "maxscore", "dirty": True,
+                              "essential": list(ess),
+                              "n_candidates": len(ids)}
+        rows = [(int(r["doc_id"]), int(r["bm25_e10"]), i + 1)
+                for i, r in enumerate(top)]
+        return self.spark.createDataFrame(
+            rows, "doc_id long, bm25_e10 long, kw_rank int")
+
     def _search_blockmax(self, terms: list, k: int,
                          forced: bool) -> DataFrame | None:
         """Exact top-k with block skipping over the IMPACT-ORDERED
@@ -1045,10 +1164,16 @@ class TextIndex:
         base = (self.spark.read
                 .schema("token string, doc_id long, imp double")
                 .parquet(os.path.join(self.folder, seg, "postings")))
-        # the MaxScore split replays stored impacts directly — clean
-        # state only; the dirty state always goes through the descent
-        out = (None if dirty else
-               self._search_maxscore_split(present, stats, idf, base, k))
+        # the MaxScore split: the clean form replays stored impacts,
+        # the dirty form (r15) re-derives live scores with the descent
+        # tier's drift-inflated dense bounds; both refuse (None) when
+        # the shape/separation doesn't hold and the descent takes over
+        if dirty:
+            out = self._search_maxscore_split_dirty(
+                present, stats, idf, k, c_drift, live_df, n_docs, avgdl)
+        else:
+            out = self._search_maxscore_split(present, stats, idf,
+                                              base, k)
         if out is not None:
             return out
         # start HIGH in the impact order (the round cost is dominated by

@@ -999,3 +999,50 @@ def test_search_batch_blockmax_collect_cap_refuses(spark, tmp_path):
     want = _batch_rows(idx.search_batch(big, k=10, block_max=False))
     assert got == want
     assert idx.last_blockmax_batch == "sentinel"  # tier never engaged
+
+
+def test_maxscore_split_dirty_engages_and_is_exact(spark, tmp_path):
+    """The r15 dirty MaxScore split: on the selective+stop-word shape in
+    a MUTATED state (removes + overwrites + micro adds) the split must
+    ENGAGE (mode == maxscore, dirty True) — not fall to the full-read
+    descent the r14 close measured — and stay bit-identical to the
+    classic live-set plan."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(8)]
+    rare = [f"r{i}" for i in range(10)]
+    rows = []
+    for i in range(1200):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(8, 40))]
+        if rng.random() < 0.3:
+            body.append(rng.choice(rare))
+        rows.append((i, " ".join(body)))
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+    # mutate: remove 1%, overwrite a few, add a micro batch that also
+    # carries the essential term (its postings must enter phase A)
+    idx.remove([i for i in range(0, 1200, 100)])
+    idx.add_documents(spark.createDataFrame(
+        [(5000 + j, f"w0 w1 r7 fresh{j % 3}") for j in range(20)],
+        "doc_id long, text string"))
+    assert idx._blockmax_dirty()
+
+    q = ["r7", "w0", "w3"]  # one selective + two dense terms
+    classic = _rows(idx.search(q, k=10, block_max=False))
+    got = _rows(idx.search(q, k=10, block_max=True))
+    assert got == classic and len(got) == 10
+    info = idx.last_blockmax
+    assert info is not None and info.get("mode") == "maxscore", info
+    assert info["dirty"] is True and info["essential"] == ["r7"]
+    # fully tombstone the essential term: live df(r7) -> 0, so r7 drops
+    # from the present set, the shape turns dense-only, the split
+    # refuses, and the descent serves — still exact
+    r7_docs = [int(r["doc_id"]) for r in
+               idx.search(["r7"], k=10_000, block_max=False).collect()]
+    assert r7_docs
+    idx.remove(r7_docs)
+    got2 = _rows(idx.search(q, k=10, block_max=True))
+    assert got2 == _rows(idx.search(q, k=10, block_max=False))
+    info2 = idx.last_blockmax
+    assert info2 is not None and info2.get("mode") != "maxscore"
