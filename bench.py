@@ -938,6 +938,16 @@ def bench_textindex_1m(spark, sf_dir: str,
             n=13, discard_worst=3, eager=True)
         out["bm25_indexed_1m_dense"] = round(med, 4)
         variance["bm25_indexed_1m_dense"] = round(sp, 2)
+        # the forced-classic contrast (r15): with honest eager timing
+        # the dense3 shape is the tier's floor (credit inflation — read
+        # fraction 0.9769), so whether auto routing is a win, parity,
+        # or a small loss on this shape is MEASURED each round, not
+        # asserted from the r13 under-timed record
+        med, sp = _time_runs(
+            lambda: idx.search(TERMS, k=10, block_max=False),
+            n=9, discard_worst=2)
+        out["bm25_indexed_1m_dense_classic"] = round(med, 4)
+        variance["bm25_indexed_1m_dense_classic"] = round(sp, 2)
 
         # the I/O claim, measured from real footers: fraction of postings
         # row-group BYTES a stats-aware reader touches for the tag query —
