@@ -1465,6 +1465,22 @@ class TextIndex:
             rows, "doc_id long, bm25_e10 long, kw_rank int")
 
     @staticmethod
+    def _memo_batch_frontier(tc: dict, tkey, terms, thr_eff) -> None:
+        """Batch-side threshold-memo write: per-term MAX of the read
+        thresholds the member's proof held at and any existing memo
+        entry.  Writing thr_eff alone would let a full-read batch mate
+        (thr_eff dragged to 0 on shared terms) CLOBBER a mate's hot
+        single-query frontier for the rest of the index version — the
+        memo is a guess re-proven at every use, so keeping the higher
+        value is always sound (a too-high guess fails the next round-1
+        proof and descends), while a lowered one silently costs every
+        future call the full read."""
+        if len(tc) > 256:
+            tc.clear()
+        prev = tc.get(tkey) or {}
+        tc[tkey] = {t: max(thr_eff[t], prev.get(t, 0.0)) for t in terms}
+
+    @staticmethod
     def _rel_margin(v: float) -> int:
         """Float-error margin for a DIRTY bound of magnitude v (in e10
         units).  The stored imp and the re-derived tf-part come from
@@ -1520,8 +1536,10 @@ class TextIndex:
 
         The threshold memo is SHARED with the single-query path per
         (version, sorted terms, k) — single and batch serving warm each
-        other, and the frontier memoized for a member is thr_eff at its
-        proof (the thresholds the proof actually held at).  Steady
+        other, and the frontier memoized for a member is the per-term
+        MAX of thr_eff at its proof and any existing memo entry
+        (_memo_batch_frontier — a full-read mate must not clobber a hot
+        frontier).  Steady
         state (warm memos — the serving shape) proves every member in
         round 1: ONE job per batch instead of one per query.  Dirty
         states ride the same live-stats score re-derivation and
@@ -1707,9 +1725,8 @@ class TextIndex:
                     full_read_info[q] = True
                     proved_round[q] = round_no
                     newly_done.add(q)
-                    if len(tc) > 256:
-                        tc.clear()
-                    tc[keys[q]] = {t: 0.0 for t in qterms[q]}
+                    self._memo_batch_frontier(tc, keys[q], qterms[q],
+                                              thr_eff)
                     continue
                 if len(rows_k) == k and \
                         all(r["miss_ub"] == 0 for r in rows_k):
@@ -1719,13 +1736,8 @@ class TextIndex:
                         full_read_info[q] = False
                         proved_round[q] = round_no
                         newly_done.add(q)
-                        if len(tc) > 256:
-                            tc.clear()
-                        # memoize the frontier the proof HELD at (the
-                        # read thresholds, not q's own ladder state —
-                        # q's ladder may sit above thr_eff when another
-                        # member dragged a shared term deeper)
-                        tc[keys[q]] = {t: thr_eff[t] for t in qterms[q]}
+                        self._memo_batch_frontier(tc, keys[q],
+                                                  qterms[q], thr_eff)
                         continue
                 # descend q's ladder — the single-query logic scoped to q
                 exact_keys = [int(r["key"]) for r in rq

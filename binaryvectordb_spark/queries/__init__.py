@@ -63,6 +63,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # re-emitted then.
 _PRIORITY = [
     "search_bm25_indexed_batch_blockmax",
+    "search_bm25_maxscore_split_mutated",
     "search_hybrid_rrf_batch",
     "multimodal_jpeg_decode",
     "search_maxsim_topk",

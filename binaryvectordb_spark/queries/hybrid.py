@@ -373,6 +373,36 @@ WHERE kw_rank <= 10
 """)
 
 
+def search_bm25_maxscore_split_mutated(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The dirty MaxScore split's driver gate (r15,
+    operators/textindex.py _search_maxscore_split_dirty): the
+    selective-anchor + stop-word shape (SPLIT_TERMS — 'dup' sits in 5%
+    of fixture docs) against the SAME mutated shared index as
+    search_bm25_indexed_mutated.  The r14 close had this shape falling
+    to the dirty descent's full read; the r15 split serves it in the
+    clean split's three bounded jobs with live-frame reads, live-stats
+    score re-derivation, and drift-inflated dense slack.  The oracle is
+    the corpus-scan SQL over the mutated live corpus — engagement is
+    pytest-pinned (test_maxscore_split_dirty_engages_and_is_exact plus
+    the fixture pin), and either way the answer hashes identically (a
+    refusal falls back to the descent, which is also exact)."""
+    return _shared_mutated_text_index(spark, sf_dir).search(
+        SPLIT_TERMS, k=10, block_max=True)
+
+
+register("search_bm25_maxscore_split_mutated",
+         search_bm25_maxscore_split_mutated, oracle=f"""
+WITH {_mutated_corpus_sql()}, {_bm25_cte(SPLIT_TERMS,
+                                         source="mutated_corpus")}
+SELECT doc_id, bm25_e10, kw_rank
+FROM (SELECT doc_id, bm25_e10,
+             row_number() OVER (ORDER BY bm25_e10 DESC, doc_id) AS kw_rank
+      FROM bm25)
+WHERE kw_rank <= 10
+""")
+
+
 PHRASE = ("order", "fast")
 PHRASE_K = 20
 

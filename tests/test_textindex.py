@@ -174,8 +174,9 @@ def test_property_indexed_bm25_matches_python_reference(spark, tmp_path_factory,
                            key=lambda t: (-t[1], t[0]))[:10_000])
     assert got == want_top
     # the forced block-max tier must agree with the python oracle too
-    # (on mutated/tombstoned state it falls back to the classic plan —
-    # exactness over speed, same assertion either way)
+    # (mutated/tombstoned states go through the dirty mode since r14,
+    # and the selective+dense shapes through the dirty split since r15
+    # — exactness over speed, same assertion every way)
     got_bm = {r["doc_id"]: r["bm25_e10"]
               for r in ti.search(terms, k=10_000,
                                  block_max=True).collect()}
@@ -1046,3 +1047,38 @@ def test_maxscore_split_dirty_engages_and_is_exact(spark, tmp_path):
     assert got2 == _rows(idx.search(q, k=10, block_max=False))
     info2 = idx.last_blockmax
     assert info2 is not None and info2.get("mode") != "maxscore"
+
+
+def test_memo_batch_frontier_no_clobber():
+    """The batch memo write keeps the per-term MAX with any existing
+    entry: a full-read batch mate (thr_eff dragged to 0 on shared
+    terms) must not clobber a hot single-query frontier — the memo is a
+    guess re-proven at every use, so higher is always sound."""
+    key = (7, ("a", "b"), 10)
+    tc = {key: {"a": 1.5, "b": 0.7}}
+    TextIndex._memo_batch_frontier(tc, key, ["a", "b"],
+                                   {"a": 0.0, "b": 0.9})
+    assert tc[key] == {"a": 1.5, "b": 0.9}
+    # fresh key: writes thr_eff as-is
+    k2 = (7, ("c",), 10)
+    TextIndex._memo_batch_frontier(tc, k2, ["c"], {"c": 0.4})
+    assert tc[k2] == {"c": 0.4}
+
+
+def test_driver_row_maxscore_split_mutated_engages(spark):
+    """The r15 driver row's engagement pin: on the mutated shared
+    fixture the dirty split must actually ENGAGE for SPLIT_TERMS — the
+    driver hash alone cannot see which plan answered (a refusal would
+    silently serve via the descent, also exact)."""
+    from binaryvectordb_spark.queries.hybrid import (
+        SPLIT_TERMS,
+        _shared_mutated_text_index,
+        search_bm25_maxscore_split_mutated,
+    )
+    got = _rows(search_bm25_maxscore_split_mutated(spark, SF_SMOKE))
+    assert len(got) == 10
+    ti = _shared_mutated_text_index(spark, SF_SMOKE)
+    ti.search(SPLIT_TERMS, k=10, block_max=True).collect()
+    info = ti.last_blockmax
+    assert info is not None and info.get("mode") == "maxscore", info
+    assert info["dirty"] is True and info["essential"] == ["dup"]
