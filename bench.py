@@ -1089,6 +1089,37 @@ def bench_textindex_1m(spark, sf_dir: str,
         out["bm25_batch8_rounds"] = float(
             idx.last_blockmax_batch["rounds"])
 
+        # the MIXED serving batch (r15 split routing): 3 single-dense +
+        # 3 selective-anchor+2-dense + 2 selective members — the shape
+        # where one unrouted mixed member used to drag the whole batch
+        # to classic parity (first r15 probe); the batched MaxScore
+        # split serves the mixed members in three bounded jobs while
+        # the dense1 members keep their proven frontiers
+        b8m = {0: (TERMS[0],), 1: (TERMS[1],), 2: (TERMS[2],),
+               3: ("tag7", TERMS[0], TERMS[1]),
+               4: ("tag42", TERMS[0], TERMS[2]),
+               5: ("tag133", TERMS[1], TERMS[2]),
+               6: ("tag11",), 7: ("tag57", "tag99")}
+        got_c = _brows(idx.search_batch(b8m, k=10, block_max=False))
+        got_b = _brows(idx.search_batch(b8m, k=10, block_max=True))
+        assert got_c == got_b, "mixed batched blockmax diverged"
+        idx.search_batch(b8m, k=10, block_max=True).collect()  # warm
+        med, sp = _time_runs(
+            lambda: idx.search_batch(b8m, k=10,
+                                     block_max=True).collect(),
+            n=9, discard_worst=2, eager=True)
+        out["bm25_batch8_mixed_blockmax_1m"] = round(med, 4)
+        variance["bm25_batch8_mixed_blockmax_1m"] = round(sp, 2)
+        med, sp = _time_runs(
+            lambda: idx.search_batch(b8m, k=10,
+                                     block_max=False).collect(),
+            n=9, discard_worst=2, eager=True)
+        out["bm25_batch8_mixed_classic_1m"] = round(med, 4)
+        variance["bm25_batch8_mixed_classic_1m"] = round(sp, 2)
+        idx.search_batch(b8m, k=10, block_max=True).collect()
+        out["bm25_batch8_mixed_split_served"] = float(
+            len(idx.last_blockmax_batch["split_served"]))
+
         # -- r14: the MUTATION-TOLERANT tier measured ------------------
         # A 1% remove + a 0.2% micro batch put the index in the
         # segmented+tombstoned state every real ingest pipeline lives

@@ -983,16 +983,8 @@ class TextIndex:
         if sum(live_df[t] for t in ess) > 1_000_000:
             return None  # "essential" side too heavy — descend instead
         multi = len(self.meta["segments"]) > 1
-
-        def _dense_ub(t):
-            base_imp = stats[t][1] if t in stats else 0.0
-            cap = c_drift * base_imp
-            if multi:
-                cap = max(cap, self._TF_SUP)
-            v = idf[t] * cap * 1e10
-            return int(math.floor(v)) + self._rel_margin(v)
-
-        slack = sum(_dense_ub(t) for t in dense)
+        slack = sum(self._dense_seen_ub(t, stats, idf[t], c_drift,
+                                        multi, True) for t in dense)
         val = (f"((tf * 2.2D) / (tf + (1.2D * (0.25D + "
                f"(0.75D * (dl / {avgdl!r}D))))))")
 
@@ -1464,6 +1456,208 @@ class TextIndex:
         return self.spark.createDataFrame(
             rows, "doc_id long, bm25_e10 long, kw_rank int")
 
+    _LIT_PLAN_CAP = 1024  # inline-literal table size bound: past it the
+    # analyzer pays more for the expression tree than py4j costs
+
+    def _lit_qid_tok(self, rows) -> DataFrame:
+        """Small (qid, token) table as an INLINE literal plan — never
+        createDataFrame for per-round driver tables (~0.2 s of
+        Arrow/py4j per call, NOTES.md; the descent loop would pay it
+        every round).  Falls back to createDataFrame past the cap."""
+        rows = list(rows)
+        if len(rows) > self._LIT_PLAN_CAP:
+            return self.spark.createDataFrame(
+                [(int(q), t) for q, t in rows], "qid long, token string")
+        structs = ", ".join(
+            f"struct(bigint({int(q)}) AS qid, "
+            f"'{self._sql_str(t)}' AS token)" for q, t in rows)
+        return (self.spark.range(1)
+                .select(F.explode(F.expr(f"array({structs})"))
+                        .alias("s"))
+                .select("s.qid", "s.token"))
+
+    def _lit_qid_doc(self, rows) -> DataFrame:
+        """Small (qid, doc_id) pair table as an INLINE literal plan —
+        same rationale as _lit_qid_tok."""
+        rows = list(rows)
+        if len(rows) > self._LIT_PLAN_CAP:
+            return self.spark.createDataFrame(
+                [(int(q), int(i)) for q, i in rows],
+                "qid long, doc_id long")
+        structs = ", ".join(
+            f"struct(bigint({int(q)}) AS qid, bigint({int(i)}) "
+            f"AS doc_id)" for q, i in rows)
+        return (self.spark.range(1)
+                .select(F.explode(F.expr(f"array({structs})"))
+                        .alias("s"))
+                .select("s.qid", "s.doc_id"))
+
+    def _split_batch(self, split_q: dict, k: int, idf: dict,
+                     stats: dict, dirty: bool, c_drift: float,
+                     multi: bool, avgdl, base) -> dict:
+        """Batched MaxScore essential/dense split (r15): phase A scores
+        the UNION of the split members' essential terms in ONE read
+        (per-(qid, doc) partials via the broadcast membership table,
+        per-qid top-k under a WindowGroupLimit), phase B fetches the
+        union of the kept members' FULL term sets for the bounded
+        (qid, doc) candidate PAIRS — three jobs for all members
+        together instead of three per member.  Per-member proof is the
+        single split's verbatim (theta_E = k-th essential partial;
+        slack = Sum dense per-posting bounds, drift-inflated +
+        _TF_SUP-capped + margined in dirty states via _dense_seen_ub;
+        a doc with no essential posting totals <= slack < theta_E, one
+        below the candidate cut totals < theta_E — both strictly under
+        the k-th final score).  Any refusal — short essential fill, no
+        separation, global 100k candidate-cap overflow — drops the
+        member (or all members, for the global cap) back to the
+        descent, which is also exact.  Returns {qid: top rows}."""
+        esc = self._sql_str
+        val = ("imp" if not dirty else
+               f"((tf * 2.2D) / (tf + (1.2D * (0.25D + "
+               f"(0.75D * (dl / {avgdl!r}D))))))")
+
+        def frame(terms_subset):
+            # token-pruned FULL read with the score factor aliased `g`:
+            # clean — the bootstrap imp replay; dirty — every segment
+            # with tf/dl carried, tombstones anti-joined, the factor
+            # re-derived at the live avgdl literal (same IEEE tree as
+            # the classic plan — materializing g first leaves the
+            # floor(idf * g * 1e10) association unchanged)
+            if not dirty:
+                return (base
+                        .where(F.col("token").isin(*terms_subset))
+                        .select("token", "doc_id",
+                                F.col("imp").alias("g")))
+            segs = self.meta["segments"]
+            parts = []
+            for i, nm in enumerate(segs):
+                parts.append(
+                    self.spark.read
+                    .schema("token string, doc_id long, tf double, "
+                            "dl double")
+                    .parquet(os.path.join(self.folder, nm, "postings"))
+                    .where(F.col("token").isin(*terms_subset))
+                    .withColumn("seg", F.lit(i)))
+            dfr = parts[0]
+            for p in parts[1:]:
+                dfr = dfr.unionByName(p)
+            tomb = self._tomb()
+            if tomb is not None:
+                dfr = dfr.join(
+                    F.broadcast(tomb),
+                    (dfr["doc_id"] == tomb["doc_id"])
+                    & (tomb["upto_seg"] >= dfr["seg"]),
+                    "left_anti")
+            return dfr.selectExpr("token", "doc_id", f"{val} AS g")
+
+        def s_case(terms):
+            return ("CAST(floor((CASE token "
+                    + " ".join(f"WHEN '{esc(t)}' THEN {idf[t]!r}D"
+                               for t in terms)
+                    + " ELSE 0.0D END) * g * 1e10) AS BIGINT)")
+
+        slack = {q: sum(self._dense_seen_ub(t, stats, idf[t], c_drift,
+                                            multi, dirty)
+                        for t in dns)
+                 for q, (_, dns) in split_q.items()}
+        ess_union = sorted({t for e, _ in split_q.values() for t in e})
+        qt_e = self._lit_qid_tok(
+            (q, t) for q, (e, _) in sorted(split_q.items()) for t in e)
+        g_e = (frame(ess_union)
+               .select("doc_id", "token",
+                       F.expr(s_case(ess_union)).alias("s"))
+               .join(F.broadcast(qt_e), "token")
+               .groupBy("qid", "doc_id")
+               .agg(F.sum("s").alias("pe")))
+        w = Window.partitionBy("qid").orderBy(F.desc("pe"),
+                                              F.asc("doc_id"))
+        top_rows = (g_e.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") <= k).collect())       # job 1
+        top_by_q: dict = {}
+        for r in sorted(top_rows, key=lambda r: (r["qid"], r["rn"])):
+            top_by_q.setdefault(int(r["qid"]), []).append(r)
+        theta: dict = {}
+        keep: list = []
+        for q in sorted(split_q):
+            tq = top_by_q.get(q, [])
+            if len(tq) < k:
+                continue  # fewer essential docs than k: descent serves
+            th = int(tq[-1]["pe"])
+            if th <= slack[q] + 1:
+                continue  # dense mass could outrank: no separation
+            theta[q] = th
+            keep.append(q)
+        if not keep:
+            return {}
+        cut_case = ("(CASE qid " + " ".join(
+            f"WHEN {int(q)} THEN CAST({int(theta[q] - slack[q])}"
+            f" AS BIGINT)" for q in keep)
+            + " ELSE CAST(9223372036854775807 AS BIGINT) END)")
+        cand = (g_e.where(F.col("qid").isin([int(q) for q in keep])
+                          & (F.col("pe") >= F.expr(cut_case)))
+                .select("qid", "doc_id")
+                .limit(100_001).collect())                    # job 2
+        if len(cand) > 100_000:
+            return {}  # conservative: every member to the descent
+        pairs = [(int(r["qid"]), int(r["doc_id"])) for r in cand]
+        all_union = sorted({t for q in keep
+                            for t in split_q[q][0] + split_q[q][1]})
+        qt_all = self._lit_qid_tok(
+            (q, t) for q in keep
+            for t in split_q[q][0] + split_q[q][1])
+        # candidate DOC filter FIRST, before the qid membership join:
+        # joining qt_all against the full dense postings would
+        # duplicate every posting row per member sharing the term —
+        # exactly the classic batch's cost (measured: the unfiltered
+        # order ran the mixed batch at classic parity, 3.94 vs 3.91 s
+        # at 1M).  The doc filter mirrors the single split's hit
+        # construction (literal isin under the probe cap, broadcast
+        # semi-join past it) and cuts the frame to |candidates| x terms
+        # rows before any duplication.
+        doc_ids = sorted({p[1] for p in pairs})
+        hit_f = frame(all_union)
+        if len(doc_ids) <= self._PROBE_LITERAL_IDS:
+            hit_f = hit_f.where(F.col("doc_id").isin(doc_ids))
+        else:
+            hit_f = hit_f.join(
+                F.broadcast(self.spark.createDataFrame(
+                    [(i,) for i in doc_ids], "doc_id long")),
+                "doc_id", "left_semi")  # > literal cap: Arrow path
+        hit = (hit_f
+               .select("doc_id", "token",
+                       F.expr(s_case(all_union)).alias("s"))
+               .join(F.broadcast(qt_all), "token")
+               .join(F.broadcast(self._lit_qid_doc(pairs)),
+                     ["qid", "doc_id"], "left_semi")
+               .groupBy("qid", "doc_id")
+               .agg(F.sum("s").alias("partial")))
+        wf = Window.partitionBy("qid").orderBy(F.desc("partial"),
+                                               F.asc("doc_id"))
+        fin = (hit.withColumn("rn", F.row_number().over(wf))
+               .where(F.col("rn") <= k).collect())            # job 3
+        out: dict = {}
+        for r in sorted(fin, key=lambda r: (r["qid"], r["rn"])):
+            out.setdefault(int(r["qid"]), []).append(r)
+        return out
+
+    def _dense_seen_ub(self, t, stats, idf_t, c_drift, multi,
+                       dirty) -> int:
+        """Bound on a single posting's contribution for dense term t —
+        the MaxScore splits' slack arm.  Clean: the exact replay of the
+        write-time max impact.  Dirty: drift-inflate it and, when micro
+        segments exist, cap below by the universal tf-part supremum
+        _TF_SUP (a micro posting is bounded by no footer stat), plus
+        the relative float margin.  Conservative values only shrink the
+        separation window / widen the candidate set."""
+        base_imp = stats[t][1] if t in stats else 0.0
+        if not dirty:
+            return self._ub_py(idf_t, base_imp)
+        cap = c_drift * base_imp
+        if multi:
+            cap = max(cap, self._TF_SUP)
+        v = idf_t * cap * 1e10
+        return int(math.floor(v)) + self._rel_margin(v)
+
     @staticmethod
     def _memo_batch_frontier(tc: dict, tkey, terms, thr_eff) -> None:
         """Batch-side threshold-memo write: per-term MAX of the read
@@ -1658,6 +1852,35 @@ class TextIndex:
         proved_round: dict = {}
         full_read_info: dict = {}
         rq_round = dict.fromkeys(active, 0)
+        # ---- batched MaxScore split routing (r15) --------------------
+        # a selective+dense member served by the split LEAVES the
+        # descent set, so it stops dragging shared dense terms' read
+        # thresholds toward the full read (the measured failure shape
+        # of the first r15 batch probe: one mixed member ~= classic
+        # parity for the whole batch).  Three bounded jobs serve all
+        # split members together; every refusal falls back to the
+        # descent — exactness never depends on the routing.
+        df_of = ((lambda t: stats[t][0]) if not dirty
+                 else (lambda t: live_df[t]))
+        multi = len(self.meta["segments"]) > 1
+        split_q: dict = {}
+        for q in sorted(active):
+            ess = [t for t in qterms[q]
+                   if df_of(t) <= self._ESSENTIAL_FRAC
+                   * max(1.0, n_docs)]
+            dns = [t for t in qterms[q] if t not in ess]
+            if ess and dns and sum(df_of(t) for t in ess) <= 1_000_000:
+                split_q[q] = (ess, dns)
+        split_served: list = []
+        if split_q:
+            served = self._split_batch(split_q, k, idf, stats, dirty,
+                                       c_drift, multi, avgdl, base)
+            for q, rows_q in served.items():
+                results[q] = rows_q
+                proved_round[q] = 0  # split phases, not descent rounds
+                full_read_info[q] = False
+            split_served = sorted(served)
+            active = active - set(served)
         round_no = 0
         while active:
             round_no += 1
@@ -1688,9 +1911,8 @@ class TextIndex:
                 pred = c if pred is None else (pred | c)
             src = (_live_frame(pred, act_terms) if dirty
                    else base.where(pred))
-            qt = self.spark.createDataFrame(
-                [(int(q), t) for q in sorted(active) for t in qterms[q]],
-                "qid long, token string")
+            qt = self._lit_qid_tok(
+                (q, t) for q in sorted(active) for t in qterms[q])
             utot_q = {q: sum(u[t] for t in qterms[q]) for q in active}
             utot_case = ("(CASE qid " + " ".join(
                 f"WHEN {int(q)} THEN CAST({int(utot_q[q])} AS BIGINT)"
@@ -1788,6 +2010,7 @@ class TextIndex:
             "full_read": {q: bool(full_read_info.get(q, False))
                           for q in qmap},
             "proved_round": dict(proved_round),
+            "split_served": split_served,
             "thr": {q: dict(tc.get(keys[q]) or {}) for q in keys}}
         return self.spark.createDataFrame(
             out_rows, "qid long, doc_id long, bm25_e10 long, kw_rank int")

@@ -1082,3 +1082,42 @@ def test_driver_row_maxscore_split_mutated_engages(spark):
     info = ti.last_blockmax
     assert info is not None and info.get("mode") == "maxscore", info
     assert info["dirty"] is True and info["essential"] == ["dup"]
+
+
+def test_search_batch_blockmax_split_routing(spark, tmp_path):
+    """Mixed members (selective anchor + dense terms) are served by the
+    BATCHED MaxScore split and leave the descent set — the measured
+    failure shape of the unrouted batch was one mixed member dragging
+    shared dense terms' read thresholds to the full read (classic
+    parity for the whole batch).  Identity + split_served pin, clean
+    and dirty."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(8)]
+    rare = [f"r{i}" for i in range(10)]
+    rows = []
+    for i in range(1200):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(8, 40))]
+        if rng.random() < 0.3:
+            body.append(rng.choice(rare))
+        rows.append((i, " ".join(body)))
+    idx = TextIndex(spark, str(tmp_path / "ti")).build(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+    B = {0: ["w0"], 1: ["r7", "w0", "w3"], 2: ["r2", "w1"],
+         3: ["r5"], 4: ["w3", "w5"]}
+    want = _batch_rows(idx.search_batch(B, k=10, block_max=False))
+    got = _batch_rows(idx.search_batch(B, k=10, block_max=True))
+    assert got == want
+    info = idx.last_blockmax_batch
+    assert info["split_served"] == [1, 2], info
+    # dirty: same routing through the live-frame split
+    idx.remove(list(range(0, 1200, 100)))
+    idx.add_documents(spark.createDataFrame(
+        [(5000 + j, f"w0 w1 r7 fresh{j % 3}") for j in range(20)],
+        "doc_id long, text string"))
+    want = _batch_rows(idx.search_batch(B, k=10, block_max=False))
+    got = _batch_rows(idx.search_batch(B, k=10, block_max=True))
+    assert got == want
+    info = idx.last_blockmax_batch
+    assert info["dirty"] is True and info["split_served"] == [1, 2], info
