@@ -722,6 +722,13 @@ def test_blockmax_dirty_state_identity_soak(spark, tmp_path):
             # cached frontier and must not drift
             assert _rows(idx.search(terms, k=k, block_max=True)) == a, \
                 (tag, terms, k)
+        # the BATCHED tier (r15) must agree on the same state: every
+        # battery as one batch member, through split routing, descent,
+        # full micro reads and tombstone anti-joins alike
+        bq = {i: terms for i, (terms, _) in enumerate(batteries)}
+        ba = _batch_rows(idx.search_batch(bq, k=10, block_max=True))
+        bb = _batch_rows(idx.search_batch(bq, k=10, block_max=False))
+        assert ba == bb, tag
 
     check("clean")
     # remove SHORT elite docs: live avgdl RISES above the bootstrap's
@@ -807,6 +814,13 @@ def test_blockmax_dirty_randomized_mutation_property(spark, tmp_path):
                 a = _rows(ti.search(q, k=k, block_max=True))
                 b = _rows(ti.search(q, k=k, block_max=False))
                 assert a == b, (seed, step, q, k)
+            # batched tier on the same randomized state (r15)
+            qs = {j: rng.sample(vocab + [f"new{seed}_{step}", "absent"],
+                                rng.randrange(1, 4)) for j in range(3)}
+            bk = rng.choice([1, 5, 10])
+            ba = _batch_rows(ti.search_batch(qs, k=bk, block_max=True))
+            bb = _batch_rows(ti.search_batch(qs, k=bk, block_max=False))
+            assert ba == bb, (seed, step, qs, bk)
 
 
 def test_blockmax_dirty_auto_cost_gate(spark, tmp_path):
