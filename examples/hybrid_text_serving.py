@@ -47,6 +47,30 @@ def main() -> None:
     ti.compact()
     print("segments after compact:", ti.meta["segments"])
 
+    # 2b. The early-termination tier (rounds 13-15): fmt-3 impact-
+    #     ordered postings prove exact top-k from a high-impact prefix;
+    #     N-query batches ride one thresholded read at the union of the
+    #     members' proven frontiers (selective+dense members route
+    #     through the batched MaxScore split), and mutated (dirty)
+    #     states re-derive scores with live stats — every mode is
+    #     bit-identical to the classic plan by proof or by descent
+    print("block-max single:",
+          [(r["doc_id"], r["bm25_e10"])
+           for r in ti.search(("vector", "merge"), k=5,
+                              block_max=True).collect()])
+    batch = {0: ("vector",), 1: ("merge", "scan"), 2: ("order", "fast")}
+    rows = ti.search_batch(batch, k=3, block_max=True).collect()
+    print("block-max batch:",
+          sorted((r["qid"], r["kw_rank"], r["doc_id"]) for r in rows))
+    info = ti.last_blockmax_batch
+    print("  batch engagement:", info["split_served"], "split-served,",
+          info["rounds"], "descent rounds")
+    ti.remove([1, 2, 3])  # dirty state: the tier keeps serving, exact
+    print("dirty block-max:",
+          [(r["doc_id"], r["bm25_e10"])
+           for r in ti.search(("vector", "merge"), k=5,
+                              block_max=True).collect()])
+
     # 3. The DB surface: lexical index as derived state + hybrid serving
     from binaryvectordb_spark.db import BinaryVectorDB
 
