@@ -1403,6 +1403,21 @@ def main() -> None:
             r = _host_probe()
             rec["retry"] = r
             rec["quiet"] = _probe_quiet(r)
+            if not rec["quiet"]:
+                # escalate once with the post-probe's 20 s backoff:
+                # the after_headline boundary read noisy in FOUR
+                # consecutive r15 runs (retry often worse, 22.9 ->
+                # 31.5 ms) while every later boundary was quiet — the
+                # bench's own wake (clearCache block drop +
+                # ContextCleaner draining the headline's shuffle
+                # dependencies), the same transient class as the r14
+                # post-probe teardown spike.  Sustained host
+                # contention fails all three draws; the harness wake
+                # clears within the backoff.
+                time.sleep(20)
+                r2 = _host_probe()
+                rec["retry2"] = r2
+                rec["quiet"] = _probe_quiet(r2)
         else:
             rec["quiet"] = True
         mid_probes.append(rec)
