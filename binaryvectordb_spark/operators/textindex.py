@@ -2119,9 +2119,8 @@ class TextIndex:
               .select("token", "doc_id", "tf", "dl"))
         df_ = tf.groupBy("token").agg(
             F.count("*").cast("double").alias("df"))
-        qterms = self.spark.createDataFrame(
-            [(q, t) for q, ts in sorted(qmap.items()) for t in ts],
-            "qid: long, token: string")
+        qterms = self._lit_qid_tok(
+            (q, t) for q, ts in sorted(qmap.items()) for t in ts)
         scored = (tf.join(F.broadcast(qterms), "token")
                   .join(F.broadcast(df_), "token")
                   .crossJoin(F.broadcast(self._corpus_stats()))
