@@ -57,61 +57,11 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # --emit`, which derives it from the CORRECTNESS_r*.json files directly
 # (never-hashed entries first, then ascending last-hashed round, ties by
 # prior position).  The close gate runs the audit and FAILS if this list
-# diverges from canonical.  Rotated at the open of round 15 (post-CORRECTNESS_r14): window =
-# the 9-entry r10 remainder (age 5) + the first 41 of the r11 cohort;
-# r15 additions are inserted at the head before close and the list is
-# re-emitted then.
+# diverges from canonical.  Rotated at the open of round 16
+# (post-CORRECTNESS_r15): window = 0 never-hashed + the 11-entry r11
+# remainder (age 4) + the first 39 of the r12 cohort; r16 additions are
+# inserted at the head before close and the list is re-emitted then.
 _PRIORITY = [
-    "search_bm25_indexed_batch_blockmax",
-    "search_bm25_maxscore_split_mutated",
-    "search_hybrid_rrf_batch",
-    "multimodal_jpeg_decode",
-    "search_maxsim_topk",
-    "search_maxsim_topk_batch",
-    "dedup_span_keep_first",
-    "ann_pq_adc_search",
-    "layout_zorder_clustering",
-    "ann_ivfpq_search",
-    "dedup_semantic_clusters",
-    "textindex_prune_stats",
-    "dedup_incremental_persisted",
-    "sketch_kmv_mergeable",
-    "quant_trunc_dim_error",
-    "sketch_bottomk_quantiles",
-    "join_salted_skew",
-    "multimodal_bmp_decode",
-    "curation_funnel",
-    "agg_pivot_status",
-    "scalar_subquery_above_avg",
-    "window_topk_per_customer",
-    "window_rank_variants",
-    "window_lag_lead",
-    "join_full_outer_nation_profile",
-    "agg_grouping_sets",
-    "window_distribution_funcs",
-    "join_right_outer_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "agg_stats_moments",
-    "ann_ivf_search",
-    "ann_lsh_bucket_search",
-    "ann_lsh_multitable_search",
-    "ann_lsh_multitable_batch",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q12_priority_by_status",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "knn_cascade",
-    "knn_cascade_ivf",
-    "knn_phase1_hamming",
-    "knn_bruteforce_cosine",
-    "knn_dot_topk",
     "index_popcount_stats",
     "db_len",
     "point_lookup",
@@ -273,6 +223,56 @@ _PRIORITY = [
     "agg_cube_flag_status",
     "agg_pricing_summary",
     "search_bm25_topk_batch",
+    "search_bm25_indexed_batch_blockmax",
+    "search_bm25_maxscore_split_mutated",
+    "search_hybrid_rrf_batch",
+    "multimodal_jpeg_decode",
+    "search_maxsim_topk",
+    "search_maxsim_topk_batch",
+    "dedup_span_keep_first",
+    "ann_pq_adc_search",
+    "layout_zorder_clustering",
+    "ann_ivfpq_search",
+    "dedup_semantic_clusters",
+    "textindex_prune_stats",
+    "dedup_incremental_persisted",
+    "sketch_kmv_mergeable",
+    "quant_trunc_dim_error",
+    "sketch_bottomk_quantiles",
+    "join_salted_skew",
+    "multimodal_bmp_decode",
+    "curation_funnel",
+    "agg_pivot_status",
+    "scalar_subquery_above_avg",
+    "window_topk_per_customer",
+    "window_rank_variants",
+    "window_lag_lead",
+    "join_full_outer_nation_profile",
+    "agg_grouping_sets",
+    "window_distribution_funcs",
+    "join_right_outer_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "agg_stats_moments",
+    "ann_ivf_search",
+    "ann_lsh_bucket_search",
+    "ann_lsh_multitable_search",
+    "ann_lsh_multitable_batch",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q12_priority_by_status",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "knn_cascade",
+    "knn_cascade_ivf",
+    "knn_phase1_hamming",
+    "knn_bruteforce_cosine",
+    "knn_dot_topk",
 ]
 
 
