@@ -1465,6 +1465,13 @@ class TextIndex:
         Arrow/py4j per call, NOTES.md; the descent loop would pay it
         every round).  Falls back to createDataFrame past the cap."""
         rows = list(rows)
+        if not rows:
+            # empty `array()` carries no qid/token fields, so the s.qid
+            # select below would raise AnalysisException — short-circuit
+            # to an explicit-schema empty frame (latent-trap guard; all
+            # current callers pass non-empty rows)
+            return self.spark.createDataFrame(
+                [], "qid long, token string")
         if len(rows) > self._LIT_PLAN_CAP:
             return self.spark.createDataFrame(
                 [(int(q), t) for q, t in rows], "qid long, token string")
@@ -1480,6 +1487,9 @@ class TextIndex:
         """Small (qid, doc_id) pair table as an INLINE literal plan —
         same rationale as _lit_qid_tok."""
         rows = list(rows)
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "qid long, doc_id long")
         if len(rows) > self._LIT_PLAN_CAP:
             return self.spark.createDataFrame(
                 [(int(q), int(i)) for q, i in rows],
