@@ -12,10 +12,12 @@ min-of-2) sample is not trustworthy on shared infra; the reported
 ``variance`` field is (max-min)/median per query — read any cross-round
 delta smaller than that spread as noise, not regression.
 
-Session-quality machinery (r13-r15): the record is GATED on a Spark-free
+Session-quality machinery (r13-r16): the record is GATED on a Spark-free
 host probe before (backoff-retry) and after (two-draw tie-break) the run,
-INTERLEAVED between bench families (a confirmed-noisy boundary probe
-attributes contention to the adjacent families' keys), and backstopped by
+INTERLEAVED between bench families AND inside the 22-key headline family
+(every 7 keys — r16: one noisy boundary now condemns <= 15 keys, the two
+adjacent chunks, instead of the whole family; a confirmed-noisy boundary
+probe attributes contention to the adjacent chunks' keys), and backstopped by
 per-key variance (>=3 non-exempt keys at >=0.5 spread == the r14 driver
 record's mid-run-contention signature).  Read BENCH_DETAIL.json's
 ``contention.contended_keys`` before comparing any key against its band;
@@ -942,10 +944,13 @@ def bench_textindex_1m(spark, sf_dir: str,
         # the dense3 shape is the tier's floor (credit inflation — read
         # fraction 0.9769), so whether auto routing is a win, parity,
         # or a small loss on this shape is MEASURED each round, not
-        # asserted from the r13 under-timed record
+        # asserted from the r13 under-timed record.  Timed eager
+        # end-to-end (r16, ADVICE): the lazy form excluded the classic
+        # side's plan-build/driver time while the block-max side paid
+        # its full wall, skewing the contrast in classic's favor.
         med, sp = _time_runs(
-            lambda: idx.search(TERMS, k=10, block_max=False),
-            n=9, discard_worst=2)
+            lambda: idx.search(TERMS, k=10, block_max=False).collect(),
+            n=9, discard_worst=2, eager=True)
         out["bm25_indexed_1m_dense_classic"] = round(med, 4)
         variance["bm25_indexed_1m_dense_classic"] = round(sp, 2)
 
@@ -1051,6 +1056,28 @@ def bench_textindex_1m(spark, sf_dir: str,
             out["bm25_blockmax_dense3_full_read"] = float(
                 bool(bm3["full_read"]))
 
+        # r16 (VERDICT r15 item 6): the MaxScore split's phase-B
+        # candidate fetch scans the DENSE terms' postings once — the
+        # imp-ordered layout cannot doc_id-prune, token pushdown prunes
+        # everything else.  This key records that scan-once cost as
+        # rows(dense terms) / rows(total postings): the quantity a
+        # (token, doc_id)-sorted companion projection would have had to
+        # reduce.  Measured with the real candidate set (51 docs,
+        # examples/exp_phaseb_companion_r16.py) it would NOT — the
+        # writer's 16 MB groups hold ~773k posting rows, each dense
+        # term spans 1-2 groups, min/max doc_id stats admitted 2 of 3;
+        # 50% skipping needs ~10.5k-row groups (73x smaller).
+        # Companion DECLINED (SCALE.md §3); deterministic layout
+        # fraction, like bm25_indexed_1m_bytes_fraction.
+        idx.search(mixed, k=10, block_max=True).collect()
+        bmx = idx.last_blockmax
+        if isinstance(bmx, dict) and bmx.get("mode") == "maxscore":
+            dense_t = [t for t in mixed
+                       if t not in set(bmx["essential"])]
+            n_dense = post.where(F.col("token").isin(*dense_t)).count()
+            out["bm25_split_phaseb_rows_fraction"] = round(
+                n_dense / max(1, post.count()), 4)
+
         # -- r15 (verdict item 4): batch BM25 through the tier ---------
         # The serving-shape batch — 3 single-dense members + 5
         # selective members, each individually early-terminating — so
@@ -1086,8 +1113,49 @@ def bench_textindex_1m(spark, sf_dir: str,
         out["bm25_batch8_classic_1m"] = round(med, 4)
         variance["bm25_batch8_classic_1m"] = round(sp, 2)
         idx.search_batch(b8, k=10, block_max=True).collect()
-        out["bm25_batch8_rounds"] = float(
-            idx.last_blockmax_batch["rounds"])
+        # guard like the bmm/bm3 blocks: if the batched tier ever refuses
+        # (gate change, cap), last_blockmax_batch is None/stale — skip the
+        # key instead of dying with TypeError at the end of the 1M run
+        info = idx.last_blockmax_batch
+        if isinstance(info, dict) and "rounds" in info:
+            out["bm25_batch8_rounds"] = float(info["rounds"])
+
+        # cold-memo batch tail (r16, VERDICT r15 item 5): the
+        # inflation-prone mix — dense singles, pairs, and the dense3
+        # triple.  Measured r16 (3 cold draws at 1M): rounds = 4, and
+        # ONLY the dense3 member descends past round 1 (7/8 prove in
+        # round 1 even cold); the warm repeat is 1 round under the
+        # batch memo AND under the single-query winners-impact-refined
+        # memo with an IDENTICAL union read (2,270,000 rows both ways
+        # — the dense3 member's frontier binds the shared-term min,
+        # and the refinement provably cannot lift dense3: its 2^m
+        # subset check fails on exactly the credit-inflation shapes
+        # that descend).  So the batch winners-impact refinement is
+        # DECLINED on evidence (SCALE.md §1b); this key keeps the tail
+        # measured so that decision can't silently rot.
+        b8cold = {0: (TERMS[0],), 1: (TERMS[1],), 2: (TERMS[2],),
+                  3: (TERMS[0], TERMS[1]), 4: (TERMS[0], TERMS[2]),
+                  5: (TERMS[1], TERMS[2]),
+                  6: (TERMS[0], TERMS[1], TERMS[2]), 7: (TERMS[1],)}
+
+        def _cold_tail():
+            for attr in ("_thr_cache", "_thr_refined", "_ts_cache"):
+                c = getattr(idx, attr, None)
+                if c is not None:
+                    c.clear()
+            idx.search_batch(b8cold, k=10, block_max=True).collect()
+
+        _cold_tail()  # page-cache warm-up (the memo stays cold per run)
+        med, sp = _time_runs(_cold_tail, n=5, discard_worst=1,
+                             eager=True)
+        out["bm25_batch8_coldmemo_1m"] = round(med, 4)
+        variance["bm25_batch8_coldmemo_1m"] = round(sp, 2)
+        info = idx.last_blockmax_batch
+        if isinstance(info, dict) and "rounds" in info:
+            out["bm25_batch8_coldmemo_rounds"] = float(info["rounds"])
+        # re-warm the shared memo so the keys below keep their
+        # steady-state protocol
+        idx.search_batch(b8, k=10, block_max=True).collect()
 
         # the MIXED serving batch (r15 split routing): 3 single-dense +
         # 3 selective-anchor+2-dense + 2 selective members — the shape
@@ -1117,8 +1185,10 @@ def bench_textindex_1m(spark, sf_dir: str,
         out["bm25_batch8_mixed_classic_1m"] = round(med, 4)
         variance["bm25_batch8_mixed_classic_1m"] = round(sp, 2)
         idx.search_batch(b8m, k=10, block_max=True).collect()
-        out["bm25_batch8_mixed_split_served"] = float(
-            len(idx.last_blockmax_batch["split_served"]))
+        info = idx.last_blockmax_batch
+        if isinstance(info, dict) and "split_served" in info:
+            out["bm25_batch8_mixed_split_served"] = float(
+                len(info["split_served"]))
 
         # -- r14: the MUTATION-TOLERANT tier measured ------------------
         # A 1% remove + a 0.2% micro batch put the index in the
@@ -1146,8 +1216,8 @@ def bench_textindex_1m(spark, sf_dir: str,
         out["bm25_dirty_dense1_blockmax_1m"] = round(med, 4)
         variance["bm25_dirty_dense1_blockmax_1m"] = round(sp, 2)
         med, sp = _time_runs(
-            lambda: idx.search(d1, k=10, block_max=False),
-            n=9, discard_worst=2)
+            lambda: idx.search(d1, k=10, block_max=False).collect(),
+            n=9, discard_worst=2, eager=True)
         out["bm25_dirty_dense1_classic_1m"] = round(med, 4)
         variance["bm25_dirty_dense1_classic_1m"] = round(sp, 2)
         idx.search(d1, k=10, block_max=True).collect()
@@ -1369,16 +1439,6 @@ def main() -> None:
     # session pushing (max-min)/median past the 0.5 trust bar: time 9 runs
     # and discard the single slowest before reporting
     noisy = {"knn_cascade_ivf"}
-    for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).collect()
-        kw = ({"n": 9, "discard_worst": 1} if name in noisy else {})
-        med, spread = _time_runs(lambda: QUERIES[name](spark, sf_dir), **kw)
-        times[name] = round(med, 4)
-        variance[name] = round(spread, 2)
-
-    # drop the headline queries' cached relations before the 1M section so
-    # its numbers aren't degraded by unrelated cache memory pressure
-    spark.catalog.clearCache()
 
     # ---- mid-run contention attribution (r14 verdict item 2) -----------
     # The pre/post gate's blind spot is the MIDDLE of a ~20-min run on a
@@ -1428,10 +1488,43 @@ def main() -> None:
         return rec["quiet"]
 
     contended_keys: set = set()
+
+    # headline family, probe-chunked (r15 verdict item 2): attribution
+    # used to be family-granular — the ~12 s headline block sat between
+    # two probes, so ONE noisy boundary condemned all 22 keys (the r15
+    # driver record lost 41/80 keys to two noisy boundaries).  Probing
+    # every _HL_CHUNK keys bounds one noisy boundary's blast radius to
+    # the two adjacent chunks (<= 15 keys); the quiet chunks stay
+    # band-comparable.  Each ~2 s probe runs BETWEEN chunks, never
+    # inside a _time_runs window.
+    _HL_CHUNK = 7
+    chunk: list[str] = []
+    hl_prev_quiet = not noisy_pre  # a never-quiet pre-probe condemns
+    # the first chunk by boundary logic; session_noisy already marks
+    # the whole record suspect in that case
+    for i, name in enumerate(HEADLINE):
+        QUERIES[name](spark, sf_dir).collect()
+        kw = ({"n": 9, "discard_worst": 1} if name in noisy else {})
+        med, spread = _time_runs(lambda: QUERIES[name](spark, sf_dir), **kw)
+        times[name] = round(med, 4)
+        variance[name] = round(spread, 2)
+        chunk.append(name)
+        if len(chunk) >= _HL_CHUNK and i < len(HEADLINE) - 1:
+            q = _mid_probe(f"headline_{i + 1}")
+            if not (hl_prev_quiet and q):
+                contended_keys.update(chunk)
+            chunk = []
+            hl_prev_quiet = q
+
+    # drop the headline queries' cached relations before the 1M section so
+    # its numbers aren't degraded by unrelated cache memory pressure
+    spark.catalog.clearCache()
+
     q_all: dict[str, float] = {}
     prev_quiet = _mid_probe("after_headline")
-    if not (prev_quiet and not noisy_pre):
-        contended_keys.update(times)
+    if not (prev_quiet and hl_prev_quiet):
+        contended_keys.update(chunk)  # only the LAST headline chunk —
+        # earlier chunks answered to their own boundary probes above
     for tag, fn in [
             ("streaming", lambda: bench_streaming(spark, sf_dir, variance)),
             ("1m_scan", lambda: bench_1m_scan(spark, sf_dir, variance)),
