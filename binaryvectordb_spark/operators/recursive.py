@@ -1,0 +1,93 @@
+"""Semi-naive recursive closure — the iterative-query operator family.
+
+Spark 4 ships WITH RECURSIVE (UnionLoop), but its UNION ALL semantics
+re-derive every PATH: on a graph with converging edges the per-level row
+count multiplies by the average in-degree (a diamond doubles it, k
+diamonds in sequence are 2^k paths to the same node), and a cycle never
+terminates without an explicit depth guard.  The textbook fix is
+SEMI-NAIVE evaluation (datalog's delta iteration): each level joins only
+the NEW frontier against the edge list and anti-joins everything already
+visited, so every node is derived exactly once no matter how many paths
+reach it, and cycles terminate naturally when the frontier empties.
+
+`semi_naive_closure` is that operator as a DataFrame loop:
+
+- per level exactly ONE shuffle-bearing job — frontier ⋈ edges on the
+  source key, distinct on the destination, anti-join against the visited
+  union, `localCheckpoint(eager=True)` to pin the level and CUT LINEAGE
+  (20 levels of join lineage would otherwise replan and recompute the
+  whole prefix every level — the pagerank lesson, analytics3.py);
+- the frontier side BROADCASTS while it stays small (it is ≤ the new
+  nodes of the previous level), so the edge list — the 100 TB side —
+  never shuffles; past `broadcast_frontier_max` the join falls back to
+  a plain equi-join, where a cluster deployment co-locates it by
+  bucketing edges on `src`;
+- the visited set is the union of the already-materialized level frames
+  (never re-checkpointed — the anti-join reads cached partitions, no
+  O(V) rewrite per level);
+- each level's size comes from `count()` on the checkpointed frame
+  (cached — no recompute), which both drives the broadcast decision and
+  detects the empty frontier.
+
+Result: (node, dist) with dist = BFS distance from the nearest root —
+deterministic under any partitioning, equal to the bounded recursive
+CTE's `GROUP BY node: min(dist)` whenever both explore the same depth.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BROADCAST_FRONTIER_MAX = 2_000_000
+
+
+def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
+                       max_depth: int,
+                       src: str = "src", dst: str = "dst",
+                       node: str = "node",
+                       broadcast_frontier_max: int = _BROADCAST_FRONTIER_MAX,
+                       info: dict | None = None) -> DataFrame:
+    """Multi-source BFS closure over `edges` (columns src, dst) from
+    `roots` (column `node`), exploring at most `max_depth` hops.
+
+    Returns (node, dist int) — dist is the minimum hop count from any
+    root; roots themselves carry dist 0.  Duplicate roots and cyclic /
+    multi-path edge sets are handled by construction (each node enters
+    the result at its first — minimal — level only).
+
+    `info`, when passed, is filled with {"levels": int,
+    "frontier_sizes": [int, ...]} for tests and diagnostics.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    level0 = (roots.select(F.col(node).alias(node)).distinct()
+              .select(node, F.lit(0).cast("int").alias("dist"))
+              .localCheckpoint(eager=True))
+    levels = [level0]
+    sizes = [level0.count()]
+    frontier = level0
+    for d in range(1, max_depth + 1):
+        if sizes[-1] == 0:
+            break
+        f_side = (F.broadcast(frontier)
+                  if sizes[-1] <= broadcast_frontier_max else frontier)
+        visited = reduce(DataFrame.unionByName,
+                         (lv.select(node) for lv in levels))
+        new = (f_side.join(edges, F.col(node) == F.col(src))
+               .select(F.col(dst).alias(node)).distinct()
+               .join(visited, node, "left_anti")
+               .select(node, F.lit(d).cast("int").alias("dist"))
+               .localCheckpoint(eager=True))
+        n_new = new.count()
+        if n_new == 0:
+            break
+        levels.append(new)
+        sizes.append(n_new)
+        frontier = new
+    if info is not None:
+        info["levels"] = len(levels) - 1
+        info["frontier_sizes"] = sizes
+    return reduce(DataFrame.unionByName, levels)

@@ -39,6 +39,7 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
     mllib_ops,
     multimodal,
     mutation,
+    recursion,
     relational,
     scalar_funcs,
     scalar_funcs2,
