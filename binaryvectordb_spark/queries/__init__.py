@@ -63,6 +63,8 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # remainder (age 4) + the first 39 of the r12 cohort; r16 additions are
 # inserted at the head before close and the list is re-emitted then.
 _PRIORITY = [
+    "recursive_cte_subtree_rollup",
+    "recursive_reachability_semi_naive",
     "index_popcount_stats",
     "db_len",
     "point_lookup",
