@@ -1264,6 +1264,30 @@ def bench_textindex_1m(spark, sf_dir: str,
     return out
 
 
+def bench_recursion(spark, sf_dir: str,
+                    variance: dict[str, float]) -> dict[str, float]:
+    """The r16 recursive-closure rows at sf0.1 — both timed EAGER
+    end-to-end: the semi-naive operator runs its per-level jobs
+    (localCheckpoint materializations) while BUILDING the frame, so the
+    lazy protocol would miss the whole iteration (the r15 blockmax
+    timing lesson, applied before the first committed number this
+    time); the native CTE is timed the same way for a symmetric pair."""
+    from binaryvectordb_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for key, name in (("recursive_cte_rollup",
+                       "recursive_cte_subtree_rollup"),
+                      ("recursive_semi_naive_reach",
+                       "recursive_reachability_semi_naive")):
+        QUERIES[name](spark, sf_dir).collect()  # warm-up
+        med, sp = _time_runs(
+            lambda name=name: QUERIES[name](spark, sf_dir).collect(),
+            eager=True)
+        out[key] = round(med, 4)
+        variance[key] = round(sp, 2)
+    return out
+
+
 def bench_zorder(spark, sf_dir: str) -> dict[str, float]:
     """Z-order layout skipping, as DETERMINISTIC byte fractions (no
     wall-clock: local page cache would bury the I/O effect — same rationale
@@ -1530,6 +1554,8 @@ def main() -> None:
             ("1m_scan", lambda: bench_1m_scan(spark, sf_dir, variance)),
             ("png_zorder", lambda: {**bench_png_decode(),
                                     **bench_zorder(spark, sf_dir)}),
+            ("recursion", lambda: bench_recursion(spark, sf_dir,
+                                                  variance)),
             ("textindex", lambda: bench_textindex(spark, sf_dir, variance)),
             ("hybrid", lambda: bench_hybrid_serving(spark, sf_dir,
                                                     variance)),

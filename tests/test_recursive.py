@@ -116,6 +116,41 @@ def test_frontier_broadcasts_and_edges_never_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_graphs_match_python_bfs(spark, seed):
+    """Property: on seeded random digraphs (cycles, self-loops, multi-
+    edges, unreachable components all occur at this density), the
+    operator equals a reference Python BFS — node set AND min
+    distance — both depth-capped and uncapped."""
+    import collections
+    import random
+
+    rng = random.Random(seed)
+    n, m = 40, 90
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    roots = sorted(rng.sample(range(n), 3))
+    adj = collections.defaultdict(set)
+    for s, t in pairs:
+        adj[s].add(t)
+
+    def bfs(cap):
+        dist = {r: 0 for r in roots}
+        frontier = set(roots)
+        d = 0
+        while frontier and d < cap:
+            d += 1
+            nxt = {v for u in frontier for v in adj[u] if v not in dist}
+            for v in nxt:
+                dist[v] = d
+            frontier = nxt
+        return sorted(dist.items())
+
+    for cap in (2, 1000):
+        out = semi_naive_closure(
+            _edges(spark, pairs), _roots(spark, roots), max_depth=cap)
+        assert _result(out) == bfs(cap), f"seed={seed} cap={cap}"
+
+
 def test_driver_rows_match_oracles(spark, duck):
     from binaryvectordb_spark.queries import ORACLES, QUERIES
     from tests.oracle_harness import compare
