@@ -863,26 +863,18 @@ def bench_textindex_1m(spark, sf_dir: str,
 
     from binaryvectordb_spark.operators.textindex import TextIndex
     from binaryvectordb_spark.queries.hybrid import TERMS
-    from binaryvectordb_spark.sources.tables import load_table
+    from binaryvectordb_spark.sources.tables import replicated_text_corpus
 
     spark.catalog.clearCache()  # the 1M text corpus must not fight the
     # earlier sections' cached relations for the 2g heap
     out: dict[str, float] = {}
     d = tempfile.mkdtemp(prefix="bvdb_ti1m_")
     try:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id",
-                                                             "text")
-        n = docs.count()
-        copies = max(1, 1_000_000 // n)
-        par = spark.sparkContext.defaultParallelism
-        corpus_dir = os.path.join(d, "corpus")
-        (docs.crossJoin(spark.range(copies).select(F.col("id").alias("rep")))
-         .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
-                 F.concat(F.col("text"), F.lit(" tag"),
-                          F.col("rep")).alias("text"))
-         .repartition(par)
-         .write.mode("overwrite").parquet(corpus_dir))
-        big = spark.read.parquet(corpus_dir)  # disk-backed, like a corpus
+        # ONE definition shared with the committed experiment scripts —
+        # the r16 decline decisions assume bench and experiments measure
+        # the SAME corpus
+        big = replicated_text_corpus(spark, sf_dir,
+                                     os.path.join(d, "corpus"))
         idx = TextIndex(spark, os.path.join(d, "ti")).build(big)
 
         tags = ("tag7", "tag42", "tag133")

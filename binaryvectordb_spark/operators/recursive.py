@@ -44,6 +44,21 @@ from pyspark.sql import functions as F
 _BROADCAST_FRONTIER_MAX = 2_000_000
 
 
+def _next_level(frontier: DataFrame, edges: DataFrame,
+                visited: DataFrame, d: int, *,
+                src: str, dst: str, node: str,
+                do_broadcast: bool) -> DataFrame:
+    """One delta-iteration step, pre-checkpoint: (broadcast) frontier ⋈
+    edges on the source key → distinct destinations → anti-join the
+    visited set → (node, dist=d).  Split out so tests can pin the
+    physical plan of the EXACT join the loop executes."""
+    f_side = F.broadcast(frontier) if do_broadcast else frontier
+    return (f_side.join(edges, F.col(node) == F.col(src))
+            .select(F.col(dst).alias(node)).distinct()
+            .join(visited, node, "left_anti")
+            .select(node, F.lit(d).cast("int").alias("dist")))
+
+
 def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
                        max_depth: int,
                        src: str = "src", dst: str = "dst",
@@ -59,35 +74,39 @@ def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
     the result at its first — minimal — level only).
 
     `info`, when passed, is filled with {"levels": int,
-    "frontier_sizes": [int, ...]} for tests and diagnostics.
+    "frontier_sizes": [int, ...], "broadcast_levels": [bool, ...]} for
+    tests and diagnostics.
     """
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    # project to exactly (src, dst): a stray caller column named like
+    # `node` would otherwise make the level join's F.col(node) ambiguous
+    edges = edges.select(F.col(src), F.col(dst))
     level0 = (roots.select(F.col(node).alias(node)).distinct()
               .select(node, F.lit(0).cast("int").alias("dist"))
               .localCheckpoint(eager=True))
     levels = [level0]
     sizes = [level0.count()]
+    bcast: list[bool] = []
     frontier = level0
     for d in range(1, max_depth + 1):
         if sizes[-1] == 0:
             break
-        f_side = (F.broadcast(frontier)
-                  if sizes[-1] <= broadcast_frontier_max else frontier)
+        do_broadcast = sizes[-1] <= broadcast_frontier_max
         visited = reduce(DataFrame.unionByName,
                          (lv.select(node) for lv in levels))
-        new = (f_side.join(edges, F.col(node) == F.col(src))
-               .select(F.col(dst).alias(node)).distinct()
-               .join(visited, node, "left_anti")
-               .select(node, F.lit(d).cast("int").alias("dist"))
-               .localCheckpoint(eager=True))
+        new = _next_level(frontier, edges, visited, d, src=src, dst=dst,
+                          node=node, do_broadcast=do_broadcast
+                          ).localCheckpoint(eager=True)
         n_new = new.count()
         if n_new == 0:
             break
+        bcast.append(do_broadcast)
         levels.append(new)
         sizes.append(n_new)
         frontier = new
     if info is not None:
         info["levels"] = len(levels) - 1
         info["frontier_sizes"] = sizes
+        info["broadcast_levels"] = bcast
     return reduce(DataFrame.unionByName, levels)

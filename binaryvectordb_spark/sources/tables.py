@@ -134,3 +134,28 @@ def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """JSONL / JSONL.GZ ingest (gzip transparent) — mirrors the reference's
     example pipeline (examples/create_new_db.py:31-34) as a distributed scan."""
     return spark.read.json(path)
+
+
+def replicated_text_corpus(spark: SparkSession, sf_dir: str,
+                           out_dir: str,
+                           n_target: int = 1_000_000) -> DataFrame:
+    """The shared ~1M-doc bench/experiment corpus: `documents` replicated
+    to `n_target` rows with distinct doc_ids and a rep-specific ``tag<r>``
+    token appended (the Zipf tail the 31-token synthetic vocabulary
+    lacks), written to `out_dir` and read back DISK-BACKED (a corpus, not
+    a cached relation).  One definition keeps bench.py's 1M keys and the
+    committed experiment scripts provably on the SAME corpus — the
+    decline decisions they evidence assume it (NOTES r16)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    copies = max(1, n_target // n)
+    par = spark.sparkContext.defaultParallelism
+    (docs.crossJoin(spark.range(copies).select(F.col("id").alias("rep")))
+     .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+             F.concat(F.col("text"), F.lit(" tag"),
+                      F.col("rep")).alias("text"))
+     .repartition(par)
+     .write.mode("overwrite").parquet(out_dir))
+    return spark.read.parquet(out_dir)

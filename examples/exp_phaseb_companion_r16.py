@@ -31,7 +31,7 @@ def main() -> None:
     from binaryvectordb_spark.operators.textindex import TextIndex
     from binaryvectordb_spark.queries.hybrid import TERMS
     from binaryvectordb_spark.session import get_spark
-    from binaryvectordb_spark.sources.tables import load_table
+    from binaryvectordb_spark.sources.tables import replicated_text_corpus
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("exp-phaseb")
@@ -40,20 +40,10 @@ def main() -> None:
     out: dict = {}
     d = tempfile.mkdtemp(prefix="bvdb_exp_phb_")
     try:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text")
-        n = docs.count()
-        copies = max(1, 1_000_000 // n)
-        par = spark.sparkContext.defaultParallelism
-        corpus_dir = os.path.join(d, "corpus")
-        (docs.crossJoin(
-            spark.range(copies).select(F.col("id").alias("rep")))
-         .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
-                 F.concat(F.col("text"), F.lit(" tag"),
-                          F.col("rep")).alias("text"))
-         .repartition(par)
-         .write.mode("overwrite").parquet(corpus_dir))
-        big = spark.read.parquet(corpus_dir)
+        # the bench's own 1M corpus builder — shared so the decline
+        # decision this script evidences holds for the measured keys
+        big = replicated_text_corpus(spark, sf_dir,
+                                     os.path.join(d, "corpus"))
         idx = TextIndex(spark, os.path.join(d, "ti")).build(big)
 
         # the bench's mixed split shape: selective anchor + 2 dense

@@ -102,18 +102,39 @@ def test_matches_native_recursive_cte_on_tree(spark):
 
 
 def test_frontier_broadcasts_and_edges_never_shuffle(spark):
-    """Plan pin: the per-level frontier⋈edges join must broadcast the
-    frontier side — the edge list (the 100 TB side at scale) stays
-    un-shuffled.  Asserted on the exact join the operator builds."""
+    """Plan pin on the OPERATOR'S OWN level join (`_next_level`, the
+    function the loop executes): the frontier side must broadcast — the
+    edge list (the 100 TB side at scale) stays un-shuffled — and the
+    loop must have chosen broadcast at every level (info pin)."""
+    from binaryvectordb_spark.operators.recursive import _next_level
+
     edges = _edges(spark, [(i, i + 1) for i in range(50)])
     lvl = (_roots(spark, [0])
            .select("node", F.lit(0).cast("int").alias("dist"))
            .localCheckpoint(eager=True))
-    j = (F.broadcast(lvl).join(edges, F.col("node") == F.col("src"))
-         .select(F.col("dst").alias("node")).distinct())
+    j = _next_level(lvl, edges, lvl.select("node"), 1,
+                    src="src", dst="dst", node="node", do_broadcast=True)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # the only sort-merge join allowed is the visited ANTI-join — there
+    # the dedup set is the GROWING side, so a broadcast would ship O(V)
+    # every level; shuffle-on-node is the honest scale choice for it
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "LeftAnti" in line, line
+    info: dict = {}
+    semi_naive_closure(edges, _roots(spark, [0]), max_depth=3, info=info)
+    assert info["broadcast_levels"] == [True, True, True]
+
+
+def test_extra_edge_columns_tolerated(spark):
+    """The entry projection makes the (src, dst) contract robust: an
+    edges frame carrying a stray column named `node` must not make the
+    level join's reference ambiguous."""
+    edges = (spark.createDataFrame([(0, 1, 9), (1, 2, 9)],
+                                   "src long, dst long, node long"))
+    out = semi_naive_closure(edges, _roots(spark, [0]), max_depth=5)
+    assert _result(out) == [(0, 0), (1, 1), (2, 2)]
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47])
