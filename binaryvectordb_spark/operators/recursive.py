@@ -79,6 +79,13 @@ def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
     """
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    if len({src, dst, node, "dist"}) < 4:
+        # e.g. node == src would turn the level join's condition into a
+        # self-comparison; dst == "dist" would collide with the output
+        # column inside the join — refuse loudly instead
+        raise ValueError(
+            f"src/dst/node/'dist' must be pairwise distinct, got "
+            f"src={src!r} dst={dst!r} node={node!r}")
     # project to exactly (src, dst): a stray caller column named like
     # `node` would otherwise make the level join's F.col(node) ambiguous
     edges = edges.select(F.col(src), F.col(dst))

@@ -62,6 +62,12 @@ def test_max_depth_gates_exploration(spark):
     assert _result(out0) == [(0, 0)]
     with pytest.raises(ValueError):
         semi_naive_closure(chain, _roots(spark, [0]), max_depth=-1)
+    with pytest.raises(ValueError):
+        semi_naive_closure(chain, _roots(spark, [0]), max_depth=1,
+                           node="src")
+    with pytest.raises(ValueError):
+        semi_naive_closure(chain, _roots(spark, [0]), max_depth=1,
+                           dst="dist")
 
 
 def test_empty_and_duplicate_roots(spark):
