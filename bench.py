@@ -1637,9 +1637,15 @@ def main() -> None:
     print(json.dumps(out), file=sys.stderr)
 
     q = out["queries"]
-    headline_keys = [k for k in q if k.startswith("cascade_1m")
+    # bm25_split_phaseb_rows_fraction is a DETAIL diagnostic (the
+    # declined-companion cost record) — keep it off the compact line:
+    # r15 closed at 1761 of the 1800-char budget, and one more
+    # ~41-char _fraction entry would trip the shed fallback and hand
+    # the driver the 2-key minimal line instead of the headline table
+    headline_keys = [k for k in q if (k.startswith("cascade_1m")
                      or k.endswith("_fraction") or k.endswith("_per_s")
-                     or k.endswith("_mb_per_s")
+                     or k.endswith("_mb_per_s"))
+                     and k != "bm25_split_phaseb_rows_fraction"
                      or k in ("agg_pricing_summary", "hamming_scan_1m",
                               "pq_adc_scan_1m", "dedup_semantic_clusters",
                               "knn_cascade", "search_maxsim_topk",
