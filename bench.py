@@ -1277,6 +1277,14 @@ def bench_recursion(spark, sf_dir: str,
             eager=True)
         out[key] = round(med, 4)
         variance[key] = round(sp, 2)
+    # the family leaves ~70 localCheckpoint level RDDs behind; drain
+    # the ContextCleaner NOW instead of letting it churn under the next
+    # boundary probe (the r15 after_headline wake class — this boundary
+    # read noisy in both r16 runs 1 and 2 before the drain existed)
+    import gc
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
     return out
 
 
