@@ -82,6 +82,58 @@ register("recursive_cte_subtree_rollup", recursive_cte_subtree_rollup,
          oracle=_ROLLUP_SQL)
 
 
+# BOM explosion: the third strategy corner.  Here UNION ALL path
+# semantics is CORRECT, not a workaround — extended quantity is a
+# product over the path, so every path must be enumerated (a node-dedup
+# strategy like the semi-naive operator would be WRONG for this
+# aggregate; on a tree path = node so the enumeration stays linear).
+# Child k assembles into parent floor(k/2) with a deterministic
+# per-edge quantity 1 + k % 3; no depth guard — the walk terminates
+# naturally at the leaves (acyclic from roots >= 8, same argument as
+# the rollup row).  BIGINT headroom: max product is 3^depth ≈ 3^21 at
+# sf10 (~1e10), × ~2M nodes ≪ 2^63.
+_BOM_ROOT_LO = 8
+_BOM_ROOT_HI = 15
+
+_BOM_SQL = f"""
+WITH RECURSIVE bom(root, node, ext_qty) AS (
+  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT)
+  FROM part
+  WHERE p_partkey BETWEEN {_BOM_ROOT_LO} AND {_BOM_ROOT_HI}
+  UNION ALL
+  SELECT b.root, p.p_partkey, b.ext_qty * (1 + p.p_partkey % 3)
+  FROM bom b
+  JOIN part p ON CAST(floor(p.p_partkey / 2.0) AS BIGINT) = b.node
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(ext_qty) AS BIGINT) AS total_units,
+       CAST(max(ext_qty) AS BIGINT) AS max_units
+FROM bom
+GROUP BY root
+"""
+
+
+def recursive_bom_extended_quantity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """BOM explosion (extended-quantity rollup) via the native
+    recursive CTE — quantities MULTIPLY along each assembly path, the
+    classic manufacturing walk.  Completes the recursion strategy
+    triad: subtree rollup (single-path acyclic — either strategy),
+    reachability (cyclic/multi-path — semi-naive ONLY), and this row
+    (path-weighted aggregate — path enumeration ONLY: deduplicating
+    nodes would drop quantity mass).  Guard-free recursion: the walk
+    ends at the leaves, exercising UnionLoop's natural termination
+    rather than a depth cap; integer arithmetic end-to-end, so the
+    oracle is the identical SQL text."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_BOM_SQL)
+
+
+register("recursive_bom_extended_quantity", recursive_bom_extended_quantity,
+         oracle=_BOM_SQL)
+
+
 # Functional graph over customer keys: out-degree 2 with affine maps
 # modulo the key span — converging edges and cycles by construction
 # (pigeonhole: every walk of length > 1 revisits under the modulus

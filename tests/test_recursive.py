@@ -182,5 +182,27 @@ def test_driver_rows_match_oracles(spark, duck):
     from binaryvectordb_spark.queries import ORACLES, QUERIES
     from tests.oracle_harness import compare
     for name in ("recursive_cte_subtree_rollup",
-                 "recursive_reachability_semi_naive"):
+                 "recursive_reachability_semi_naive",
+                 "recursive_bom_extended_quantity"):
         compare(QUERIES[name](spark, SF_SMOKE), ORACLES[name], duck, name)
+
+
+def test_bom_quantities_multiply_along_paths(spark):
+    """Closed-form pin on a 3-level slice under root 8: children 16/17
+    carry ext_qty 1+(k%3), and grandchildren 34/35 carry the PRODUCT of
+    their path's per-edge quantities — not the sum."""
+    from binaryvectordb_spark.sources.tables import load_table
+    load_table(spark, SF_SMOKE, "part").createOrReplaceTempView("part")
+    got = {r["node"]: r["ext_qty"] for r in spark.sql("""
+        WITH RECURSIVE bom(root, node, ext_qty) AS (
+          SELECT p_partkey, p_partkey, CAST(1 AS BIGINT) FROM part
+          WHERE p_partkey = 8
+          UNION ALL
+          SELECT b.root, p.p_partkey, b.ext_qty * (1 + p.p_partkey % 3)
+          FROM bom b JOIN part p
+            ON CAST(floor(p.p_partkey / 2.0) AS BIGINT) = b.node
+        ) SELECT node, ext_qty FROM bom""").collect()}
+    assert got[8] == 1
+    assert got[16] == 1 + 16 % 3 and got[17] == 1 + 17 % 3
+    assert got[34] == got[17] * (1 + 34 % 3)
+    assert got[35] == got[17] * (1 + 35 % 3)
