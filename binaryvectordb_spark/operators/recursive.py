@@ -51,7 +51,14 @@ def _next_level(frontier: DataFrame, edges: DataFrame,
     """One delta-iteration step, pre-checkpoint: (broadcast) frontier ⋈
     edges on the source key → distinct destinations → anti-join the
     visited set → (node, dist=d).  Split out so tests can pin the
-    physical plan of the EXACT join the loop executes."""
+    physical plan of the EXACT join the loop executes.
+
+    r16 measured non-change: explicitly broadcasting the visited side of
+    the anti-join while it is small (its LogicalRDD stats are unknown,
+    so the planner never does it on its own) was parity-to-worse at
+    sf0.1 — the per-level broadcast build costs what the tiny shuffle
+    anti-join costs — and ships O(V) per level at scale; declined
+    (examples/exp_recursion_r16.py session 2)."""
     f_side = F.broadcast(frontier) if do_broadcast else frontier
     return (f_side.join(edges, F.col(node) == F.col(src))
             .select(F.col(dst).alias(node)).distinct()
@@ -64,6 +71,7 @@ def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
                        src: str = "src", dst: str = "dst",
                        node: str = "node",
                        broadcast_frontier_max: int = _BROADCAST_FRONTIER_MAX,
+                       materialize_edges: bool = False,
                        info: dict | None = None) -> DataFrame:
     """Multi-source BFS closure over `edges` (columns src, dst) from
     `roots` (column `node`), exploring at most `max_depth` hops.
@@ -76,6 +84,18 @@ def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
     `info`, when passed, is filled with {"levels": int,
     "frontier_sizes": [int, ...], "broadcast_levels": [bool, ...]} for
     tests and diagnostics.
+
+    ``materialize_edges`` (r16 optimization): every level's job carries
+    the FULL lineage of ``edges`` — when the edge list is itself derived
+    (scans + aggregations + unions), that derivation re-executes once
+    per level.  True pins the projected (src, dst) frame with a lazy
+    ``localCheckpoint`` so it is computed exactly once (during level 1)
+    and later levels read the materialized partitions.  Per-invocation
+    only — a fresh call re-materializes, nothing persists across runs.
+    Leave False (the default) when the edge list is too large to
+    materialize (the 100 TB deployment reads it from a bucketed table,
+    where the per-level scan IS the design) or when it is already a
+    plain scan/checkpoint with no derivation to amortize.
     """
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
@@ -89,6 +109,8 @@ def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
     # project to exactly (src, dst): a stray caller column named like
     # `node` would otherwise make the level join's F.col(node) ambiguous
     edges = edges.select(F.col(src), F.col(dst))
+    if materialize_edges:
+        edges = edges.localCheckpoint(eager=False)
     level0 = (roots.select(F.col(node).alias(node)).distinct()
               .select(node, F.lit(0).cast("int").alias("dist"))
               .localCheckpoint(eager=True))

@@ -124,6 +124,18 @@ FROM sigs
 """)
 
 
+# r16 optimization toggle (measured in examples/exp_dedup_r16.py): a
+# self-join's two sides are IDENTICAL subplans, but Spark re-executes the
+# whole derivation for each side (the broadcast side cannot reuse the
+# probe side's exchange), so the shingle+minhash aggregation — the heavy
+# part of the LSH family — ran 2x in dedup_minhash_pairs and the shingle
+# arrays 3x in dedup_lsh_jaccard.  True pins the small derived frames
+# (bands: 4 rows/doc; shingle sets: 1 row/doc) with a lazy
+# localCheckpoint so each derivation runs once per invocation; nothing
+# persists across calls (a fresh call builds fresh RDDs).
+_PIN_SHARED = True
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on any of the 4 bands (3 sigs each).
     The band table is exploded then self-equi-joined on (band_idx, band_hash)
@@ -134,6 +146,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            for r in range(ROWS_PER_BAND)])
         for b in range(N_BANDS)]).alias("bands"))
     ex = bands.select("doc_id", F.posexplode("bands").alias("band_idx", "bh"))
+    if _PIN_SHARED:
+        ex = ex.localCheckpoint(eager=False)
     a = ex.alias("a")
     b = ex.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -207,6 +221,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(4)]).alias("blks"))
     ex = blocks.select("doc_id", "simhash",
                        F.posexplode("blks").alias("blk_idx", "blk"))
+    if _PIN_SHARED:
+        # the 32-sum simhash aggregation would otherwise run once per
+        # self-join side (see _PIN_SHARED note above)
+        ex = ex.localCheckpoint(eager=False)
     a, b = ex.alias("a"), ex.alias("b")
     return (a.join(b, (F.col("a.blk_idx") == F.col("b.blk_idx"))
                    & (F.col("a.blk") == F.col("b.blk"))
@@ -338,6 +356,10 @@ def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("toks"))
     shl = d.select("doc_id",
                    F.array_distinct(shingles("toks", 3)).alias("shs"))
+    if _PIN_SHARED:
+        # both verify sides read the same per-doc shingle sets — derive
+        # them once (see _PIN_SHARED note above)
+        shl = shl.localCheckpoint(eager=False)
     a = shl.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"))
     b = shl.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"))
     return (cands.join(a, "id_a").join(b, "id_b")

