@@ -57,6 +57,32 @@ class ConcurrentWriteError(Exception):
     Re-run the mutation to retry against the new state."""
 
 
+# token -> seeded vector memo for local_embedder, keyed by dim (r16,
+# guide §4.5): the per-token work — md5 + RandomState CONSTRUCTION +
+# uniform draw — is ~20 µs and was paid once per token OCCURRENCE
+# (~500k times for a 5k-doc corpus with a 31-word vocabulary), which made
+# the embed pipeline construction-bound, not math-bound.  The memo holds
+# each DISTINCT token's vector; values are bit-identical to a fresh
+# construction (same seed, same draw), so every determinism pin holds.
+# Worker processes are reused across tasks (spark.python.worker.reuse),
+# so the module-level dict amortizes across batches AND tasks; the size
+# cap bounds worker memory on open-vocabulary corpora.
+_TOKEN_VEC_CACHE: dict[int, dict[str, np.ndarray]] = {}
+_TOKEN_VEC_CACHE_MAX = 262_144
+
+
+def _token_vec(tok: str, dim: int) -> np.ndarray:
+    per_dim = _TOKEN_VEC_CACHE.setdefault(dim, {})
+    v = per_dim.get(tok)
+    if v is None:
+        seed = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "big")
+        v = np.random.RandomState(seed).uniform(-1.0, 1.0, dim)
+        if len(per_dim) >= _TOKEN_VEC_CACHE_MAX:
+            per_dim.clear()
+        per_dim[tok] = v
+    return v
+
+
 def local_embedder(texts: Sequence[str], dim: int) -> np.ndarray:
     """Deterministic stand-in for the external embedding API
     (BinaryVectorDB/BinaryVectorDB.py:109).  Bag-of-words of seeded token
@@ -65,9 +91,7 @@ def local_embedder(texts: Sequence[str], dim: int) -> np.ndarray:
     for r, t in enumerate(texts):
         acc = np.zeros(dim, dtype=np.float64)
         for tok in str(t).lower().split():
-            seed = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "big")
-            rng = np.random.RandomState(seed)
-            acc += rng.uniform(-1.0, 1.0, dim)
+            acc += _token_vec(tok, dim)
         n = np.linalg.norm(acc)
         out[r] = (acc / n if n > 0 else acc).astype(np.float32)
     return out

@@ -122,6 +122,40 @@ def dot(a: str, b: str) -> Column:
     )
 
 
+def dot_unrolled(a: str, b: str, dim: int) -> Column:
+    """`dot` with the fold UNROLLED to a flat 0+t1+...+t_dim expression.
+
+    Bit-identical to `dot` (same left-associative ascending-d IEEE fold —
+    the aggregate lambda is (acc, v) -> acc + v over ascending index, the
+    flat sum parses left-associative), but codegen-ELIGIBLE: the
+    higher-order aggregate/zip_with form is CodegenFallback, interpreted
+    per row, which dominates pair-join queries (r16 measured the blocked
+    cosine self-join at 13.9 s interpreted; see cosine_unrolled users).
+    Needs the dimension at plan-build time — every fixture/storage path
+    here has it."""
+    terms = "CAST(0 AS DOUBLE)" + "".join(
+        f" + CAST(element_at({_sql(a)}, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at({_sql(b)}, {i + 1}) AS DOUBLE)"
+        for i in range(dim))
+    return F.expr(terms)
+
+
+def cosine_unrolled(a: str, b: str, dim: int, na: Column | None = None,
+                    nb: Column | None = None) -> Column:
+    """`cosine` built from unrolled folds — bit-identical values (the
+    dot/norm scalars are the same doubles, the when() guard is the same),
+    codegen-eligible.  ``na``/``nb`` accept PRE-COMPUTED norm columns
+    (norms are per-vector facts — compute them before a pair join so the
+    per-pair work is one dot, not three folds; r16 measured the blocked
+    cosine self-join 13.9 s -> 2.9 s with this split)."""
+    d = dot_unrolled(a, b, dim)
+    if na is None:
+        na = F.sqrt(dot_unrolled(a, a, dim))
+    if nb is None:
+        nb = F.sqrt(dot_unrolled(b, b, dim))
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
 def norm(a: str) -> Column:
     """Euclidean norm of a numeric array."""
     return F.sqrt(dot(a, a))

@@ -50,7 +50,18 @@ def _band_table(docs: DataFrame) -> DataFrame:
     inverted-index key.  12 affine MinHash mins in ONE hash-agg, banded
     3-row-per-band (same family/constants as the bootstrap dedup so gate
     decisions are consistent with it)."""
-    ex = (_shingle_sets(docs)
+    return _band_table_from(_shingle_sets(docs))
+
+
+def _band_table_from(shingle_df: DataFrame) -> DataFrame:
+    """_band_table over an ALREADY-BUILT (doc_id, shs) frame — so a
+    caller that needs both the band table and the shingle sets (every
+    gate shape does: bands prune, shingles verify) derives the shingle
+    sets ONCE and feeds both consumers (r16; before this split the gate
+    ran the corpus shingle pipeline twice and the batch side three
+    times, and the explode-inferred size(shs)>0 filter re-evaluated the
+    interpreted shingle transform inside the scan filter of each copy)."""
+    ex = (shingle_df
           .select("doc_id", F.explode("shs").alias("s"))
           .select("doc_id", F.expr(token_hash31("s")).alias("h")))
     m = ex.groupBy("doc_id").agg(*minhash_min_exprs("h", N_HASHES))
@@ -80,7 +91,14 @@ def _gate_core(batch_ids: DataFrame, b_bands: DataFrame,
                            F.col("shs").alias("sa"))
     sb = c_shingles.select(F.col("doc_id").alias("cid"),
                            F.col("shs").alias("sb"))
-    ver = (cands.join(sa, "bid").join(sb, "cid")
+    # the candidate-pair side (O(batch x collisions), micro-batch-bounded
+    # by the gate's contract) broadcasts EXPLICITLY for the corpus-
+    # shingle attach: the corpus side then neither shuffles nor
+    # broadcasts at any scale.  Before r16 the planner auto-broadcast the
+    # CORPUS shingle table instead — fine at fixture size, the wrong side
+    # at 100 TB (and the no-corpus-shuffle contract only held by size
+    # estimate).
+    ver = (sb.join(F.broadcast(cands.join(sa, "bid")), "cid")
            .withColumn("common", F.size(F.array_intersect("sa", "sb"))
                        .cast("double"))
            .withColumn("j", F.col("common")
@@ -126,11 +144,15 @@ def near_dup_gate(batch: DataFrame, corpus: DataFrame, *,
     probe pays only its own (pruned) read cost."""
     batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
     corpus = corpus.select("doc_id", "text")
-    b_bands = (_band_table(batch)
+    # one shingle pass per side (r16): bands AND verify read the same
+    # pinned (doc_id, shs) frame — lazy localCheckpoint, per-invocation
+    # (see _band_table_from for what the unshared form cost)
+    b_sh = _shingle_sets(batch).localCheckpoint(eager=False)
+    c_sh = _shingle_sets(corpus).localCheckpoint(eager=False)
+    b_bands = (_band_table_from(b_sh)
                .select(F.col("doc_id").alias("bid"), "band_idx", "bh"))
     return _gate_core(batch.select("doc_id"), b_bands,
-                      _shingle_sets(batch), _band_table(corpus),
-                      _shingle_sets(corpus), j_threshold)
+                      b_sh, _band_table_from(c_sh), c_sh, j_threshold)
 
 
 def intra_batch_dups(batch: DataFrame, *,
@@ -150,7 +172,10 @@ def intra_batch_dups(batch: DataFrame, *,
     on (band_idx, bh) with a < on doc_id so each unordered pair is
     verified once.  O(batch²) only within colliding LSH buckets."""
     batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
-    bands = _band_table(batch)
+    # one shingle pass + one band derivation for both self-join sides
+    # and the verify attach (r16, same sharing as near_dup_gate)
+    sh = _shingle_sets(batch).localCheckpoint(eager=False)
+    bands = _band_table_from(sh).localCheckpoint(eager=False)
     pairs = (bands.alias("a")
              .join(bands.alias("b"),
                    (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -159,7 +184,6 @@ def intra_batch_dups(batch: DataFrame, *,
              .select(F.col("a.doc_id").alias("cid"),
                      F.col("b.doc_id").alias("bid"))
              .distinct())
-    sh = _shingle_sets(batch)
     sa = sh.select(F.col("doc_id").alias("bid"), F.col("shs").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("cid"), F.col("shs").alias("sb"))
     ver = (pairs.join(sa, "bid").join(sb, "cid")

@@ -26,7 +26,6 @@ from binaryvectordb_spark.functions.text import (
     token_hash31,
     token_hash60,
 )
-from binaryvectordb_spark.functions.vector import cosine
 from binaryvectordb_spark.queries import register
 from binaryvectordb_spark.sources.tables import load_table
 
@@ -310,14 +309,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by embedding similarity, blocked by the label column (the
     fixture's cluster id — an IVF-style partition): pairs within a block with
     cosine >= 0.4.  At scale the block key bounds the join fan-out."""
+    from binaryvectordb_spark.functions.vector import (
+        cosine_unrolled,
+        dot_unrolled,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
+    # r16: two changes, bit-identical values (same IEEE folds — see
+    # dot_unrolled), measured 13.9 s -> see OPTIMIZATION_r16.md:
+    # - norms are PER-VECTOR facts, so sqrt(dot(v, v)) moves before the
+    #   join: O(n) evaluations instead of O(pairs);
+    # - the remaining per-pair dot uses the unrolled fold (codegen-
+    #   eligible) instead of the interpreted aggregate/zip_with HOF.
+    na = F.sqrt(dot_unrolled("embedding", "embedding", 64))
     a = e.select(F.col("label"), F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("va"))
+                 F.col("embedding").alias("va"), na.alias("_na"))
     b = e.select(F.col("label"), F.col("vec_id").alias("id_b"),
-                 F.col("embedding").alias("vb"))
+                 F.col("embedding").alias("vb"), na.alias("_nb"))
+    cos = cosine_unrolled("va", "vb", 64,
+                          na=F.col("_na"), nb=F.col("_nb"))
     return (a.join(b, ["label"])
             .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_sim", cosine("va", "vb"))
+            .withColumn("cos_sim", cos)
             .where(F.col("cos_sim") >= 0.4)
             .select("id_a", "id_b", "cos_sim"))
 

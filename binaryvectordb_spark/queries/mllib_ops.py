@@ -92,6 +92,12 @@ def similarity_join_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("dist").alias("max_dist"))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # r16 measured non-change: unrolling this fold to the flat
+    # (x-y)*(x-y) sum was 2.5x WORSE (each term re-evaluates both
+    # element_at calls twice — 256 array probes/row vs the HOF's one
+    # zip_with materialization — and the 2M-pair join condition blows the
+    # janino method budget, so the bigger expression runs interpreted
+    # anyway).  The HOF form stays; see OPTIMIZATION_r16.md.
     sq = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "

@@ -33,7 +33,15 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks"))
     d = d.withColumn("bi", shingles("toks", 2))
-    return d.select(
+    # r16: the O(distinct x total) top-bigram scan — an interpreted HOF —
+    # was written out twice (the frac and the boolean), and HOFs get no
+    # subexpression elimination (CodegenFallback), so every row paid it
+    # twice.  Compute the frac ONCE and derive the boolean from the
+    # column; `repetitive` is unchanged: the empty-bi CASE arm yielded
+    # false and the frac is 0.0 there, and frac is never NULL.
+    # (CollapseProject keeps the split: it only inlines single-reference
+    # or cheap aliases, and top_bigram_frac is neither.)
+    inner = d.select(
         "doc_id",
         F.expr("size(toks)").cast("int").alias("n_tokens"),
         F.expr(
@@ -43,11 +51,10 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CASE WHEN size(toks) > 0 THEN CAST(1 AS DOUBLE) - "
             "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) "
-            "ELSE CAST(0 AS DOUBLE) END").alias("dup_token_frac"),
-        F.expr(
-            "CASE WHEN size(bi) > 0 AND CAST(array_max(transform("
-            "array_distinct(bi), b -> size(filter(bi, x -> x = b)))) AS DOUBLE)"
-            " / size(bi) > 0.1D THEN true ELSE false END").alias("repetitive"))
+            "ELSE CAST(0 AS DOUBLE) END").alias("dup_token_frac"))
+    return inner.select(
+        "doc_id", "n_tokens", "top_bigram_frac", "dup_token_frac",
+        (F.col("top_bigram_frac") > 0.1).alias("repetitive"))
 
 
 register("text_repetition_ratios", text_repetition_ratios, oracle="""

@@ -38,11 +38,30 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
+    # queries whose sf0.1 cost is understood and deliberate — timing
+    # them 4x would add ~40 min for no information (the sweep hunts for
+    # UNKNOWN outliers).  Each carries its diagnosis.
+    skip = {
+        "dedup_minhash_mllib": "exact-quadratic VERIFY side by design "
+        "(12.5M pairs x array_intersect at sf0.1; driver hashes it at "
+        "sf<=0.01 where the quadratic side is the stated contrast)",
+    }
     results: dict[str, dict] = {}
     for i, (name, fn) in enumerate(QUERIES.items()):
+        if name in skip:
+            results[name] = {"skipped": skip[name]}
+            continue
         spark.sparkContext.setJobDescription(f"sweep:{name}")
         try:
+            t0 = time.perf_counter()
             rows = len(fn(spark, sf_dir).collect())  # warm-up (untimed)
+            warm = time.perf_counter() - t0
+            if warm > 60.0:
+                # pathological at this SF: one number is enough to rank
+                # it at the top of the worklist; don't pay 3 more runs
+                results[name] = {"sec": round(warm, 4), "rows": rows,
+                                 "single_run": True}
+                continue
             runs = []
             for _ in range(3):
                 plan = fn(spark, sf_dir)
@@ -58,9 +77,12 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001 — record and continue
             results[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
+        finally:
+            spark.sparkContext.setJobDescription(None)
         if (i + 1) % 20 == 0:
             print(f"  {i + 1}/{len(QUERIES)} done", file=sys.stderr)
-        spark.sparkContext.setJobDescription(None)
+            with open(out_path + ".partial", "w") as f:
+                json.dump(results, f)
 
     ordered = dict(sorted(results.items(),
                           key=lambda kv: -kv[1].get("sec", 0.0)))
