@@ -623,3 +623,34 @@ def test_tpch_r13_head_plan_shapes(spark):
     assert p.count("LeftSemi") >= 2
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_approx_count_distinct_no_per_group_sketch_partial(spark):
+    """r16: the approx/exact pair must be SPLIT aggregates — the mixed
+    form's single-distinct rewrite groups stage 1 by l_partkey and ships
+    a ~13 KB HLL++ partial (rsd=0.01 -> 1,639 buffer words) PER GROUP
+    through the exchange.  Pin: any HashAggregate computing the sketch
+    partial must be a global (keyless) aggregate."""
+    from binaryvectordb_spark.queries.relational import (
+        agg_approx_count_distinct,
+    )
+    plan = formatted_plan(agg_approx_count_distinct(spark, SF_SMOKE))
+    nodes = plan.split("\n\n")
+    sketch_nodes = [n for n in nodes
+                    if "partial_approx_count_distinct" in n]
+    assert sketch_nodes, "sketch partial missing from plan"
+    for n in sketch_nodes:
+        assert "Keys: []" in n or "Keys []" in n or "Keys [0]" in n, (
+            "HLL++ partial computed per-group again:\n" + n)
+
+
+def test_multimodal_codec_work_is_spread(spark):
+    """r16: the codec mapInPandas chain must not inherit the fixture
+    scan's single partition — _spread round-robins the doc_id proxy
+    across defaultParallelism before the heavy encode/decode."""
+    from binaryvectordb_spark.queries.multimodal import (
+        multimodal_jpeg_decode,
+    )
+    df = multimodal_jpeg_decode(spark, SF_SMOKE)
+    expect = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() == expect
