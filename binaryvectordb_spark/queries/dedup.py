@@ -135,6 +135,20 @@ FROM sigs
 _PIN_SHARED = True
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism ahead of an expensive
+    per-row kernel (pair-wise cosine/levenshtein, the SemDeDup assign
+    projection).  At fixture scale the kernel's input arrives as ONE
+    partition — a single-row-group parquet scan, or an AQE-coalesced
+    exchange — so the kernel runs serially on one core (r16 measured
+    dedup_embedding_cosine 4.5 s -> 0.95 s from this alone).  The exchange
+    cost stays O(kernel input) — a bounded candidate/vector set, never the
+    corpus — and the partition count tracks the session's core count
+    (local[N] and any lower-core bench replica alike), not a constant."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on any of the 4 bands (3 sigs each).
     The band table is exploded then self-equi-joined on (band_idx, band_hash)
@@ -309,25 +323,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by embedding similarity, blocked by the label column (the
     fixture's cluster id — an IVF-style partition): pairs within a block with
     cosine >= 0.4.  At scale the block key bounds the join fan-out."""
-    from binaryvectordb_spark.functions.vector import (
-        cosine_unrolled,
-        dot_unrolled,
-    )
+    from binaryvectordb_spark.functions.vector import dot, dot_unrolled
 
     e = load_table(spark, sf_dir, "embeddings")
-    # r16: two changes, bit-identical values (same IEEE folds — see
-    # dot_unrolled), measured 13.9 s -> see OPTIMIZATION_r16.md:
+    # r16: three changes, bit-identical values (same IEEE folds — dot and
+    # dot_unrolled are the same left-associative ascending-d fold), measured
+    # 13.9 s -> 0.5 s in two steps (OPTIMIZATION_r16.md):
     # - norms are PER-VECTOR facts, so sqrt(dot(v, v)) moves before the
     #   join: O(n) evaluations instead of O(pairs);
-    # - the remaining per-pair dot uses the unrolled fold (codegen-
-    #   eligible) instead of the interpreted aggregate/zip_with HOF.
+    # - the probe side is _spread() — the single-row-group scan otherwise
+    #   feeds the whole 200k-pair kernel to ONE core (4.5 s -> 0.95 s);
+    # - the per-pair dot is the HOF fold, NOT dot_unrolled: once the kernel
+    #   is parallel the measured order flips (0.95 s unrolled vs 0.49 s
+    #   HOF — zip_with materializes each pair's term array once, while the
+    #   128 independent element_at calls of the unrolled form re-check
+    #   null/bounds per term and the 64-term tree still falls off the
+    #   whole-stage-codegen fast path).
     na = F.sqrt(dot_unrolled("embedding", "embedding", 64))
-    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("va"), na.alias("_na"))
+    a = _spread(e.select(F.col("label"), F.col("vec_id").alias("id_a"),
+                         F.col("embedding").alias("va"), na.alias("_na")))
     b = e.select(F.col("label"), F.col("vec_id").alias("id_b"),
                  F.col("embedding").alias("vb"), na.alias("_nb"))
-    cos = cosine_unrolled("va", "vb", 64,
-                          na=F.col("_na"), nb=F.col("_nb"))
+    cos = (F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                  dot("va", "vb") / (F.col("_na") * F.col("_nb")))
+           .otherwise(F.lit(0.0)))
     return (a.join(b, ["label"])
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos_sim", cos)
@@ -461,7 +480,9 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, so it only ever runs on the pruned candidate set — never as a
     pairwise scan.  Both engines implement classic Wagner-Fischer, so the
     integer distances agree exactly."""
-    cands = dedup_minhash_pairs(spark, sf_dir)
+    # _spread: the candidate list lands as one AQE-coalesced partition, so
+    # the O(len^2) levenshtein kernel otherwise runs serially (r16)
+    cands = _spread(dedup_minhash_pairs(spark, sf_dir))
     d = _docs(spark, sf_dir).select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
@@ -650,6 +671,11 @@ def semantic_assign(e: DataFrame, cent_rows: list | None = None) -> DataFrame:
     # so the inlined folds are bit-identical to the joined form.
     if cent_rows is None:
         cent_rows = _collect_centroids(e)
+    # NOT _spread() here: the r16 interleaved A/B measured parity-to-worse
+    # (3.20 s vs 2.98 s off) — the literal-coefficient dot columns are a
+    # compact codegen form, so the serial projection is already cheap and
+    # the exchange + repartition sort only add cost; the expensive stage
+    # (the per-cluster pandas kernel) is parallel by cluster id anyway.
 
     def lit_fold_terms(coeffs: list[float]) -> str:
         # CAST(0)+t1+...+t64 parses left-associative — the exact fold of
