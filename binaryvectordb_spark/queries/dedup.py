@@ -239,13 +239,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-join side (see _PIN_SHARED note above)
         ex = ex.localCheckpoint(eager=False)
     a, b = ex.alias("a"), ex.alias("b")
+    # Earliest-matching-block dedup (r16): a pair matching on k of the 4
+    # blocks used to surface k times and rely on a full-shuffle DISTINCT
+    # (partial agg + Exchange + final agg over the 2.75M candidate rows at
+    # sf0.1) to collapse them.  Both simhashes are in scope at the join, so
+    # "is this the pair's SMALLEST matching block index" is a local integer
+    # predicate: for every j < blk_idx, block j must differ.  Exactly one
+    # row per candidate pair survives the join, the DISTINCT has nothing
+    # left to do, and the whole aggregate pair + exchange disappears —
+    # identical result set (oracle-verified), one less shuffle at any
+    # scale.  Standard LSH trick; same reason minhash bands dedup by first
+    # matching band.
+    earliest = F.expr(" AND ".join(
+        f"(a.blk_idx <= {j} OR (shiftright(a.simhash, {8 * j}) & 255) != "
+        f"(shiftright(b.simhash, {8 * j}) & 255))" for j in range(3)))
     return (a.join(b, (F.col("a.blk_idx") == F.col("b.blk_idx"))
                    & (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & earliest)
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"),
                     F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
-            .distinct()
             .where(F.col("hamming") <= 6))
 
 
