@@ -18,7 +18,7 @@ intermediate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binaryvectordb_spark.queries import register
@@ -634,12 +634,21 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.min("l_extendedprice").alias("cost")))
     ro = offers.join(F.broadcast(eligible),
                      offers.suppkey == F.col("s_suppkey"))
-    mn = (ro.groupBy(F.col("partkey").alias("mk"))
-          .agg(F.min("cost").alias("min_cost")))
+    # r16: the decorrelated form consumed `ro` twice — the per-part min
+    # aggregate and the probe side — and Spark has no subtree reuse across
+    # different shuffle keys, so the ENTIRE lineitem aggregate + dim
+    # broadcast pipeline executed twice and met itself in a SortMergeJoin
+    # on (partkey, cost) (plans/r16/tpch_q2_min_cost_supplier_before.txt:
+    # nodes 1-22 duplicated at 25-45).  min() OVER (PARTITION BY partkey)
+    # is the same per-part minimum with the same cost = min filter —
+    # identical rows (oracle-verified) — from ONE derivation and one
+    # exchange on partkey; the after-plan has a single lineitem scan.
+    w = Window.partitionBy("partkey")
+    keep = (ro.withColumn("min_cost", F.min("cost").over(w))
+            .where(F.col("cost") == F.col("min_cost")))
     p = (_t(spark, sf_dir, "part")
          .where((F.col("p_size") == 15) & (F.col("p_type") == "PROMO")))
-    return (ro.join(mn, (F.col("partkey") == F.col("mk"))
-                    & (F.col("cost") == F.col("min_cost")))
+    return (keep
             .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey",
                     "p_name", F.col("cost").alias("supplycost")))
