@@ -168,6 +168,27 @@ def cosine(a: str, b: str) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
+def with_cosine(df, a: str, b: str, out: str):
+    """``df.withColumn(out, cosine(a, b))`` with each HOF fold evaluated
+    ONCE per row (r17, guide §1.2 per-task work): the single-expression
+    ``cosine`` duplicates the norm subtrees — each appears in the when()
+    guard AND the divisor, so the plan evaluates the a-norm and b-norm
+    folds up to 3x per row, and HOF aggregates are CodegenFallback with no
+    subexpression elimination (the r16 text_repetition_ratios lesson).
+    Two projections instead: the three folds land as alias columns (na/nb
+    are multi-referenced downstream, so CollapseProject keeps the split),
+    then the guard/divide read the columns.  Values bit-identical: the
+    same three IEEE folds feed the same when/divide tree."""
+    d, na, nb = f"__{out}_dot", f"__{out}_na", f"__{out}_nb"
+    step = df.select("*", dot(a, b).alias(d),
+                     F.sqrt(dot(a, a)).alias(na),
+                     F.sqrt(dot(b, b)).alias(nb))
+    val = (F.when((F.col(na) > 0) & (F.col(nb) > 0),
+                  F.col(d) / (F.col(na) * F.col(nb)))
+           .otherwise(F.lit(0.0)))
+    return step.withColumn(out, val).drop(d, na, nb)
+
+
 def binary_dot(q: str, packed: str, dim: int) -> Column:
     """Phase II score: q_float · (2b - 1) for packed binary doc bits b.
 

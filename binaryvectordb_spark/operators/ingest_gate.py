@@ -141,7 +141,12 @@ def near_dup_gate(batch: DataFrame, corpus: DataFrame, *,
     NOTE: the corpus shingle/band derivation runs PER CALL — right for a
     bootstrap or an occasional micro-batch, wrong as a steady serving
     path.  ``GateIndex`` persists those artifacts through commits so a
-    probe pays only its own (pruned) read cost."""
+    probe pays only its own (pruned) read cost.  The per-call pin below
+    (``localCheckpoint`` of the corpus shingle frame, r16) materializes
+    O(corpus) rows in executor storage for the invocation and is not
+    fault-tolerant (an executor loss fails the job instead of recomputing)
+    — acceptable here exactly because this form is the bootstrap path;
+    when corpus >> memory, use the persisted ``GateIndex`` route."""
     batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
     corpus = corpus.select("doc_id", "text")
     # one shingle pass per side (r16): bands AND verify read the same

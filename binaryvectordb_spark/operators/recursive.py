@@ -111,9 +111,14 @@ def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
     edges = edges.select(F.col(src), F.col(dst))
     if materialize_edges:
         edges = edges.localCheckpoint(eager=False)
+    # r17 (guide §1.2): eager=False + count() materializes the checkpoint
+    # INSIDE the count job — one job per level instead of two (the eager
+    # checkpoint ran a materialization job, then count() ran a second job
+    # over the cached partitions; at 6-15 levels the saved job-floor is
+    # the dominant fixture cost of this operator)
     level0 = (roots.select(F.col(node).alias(node)).distinct()
               .select(node, F.lit(0).cast("int").alias("dist"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     levels = [level0]
     sizes = [level0.count()]
     bcast: list[bool] = []
@@ -126,8 +131,8 @@ def semi_naive_closure(edges: DataFrame, roots: DataFrame, *,
                          (lv.select(node) for lv in levels))
         new = _next_level(frontier, edges, visited, d, src=src, dst=dst,
                           node=node, do_broadcast=do_broadcast
-                          ).localCheckpoint(eager=True)
-        n_new = new.count()
+                          ).localCheckpoint(eager=False)
+        n_new = new.count()  # materializes the checkpoint (one job/level)
         if n_new == 0:
             break
         bcast.append(do_broadcast)

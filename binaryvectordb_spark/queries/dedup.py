@@ -288,11 +288,22 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     product."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks"))
-    shl = (d.select("doc_id",
-                    F.array_distinct(shingles("toks", 3)).alias("shs"))
-           # barrier: compute shingle arrays once; exchange reused by both
-           # join sides (see _minhash_df)
-           .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id"))
+    # r17 (guide §2.4 + §2.6): the old repartition("doc_id") barrier did NOT
+    # make the four consumers (two explode join sides + two size sides) share
+    # one derivation — the optimizer specializes each side's subtree (the
+    # explode sides get a size(shs) > 0 filter pushed BELOW the exchange that
+    # re-evaluates the whole interpreted shingle transform per conjunct), so
+    # no exchange is reusable and the plan ran the transform ~10x per doc on
+    # the single scan partition (plans/r17/dedup_jaccard_pairs_before.txt
+    # nodes 1-7/8-15/20-25/29-34).  Spread the RAW docs first (the scan is
+    # one row-group — round-robin puts the kernel on every core), derive the
+    # shingle arrays ONCE, and pin the frame per-invocation so all four
+    # consumers read the materialized rows.
+    shl = (_spread(d)
+           .select("doc_id",
+                   F.array_distinct(shingles("toks", 3)).alias("shs")))
+    if _PIN_SHARED:
+        shl = shl.localCheckpoint(eager=False)
     sizes = shl.select("doc_id", F.size("shs").alias("n"))
     ex = shl.select("doc_id", F.explode("shs").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -338,6 +349,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's cluster id — an IVF-style partition): pairs within a block with
     cosine >= 0.4.  At scale the block key bounds the join fan-out."""
     from binaryvectordb_spark.functions.vector import dot, dot_unrolled
+    from binaryvectordb_spark.queries.similarity import DIM
 
     e = load_table(spark, sf_dir, "embeddings")
     # r16: three changes, bit-identical values (same IEEE folds — dot and
@@ -353,7 +365,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   128 independent element_at calls of the unrolled form re-check
     #   null/bounds per term and the 64-term tree still falls off the
     #   whole-stage-codegen fast path).
-    na = F.sqrt(dot_unrolled("embedding", "embedding", 64))
+    # the shared DIM constant, not a literal (r16 ADVICE): with a stale
+    # literal > real dim, element_at past the array length returns NULL
+    # (non-ANSI) and the when() guard would silently zero every pair
+    na = F.sqrt(dot_unrolled("embedding", "embedding", DIM))
     a = _spread(e.select(F.col("label"), F.col("vec_id").alias("id_a"),
                          F.col("embedding").alias("va"), na.alias("_na")))
     b = e.select(F.col("label"), F.col("vec_id").alias("id_b"),

@@ -52,43 +52,80 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode(F.split(F.col("text"), " ")).alias("token"))
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc BM25 score (bigint 1e-10 units) for TERMS, every doc that
-    matches at least one term."""
+# identical expression tree to the oracle SQL — every constant is a SINGLE
+# short decimal literal (never literal-on-literal arithmetic, whose rounding
+# can land exactly on a tie and diverge across engines), and every
+# sub-operation is a correctly-rounded IEEE double op, so the floored bigint
+# is bit-identical across engines
+_TERM_SCORE = (
+    "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D) / "
+    "(tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
+    "* 1e10) AS BIGINT)")
+
+
+def _bm25_perdoc(spark: SparkSession, sf_dir: str,
+                 terms: tuple[str, ...]) -> DataFrame:
+    """ONE corpus token pass feeding everything BM25 needs: per doc, the
+    token count (dl) and one conditional-count column per query term
+    (tf_i = occurrences of terms[i]).
+
+    r17 (guide §2.4): the naive tf/df/dl/stats construction planned FOUR
+    full scan->explode->aggregate pipelines over `documents` in one query
+    (tf, df, dl-for-join, dl-for-avgdl: plans/r16/search_hybrid_rrf_before
+    nodes 1/8/20/30) because the consumers prune different columns, so no
+    exchange is reusable.  With the fixed term list the per-term tf is a
+    conditional aggregate riding the SAME groupBy(doc_id) as dl, and the
+    frame is pinned with a lazy per-invocation localCheckpoint so its three
+    consumers (tf unpivot, df, corpus stats) share ONE derivation.  Scale:
+    one narrow row per doc — the same magnitude the old dl exchange already
+    materialized; the corpus-stats pass is unavoidable (avgdl), and the
+    100 TB serving path is the persisted inverted index (search_bm25_indexed),
+    not this scan."""
     tokens = _doc_tokens(spark, sf_dir)
-    dl = tokens.groupBy("doc_id").agg(
-        F.count("*").cast("double").alias("dl"))
-    stats = dl.agg(
+    perdoc = tokens.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl"),
+        *[F.count(F.when(F.col("token") == t, True)).cast("double")
+          .alias(f"tf_{i}") for i, t in enumerate(terms)])
+    return perdoc.localCheckpoint(eager=False)
+
+
+def _bm25_tf_long(perdoc: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, dl, token, tf) rows with tf > 0 — the unpivot of the
+    per-term tf columns; exactly the rows the old groupBy(doc_id, token)
+    produced (a group existed iff the term occurred), with dl already on
+    the row so the old tf-dl join disappears."""
+    entries = F.array(*[
+        F.struct(F.lit(t).alias("token"), F.col(f"tf_{i}").alias("tf"))
+        for i, t in enumerate(terms)])
+    return (perdoc.select("doc_id", "dl", F.explode(entries).alias("s"))
+            .select("doc_id", "dl", F.col("s.token").alias("token"),
+                    F.col("s.tf").alias("tf"))
+            .where(F.col("tf") > 0))
+
+
+def _bm25_stats(perdoc: DataFrame) -> DataFrame:
+    return perdoc.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
-    tf = (tokens.where(F.col("token").isin(*TERMS))
-          .groupBy("doc_id", "token")
-          .agg(F.count("*").cast("double").alias("tf")))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 score (bigint 1e-10 units) for TERMS, every doc that
+    matches at least one term.
+
+    dl joins PLAIN (no candidates-only semi-join prune): the round-8
+    interleaved A/B (examples/ab_r7_regressions.py, NOTES.md) measured
+    the r7 prune (distinct + broadcast semi before the join) 24-31%
+    SLOWER at sf0.1 — dl's corpus-wide aggregation is unavoidable anyway
+    (avgdl needs it).  r17 goes further the same direction: dl is not
+    joined at all, it rides the per-doc frame (see _bm25_perdoc)."""
+    perdoc = _bm25_perdoc(spark, sf_dir, TERMS)
+    tf = _bm25_tf_long(perdoc, TERMS)
     df_ = tf.groupBy("token").agg(
         F.count("*").cast("double").alias("df"))
-    # identical expression tree to the oracle SQL below — every constant is
-    # a SINGLE short decimal literal (never literal-on-literal arithmetic,
-    # whose rounding can land exactly on a tie and diverge across engines),
-    # and every sub-operation is a correctly-rounded IEEE double op, so the
-    # floored bigint is bit-identical across engines
-    term_score = (
-        "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D) / "
-        "(tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
-        "* 1e10) AS BIGINT)")
-    # dl joins PLAIN (no candidates-only semi-join prune): the round-8
-    # interleaved A/B (examples/ab_r7_regressions.py, NOTES.md) measured
-    # the r7 prune (distinct + broadcast semi before the join) 24-31%
-    # SLOWER at sf0.1 — dl's corpus-wide aggregation is unavoidable anyway
-    # (avgdl needs it), so the prune only shrank a join input while adding
-    # an aggregation, an exchange, and a join.  Scale note: the pruned
-    # shape also broadcast a candidate-cardinality side (unbounded for
-    # common terms) — the plain inner join is the honest 100 TB plan, and
-    # AQE converts it to broadcast at runtime when the matched side is
-    # genuinely small.
     return (tf.join(F.broadcast(df_), "token")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
-            .withColumn("term_score_e10", F.expr(term_score))
+            .crossJoin(F.broadcast(_bm25_stats(perdoc)))
+            .withColumn("term_score_e10", F.expr(_TERM_SCORE))
             .groupBy("doc_id")
             .agg(F.sum("term_score_e10").alias("bm25_e10")))
 
@@ -466,11 +503,10 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"))
-    from binaryvectordb_spark.functions.vector import cosine
-    vec = (emb.select(F.col("vec_id").alias("doc_id"),
-                      F.col("embedding").alias("dv"))
-           .crossJoin(F.broadcast(q))
-           .withColumn("cos", cosine("qv", "dv"))
+    from binaryvectordb_spark.functions.vector import with_cosine
+    vec = (with_cosine(emb.select(F.col("vec_id").alias("doc_id"),
+                                  F.col("embedding").alias("dv"))
+                       .crossJoin(F.broadcast(q)), "qv", "dv", "cos")
            .withColumn("vec_rank", F.row_number().over(
                Window.orderBy(F.desc("cos"), F.asc("doc_id"))))
            .where(F.col("vec_rank") <= TOPN)
@@ -500,11 +536,10 @@ def search_rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    from binaryvectordb_spark.functions.vector import cosine
-    cand = (emb.select(F.col("vec_id").alias("doc_id"),
-                       F.col("embedding").alias("dv"))
-            .crossJoin(F.broadcast(q))
-            .withColumn("cos", cosine("qv", "dv"))
+    from binaryvectordb_spark.functions.vector import with_cosine
+    cand = (with_cosine(emb.select(F.col("vec_id").alias("doc_id"),
+                                   F.col("embedding").alias("dv"))
+                        .crossJoin(F.broadcast(q)), "qv", "dv", "cos")
             .withColumn("vec_rank", F.row_number().over(
                 Window.orderBy(F.desc("cos"), F.asc("doc_id"))))
             .where(F.col("vec_rank") <= 50)
@@ -630,30 +665,17 @@ def _bm25_scored_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: tf is computed once over the UNION of all batch terms, the tiny
     (qid, term) table joins in on term (broadcast), and the per-doc sum is
     grouped by (qid, doc_id).  df/avgdl are query-independent corpus stats,
-    identical to the single-query path."""
-    tokens = _doc_tokens(spark, sf_dir)
-    dl = tokens.groupBy("doc_id").agg(
-        F.count("*").cast("double").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
-    all_terms = sorted({t for ts in BATCH_TERMS.values() for t in ts})
-    tf = (tokens.where(F.col("token").isin(*all_terms))
-          .groupBy("doc_id", "token")
-          .agg(F.count("*").cast("double").alias("tf")))
+    identical to the single-query path.  r17: single-pass per-doc frame +
+    pin, same restructure as _bm25_scored (was 4 corpus scans)."""
+    all_terms = tuple(sorted({t for ts in BATCH_TERMS.values() for t in ts}))
+    perdoc = _bm25_perdoc(spark, sf_dir, all_terms)
+    tf = _bm25_tf_long(perdoc, all_terms)
     df_ = tf.groupBy("token").agg(
         F.count("*").cast("double").alias("df"))
-    term_score = (
-        "CAST(floor(((n_docs - df) + 0.5D) / (df + 0.5D) * ((tf * 2.2D) / "
-        "(tf + (1.2D * (0.25D + (0.75D * (dl / avgdl)))))) "
-        "* 1e10) AS BIGINT)")
-    # dl joins plain — see _bm25_scored: the r7 candidates-only prune
-    # measured 24-31% slower (round-8 A/B) and is reverted in both forms
     return (tf.join(F.broadcast(_query_terms_df(spark)), "token")
             .join(F.broadcast(df_), "token")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
-            .withColumn("term_score_e10", F.expr(term_score))
+            .crossJoin(F.broadcast(_bm25_stats(perdoc)))
+            .withColumn("term_score_e10", F.expr(_TERM_SCORE))
             .groupBy("qid", "doc_id")
             .agg(F.sum("term_score_e10").alias("bm25_e10")))
 
@@ -731,11 +753,10 @@ def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = (emb.where(F.col("vec_id") < N_BATCH)
           .select(F.col("vec_id").alias("qid"),
                   F.col("embedding").alias("qv")))
-    from binaryvectordb_spark.functions.vector import cosine
-    vec = (emb.select(F.col("vec_id").alias("doc_id"),
-                      F.col("embedding").alias("dv"))
-           .crossJoin(F.broadcast(qs))
-           .withColumn("cos", cosine("qv", "dv"))
+    from binaryvectordb_spark.functions.vector import with_cosine
+    vec = (with_cosine(emb.select(F.col("vec_id").alias("doc_id"),
+                                  F.col("embedding").alias("dv"))
+                       .crossJoin(F.broadcast(qs)), "qv", "dv", "cos")
            .withColumn("vec_rank", F.row_number().over(
                Window.partitionBy("qid")
                .orderBy(F.desc("cos"), F.asc("doc_id"))))

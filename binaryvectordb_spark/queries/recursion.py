@@ -35,6 +35,29 @@ _ROLLUP_ROOT_LO = 4
 _ROLLUP_ROOT_HI = 7
 _ROLLUP_DEPTH_CAP = 30  # ceil(log2(max partkey)) is ~18 even at sf10
 
+# r17 toggle (guide §2.4): every UnionLoop level's job re-plans and re-runs
+# the `part` PARQUET scan (the recursive step joins the frontier against the
+# view), plus once more for the final rollup join — ~log2(|part|) + 1 scans
+# per query.  True registers the view over a lazily localCheckpoint-pinned
+# frame instead: level 1 materializes the (small) projected table once and
+# later levels read the in-memory partitions.  Per-invocation only (fresh
+# call = fresh RDD); module-level so the A/B experiment can flip it.  At
+# 100 TB the per-level scan of a BUCKETED edge table IS the design (levels
+# are O(log n)); the pin targets the fixture-scale per-level parquet floor.
+_PIN_PART_VIEW = True
+
+
+def _part_view(spark: SparkSession, sf_dir: str) -> None:
+    part = load_table(spark, sf_dir, "part")
+    if _PIN_PART_VIEW:
+        # project to the columns the two recursive queries read before
+        # pinning — column pruning cannot reach below a LogicalRDD, so an
+        # unprojected pin would materialize the whole width every level
+        part = (part.select("p_partkey", "p_retailprice")
+                .localCheckpoint(eager=False))
+    part.createOrReplaceTempView("part")
+
+
 _ROLLUP_SQL = f"""
 WITH RECURSIVE walk(root, node, depth) AS (
   SELECT p_partkey, p_partkey, 0
@@ -74,7 +97,7 @@ def recursive_cte_subtree_rollup(spark: SparkSession,
     cyclic/multi-path graphs instead take the semi-naive operator row
     (next), which is the dedup-per-level strategy UnionLoop lacks.
     """
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _part_view(spark, sf_dir)
     return spark.sql(_ROLLUP_SQL)
 
 
@@ -126,7 +149,7 @@ def recursive_bom_extended_quantity(spark: SparkSession,
     ends at the leaves, exercising UnionLoop's natural termination
     rather than a depth cap; integer arithmetic end-to-end, so the
     oracle is the identical SQL text."""
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _part_view(spark, sf_dir)
     return spark.sql(_BOM_SQL)
 
 
