@@ -34,15 +34,24 @@ def child(tree: str, sf_dir: str, names: list[str]) -> None:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # queries that run jobs EAGERLY during plan construction (the
+    # semi-naive loop checkpoints each level) must be timed around the
+    # whole build+noop, like bench.py's eager keys
+    eager_names = {"recursive_reachability_semi_naive"}
     out = {}
     for name in names:
         noop(QUERIES[name](spark, sf_dir))  # warm-up plan
         runs = []
         for _ in range(3):
-            df = QUERIES[name](spark, sf_dir)  # fresh plan each run
-            t0 = time.perf_counter()
-            noop(df)
-            runs.append(time.perf_counter() - t0)
+            if name in eager_names:
+                t0 = time.perf_counter()
+                noop(QUERIES[name](spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            else:
+                df = QUERIES[name](spark, sf_dir)  # fresh plan each run
+                t0 = time.perf_counter()
+                noop(df)
+                runs.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(runs), 4)
     print("ABRESULT " + json.dumps(out))
 

@@ -28,6 +28,39 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
+# Changed-surface promotion (VERDICT r16 item 3): queries whose Spark
+# implementation was REWRITTEN in an optimization round must reach the
+# driver's next 50-query hash window even when the age-based rotation
+# would not — the window exists precisely to re-hash changed surfaces.
+# Promotions are round-scoped: they apply only while the latest
+# CORRECTNESS file predates PROMOTED_THROUGH_ROUND (once the driver has
+# hashed them, the normal age rotation resumes).
+PROMOTED_THROUGH_ROUND = 17
+PROMOTED = [
+    # r16 rewrites never driver-hashed post-change (VERDICT r16 item 3)
+    "dedup_embedding_cosine",
+    "dedup_levenshtein_pairs",
+    "dedup_lsh_jaccard",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "tpch_q2_min_cost_supplier",
+    "text_repetition_ratios",
+    "agg_approx_count_distinct",
+    "dedup_incremental_batch",
+    "embed_documents_distributed",
+    # r17 rewrites (single-pass BM25 scorer + two-step cosine, pinned
+    # jaccard shingles, recursion-level job merge + pinned part view)
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "search_bm25_topk_batch",
+    "search_hybrid_rrf_batch",
+    "search_rerank_overlap",
+    "dedup_jaccard_pairs",
+    "recursive_cte_subtree_rollup",
+    "recursive_bom_extended_quantity",
+    "recursive_reachability_semi_naive",
+]
+
 
 def last_hashed() -> dict[str, int]:
     out: dict[str, int] = {}
@@ -51,7 +84,15 @@ def main() -> int:
         for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
 
     pos = {n: i for i, n in enumerate(names)}
-    canonical = sorted(names, key=lambda n: (lh.get(n, -1), pos[n]))
+    promoted = (PROMOTED if cur_round < PROMOTED_THROUGH_ROUND else [])
+    promo_rank = {n: i for i, n in enumerate(promoted)}
+    canonical = sorted(
+        names,
+        key=lambda n: (0 if n in promo_rank else 1,
+                       promo_rank.get(n, 0), lh.get(n, -1), pos[n]))
+    if promoted:
+        print(f"promotions active (through r{PROMOTED_THROUGH_ROUND}): "
+              f"{len(promoted)} changed surfaces forced to the window head")
 
     hist: dict[int | None, int] = {}
     for n in names:
