@@ -58,14 +58,179 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # --emit`, which derives it from the CORRECTNESS_r*.json files directly
 # (never-hashed entries first, then ascending last-hashed round, ties by
 # prior position).  The close gate runs the audit and FAILS if this list
-# diverges from canonical.  Rotated at the open of round 16
-# (post-CORRECTNESS_r15): window = 0 never-hashed + the 11-entry r11
-# remainder (age 4) + the first 39 of the r12 cohort; r16 additions are
-# inserted at the head before close and the list is re-emitted then.
+# diverges from canonical.  Rotated for round 17
+# (post-CORRECTNESS_r16) with VERDICT r16 item 3's changed-surface
+# PROMOTION: the 19 queries rewritten in r16/r17 lead the window (the
+# window exists to re-hash changed surfaces), then the r12 cohort and
+# the stalest r13 entries fill the remaining 31 slots.
 _PRIORITY = [
+    "dedup_embedding_cosine",
+    "dedup_levenshtein_pairs",
+    "dedup_lsh_jaccard",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "tpch_q2_min_cost_supplier",
+    "text_repetition_ratios",
+    "agg_approx_count_distinct",
+    "dedup_incremental_batch",
+    "embed_documents_distributed",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "search_bm25_topk_batch",
+    "search_hybrid_rrf_batch",
+    "search_rerank_overlap",
+    "dedup_jaccard_pairs",
     "recursive_cte_subtree_rollup",
-    "recursive_reachability_semi_naive",
     "recursive_bom_extended_quantity",
+    "recursive_reachability_semi_naive",
+    "text_fingerprint",
+    "text_chunk_documents",
+    "text_gopher_filter",
+    "text_contamination_overlap",
+    "text_normalize",
+    "text_redact_terms",
+    "text_source_profile",
+    "text_pack_sequences",
+    "text_train_val_test_split",
+    "udf_scalar_pandas",
+    "udf_arrow_scalar",
+    "udf_grouped_map",
+    "udf_grouped_agg",
+    "events_cohort_retention_open_window",
+    "search_bm25_indexed_blockmax",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_hot_part_suppliers",
+    "search_bm25_local",
+    "search_bm25_indexed_batch",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_streaks_gaps_islands",
+    "scd2_event_state_history",
+    "events_error_then_purchase",
+    "agg_salted_skew_twostage",
+    "join_bloom_semi_reduction",
+    "graph_pagerank_bipartite",
+    "sketch_cms_heavy_hitters",
+    "udtf_chunk_lateral",
+    "join_point_in_time_scd2",
+    "events_transition_matrix",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_order_distribution",
+    "events_multitouch_attribution",
+    "quality_referential_integrity",
+    "cdc_snapshot_diff",
+    "quality_orders_expectations",
+    "agg_weighted_median",
+    "agg_mode_per_group",
+    "agg_equidepth_histogram",
+    "events_funnel_latency",
+    "events_path_trigrams",
+    "string_funcs",
+    "string_funcs2",
+    "date_funcs",
+    "date_funcs2",
+    "math_funcs",
+    "orderby_limit_offset",
+    "agg_approx_percentile",
+    "text_stratified_sample",
+    "knn_filtered_adaptive_rare",
+    "knn_filtered_adaptive_broad",
+    "multimodal_png_decode",
+    "multimodal_resize",
+    "ann_ivf_kmeans_search",
+    "search_bm25_maxscore_split",
+    "search_bm25_local_sharded",
+    "search_bm25_indexed_mutated",
+    "similarity_join_brp_lsh",
+    "dedup_minhash_mllib",
+    "agg_equidepth_histogram_scalable",
+    "agg_weighted_median_scalable",
+    "sketch_hll_mergeable",
+    "events_value_outliers",
+    "events_funnel_latency_scalable",
+    "quant_int8_score_error",
+    "gate_log_admit_stats",
+    "dedup_clusters",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "events_multigrain_rollup",
+    "events_gap_fill_daily",
+    "window_range_frame_30d",
+    "agg_min_by_max_by",
+    "agg_filter_clause",
+    "agg_equiwidth_histogram",
+    "agg_count_distinct",
+    "agg_having",
+    "set_ops_bag_semantics",
+    "filter_range_pushdown",
+    "filter_in_like_null",
+    "filter_empty_result",
+    "join_null_safe_eq",
+    "join_multiway_revenue",
+    "join_semi_customers_with_errors",
+    "join_anti_customers_no_orders",
+    "join_outer_order_counts",
+    "distinct_pairs",
+    "case_when_buckets",
+    "explode_token_topk",
+    "posexplode_embedding_head",
+    "explode_outer_null_preserving",
+    "text_tf_rarity_topk",
+    "profile_orders",
+    "dedup_corpus_kept",
+    "agg_rollup_region_nation",
+    "agg_pricing_summary",
+    "search_bm25_indexed_batch_blockmax",
+    "search_bm25_maxscore_split_mutated",
+    "multimodal_jpeg_decode",
+    "search_maxsim_topk",
+    "search_maxsim_topk_batch",
+    "dedup_span_keep_first",
+    "ann_pq_adc_search",
+    "layout_zorder_clustering",
+    "ann_ivfpq_search",
+    "dedup_semantic_clusters",
+    "textindex_prune_stats",
+    "dedup_incremental_persisted",
+    "sketch_kmv_mergeable",
+    "quant_trunc_dim_error",
+    "sketch_bottomk_quantiles",
+    "join_salted_skew",
+    "multimodal_bmp_decode",
+    "curation_funnel",
+    "agg_pivot_status",
+    "scalar_subquery_above_avg",
+    "window_topk_per_customer",
+    "window_rank_variants",
+    "window_lag_lead",
+    "join_full_outer_nation_profile",
+    "window_distribution_funcs",
+    "join_right_outer_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "agg_stats_moments",
+    "ann_ivf_search",
+    "ann_lsh_bucket_search",
+    "ann_lsh_multitable_search",
+    "ann_lsh_multitable_batch",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q12_priority_by_status",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "knn_cascade",
+    "knn_cascade_ivf",
+    "knn_phase1_hamming",
+    "knn_bruteforce_cosine",
+    "knn_dot_topk",
     "index_popcount_stats",
     "db_len",
     "point_lookup",
@@ -113,170 +278,6 @@ _PRIORITY = [
     "text_token_stats",
     "text_lang_id",
     "text_quality_score",
-    "text_fingerprint",
-    "text_chunk_documents",
-    "text_gopher_filter",
-    "text_contamination_overlap",
-    "text_normalize",
-    "text_redact_terms",
-    "text_repetition_ratios",
-    "text_source_profile",
-    "text_pack_sequences",
-    "text_train_val_test_split",
-    "udf_scalar_pandas",
-    "udf_arrow_scalar",
-    "udf_grouped_map",
-    "udf_grouped_agg",
-    "events_cohort_retention_open_window",
-    "search_bm25_indexed_blockmax",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_hot_part_suppliers",
-    "search_bm25_local",
-    "dedup_incremental_batch",
-    "search_bm25_indexed_batch",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "events_streaks_gaps_islands",
-    "scd2_event_state_history",
-    "events_error_then_purchase",
-    "agg_salted_skew_twostage",
-    "join_bloom_semi_reduction",
-    "graph_pagerank_bipartite",
-    "sketch_cms_heavy_hitters",
-    "udtf_chunk_lateral",
-    "join_point_in_time_scd2",
-    "events_transition_matrix",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_order_distribution",
-    "events_multitouch_attribution",
-    "quality_referential_integrity",
-    "cdc_snapshot_diff",
-    "quality_orders_expectations",
-    "agg_weighted_median",
-    "agg_mode_per_group",
-    "agg_equidepth_histogram",
-    "events_funnel_latency",
-    "events_path_trigrams",
-    "string_funcs",
-    "string_funcs2",
-    "date_funcs",
-    "date_funcs2",
-    "math_funcs",
-    "orderby_limit_offset",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "search_rerank_overlap",
-    "agg_approx_percentile",
-    "text_stratified_sample",
-    "knn_filtered_adaptive_rare",
-    "knn_filtered_adaptive_broad",
-    "multimodal_png_decode",
-    "multimodal_resize",
-    "agg_approx_count_distinct",
-    "ann_ivf_kmeans_search",
-    "search_bm25_maxscore_split",
-    "search_bm25_local_sharded",
-    "search_bm25_indexed_mutated",
-    "similarity_join_brp_lsh",
-    "dedup_minhash_mllib",
-    "embed_documents_distributed",
-    "dedup_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "dedup_lsh_jaccard",
-    "agg_equidepth_histogram_scalable",
-    "agg_weighted_median_scalable",
-    "sketch_hll_mergeable",
-    "events_value_outliers",
-    "events_funnel_latency_scalable",
-    "quant_int8_score_error",
-    "gate_log_admit_stats",
-    "dedup_clusters",
-    "dedup_levenshtein_pairs",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "events_multigrain_rollup",
-    "events_gap_fill_daily",
-    "window_range_frame_30d",
-    "agg_min_by_max_by",
-    "agg_filter_clause",
-    "agg_equiwidth_histogram",
-    "agg_count_distinct",
-    "agg_having",
-    "set_ops_bag_semantics",
-    "filter_range_pushdown",
-    "filter_in_like_null",
-    "filter_empty_result",
-    "join_null_safe_eq",
-    "join_multiway_revenue",
-    "join_semi_customers_with_errors",
-    "join_anti_customers_no_orders",
-    "join_outer_order_counts",
-    "distinct_pairs",
-    "case_when_buckets",
-    "explode_token_topk",
-    "posexplode_embedding_head",
-    "explode_outer_null_preserving",
-    "text_tf_rarity_topk",
-    "profile_orders",
-    "dedup_corpus_kept",
-    "agg_rollup_region_nation",
-    "agg_cube_flag_status",
-    "agg_pricing_summary",
-    "search_bm25_topk_batch",
-    "search_bm25_indexed_batch_blockmax",
-    "search_bm25_maxscore_split_mutated",
-    "search_hybrid_rrf_batch",
-    "multimodal_jpeg_decode",
-    "search_maxsim_topk",
-    "search_maxsim_topk_batch",
-    "dedup_span_keep_first",
-    "ann_pq_adc_search",
-    "layout_zorder_clustering",
-    "ann_ivfpq_search",
-    "dedup_semantic_clusters",
-    "textindex_prune_stats",
-    "dedup_incremental_persisted",
-    "sketch_kmv_mergeable",
-    "quant_trunc_dim_error",
-    "sketch_bottomk_quantiles",
-    "join_salted_skew",
-    "multimodal_bmp_decode",
-    "curation_funnel",
-    "agg_pivot_status",
-    "scalar_subquery_above_avg",
-    "window_topk_per_customer",
-    "window_rank_variants",
-    "window_lag_lead",
-    "join_full_outer_nation_profile",
-    "agg_grouping_sets",
-    "window_distribution_funcs",
-    "join_right_outer_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "agg_stats_moments",
-    "ann_ivf_search",
-    "ann_lsh_bucket_search",
-    "ann_lsh_multitable_search",
-    "ann_lsh_multitable_batch",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q12_priority_by_status",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "knn_cascade",
-    "knn_cascade_ivf",
-    "knn_phase1_hamming",
-    "knn_bruteforce_cosine",
-    "knn_dot_topk",
 ]
 
 
