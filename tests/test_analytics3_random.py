@@ -64,6 +64,7 @@ def _make_events_dir(tmp_path, seed: int, n: int = 400) -> str:
 
 
 @pytest.mark.parametrize("seed", [11, 42, 77])
+@pytest.mark.slow
 def test_sequence_analytics_cross_engine_on_random_events(spark, tmp_path,
                                                           seed):
     sf_dir = _make_events_dir(tmp_path, seed)
@@ -107,6 +108,7 @@ def test_pagerank_cross_engine_on_random_graphs(spark, tmp_path, seed):
         con.close()
 
 
+@pytest.mark.slow
 def test_global_rank_matches_window_form_random(spark):
     """operators/ranks.py with_global_rank == row_number() over the
     un-partitioned window, on random frames with heavy key ties (the

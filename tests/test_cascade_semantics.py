@@ -59,6 +59,7 @@ def corpus(draw):
 
 
 @pytest.mark.parametrize("dim", [96, 1024])
+@pytest.mark.slow
 def test_batch_phase1_paths_agree(spark, dim):
     """The Arrow local-top-k Phase I and the pure-expression histogram
     Phase I must produce byte-identical batch results — including tie

@@ -241,6 +241,7 @@ def test_delete_everything_empties_db(spark, tmp_path):
     assert len(db) == 1
 
 
+@pytest.mark.slow
 def test_ivf_full_probe_matches_flat_exactly(spark, tmp_path):
     """index_type='ivf' with nprobe = n_clusters probes every partition, so
     results must be IDENTICAL to the flat brute-force cascade — the pruning

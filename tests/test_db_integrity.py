@@ -4,6 +4,7 @@ real detection when a bucket file is physically misplaced."""
 
 from __future__ import annotations
 
+import pytest
 import glob
 import os
 import shutil
@@ -66,6 +67,7 @@ def test_integrity_detects_misplaced_bucket_file(spark, tmp_path):
     assert rep["index.foreign_key(doc_id->doc_id)"] == 0, rep
 
 
+@pytest.mark.slow
 def test_textindex_integrity_through_mutations(spark, tmp_path):
     """TextIndex.verify_integrity(): zero violations through build ->
     upsert -> remove -> tiered merge -> full compact, and corpus parity

@@ -42,6 +42,7 @@ def _fresh_answer(spark, db, tmp_path, name: str, k: int = 10):
     return sorted(map(tuple, ti.search(TERMS, k=k).collect()))
 
 
+@pytest.mark.slow
 def test_search_text_and_incremental_maintenance(spark, tmp_path):
     db = _mkdb(spark, str(tmp_path / "db"))
     with pytest.raises(Exception, match="build_text_index"):
@@ -138,6 +139,7 @@ def test_restore_drops_derived_text_index(spark, tmp_path):
         db.search_text(TERMS)
 
 
+@pytest.mark.slow
 def test_auto_compact_bounds_segments(spark, tmp_path):
     """Micro-batch upserts may not grow the segment list without bound:
     at the threshold the maintenance hook folds the index back to one
@@ -155,6 +157,7 @@ def test_auto_compact_bounds_segments(spark, tmp_path):
     assert got == _fresh_answer(spark, db, tmp_path, "fc")
 
 
+@pytest.mark.slow
 def test_local_serving_hybrid_bit_identical_and_zero_jobs(spark, tmp_path):
     """attach_local_serving routes search_text / search_hybrid through the
     RAM tier (VERDICT r8 item 3): results are bit-identical to the
@@ -246,6 +249,7 @@ def test_hybrid_export_serves_cross_process(spark, tmp_path):
         db2.load_hybrid_server(out2)
 
 
+@pytest.mark.slow
 def test_batch_hybrid_matches_single_query_loop(spark, tmp_path):
     """search_text_batch / search_hybrid_batch must return per-query
     results identical to the single-query loop — the batch forms exist to

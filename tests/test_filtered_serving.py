@@ -142,6 +142,7 @@ def test_meta_col_schema_evolution(spark, tmp_path):
     assert sorted(h["doc_id"] for h in hits) == [100, 101]
 
 
+@pytest.mark.slow
 def test_filter_composes_with_ivf_probe(spark, tmp_path):
     """filter= and nprobe compose: the index is first cluster-pruned, then
     the adaptive filtered cascade runs on the pruned scan.  Probing ALL

@@ -4,6 +4,7 @@ ingest (stream → gate → upsert → gate-log audit trail)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from binaryvectordb_spark.operators.ingest_gate import (
@@ -73,6 +74,7 @@ def test_gated_add_into_empty_db(spark, tmp_path):
     assert len(db) == 2
 
 
+@pytest.mark.slow
 def test_streaming_gated_ingest(spark, tmp_path):
     """End-to-end: file-source stream of doc batches -> gate -> upsert ->
     parquet gate log.  Batch 2 replays one batch-1 doc (rejected) beside a
@@ -148,6 +150,7 @@ def test_gate_log_replay_idempotent(spark, tmp_path):
     assert len(db) == 2
 
 
+@pytest.mark.slow
 def test_gated_update_of_existing_doc_not_self_rejected(spark, tmp_path):
     """ADVICE r9: an UPDATE (same doc_id, revised text) is gated against
     the rest of the corpus only — never rejected as a near-dup of its own
@@ -186,6 +189,7 @@ def test_intra_batch_near_dups_lowest_id_wins(spark, tmp_path):
     assert len(db2) == 2
 
 
+@pytest.mark.slow
 def test_full_composition_gated_stream_into_ivf_db_with_textindex(
         spark, tmp_path):
     """Capstone composition: a gated doc stream feeds an IVF-indexed DB
@@ -341,6 +345,7 @@ def _snap(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_gate_index_parity_with_fresh_gate(spark, tmp_path):
     """GateIndex.gate == near_dup_gate row-for-row (records, not just
     decisions) on a random corpus/batch with planted near-dups, including
@@ -428,6 +433,7 @@ def test_gate_index_probe_touches_only_persisted_artifacts(
     assert rows[0]["n_dups"] >= 1 and not rows[0]["admit"]
 
 
+@pytest.mark.slow
 def test_gate_index_compact_tail_preserves_bootstrap(spark, tmp_path):
     """Tiered merge (VERDICT r11 item 3): micro-batch ingest folds only
     the trailing run of small segments — the bootstrap corpus segment's
@@ -499,6 +505,7 @@ def test_gate_index_compact_tail_preserves_bootstrap(spark, tmp_path):
                                    _df(spark, list(corpus.items())))))
 
 
+@pytest.mark.slow
 def test_db_gate_index_lifecycle(spark, tmp_path):
     """DB-maintained gate index: build_gate_index, gated_add_documents_df
     routes through it with decisions identical to the index-free DB,
@@ -582,6 +589,7 @@ def test_sharded_local_gate_bit_identical(spark):
         assert len(flat) == len(shard)
 
 
+@pytest.mark.slow
 def test_db_gate_policy_never_full_compacts_on_micro_batches(
         spark, tmp_path, monkeypatch):
     """The r12 review fix at the DB-POLICY level: under
@@ -663,6 +671,7 @@ def test_db_gate_policy_never_full_compacts_on_micro_batches(
                                    _df(spark, list(corpus.items())))))
 
 
+@pytest.mark.slow
 def test_gate_index_bulk_and_semijoin_tombstone_tiers(spark, tmp_path):
     """The three existence-probe tiers of upsert_batch (r13 brief item 5
     + ADVICE: the bulk threshold was untested, so a future edit could

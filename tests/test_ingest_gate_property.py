@@ -150,6 +150,7 @@ def test_gate_oracle_with_overlapping_doc_ids(spark, seed):
 
 
 @pytest.mark.parametrize("seed", [5, 41])
+@pytest.mark.slow
 def test_gate_index_mutation_stream_matches_oracle(spark, seed):
     """GateIndex under a random mutation stream (adds, updates of
     existing ids, removes) with TIERED MERGES interleaved at random

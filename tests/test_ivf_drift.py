@@ -9,6 +9,7 @@ KMeans results vary with partitioning).
 
 from __future__ import annotations
 
+import pytest
 import numpy as np
 
 from binaryvectordb_spark.db import BinaryVectorDB
@@ -41,6 +42,7 @@ def _brute_truth(all_ids, all_vecs, queries, k=10):
     return out
 
 
+@pytest.mark.slow
 def test_drift_counter_recommendation_and_recall_restore(spark, tmp_path):
     rng = np.random.RandomState(11)
     # 4 tight, well-separated blobs -> 4 clean clusters

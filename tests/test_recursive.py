@@ -144,6 +144,7 @@ def test_extra_edge_columns_tolerated(spark):
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.slow
 def test_random_graphs_match_python_bfs(spark, seed):
     """Property: on seeded random digraphs (cycles, self-loops, multi-
     edges, unreachable components all occur at this density), the

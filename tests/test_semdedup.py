@@ -3,6 +3,7 @@ extremes and against the cluster-blocking invariant."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from binaryvectordb_spark.queries.dedup import (
@@ -46,6 +47,7 @@ def test_tau_minus_one_keeps_exactly_first_per_cluster(spark):
         assert r["kept_id_sum"] == mins[r["cluster"]], r
 
 
+@pytest.mark.slow
 def test_blocked_kernel_bounded_memory_and_exact(spark):
     """The j-blocked dup kernel on a deliberately skewed 'cluster' (one
     block of near-duplicate rows ~15x the mean cluster size): (a) results

@@ -80,6 +80,7 @@ def test_foreach_batch_incremental_upsert(spark, tmp_path, events_dir):
     assert len(db) == n_events  # ids 1,2 already existed -> replaced
 
 
+@pytest.mark.slow
 def test_foreach_batch_maintains_text_index(spark, tmp_path, events_dir):
     """The streaming sink composes with the DB's lexical index: every
     micro-batch flows through the _merge_and_swap hook, so after the
@@ -964,6 +965,7 @@ def _open_matrix(all_ev, horizon):
             .agg(F.countDistinct("user_id").alias("n_active")))
 
 
+@pytest.mark.slow
 def test_streaming_cohort_retention_horizon_bounds_state(spark, tmp_path):
     """The horizon-bounded cohort twin (VERDICT r11 item 5): facts past
     the horizon stop being written (the late closed-cohort event leaves
@@ -1057,6 +1059,7 @@ def test_streaming_cohort_retention_horizon_bounds_state(spark, tmp_path):
             qb.awaitTermination()
 
 
+@pytest.mark.slow
 def test_streaming_cohort_retention_horizon_compaction_drops_closed(
         spark, tmp_path, monkeypatch):
     """Compaction under a horizon physically drops closed-cohort
@@ -1091,6 +1094,7 @@ def test_streaming_cohort_retention_horizon_compaction_drops_closed(
 
 
 @pytest.mark.parametrize("horizon", [None, 8])
+@pytest.mark.slow
 def test_streaming_cohort_first_seen_wins_out_of_contract(
         spark, tmp_path, horizon):
     """r12 review fix: an ORDERING-CONTRACT violation (a user's earlier

@@ -4,6 +4,7 @@ footer-measured, not timed."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -30,6 +31,7 @@ def test_indexed_search_matches_corpus_scan_exactly(spark, tmp_path):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_incremental_upsert_delete_equals_rebuild(spark, tmp_path):
     """After an upsert batch (some ids rewritten, some new) and a delete,
     the segmented index must answer exactly like a fresh single-segment
@@ -134,6 +136,7 @@ def _py_bm25(corpus: dict[int, str], terms: list[str]) -> dict[int, int]:
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
+@pytest.mark.slow
 def test_property_indexed_bm25_matches_python_reference(spark, tmp_path_factory, data):
     docs = data.draw(st.dictionaries(
         st.integers(0, 60),
@@ -420,6 +423,7 @@ def test_sharded_bm25_router_bit_identical(spark, tmp_path):
         ShardedLocalBM25Searcher.from_searcher(base, 2).search([])
 
 
+@pytest.mark.slow
 def test_compact_tail_tiered_merge(spark, tmp_path):
     """compact_tail folds ONLY the trailing run of small segments: the
     bootstrap segment's files stay untouched on disk (the 100 TB
@@ -523,6 +527,7 @@ def test_compact_tail_backfill_restores_full_stats(spark, tmp_path):
     assert part["n_docs"] == agg["n"] and part["avgdl"] == agg["a"]
 
 
+@pytest.mark.slow
 def test_db_textindex_policy_never_full_compacts_on_micro_batches(
         spark, tmp_path, monkeypatch):
     """The r12 unified-policy pin, TextIndex side (mirror of
@@ -666,6 +671,7 @@ def test_blockmax_identical_and_skips_groups(spark, tmp_path):
     assert skipped / admit > 0.5, (admit, skipped)
 
 
+@pytest.mark.slow
 def test_blockmax_multiterm_and_state_gates(spark, tmp_path):
     """Multi-term block-max agrees with classic on the fixture TERMS
     (each in ~78% of docs); a mutated state (tombstones / stats-less
@@ -696,6 +702,7 @@ def test_blockmax_multiterm_and_state_gates(spark, tmp_path):
         idx.last_blockmax.get("dirty") is not True
 
 
+@pytest.mark.slow
 def test_blockmax_dirty_state_identity_soak(spark, tmp_path):
     """The r14 mutation-tolerant tier: across a mutation script
     (removes shifting avgdl BOTH directions, micro adds introducing
@@ -765,6 +772,7 @@ def test_blockmax_dirty_state_identity_soak(spark, tmp_path):
     check("clean-again")
 
 
+@pytest.mark.slow
 def test_blockmax_dirty_randomized_mutation_property(spark, tmp_path):
     """Seeded randomized sweep over corpora, mutation scripts, and
     queries: at every step the forced tier must equal the classic plan
@@ -908,6 +916,7 @@ def test_driver_row_maxscore_split_engages_on_fixture(spark):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_blockmax_dirty_refuses_broken_bootstrap_stats(spark, tmp_path):
     """A dirty index whose bootstrap write-time stats are unusable
     (sum_dl missing/zero) must NOT engage the block-max tier even when
@@ -938,6 +947,7 @@ def _batch_rows(df):
                    int(r["kw_rank"])) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_search_batch_blockmax_identity_and_memo(spark, tmp_path):
     """The batched early-termination tier (r15): bit-identical to the
     classic batch read on a corpus with hot provable frontiers, warm
@@ -980,6 +990,7 @@ def test_search_batch_blockmax_identity_and_memo(spark, tmp_path):
     assert single == [r for r in want if r[0] == 0]
 
 
+@pytest.mark.slow
 def test_search_batch_blockmax_dirty_identity(spark, tmp_path):
     """Dirty-state batched tier: removes + micro adds with NEW
     vocabulary stay bit-identical to the classic live-set batch read
@@ -1016,6 +1027,7 @@ def test_search_batch_blockmax_collect_cap_refuses(spark, tmp_path):
     assert idx.last_blockmax_batch == "sentinel"  # tier never engaged
 
 
+@pytest.mark.slow
 def test_maxscore_split_dirty_engages_and_is_exact(spark, tmp_path):
     """The r15 dirty MaxScore split: on the selective+stop-word shape in
     a MUTATED state (removes + overwrites + micro adds) the split must
@@ -1079,6 +1091,7 @@ def test_memo_batch_frontier_no_clobber():
     assert tc[k2] == {"c": 0.4}
 
 
+@pytest.mark.slow
 def test_driver_row_maxscore_split_mutated_engages(spark):
     """The r15 driver row's engagement pin: on the mutated shared
     fixture the dirty split must actually ENGAGE for SPLIT_TERMS — the
@@ -1098,6 +1111,7 @@ def test_driver_row_maxscore_split_mutated_engages(spark):
     assert info["dirty"] is True and info["essential"] == ["dup"]
 
 
+@pytest.mark.slow
 def test_search_batch_blockmax_split_routing(spark, tmp_path):
     """Mixed members (selective anchor + dense terms) are served by the
     BATCHED MaxScore split and leave the descent set — the measured

@@ -190,6 +190,7 @@ def test_default_retention_vacuums_eagerly(spark, tmp_path):
     assert [h["version"] for h in db.history()] == [1, 2]  # audit trail stays
 
 
+@pytest.mark.slow
 def test_restore_rolls_back_and_moves_history_forward(spark, tmp_path):
     folder = str(tmp_path / "db")
     db = BinaryVectorDB(spark, folder, dim=32, buckets=4, retain_versions=3)
