@@ -60,9 +60,11 @@ from binaryvectordb_spark.queries import (  # noqa: E402,F401
 # prior position).  The close gate runs the audit and FAILS if this list
 # diverges from canonical.  Rotated for round 17
 # (post-CORRECTNESS_r16) with VERDICT r16 item 3's changed-surface
-# PROMOTION: the 19 queries rewritten in r16/r17 lead the window (the
-# window exists to re-hash changed surfaces), then the r12 cohort and
-# the stalest r13 entries fill the remaining 31 slots.
+# PROMOTION: the 21 queries rewritten in r16/r17 lead the window (the
+# window exists to re-hash changed surfaces; the two MLlib contrast rows
+# whose exact verify sides were vectorized in the second r17 session are
+# promoted too), then the r12 cohort and the stalest r13 entries fill
+# the remaining 29 slots.
 _PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_levenshtein_pairs",
@@ -83,6 +85,8 @@ _PRIORITY = [
     "recursive_cte_subtree_rollup",
     "recursive_bom_extended_quantity",
     "recursive_reachability_semi_naive",
+    "similarity_join_brp_lsh",
+    "dedup_minhash_mllib",
     "text_fingerprint",
     "text_chunk_documents",
     "text_gopher_filter",
@@ -143,8 +147,6 @@ _PRIORITY = [
     "search_bm25_maxscore_split",
     "search_bm25_local_sharded",
     "search_bm25_indexed_mutated",
-    "similarity_join_brp_lsh",
-    "dedup_minhash_mllib",
     "agg_equidepth_histogram_scalable",
     "agg_weighted_median_scalable",
     "sketch_hll_mergeable",

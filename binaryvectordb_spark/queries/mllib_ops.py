@@ -41,6 +41,124 @@ from binaryvectordb_spark.queries.vector import (  # noqa: E402
 )
 
 
+def _packed_chunks(df: DataFrame, id_col: str, payload):
+    """Block the rows of ``df`` for an all-pairs kernel (guide §4): P
+    row-chunks (P = defaultParallelism, so the blocking tracks the session's
+    core count) each joined with the FULL row list.  The full side is packed
+    by an executor-side collect_list aggregate — no driver collect — and
+    rides a single-row broadcast; the repartition spreads the P chunk rows
+    so the kernel runs on every core (the groupBy output would otherwise
+    AQE-coalesce to one partition at fixture scale).  O(P × corpus) duplicated
+    bytes — bounded, fixture-scale-only: both callers are exact-quadratic
+    VERIFY sides of LSH contrast rows; the LSH joins are the scale paths."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    row = F.struct(F.col(id_col).alias("i"), payload.alias("v"))
+    chunks = (df.groupBy((F.col(id_col) % F.lit(p)).alias("blk"))
+              .agg(F.collect_list(row).alias("part")))
+    full = df.agg(F.collect_list(row).alias("full"))
+    return chunks.join(F.broadcast(full)).repartition(p)
+
+
+def _exact_euclidean_pair_count(e: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs euclidean pair count (id_a < id_b, dist <= threshold),
+    vectorized: the N²/2 per-pair HOF folds of the old BroadcastNestedLoopJoin
+    (CodegenFallback — interpreted per pair, r16 measured the flat unroll 2.5x
+    WORSE) become a blocked numpy kernel over Arrow batches (guide §4).  The
+    accumulation replays the fold's exact IEEE op order — float64 cast (exact
+    from float32), one rounding each for subtract/multiply/add, dimension
+    ascending, correctly-rounded sqrt — so the count is bit-identical to the
+    HOF form and the DuckDB oracle (pinned by tests/test_r17_rewrites.py and
+    verified equal at sf0.001/0.01/0.1)."""
+    joined = _packed_chunks(e, "vec_id", F.col("embedding"))
+
+    def count_pairs(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            total = 0
+            for part, fl in zip(pdf["part"], pdf["full"]):
+                ia = np.asarray([r["i"] for r in part], dtype=np.int64)
+                va = np.asarray([r["v"] for r in part], dtype=np.float64)
+                ib = np.asarray([r["i"] for r in fl], dtype=np.int64)
+                vb = np.asarray([r["v"] for r in fl], dtype=np.float64)
+                acc = np.zeros((va.shape[0], vb.shape[0]), dtype=np.float64)
+                for d in range(va.shape[1]):
+                    diff = va[:, d, None] - vb[None, :, d]
+                    acc += diff * diff
+                ok = ((np.sqrt(acc) <= threshold)
+                      & (ia[:, None] < ib[None, :]))
+                total += int(ok.sum())
+            yield pd.DataFrame({"n": [total]})
+
+    return (joined.mapInPandas(count_pairs, "n long")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+                 .alias("n_exact_pairs")))
+
+
+def _exact_jaccard_near_count(docs: DataFrame) -> DataFrame:
+    """Exact all-pairs token-set Jaccard near count (similarity >= 0.5,
+    id_a < id_b), vectorized: token sets become bit masks over the
+    task-local vocabulary (built from the full packed row list — identical
+    in every task) and the N²/2 array_intersect/array_union evaluations
+    become word-wise AND/OR + SWAR popcounts (guide §4).  Integer predicate
+    2*inter >= union AND union > 0 is exactly double(inter)/double(union)
+    >= 0.5 with 0/0 -> NULL filtered: inter/union are exact small ints, and
+    any true quotient != 0.5 sits >= 1/(2*union) from the boundary — far
+    beyond one rounding of the correctly-rounded double divide.  Verified
+    equal to the array_intersect form at sf0.001/0.01/0.1."""
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    joined = _packed_chunks(t, "doc_id", F.col("toks"))
+
+    def count_near(batches):
+        import numpy as np
+        import pandas as pd
+
+        def popcount(x):  # SWAR over uint64
+            x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+            x = ((x & np.uint64(0x3333333333333333))
+                 + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+            x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+        def masks(rows, vocab, nwords):
+            out = np.zeros((len(rows), nwords), dtype=np.uint64)
+            ids = np.empty(len(rows), dtype=np.int64)
+            for k, r in enumerate(rows):
+                ids[k] = r["i"]
+                for tok in r["v"]:
+                    bit = vocab[tok]
+                    out[k, bit >> 6] |= np.uint64(1) << np.uint64(bit & 63)
+            return ids, out
+
+        for pdf in batches:
+            total = 0
+            for part, fl in zip(pdf["part"], pdf["full"]):
+                vocab: dict = {}
+                for r in fl:
+                    for tok in r["v"]:
+                        if tok not in vocab:
+                            vocab[tok] = len(vocab)
+                nwords = max(1, (len(vocab) + 63) // 64)
+                ia, ma = masks(part, vocab, nwords)
+                ib, mb = masks(fl, vocab, nwords)
+                inter = np.zeros((len(ia), len(ib)), dtype=np.int64)
+                union = np.zeros_like(inter)
+                for j in range(nwords):
+                    aw = ma[:, j, None]
+                    bw = mb[None, :, j]
+                    inter += popcount(aw & bw).astype(np.int64)
+                    union += popcount(aw | bw).astype(np.int64)
+                ok = ((2 * inter >= union) & (union > 0)
+                      & (ia[:, None] < ib[None, :]))
+                total += int(ok.sum())
+            yield pd.DataFrame({"n": [total]})
+
+    return (joined.mapInPandas(count_near, "n long")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+                 .alias("n_exact_near_pairs")))
+
+
 def ann_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans-trained IVF probe (nprobe=4 of 10 centroids) vs the exact
     brute-force top-10.  Output: the exact top-10's id checksum (hash-pins
@@ -90,22 +208,13 @@ def similarity_join_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = brp_lsh_similarity_join(e, threshold=1.2)
     lsh = pairs.agg(F.count("*").alias("n_lsh"),
                     F.max("dist").alias("max_dist"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    # r16 measured non-change: unrolling this fold to the flat
-    # (x-y)*(x-y) sum was 2.5x WORSE (each term re-evaluates both
-    # element_at calls twice — 256 array probes/row vs the HOF's one
-    # zip_with materialization — and the 2M-pair join condition blows the
-    # janino method budget, so the bigger expression runs interpreted
-    # anyway).  The HOF form stays; see OPTIMIZATION_r16.md.
-    sq = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> "
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    exact = (a.join(b, F.col("id_a") < F.col("id_b"))
-             .where(F.sqrt(sq) <= 1.2)
-             .agg(F.count("*").alias("n_exact_pairs")))
+    # Exact side: still the full quadratic verify (every pair evaluated),
+    # but as the blocked numpy kernel — r16 measured the SQL-side unroll
+    # 2.5x WORSE than the HOF (janino method budget -> interpreted anyway);
+    # r17 replaced the interpreted per-pair fold with Arrow-vectorized
+    # float64 ops in the HOF's exact IEEE order (guide §4), 37.6 s -> 1.0 s
+    # at sf0.1.  Bit-identity pinned in tests/test_r17_rewrites.py.
+    exact = _exact_euclidean_pair_count(e, threshold=1.2)
     return (exact.join(F.broadcast(lsh))
             .select("n_exact_pairs",
                     F.coalesce(F.col("max_dist") <= 1.2, F.lit(True))
@@ -138,14 +247,12 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("jaccard_dist").alias("max_dist"),
         F.sum(F.when(F.col("jaccard_dist") <= 0.5, 1).otherwise(0))
         .alias("n_lsh_near"))
-    t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
-    ta = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("tka"))
-    tb = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tkb"))
-    jac = (F.size(F.array_intersect("tka", "tkb")).cast("double")
-           / F.size(F.array_union("tka", "tkb")))
-    exact = (ta.join(tb, F.col("id_a") < F.col("id_b"))
-             .where(jac >= 0.5)
-             .agg(F.count("*").alias("n_exact_near_pairs")))
+    # Exact side: full quadratic token-set Jaccard verify, as the bitmask
+    # popcount kernel (guide §4) — the per-pair array_intersect/array_union
+    # BNLJ cost ~10 min at sf0.1 (the sweep's one documented skip); the
+    # kernel runs it in ~1 s.  Count equality pinned in
+    # tests/test_r17_rewrites.py and verified at sf0.001/0.01/0.1.
+    exact = _exact_jaccard_near_count(d)
     return (exact.join(F.broadcast(lsh))
             .select("n_exact_near_pairs",
                     F.coalesce(F.col("max_dist") <= 0.8, F.lit(True))

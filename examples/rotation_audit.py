@@ -59,6 +59,10 @@ PROMOTED = [
     "recursive_cte_subtree_rollup",
     "recursive_bom_extended_quantity",
     "recursive_reachability_semi_naive",
+    # r17 session-2 rewrites (exact verify sides of the two MLlib LSH
+    # contrast rows vectorized to Arrow/numpy kernels)
+    "similarity_join_brp_lsh",
+    "dedup_minhash_mllib",
 ]
 
 

@@ -42,9 +42,14 @@ def main() -> None:
     # them 4x would add ~40 min for no information (the sweep hunts for
     # UNKNOWN outliers).  Each carries its diagnosis.
     skip = {
-        "dedup_minhash_mllib": "exact-quadratic VERIFY side by design "
-        "(12.5M pairs x array_intersect at sf0.1; driver hashes it at "
-        "sf<=0.01 where the quadratic side is the stated contrast)",
+        "dedup_minhash_mllib": "MLlib approxSimilarityJoin side is "
+        "inherently ~quadratic HERE: the corpus is near-dup dense (8.9M "
+        "of 12.5M sf0.1 pairs are >= 0.5 similar — measured by the r17 "
+        "bitmask kernel), so LSH banding prunes almost nothing and the "
+        "join emits ~9M candidates x sparse keyDistance (>10 min).  The "
+        "exact verify side was vectorized in r17 (202.9 s -> 16.2 s "
+        "measured); the driver hashes this row at sf <= 0.01 where both "
+        "sides are small.",
     }
     results: dict[str, dict] = {}
     for i, (name, fn) in enumerate(QUERIES.items()):

@@ -159,3 +159,69 @@ def test_semi_naive_lazy_checkpoint_levels_still_pinned(spark):
     # partitions (LogicalRDD scans), not a re-derivation
     plan = formatted_plan(out)
     assert "Scan ExistingRDD" in plan
+
+
+def test_exact_euclidean_kernel_equals_hof_bnlj(spark):
+    """The blocked numpy exact-pair kernel (similarity_join_brp_lsh's
+    verify side) must reproduce the original interpreted HOF BNLJ count
+    exactly — the kernel replays the fold's IEEE op order, so this is a
+    bit comparison, not a tolerance."""
+    from binaryvectordb_spark.queries.mllib_ops import (
+        _exact_euclidean_pair_count,
+    )
+    from binaryvectordb_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    new = _exact_euclidean_pair_count(e, threshold=1.2).first()
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"))
+    sq = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    old = (a.join(b, F.col("id_a") < F.col("id_b"))
+           .where(F.sqrt(sq) <= 1.2)
+           .agg(F.count("*").alias("n_exact_pairs")).first())
+    assert new["n_exact_pairs"] == old["n_exact_pairs"] > 0
+
+
+def test_exact_jaccard_kernel_equals_array_intersect_bnlj(spark):
+    """The bitmask-popcount exact near-pair kernel (dedup_minhash_mllib's
+    verify side) must reproduce the original array_intersect/array_union
+    BNLJ count exactly (2*inter >= union AND union > 0 is the integer form
+    of double(inter)/double(union) >= 0.5 with 0/0 -> NULL)."""
+    from binaryvectordb_spark.queries.mllib_ops import (
+        _exact_jaccard_near_count,
+    )
+    from binaryvectordb_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    new = _exact_jaccard_near_count(d).first()
+    t = d.select("doc_id",
+                 F.array_distinct(F.split("text", " ")).alias("toks"))
+    ta = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("tka"))
+    tb = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tkb"))
+    jac = (F.size(F.array_intersect("tka", "tkb")).cast("double")
+           / F.size(F.array_union("tka", "tkb")))
+    old = (ta.join(tb, F.col("id_a") < F.col("id_b"))
+           .where(jac >= 0.5)
+           .agg(F.count("*").alias("n_exact_near_pairs")).first())
+    assert new["n_exact_near_pairs"] == old["n_exact_near_pairs"] > 0
+
+
+def test_mllib_verify_kernels_plan_shape(spark):
+    """The two contrast rows' plans must carry the vectorized kernel
+    (MapInPandas) and no interpreted per-pair fold in a join condition:
+    the only BNLJs left are the packed-chunks broadcast attach and the
+    final 1-row x 1-row result join."""
+    from binaryvectordb_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES["similarity_join_brp_lsh"](spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+    assert "zip_with" not in plan
+    plan2 = formatted_plan(QUERIES["dedup_minhash_mllib"](spark, SF_SMOKE))
+    assert "MapInPandas" in plan2
+    assert "array_intersect" not in plan2
