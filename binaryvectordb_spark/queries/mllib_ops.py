@@ -212,8 +212,10 @@ def similarity_join_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but as the blocked numpy kernel — r16 measured the SQL-side unroll
     # 2.5x WORSE than the HOF (janino method budget -> interpreted anyway);
     # r17 replaced the interpreted per-pair fold with Arrow-vectorized
-    # float64 ops in the HOF's exact IEEE order (guide §4), 37.6 s -> 1.0 s
-    # at sf0.1.  Bit-identity pinned in tests/test_r17_rewrites.py.
+    # float64 ops in the HOF's exact IEEE order (guide §4): exact side
+    # 52.4 s -> 1.2 s at sf0.1 (same-host split), full query 54.4 -> 7.1 s
+    # on the interleaved A/B — the MLlib join is the remaining cost.
+    # Bit-identity pinned in tests/test_r17_rewrites.py.
     exact = _exact_euclidean_pair_count(e, threshold=1.2)
     return (exact.join(F.broadcast(lsh))
             .select("n_exact_pairs",
@@ -249,9 +251,10 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_lsh_near"))
     # Exact side: full quadratic token-set Jaccard verify, as the bitmask
     # popcount kernel (guide §4) — the per-pair array_intersect/array_union
-    # BNLJ cost ~10 min at sf0.1 (the sweep's one documented skip); the
-    # kernel runs it in ~1 s.  Count equality pinned in
-    # tests/test_r17_rewrites.py and verified at sf0.001/0.01/0.1.
+    # BNLJ was the sweep's one documented skip (202.9 s measured at sf0.1);
+    # the kernel measured 16.2 s on the same contended host.  Count
+    # equality pinned in tests/test_r17_rewrites.py and verified at
+    # sf0.001/0.01/0.1 (8,926,373 near pairs at sf0.1 on both forms).
     exact = _exact_jaccard_near_count(d)
     return (exact.join(F.broadcast(lsh))
             .select("n_exact_near_pairs",
